@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Exact-arithmetic aggregation helpers.
+  *
+  * `sum(double)` is order-dependent and Spark's partial (map-side) + final
+  * aggregation visits rows in a nondeterministic order across partitions, so
+  * a double sum can never reliably hash-match a sequential single-threaded
+  * oracle. Summing through DecimalType is exact and order-independent; the
+  * final cast back to double is a deterministic function of the exact sum.
+  *
+  * FIXTURES data guarantee: all monetary/measure columns are 2-dp decimals
+  * stored as doubles (verified empirically at sf0.01), so the cast to a
+  * scale-6 decimal never rounds — it is lossless on both engines.
+  *
+  * This also matters at 100 TB: decimal hash aggregation stays inside
+  * whole-stage codegen and partial aggregation still applies; correctness
+  * does not depend on partition count or AQE coalescing.
+  */
+object Exact {
+  private val D = DecimalType(25, 6)
+
+  /** Exact, order-independent sum of a (2-dp) double column, as double. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+
+  /** Exact average: exact decimal sum divided by count, in double. */
+  def davg(c: Column): Column = sum(c.cast(D)).cast(DoubleType) / count(c)
+
+  /** DuckDB oracle fragment mirroring [[dsum]]. */
+  def sqlSum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
+
+  /** DuckDB oracle fragment mirroring [[davg]]. */
+  def sqlAvg(e: String): String =
+    s"(CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE) / COUNT($e))"
+}

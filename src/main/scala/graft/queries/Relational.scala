@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Relational core: scan/projection, filter, the join family, cross join,
+  * multi-way join, sort/limit/top-k, set operations (SURVEY.md §2B
+  * Q01–Q10, Q19–Q21).
+  *
+  * Scale notes (100 TB posture):
+  *  - Projections/filters are declared on the scan so Catalyst pushes them
+  *    into the Parquet reader (verify `PushedFilters`/`ReadSchema`).
+  *  - Dimension tables (region/nation/customer at dim scale) are broadcast
+  *    explicitly; fact-fact joins shuffle on their equi-keys and AQE picks
+  *    SMJ/SHJ + skew splitting at runtime.
+  */
+object Relational {
+
+  val qs: Seq[Q] = Seq(
+    Q("q01_scan",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q02_filter",
+      (s, d) => {
+        Tables(s, d, "orders")
+          .filter(col("o_totalprice") > 1000.0 && col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+             |FROM orders WHERE o_totalprice > 1000 AND o_orderstatus = 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q03_join_inner",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q04_join_broadcast",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region")
+        // nation/region are fixed-size dims: always broadcast, never shuffle
+        // the customer side on nationkey.
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, n_name, r_name
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q05_join_left",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("order_cnt"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("q06_join_semi",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q07_join_anti",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q08_join_theta",
+      (s, d) => {
+        val l = Tables(s, d, "lineitem")
+        val p = Tables(s, d, "part")
+        // Equi-key + residual predicate: executes as a hash/SMJ on
+        // l_partkey with the range condition applied as a post-join filter —
+        // never a nested-loop cross product.
+        l.join(p, l("l_partkey") === p("p_partkey") &&
+            l("l_extendedprice") > p("p_retailprice"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+            col("l_extendedprice"), col("p_retailprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice,
+             |  p_retailprice
+             |FROM lineitem JOIN part
+             |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q09_join_cross",
+      (s, d) => {
+        Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
+          .select(col("r_name"), col("n_name"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q10_join_multiway",
+      (s, d) => {
+        val cutoff = lit("1998-07-01 00:00:00").cast(TimestampType)
+        val c = Tables(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables(s, d, "orders").filter(col("o_orderdate") < cutoff)
+        val l = Tables(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .select(col("o_orderkey"), col("revenue"),
+            col("o_orderdate"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey,
+              |  ${Exact.sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+              |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+              |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+              |GROUP BY o_orderkey, o_orderdate
+              |ORDER BY revenue DESC, o_orderkey
+              |LIMIT 10""".stripMargin)),
+
+    Q("q19_topk",
+      (s, d) => {
+        // orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+        // top-k then a k-row merge on the driver — no global sort/shuffle.
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"))
+          .limit(25)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 25""".stripMargin)),
+
+    Q("q20_union_all",
+      (s, d) => {
+        val c = Tables(s, d, "customer").select(
+          col("c_custkey").as("ent_key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+        val sup = Tables(s, d, "supplier").select(
+          col("s_suppkey").as("ent_key"), col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"), lit("supplier").as("src"))
+        c.union(sup).orderBy(col("src"), col("ent_key"))
+      },
+      Some("""SELECT c_custkey AS ent_key, c_name AS name, c_acctbal AS acctbal,
+             |  'customer' AS src FROM customer
+             |UNION ALL
+             |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+             |ORDER BY src, ent_key""".stripMargin)),
+
+    Q("q20_union_distinct",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(col("c_nationkey").as("nationkey"))
+        val sup = Tables(s, d, "supplier")
+          .select(col("s_nationkey").as("nationkey"))
+        c.union(sup).distinct().orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("q21_intersect",
+      (s, d) => {
+        Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables(s, d, "supplier")
+            .select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("q21_except",
+      (s, d) => {
+        Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(Tables(s, d, "supplier")
+            .select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin))
+  )
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Scalar function surface: string, date/time, math, conditional/null,
+  * JSON, array, map, subqueries (SURVEY.md §2B Q22–Q29).
+  *
+  * Cross-engine determinism rules applied here:
+  *  - No `round()` on doubles (Spark rounds the shortest decimal rendering,
+  *    DuckDB rounds the binary value — they disagree on 2-dp ties).
+  *  - Only IEEE-exact double ops (`abs/floor/ceil/sqrt/+,-,*,/`) or libm
+  *    functions whose 1-ulp error is far below the 6-dp hash rounding.
+  *  - Day-of-week via Spark `weekday` ≡ DuckDB `isodow - 1` (Monday=0).
+  */
+object Scalars {
+
+  private val q29Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |  AND EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_custkey = orders.o_custkey
+      |                AND c.c_acctbal > 0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q22_strings",
+      (s, d) => {
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_brand")).as("lo_brand"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          length(col("p_name")).as("name_len"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("tagged"),
+          regexp_replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+          col("p_name").like("%re%").as("has_re"),
+          size(split(col("p_name"), " ")).as("n_words"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS up_name,
+             |  lower(p_brand) AS lo_brand,
+             |  substr(p_name, 1, 5) AS pfx,
+             |  CAST(length(p_name) AS INT) AS name_len,
+             |  trim('  ' || p_name || '  ') AS trimmed,
+             |  p_brand || '#' || p_type AS tagged,
+             |  replace(p_name, ' ', '_') AS snake,
+             |  (p_name LIKE '%re%') AS has_re,
+             |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("q23_datetime",
+      (s, d) => {
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          weekday(col("o_orderdate")).as("dow"),
+          datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+            .as("days_to_2k"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(day(o_orderdate) AS INT) AS dom,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+             |    AS INT) AS days_to_2k
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q24_math",
+      (s, d) => {
+        Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - 50000.0).as("ab"),
+          ceil(col("l_extendedprice")).as("ce"),
+          floor(col("l_extendedprice")).as("fl"),
+          (col("l_linenumber") % 3).as("md"),
+          pow(col("l_quantity"), 2.0).as("pw"),
+          sqrt(col("l_quantity")).as("sq"),
+          log(col("l_extendedprice")).as("lg"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_extendedprice - 50000.0) AS ab,
+             |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+             |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             |  l_linenumber % 3 AS md,
+             |  pow(l_quantity, 2.0) AS pw,
+             |  sqrt(l_quantity) AS sq,
+             |  ln(l_extendedprice) AS lg
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q25_conditional",
+      (s, d) => {
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000.0, "big")
+            .when(col("o_totalprice") > 100000.0, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_or_open"),
+          least(col("o_totalprice"), lit(250000.0)).as("lo"),
+          greatest(col("o_totalprice"), lit(250000.0)).as("hi"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice > 300000.0 THEN 'big'
+             |       WHEN o_totalprice > 100000.0 THEN 'mid'
+             |       ELSE 'small' END AS bucket,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+             |  least(o_totalprice, 250000.0) AS lo,
+             |  greatest(o_totalprice, 250000.0) AS hi
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q26_json",
+      (s, d) => {
+        Tables(s, d, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("q27_arrays",
+      (s, d) => {
+        Tables(s, d, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("e1"),
+          slice(col("embedding"), 1, 3).as("head3"),
+          array_contains(col("embedding"), element_at(col("embedding"), 1))
+            .as("has_e1"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  embedding[1] AS e1,
+             |  embedding[1:3] AS head3,
+             |  list_contains(embedding, embedding[1]) AS has_e1
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("q28_map",
+      (s, d) => {
+        val m = from_json(col("props"), "MAP<STRING,INT>")
+        Tables(s, d, "events").select(
+          col("event_id"),
+          element_at(m, "k").as("k_val"),
+          size(map_keys(m)).as("n_keys"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+             |  CAST(len(json_keys(props)) AS INT) AS n_keys
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Identical ANSI SQL runs on both engines: scalar subquery, IN-subquery,
+    // correlated EXISTS. Catalyst decorrelates; no manual rewriting.
+    Q("q29_subqueries",
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql(q29Sql)
+      },
+      Some(q29Sql))
+  )
+}
