@@ -1,5 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line with per-query wall-clock seconds.
+  *
+  * Each query is materialized through the `noop` sink: every result row is
+  * fully computed and serialized on the executors (unlike `.count()`, which
+  * lets Catalyst drop the final sort and prune columns), so the timing
+  * includes the whole declared plan — scan, shuffles, sort — and nothing is
+  * funneled through the driver.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +18,29 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Tables.views(spark, sfDir)
+    val names = SparkEntry.all.map(_.name)
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map(jq).mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

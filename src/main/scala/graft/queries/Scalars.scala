@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType}
 
 /** Scalar function surface: string, date/time, math, conditional/null,
   * JSON, array, map, subqueries (SURVEY.md §2B Q22–Q29).
@@ -155,7 +155,7 @@ object Scalars {
 
     Q("q28_map",
       (s, d) => {
-        val m = from_json(col("props"), "MAP<STRING,INT>")
+        val m = from_json(col("props"), MapType(StringType, IntegerType))
         Tables(s, d, "events").select(
           col("event_id"),
           element_at(m, "k").as("k_val"),
