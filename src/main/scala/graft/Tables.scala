@@ -1,19 +1,32 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Fixture-table registry (TESTDATA.md / FIXTURES.md).
   *
   * One Parquet file per table under the scale-factor directory. The reader is
   * Spark's vectorized Parquet scan, so column pruning + predicate pushdown
   * are applied automatically for any downstream `select`/`filter`.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
+  * its µs TimestampType. We read it as raw nanos (`nanosAsLong`) and convert
+  * with integer division — lossless here (the fixture has no sub-µs
+  * components; DuckDB's reader does the same ns→µs cast on the oracle side).
+  * Trade-off noted for scale: predicates on the converted `ts` don't push
+  * into the Parquet scan; a production layout would store µs timestamps.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every fixture table as a temp view named after itself, for the
     * SQL entry surface (subqueries, UDF-in-SQL, ...). Cheap: only footer
