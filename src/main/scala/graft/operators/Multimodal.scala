@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2B Q34; builder-prompt
+  * requirement): image/audio/video travel as opaque `binary` columns with a
+  * typed metadata struct; decode / feature-extraction run batched per
+  * partition so a real decoder would amortize model/codec init per
+  * partition, not per row.
+  *
+  * The decode step itself is a STUB — this container has no image/audio
+  * codecs — replaced by a deterministic fake (shape + features derived from
+  * the payload bytes) so the Spark-side plumbing (schema, partitioning,
+  * batch shape, encoder boundaries) is real and testable. The one function
+  * to swap for production is [[FakeCodec.decode]].
+  */
+object Multimodal {
+
+  /** An opaque media asset: payload + typed metadata. */
+  case class Asset(doc_id: Long, mime: String, n_bytes: Long, payload: Array[Byte])
+
+  /** Decoded features for one asset. */
+  case class Decoded(doc_id: Long, mime: String, width: Int, height: Int,
+      features: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for a real codec
+    * (jpeg/png/ffmpeg). Derives shape and a 16-dim feature vector from the
+    * payload bytes only, so tests are reproducible anywhere.
+    */
+  object FakeCodec {
+    def decode(a: Asset): Decoded = {
+      val h = java.util.Arrays.hashCode(a.payload)
+      val width = 16 + math.floorMod(h, 16)
+      val height = 16 + math.floorMod(h >> 4, 16)
+      val features = Array.tabulate(16) { i =>
+        val b = if (a.payload.isEmpty) 0 else a.payload(i % a.payload.length) & 0xff
+        (b * (i + 1)).toFloat / 255f
+      }
+      Decoded(a.doc_id, a.mime, width, height, features)
+    }
+  }
+
+  /** Attach a fake binary payload to the documents table (in production the
+    * payload column arrives from the source parquet; text bytes stand in).
+    * The metadata struct keeps scan-time pruning possible: filters on
+    * `mime`/`n_bytes` never touch the payload bytes.
+    */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      concat(lit("media/"), col("source")).as("mime"),
+      length(col("text")).cast("long").as("n_bytes"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched decode: mapPartitions so codec init happens once per
+    * partition. Returns a typed Dataset — downstream joins/aggregations on
+    * (doc_id, width, height, features) stay columnar.
+    */
+  def decodeAll(assets: Dataset[Asset]): Dataset[Decoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // production: initialize the real codec HERE, once per partition
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** Fixed-size frame sampling from a binary payload (video-style): emits
+    * up to `maxFrames` equally spaced `frameBytes`-sized slices, columnar
+    * (no UDF) via higher-order functions on the binary column.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int = 8, maxFrames: Int = 4): DataFrame = {
+    val nFrames = least(lit(maxFrames),
+      ceil(col("n_bytes").cast("double") / frameBytes).cast("int"))
+    val stride = greatest(lit(frameBytes),
+      (col("n_bytes") / nFrames).cast("int"))
+    assets.select(
+      col("doc_id"), col("mime"),
+      transform(sequence(lit(0), nFrames - 1),
+        i => col("payload").substr(i * stride + 1, lit(frameBytes)))
+        .as("frames"))
+  }
+
+  /** End-to-end demo pipeline over the fixture documents table. */
+  def pipeline(spark: SparkSession, dir: String): Dataset[Decoded] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    decodeAll(withPayload(docs).as[Asset])
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the streaming operators Q38–Q39 (engine-verified: no
+  * DuckDB analog for watermark/state semantics). Scripted MemoryStream
+  * batches with controlled event times assert:
+  *  - Q38: a row later than watermark = max(ts) − 10 min is dropped; windows
+  *    finalize exactly once in append mode.
+  *  - Q39: duplicate event_ids within the watermark are suppressed, first
+  *    arrival wins.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, value: Double)
+
+  test("Q38: late rows beyond the watermark are dropped from the aggregate") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = Streams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("q38_golden")
+      .outputMode("append").start()
+    try {
+      // batch 1: events inside hour 0 and hour 1; watermark advances to 1:30
+      input.addData(Ev(1, ts(5), 1.0), Ev(2, ts(30), 2.0), Ev(3, ts(90), 4.0))
+      query.processAllAvailable()
+      // batch 2: a late event at 0:10 — watermark is 1:20 (> 1:00), so the
+      // hour-0 window is already finalized and the row must be dropped.
+      input.addData(Ev(4, ts(10), 100.0))
+      query.processAllAvailable()
+      // batch 3: advance event time far enough to close every open window
+      input.addData(Ev(5, ts(300), 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("q38_golden")
+        .select(col("win_start"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      // hour 0 closed with exactly the 2 on-time rows; the late 100.0 never lands
+      assert(rows.contains(("2024-01-01 00:00:00.0", 2L, 3.0)),
+        s"hour-0 window wrong: ${rows.mkString(", ")}")
+      assert(!rows.exists(_._3 == 103.0), "late row leaked into a finalized window")
+      assert(rows.contains(("2024-01-01 01:00:00.0", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("Q39: dropDuplicatesWithinWatermark keeps first arrival per event_id") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = Streams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("q39_golden")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts(5), 1.0), Ev(2, ts(6), 2.0))
+      query.processAllAvailable()
+      // same event_id re-arrives within the watermark: suppressed
+      input.addData(Ev(1, ts(7), 999.0), Ev(3, ts(8), 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("q39_golden").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        s"dedup output wrong: ${rows.mkString(", ")}")
+    } finally query.stop()
+  }
+}
