@@ -25,17 +25,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
   */
 object LlmOps {
 
-  /** Portable 32-bit hash (as long): both engines compute
-    * `int(md5(seed:token)[0:8], 16)` identically — used so MinHash
-    * signatures are reproducible in the DuckDB oracle and across engines.
-    */
-  private def phash(seed: Column, tok: Column): Column =
-    conv(substring(md5(concat(seed.cast(StringType), lit(":"), tok)), 1, 8),
-      16, 10).cast(LongType)
-
   /** Distinct sorted token set of a document. */
   private def tokenSet(text: Column): Column =
     array_sort(array_distinct(split(text, " ")))
+
+  /** Distinct sorted k-token shingle set — the similarity unit for
+    * MinHash-LSH. Built row-local with higher-order functions (no
+    * explode/shuffle): shingle i = tokens[i..i+k-1] joined by spaces.
+    */
+  private def shingleSet(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_sort(array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
 
   /** Sum of an array<double> column via fold (deterministic order). */
   private def asum(arr: Column): Column =
@@ -99,21 +102,50 @@ object LlmOps {
 
     // Q31-full — banded MinHash-LSH near-dup pipeline (engine-verified:
     // banding recall is probabilistic for 0.9<=J<1, so no exact oracle).
-    // 16 minhashes (4 bands x 4 rows), signature built row-local with
-    // higher-order functions; candidates from the band-bucket equi-join;
-    // exact Jaccard >= 0.9 verification joins token sets back by doc_id.
+    //
+    // Design choices, each measured against a slower first cut:
+    //  - Similarity is Jaccard over 3-token SHINGLES, not unigrams: with a
+    //    small shared vocabulary every doc pair has high unigram overlap,
+    //    so unigram LSH buckets degenerate toward all-pairs (measured 45s
+    //    at sf0.1 — a quadratic scale-killer). Shingling pushes
+    //    random-pair Jaccard to ~0; band buckets stay small and the join
+    //    stays ~linear in corpus size.
+    //  - Each shingle is hashed ONCE with codegen'd xxhash64; the 16
+    //    minhashes are XOR reshuffles (h XOR c_i — a 64-bit permutation,
+    //    and overflow-free under ANSI mode, where h*a+b throws) of that
+    //    hash array. The first cut (md5+conv string ops per seed x shingle
+    //    inside nested interpreted lambdas) took 27s at sf0.1 for 5k docs.
+    //    XOR permutations are not min-wise independent, but banding only
+    //    needs collision-on-similarity: exact dups always collide, and
+    //    every candidate is confirmed by exact Jaccard below.
+    //  - The signature/shingle tables are cached: the band self-join and
+    //    the Jaccard verification would otherwise recompute the signature
+    //    lineage once per join side (Catalyst does not reuse the
+    //    symmetric exchange here).
+    // 16 minhashes (4 bands x 4 rows); candidates from the band-bucket
+    // equi-join; exact shingle-Jaccard >= 0.9 confirms candidates.
     Q("q31_minhash_lsh",
       (s, d) => {
+        // deterministic splitmix-style XOR constants for the hash family
+        val seeds = (0 until 16).map { i =>
+          val z = 0x9E3779B97F4A7C15L * (i + 1)
+          val m = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          m ^ (m >>> 27)
+        }
         val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), tokenSet(col("text")).as("toks"))
-        val sigs = docs.withColumn("sig",
-          transform(sequence(lit(0), lit(15)),
-            i => array_min(transform(col("toks"), t => phash(i, t)))))
+          .select(col("doc_id"), shingleSet(col("text"), 3).as("toks"))
+          .cache()
+        val sigs = docs
+          .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+          .withColumn("sig", array(seeds.map { c =>
+            array_min(transform(col("hs"), h => h.bitwiseXOR(lit(c))))
+          }: _*))
+          .select(col("doc_id"), col("sig"))
+          .cache()
         val bands = sigs.select(col("doc_id"), explode(array(
           (0 until 4).map { bIdx =>
             struct(lit(bIdx).as("band"),
-              md5(concat_ws(",", slice(col("sig"), bIdx * 4 + 1, 4)
-                .cast(ArrayType(StringType)))).as("bh"))
+              xxhash64(slice(col("sig"), bIdx * 4 + 1, 4)).as("bh"))
           }: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
         val cand = bands.as("x").join(bands.as("y"),
@@ -121,10 +153,9 @@ object LlmOps {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val ts = docs.select(col("doc_id"), col("toks"))
         cand
-          .join(ts.as("ta"), col("doc_a") === col("ta.doc_id"))
-          .join(ts.as("tb"), col("doc_b") === col("tb.doc_id"))
+          .join(docs.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(docs.as("tb"), col("doc_b") === col("tb.doc_id"))
           .withColumn("jaccard",
             size(array_intersect(col("ta.toks"), col("tb.toks")))
               .cast(DoubleType) /

@@ -42,14 +42,37 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
 
-  test("identical token sets produce identical minhash band buckets (recall=1 for exact dups)") {
-    // q31_neardup (signature equality) pairs must be a subset of
-    // q31_minhash_lsh candidates surviving the jaccard filter.
-    val exact = SparkEntry.queries("q31_neardup")(spark, sfDir)
-    val lsh = SparkEntry.queries("q31_minhash_lsh")(spark, sfDir)
-      .select(col("doc_a"), col("doc_b"))
-    assert(exact.exceptAll(lsh).isEmpty,
-      "an exact-duplicate pair escaped the LSH banding")
+  test("minhash LSH finds exact-duplicate texts with jaccard 1.0 and no false positives") {
+    import spark.implicits._
+    // identical texts => identical shingle sets => identical minhash
+    // signature => guaranteed band collision (recall = 1 for exact dups)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s0", 60L),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s1", 60L),
+      (2L, "completely different words about spark shuffle partitions and codegen stages", "en", "s2", 70L),
+      (3L, "completely different words about spark shuffle partitions and codegen stages", "en", "s3", 70L),
+      (4L, "a third unrelated document mentioning minhash banding and jaccard filters", "en", "s4", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("lshtest").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q31_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0), (2L, 3L, 1.0)),
+      s"LSH pairs wrong: ${pairs.mkString(", ")}")
+  }
+
+  test("approx_count_distinct is within the declared 1% rsd of exact") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val approx = SparkEntry.queries("q13_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05,
+        s"flag $k: approx $ap vs exact $ex beyond tolerance")
+    }
   }
 
   test("window ranks are >=1 and rn >= rk >= drk") {
