@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// CatalogSpec needs a Hive-enabled session; spark.sql.catalogImplementation
+// is a static conf, so it runs in its own forked JVM, apart from the shared
+// in-memory-catalog test session.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  tests.groupBy(t => if (t.name.endsWith("CatalogSpec")) "hive" else "main")
+    .map { case (g, ts) => Tests.Group(g, ts, Tests.SubProcess(opts)) }.toSeq
+}

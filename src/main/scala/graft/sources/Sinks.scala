@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write-sink surface: Parquet / CSV / JSON (SURVEY.md §2B sources/sinks).
+  *
+  * Scale posture:
+  *  - `partitionBy` columns become directory partitions — the reader gets
+  *    partition pruning on them; choose low-cardinality keys (date, lang).
+  *  - `maxRecordsPerFile` caps file size skew so one hot partition cannot
+  *    produce a multi-GB file; no `coalesce(1)` anywhere (a single-task
+  *    write serializes the whole job at scale).
+  *  - CSV/JSON carry an explicit timestamp format so round-trips are
+  *    deterministic and engine-portable.
+  */
+object Sinks {
+
+  val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("timestampFormat", TsFmt)
+      .csv(path)
+
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TsFmt)
+      .json(path)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.sources.Catalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-metastore-backed registration parity with the temp-view path
+  * (VERDICT r1 item 10). Runs in its own forked JVM (see build.sbt
+  * testGrouping): catalogImplementation is a static conf.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("hive catalog tables answer queries identically to temp views") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hive").toString
+    val spark = Catalog.hiveSession(tmp)
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+      Catalog.registerHiveTables(spark, sfDir)
+      Catalog.registerViews(spark, sfDir)
+      val viaHive = spark.sql(
+        """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q
+          |FROM graft.lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin).collect()
+      val viaView = spark.sql(
+        """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin).collect()
+      assert(viaHive.toSeq == viaView.toSeq)
+      assert(viaHive.nonEmpty)
+      // metastore survives: table is listed in the catalog, and external —
+      // dropping must not delete the fixture parquet
+      assert(spark.catalog.tableExists("graft.lineitem"))
+      spark.sql("DROP TABLE graft.lineitem")
+      assert(new java.io.File(s"$sfDir/lineitem.parquet").exists())
+    } finally spark.stop()
+  }
+}
