@@ -32,7 +32,11 @@ object Bench {
       catch { case e: Throwable =>
         errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop any caches a query materialized: each query is timed as a
+      // standalone job, and leaked cache blocks distort later timings
+      spark.catalog.clearCache()
+      name -> dt
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""

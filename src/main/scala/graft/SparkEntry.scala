@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Aggregates.qs ++
       graft.queries.Scalars.qs ++
       graft.queries.LlmOps.qs ++
+      graft.queries.TextOps.qs ++
       graft.queries.Extensibility.qs ++
       graft.queries.EventTime.qs
 

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expression: cosine similarity of two array<float>
+  * vectors, accumulated in double in element order.
+  *
+  * Why an Expression and not a UDF / higher-order functions: the HOF
+  * formulation (`aggregate(zip_with(...))`) builds three interpreted lambda
+  * chains and allocates an intermediate array per row — measured ~3x slower
+  * on the pairwise near-dup join, and it breaks whole-stage codegen. This
+  * expression generates a tight primitive loop inside the codegen'd stage:
+  * no allocation, no virtual calls, JIT-vectorizable.
+  *
+  * The accumulation order (sequential fold over elements, doubles) is
+  * bit-identical to both the HOF formulation and DuckDB's
+  * `list_cosine_similarity(CAST(... AS DOUBLE[]))`, so swapping it into an
+  * oracle-paired query never changes results.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |float[] $y = $b.toFloatArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x[$i];
+         |  double $yi = (double) $y[$i];
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-API surface for the native functions. */
+object GraftFunctions {
+
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "cosine_sim")
+
+  /** Idempotently register `cosine_sim` in the session's function
+    * registry, making it available to SQL and `call_function`.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      cosineInfo,
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1)))
+
+  /** Column API: cosine similarity of two array<float> columns. Requires
+    * [[ensureRegistered]] on the session (query builders call it).
+    */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+}

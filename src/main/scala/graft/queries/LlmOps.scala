@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
   */
 object LlmOps {
 
+  /** Portable 32-bit token hash (as long): both engines compute
+    * `int(md5(token)[0:8], 16)` identically — used where the DuckDB oracle
+    * must reproduce hash values exactly (SimHash, fingerprints).
+    */
+  def phash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
+
   /** Distinct sorted token set of a document. */
   private def tokenSet(text: Column): Column =
     array_sort(array_distinct(split(text, " ")))
@@ -43,6 +50,14 @@ object LlmOps {
   /** Sum of an array<double> column via fold (deterministic order). */
   private def asum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — double accumulation in
+    * element order, bit-identical to the oracle's DOUBLE[] math and to the
+    * HOF formulation it replaced (which ran ~3x slower on pairwise joins).
+    */
+  private def cosineD(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(s, a, b)
 
   val qs: Seq[Q] = Seq(
     // Q30 — exact dedup, keep-first-by-key: deterministic survivor = lowest
@@ -132,13 +147,17 @@ object LlmOps {
           val m = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
           m ^ (m >>> 27)
         }
+        // shingles are hashed once (xxhash64, sorted distinct long array);
+        // all set algebra below runs on longs, never strings
         val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), shingleSet(col("text"), 3).as("toks"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(
+              transform(shingleSet(col("text"), 3), t => xxhash64(t))))
+              .as("toks"))
           .cache()
         val sigs = docs
-          .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
           .withColumn("sig", array(seeds.map { c =>
-            array_min(transform(col("hs"), h => h.bitwiseXOR(lit(c))))
+            array_min(transform(col("toks"), h => h.bitwiseXOR(lit(c))))
           }: _*))
           .select(col("doc_id"), col("sig"))
           .cache()
@@ -175,14 +194,9 @@ object LlmOps {
         val e = Tables(s, d, "embeddings")
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qemb"))
-        val dot = asum(zip_with(col("embedding"), col("qemb"),
-          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
-        val norm = (c: Column) => sqrt(asum(
-          transform(c, x => x.cast(DoubleType) * x.cast(DoubleType))))
         e.crossJoin(broadcast(qv))
           .select(col("vec_id"), col("label"),
-            (dot / (norm(col("embedding")) * norm(col("qemb"))))
-              .as("cos_sim"))
+            cosineD(s, col("embedding"), col("qemb")).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
@@ -193,6 +207,190 @@ object LlmOps {
              |    AS cos_sim
              |FROM embeddings, qv
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Q30c — SimHash dedup: 32-bit simhash over the distinct token set
+    // (order-independent), duplicate pairs via signature-equality join —
+    // the same never-all-pairs bucket shape as q31. The per-bit vote sums
+    // run as 32 fold expressions over the row-local token-hash array (one
+    // md5 per token total, no shuffle until the final pair join). Hash
+    // values are oracle-portable (md5 prefix), so DuckDB reproduces the
+    // exact signatures.
+    Q("q30_simhash",
+      (s, d) => {
+        val sigs = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            transform(tokenSet(col("text")), t => phash32(t)).as("hs"))
+          .select(col("doc_id"),
+            (0 until 32).map { b =>
+              val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+                acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+                  .otherwise(-1L))
+              when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+            }.reduce(_ + _).as("simhash"))
+        sigs.as("a").join(sigs.as("b"),
+            col("a.simhash") === col("b.simhash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.simhash").as("simhash"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val hv = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+        val votes = (0 until 32).map(b =>
+          s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(",\n    ")
+        val assemble = (0 until 32).map(b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           |  FROM documents),
+           |h AS (SELECT doc_id, $hv AS hv FROM toks),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $assemble AS simhash FROM bits)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+           |FROM sig a JOIN sig b
+           |  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // Q31b — n-gram (3-token shingle) Jaccard near-dup via PREFIX
+    // FILTERING (PPJoin-style): for Jaccard >= 0.5 over globally-sorted
+    // shingle sets, any qualifying pair must share a shingle within each
+    // side's first floor(|S|/2)+1 shingles — so candidates come from an
+    // equi-join on exploded prefix shingles, never from block-local
+    // all-pairs (a first cut joining whole (lang,size) blocks measured 70s
+    // at sf0.1 and grows quadratically with block size; this is exact AND
+    // ~linear: shuffle partitions by shingle). The technique is
+    // deterministic, so the DuckDB oracle reproduces it bit-for-bit.
+    // Set algebra runs over HASHED shingles (portable md5-based 32-bit
+    // values, sorted long arrays): intersect/union on longs is several
+    // times cheaper than on ~20-char strings at 1M+ candidate pairs. Both
+    // engines hash identically, so a (cosmically rare) collision perturbs
+    // both sides the same way — parity holds.
+    Q("q31_ngram_jaccard",
+      (s, d) => {
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            array_sort(array_distinct(
+              transform(shingleSet(col("text"), 3), t => phash32(t))))
+              .as("shs"))
+          .cache()
+        val pref = sh.select(col("doc_id"),
+          explode(slice(col("shs"), lit(1),
+            (floor(size(col("shs")) / 2) + 1).cast("int"))).as("ps"))
+        val cand = pref.as("a").join(pref.as("b"),
+            col("a.ps") === col("b.ps") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sa.shs"), col("sb.shs"))).cast(DoubleType) /
+              size(array_union(col("sa.shs"), col("sb.shs"))))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_sort(list_distinct(
+             |      [CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)
+             |       FOR sh IN [array_to_string(ts[i:i+2], ' ')
+             |                  FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]]))
+             |      AS shs
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |        FROM documents)),
+             |pref AS (
+             |  SELECT doc_id, unnest(shs[1 : len(shs) // 2 + 1]) AS ps
+             |  FROM sh),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM pref a JOIN pref b
+             |    ON a.ps = b.ps AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, jaccard FROM (
+             |  SELECT doc_a, doc_b,
+             |    len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+             |      len(list_distinct(list_concat(sa.shs, sb.shs))) AS jaccard
+             |  FROM cand
+             |  JOIN sh sa ON doc_a = sa.doc_id
+             |  JOIN sh sb ON doc_b = sb.doc_id)
+             |WHERE jaccard >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Q31c — embedding-cosine near-dup with deterministic label blocking
+    // (the label plays the IVF-cell role: pairs only form inside a cell).
+    Q("q31_embed_neardup",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos_sim",
+            cosineD(s, col("a.embedding"), col("b.embedding")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.label").as("label"), col("cos_sim"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT vec_a, vec_b, label, cos_sim FROM (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    a.label AS label,
+             |    list_cosine_similarity(a.v, b.v) AS cos_sim
+             |  FROM e a JOIN e b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id)
+             |WHERE cos_sim >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Q32b — IVF-style ANN: coarse-quantize every vector to its nearest of
+    // 8 centroid vectors (deterministic centroids: vec_id < 8; argmax with
+    // full tiebreak), then search ONLY the query's cell. At 100 TB the
+    // cell id is a partition/bucket key, centroids are broadcast, and the
+    // probe reads one cell via partition pruning instead of the corpus —
+    // this query IS the scale path demonstrated at fixture size.
+    Q("q32_ann_ivf",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))
+        val cells = e.crossJoin(broadcast(cents))
+          .withColumn("csim", cosineD(s, col("embedding"), col("cemb")))
+          .withColumn("rn", row_number().over(byVec))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("cid").as("cell"))
+        val qrow = cells.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"), col("cell").as("qcell"))
+        cells.join(broadcast(qrow), col("cell") === col("qcell"))
+          .withColumn("cos_sim", cosineD(s, col("embedding"), col("qemb")))
+          .select(col("vec_id"), col("label"), col("cell"), col("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |cells AS (
+             |  SELECT vec_id, label, v, cid AS cell FROM (
+             |    SELECT e.vec_id, e.label, e.v, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+             |        AS rn
+             |    FROM e CROSS JOIN cents c)
+             |  WHERE rn = 1),
+             |q AS (SELECT v AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
+             |SELECT vec_id, label, cell,
+             |  list_cosine_similarity(v, qv) AS cos_sim
+             |FROM cells, q WHERE cell = qcell
+             |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)),
 
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small.

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * extension of SURVEY.md §2B Q33): language identification, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Scale notes:
+  *  - Everything is per-row arithmetic or broadcast-joined against tiny
+  *    side tables (language profiles: #langs x 5 rows) — no wide shuffles
+  *    beyond declared final sorts.
+  *  - The fingerprint is a positional polynomial hash folded with modular
+  *    arithmetic (never overflows long under ANSI mode) and is
+  *    oracle-portable via the md5-based token hash.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** 31^(k) mod P weights for the positional fingerprint. */
+  private val P = 1000000007L
+  private val weights: Seq[Long] =
+    Iterator.iterate(1L)(w => w * 31 % P).take(8).toSeq
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  val qs: Seq[Q] = Seq(
+    // Q33c — language ID via corpus-derived token profiles: top-5 tokens
+    // per language (frequency desc, token asc), prediction = language whose
+    // profile overlaps the document's token set most (count desc, lang asc
+    // tiebreak). The profile table is tiny and broadcast; the containment
+    // join never shuffles the document side.
+    Q("q33_langid",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val byLang = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("tok"))
+        val profiles = docs
+          .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(byLang))
+          .filter(col("rn") <= 5)
+          .select(col("lang").as("p_lang"), col("tok"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("hits").desc, col("p_lang"))
+        docs.select(col("doc_id"), col("lang"),
+            array_distinct(split(lower(col("text")), " ")).as("dtoks"))
+          .join(broadcast(profiles), array_contains(col("dtoks"), col("tok")))
+          .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+          .agg(count(lit(1)).as("hits"))
+          .withColumn("rn", row_number().over(byDoc))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+            col("hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH profiles AS (
+             |  SELECT lang AS p_lang, tok FROM (
+             |    SELECT lang, tok, count(*) AS cnt,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY count(*) DESC, tok) AS rn
+             |    FROM (SELECT lang,
+             |            unnest(string_split(lower(text), ' ')) AS tok
+             |          FROM documents)
+             |    GROUP BY lang, tok)
+             |  WHERE rn <= 5),
+             |scored AS (
+             |  SELECT d.doc_id, d.lang, p.p_lang, count(*) AS hits
+             |  FROM (SELECT doc_id, lang,
+             |          list_distinct(string_split(lower(text), ' ')) AS dtoks
+             |        FROM documents) d
+             |  JOIN profiles p ON list_contains(d.dtoks, p.tok)
+             |  GROUP BY d.doc_id, d.lang, p.p_lang)
+             |SELECT doc_id, lang, p_lang AS pred_lang, hits FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY hits DESC, p_lang) AS rn FROM scored)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Q33d — document quality scoring: length, token stats, stopword
+    // ratio, vowel-group density. Pure per-row arithmetic in codegen.
+    Q("q33_quality",
+      (s, d) => {
+        val t = toks(col("text"))
+        val nTok = size(t)
+        val nStop = size(filter(t, x => x.isin(stopwords: _*)))
+        val squeezed = regexp_replace(col("text"), "[aeiou]+", "~")
+        val nVg = length(squeezed) -
+          length(regexp_replace(squeezed, "~", ""))
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          col("n_chars"),
+          nTok.as("n_tokens"),
+          ((col("n_chars") - (nTok - 1)).cast(DoubleType) / nTok)
+            .as("avg_tok_len"),
+          (nStop.cast(DoubleType) / nTok).as("stop_ratio"),
+          (nVg.cast(DoubleType) / nTok).as("vowel_groups_per_tok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars,
+              |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              |  (n_chars - (len(string_split(text, ' ')) - 1))::DOUBLE /
+              |    len(string_split(text, ' ')) AS avg_tok_len,
+              |  len(list_filter(string_split(text, ' '),
+              |    t -> list_contains(['the','a','of','and','to'], t)))::DOUBLE
+              |    / len(string_split(text, ' ')) AS stop_ratio,
+              |  (length(regexp_replace(text, '[aeiou]+', '~', 'g')) -
+              |   length(replace(regexp_replace(text, '[aeiou]+', '~', 'g'),
+              |          '~', '')))::DOUBLE
+              |    / len(string_split(text, ' ')) AS vowel_groups_per_tok
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q33e — token counting: whitespace tokens + a subword proxy
+    // (vowel-group segmentation stands in for BPE merges — RE2-safe, no
+    // lookahead, portable across engines).
+    Q("q33_tokens",
+      (s, d) => {
+        val t = toks(col("text"))
+        val squeezed = regexp_replace(col("text"), "[aeiou]+", "~")
+        val nVg = length(squeezed) - length(regexp_replace(squeezed, "~", ""))
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(t).as("ws_tokens"),
+          (size(t) + nVg).as("subword_est"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             |  CAST(len(string_split(text, ' ')) +
+             |    length(regexp_replace(text, '[aeiou]+', '~', 'g')) -
+             |    length(replace(regexp_replace(text, '[aeiou]+', '~', 'g'),
+             |           '~', '')) AS INT) AS subword_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q33f — positional rolling-hash fingerprint: fp = sum_i
+    // h(tok_i) * 31^(i mod 8) (mod P). Modular fold keeps every
+    // intermediate below 2^63 (ANSI-safe); md5-based token hash makes the
+    // value oracle-portable. Order-sensitive (unlike the dedup signatures),
+    // so re-ordered near-dups get distinct fingerprints.
+    Q("q33_fingerprint",
+      (s, d) => {
+        val wLit = array(weights.map(lit): _*)
+        val terms = transform(toks(col("text")), (t, i) =>
+          pmod(LlmOps.phash32(t), lit(P)) *
+            element_at(wLit, pmod(i, lit(8)) + 1))
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          aggregate(terms, lit(0L), (acc, x) => pmod(acc + x, lit(P)))
+            .as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val wList = weights.mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+           |  CAST(SUM((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % $P)
+           |           * ($wList)[(i % 8) + 1]) % $P AS BIGINT)
+           |    AS fingerprint
+           |FROM (
+           |  SELECT doc_id,
+           |    unnest(string_split(text, ' ')) AS t,
+           |    unnest(range(0, len(string_split(text, ' ')))) AS i
+           |  FROM documents)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }))
+}
