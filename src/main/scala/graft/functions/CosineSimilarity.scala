@@ -83,21 +83,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SparkSessionExtensions injector — the production registration path:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.cosineFunction)
+}
+
 /** Registration + Column-API surface for the native functions. */
 object GraftFunctions {
 
-  private val cosineInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getName, "cosine_sim")
+  private[functions] val cosineFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1)))
 
   /** Idempotently register `cosine_sim` in the session's function
-    * registry, making it available to SQL and `call_function`.
+    * registry, making it available to SQL and `call_function` (for
+    * sessions not built with [[GraftExtensions]]).
     */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      cosineInfo,
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children.head, children(1)))
+      cosineFunction._1, cosineFunction._2, cosineFunction._3)
 
   /** Column API: cosine similarity of two array<float> columns. Requires
     * [[ensureRegistered]] on the session (query builders call it).
