@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2B Q38–Q39).
   *
@@ -38,4 +39,48 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Event-time session windows (30-min gap) per user — the streaming dual
+    * of the batch gaps-and-islands query (q37_session). State per (user,
+    * open session), closed by the watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
+    * running totals emitted on every update (the engine's escape hatch when
+    * windowed aggregation can't express the state machine). State is
+    * per-key and explicitly managed — at scale it lives in the state store,
+    * partitioned by user_id, and should carry a timeout in production use.
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          val rows = batch.toSeq.sortBy(_.event_id)
+          var (n, sum) = (prev.n_events, prev.sum_value)
+          val out = rows.map { e =>
+            n += 1; sum += e.value
+            UserTotal(uid, n, sum)
+          }
+          state.update(UserTotal(uid, n, sum))
+          out.iterator
+      }
+  }
 }
+
+case class UserEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)

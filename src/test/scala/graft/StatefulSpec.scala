@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.{Streams, UserEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Session windows, custom flatMapGroupsWithState, and file-source
+  * streaming — the rest of the streaming surface beyond Q38/Q39.
+  */
+class StatefulSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+
+  test("streaming session_window closes sessions at the 30-min gap") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = Streams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess_golden")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // (second session); advance watermark far to close everything
+      input.addData(Ev(1, 1, ts(0), 1.0), Ev(2, 1, ts(10), 2.0),
+        Ev(3, 1, ts(50), 4.0))
+      query.processAllAvailable()
+      input.addData(Ev(4, 2, ts(600), 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess_golden")
+        .select(col("user_id"), col("sess_start"), col("n_events"),
+          col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+      assert(rows.contains((1L, "2024-01-01 00:00:00.0", 2L, 3.0)),
+        s"first session wrong: ${rows.mkString(", ")}")
+      assert(rows.contains((1L, "2024-01-01 00:50:00.0", 1L, 4.0)),
+        s"second session wrong: ${rows.mkString(", ")}")
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val query = Streams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals_golden")
+      .outputMode("append").start()
+    try {
+      input.addData(UserEvent(1, 7, ts(0), 1.0), UserEvent(2, 7, ts(1), 2.0))
+      query.processAllAvailable()
+      input.addData(UserEvent(3, 7, ts(2), 4.0), UserEvent(4, 9, ts(3), 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("totals_golden")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      // user 7 emits (1,1.0),(2,3.0) in batch 1 and (3,7.0) in batch 2 —
+      // state carried across batches; user 9 starts fresh
+      assert(rows == Set((7L, 1L, 1.0), (7L, 2L, 3.0), (7L, 3L, 7.0),
+        (9L, 1L, 8.0)), s"got: $rows")
+    } finally query.stop()
+  }
+
+  test("file source streams the fixture events through the watermarked aggregate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("filestream").toString
+    // stage a small slice of the fixture as the incoming file drop
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("value")).limit(200)
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .parquet(s"$dir/in")
+    val query = Streams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_golden")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // append mode emits only watermark-closed windows; the batch dual
+      // computed on the same rows bounds them from above
+      val streamed = spark.table("file_golden").count()
+      val batch = ev.groupBy(window(col("ts"), "1 hour")).count().count()
+      assert(streamed <= batch)
+      assert(query.lastProgress.sources.nonEmpty)
+    } finally query.stop()
+  }
+}
