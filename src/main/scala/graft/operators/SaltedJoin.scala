@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * salting). Result is row-identical to a plain inner equi-join —
   * SaltedJoinSpec asserts that as a property.
   *
+  * Reference mapping: the reference's placement policy is a uniform-random
+  * worker pick (src/thread-pools.lisp:116–119, src/scheduler.lisp:168–173)
+  * — salting is the same randomize-to-balance idea applied to shuffle key
+  * routing, where Spark's locality-aware scheduler can't help because the
+  * imbalance is in the data, not the workers.
+  *
   * Cost model: right side is replicated saltFactor times — use for
   * fact-to-small/medium joins where the hot side is the fact. For
   * fact-to-fact skew, prefer AQE or isolate the hot keys and broadcast

@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Table registration surface (BASELINE "Spark SQL + Hive metastore").
   *
+  * Reference mapping: the reference's containers are its "tables" — the
+  * transactional hash table (src/primitives.lisp:92–94,220–318) and sorted
+  * map (src/primitives.lisp:96–101) with `get-value`/`set-value`
+  * enumeration. Here a catalog of schema-on-read parquet tables plays that
+  * role, with the metastore replacing in-process object identity.
+  *
   * Two registration paths over the same parquet fixtures:
   *  - [[registerViews]] — session-local temp views (the default everywhere;
   *    zero metastore dependency, what Verify/Bench use).

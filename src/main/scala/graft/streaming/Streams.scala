@@ -6,6 +6,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Structured Streaming surface (SURVEY.md §2B Q38–Q39).
   *
+  * Reference mapping: this is the Spark-native re-expression of the
+  * reference's only truly streaming capabilities — the blocking
+  * transactional FIFO queue (`put`/`take`/`try-take`,
+  * reference src/primitives.lisp:80–82,164–182), its point-to-point
+  * message transport (src/message-transport.lisp:90–101), and timers
+  * (src/timers.lisp:11–17 → trigger intervals). Watermarks/state stores
+  * replace the reference's unbounded in-memory queues with bounded,
+  * fault-tolerant state.
+  *
   * These are plan builders over an unbounded input (MemoryStream in tests;
   * file/rate sources in production — Kafka is out of scope in this
   * zero-egress build). Semantics:

@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.SaltedJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated algebraic laws (SURVEY §5.2): properties hold for
+  * arbitrary generated data, not just the fixtures. Spark round-trips are
+  * expensive, so generation is bounded (small lists, few cases) — the goal
+  * is shrinkable counterexamples for law violations, not fuzz volume.
+  */
+class GeneratedPropertySpec extends SparkSpec {
+
+  /** Deterministic ScalaCheck sampling (the scalatest bridge artifact is
+    * not in the offline cache): n samples from fixed seeds, so failures
+    * reproduce exactly.
+    */
+  private def samples[T](g: Gen[T], n: Int = 5): Seq[T] =
+    (1 to n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+
+  private def forAllSampled[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga).zip(samples(gb)).foreach { case (a, b) => f(a, b) }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)
+        .suchThat(f => !f.isNaN)))
+      .suchThat(v => v.exists(_ != 0.0f))
+
+  test("cosine_sim is symmetric, bounded, and 1 on self (generated vectors)") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    forAllSampled(vecGen, vecGen) { (a0: List[Float], b0: List[Float]) =>
+      val n = math.min(a0.size, b0.size)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val row = Seq((a, b)).toDF("a", "b").select(
+        call_function("cosine_sim", col("a"), col("b")).as("ab"),
+        call_function("cosine_sim", col("b"), col("a")).as("ba"),
+        call_function("cosine_sim", col("a"), col("a")).as("aa")).head()
+      val (ab, ba, aa) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(ab == ba, s"not symmetric: $ab vs $ba")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, s"out of range: $ab")
+      assert(math.abs(aa - 1.0) < 1e-9, s"self-sim != 1: $aa")
+    }
+  }
+
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(1, 15).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+          .map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  test("keep-first dedup is idempotent and keeps the minimum key (generated docs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    samples(docsGen).foreach { (docs: List[(Long, String)]) =>
+      val df = docs.toDF("doc_id", "text")
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val dedup = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      // one survivor per distinct text, and it is the smallest doc_id
+      val expect = docs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+      val got = dedup.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+      assert(got == expect, s"got $got expect $expect")
+      val twice = dedup.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      assert(twice.count() == dedup.count())
+    }
+  }
+
+  test("salted join equals plain join (generated keys and salt factors)") {
+    import spark.implicits._
+    val keyGen = Gen.listOfN(30, Gen.chooseNum(0L, 4L))
+    forAllSampled(keyGen, Gen.chooseNum(2, 9)) { (ks: List[Long], salt: Int) =>
+      val left = ks.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "k")
+      val right = (0L to 4L).map(k => (k, s"d$k")).toDF("rk", "name")
+      val plain = left.join(right, col("k") === col("rk"))
+        .select("id", "name")
+      val salted = SaltedJoin.inner(left, right, col("k"), col("rk"), salt)
+        .select("id", "name")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    }
+  }
+}
