@@ -119,7 +119,7 @@ object LlmOps {
     // banding recall is probabilistic for 0.9<=J<1, so no exact oracle).
     //
     // Design choices, each measured against a slower first cut:
-    //  - Similarity is Jaccard over 3-token SHINGLES, not unigrams: with a
+    //  - Similarity is Jaccard over multi-token SHINGLES, not unigrams: with a
     //    small shared vocabulary every doc pair has high unigram overlap,
     //    so unigram LSH buckets degenerate toward all-pairs (measured 45s
     //    at sf0.1 — a quadratic scale-killer). Shingling pushes
@@ -138,7 +138,9 @@ object LlmOps {
     //    lineage once per join side (Catalyst does not reuse the
     //    symmetric exchange here).
     // 16 minhashes (4 bands x 4 rows); candidates from the band-bucket
-    // equi-join; exact shingle-Jaccard >= 0.9 confirms candidates.
+    // equi-join; exact shingle-Jaccard >= 0.9 confirms candidates. Shingles are
+    // 5 tokens (k=3 on this dense synthetic vocabulary produced ~670x more
+    // false candidates for the identical final pair set).
     Q("q31_minhash_lsh",
       (s, d) => {
         // deterministic splitmix-style XOR constants for the hash family
@@ -152,7 +154,7 @@ object LlmOps {
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"),
             array_sort(array_distinct(
-              transform(shingleSet(col("text"), 3), t => xxhash64(t))))
+              transform(shingleSet(col("text"), 5), t => xxhash64(t))))
               .as("toks"))
           .cache()
         val sigs = docs
@@ -256,7 +258,7 @@ object LlmOps {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
-    // Q31b — n-gram (3-token shingle) Jaccard near-dup via PREFIX
+    // Q31b — n-gram (5-token shingle, Broder-style) Jaccard near-dup via PREFIX
     // FILTERING (PPJoin-style): for Jaccard >= 0.5 over globally-sorted
     // shingle sets, any qualifying pair must share a shingle within each
     // side's first floor(|S|/2)+1 shingles — so candidates come from an
@@ -275,7 +277,7 @@ object LlmOps {
         val sh = Tables(s, d, "documents")
           .select(col("doc_id"),
             array_sort(array_distinct(
-              transform(shingleSet(col("text"), 3), t => phash32(t))))
+              transform(shingleSet(col("text"), 5), t => phash32(t))))
               .as("shs"))
           .cache()
         val pref = sh.select(col("doc_id"),
@@ -299,8 +301,8 @@ object LlmOps {
              |  SELECT doc_id,
              |    list_sort(list_distinct(
              |      [CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)
-             |       FOR sh IN [array_to_string(ts[i:i+2], ' ')
-             |                  FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]]))
+             |       FOR sh IN [array_to_string(ts[i:i+4], ' ')
+             |                  FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)]]))
              |      AS shs
              |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
              |        FROM documents)),
