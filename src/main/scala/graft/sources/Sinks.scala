@@ -35,4 +35,20 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", TsFmt)
       .json(path)
+
+  /** Bucketed catalog table: rows are hash-partitioned into `nBuckets`
+    * files by `bucketCols` at write time, so later equi-joins/aggregations
+    * on those columns read co-located data and skip the shuffle entirely
+    * (SortMergeJoin with zero Exchange — asserted in SinksSpec). This is
+    * the 100 TB fact-to-fact join strategy: pay the partitioning once at
+    * ingest, not per query. Requires a catalog (`saveAsTable`); pick
+    * nBuckets ~ cluster cores x small multiple.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -33,6 +33,32 @@ class SinksSpec extends SparkSpec {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("bucketed tables join without any shuffle") {
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    Sinks.bucketedTable(orders, "b_orders", Seq("o_orderkey"), 4,
+      sortCols = Seq("o_orderkey"))
+    Sinks.bucketedTable(lineitem, "b_lineitem", Seq("l_orderkey"), 4,
+      sortCols = Seq("l_orderkey"))
+    // at fixture size the planner would rather broadcast; disable it so
+    // the shuffle-free bucketed SortMergeJoin path is what gets planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketing unused:\n$plan")
+      // co-located join returns the same rows as the shuffled one
+      val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("json round-trip preserves values") {
     val df = Tables(spark, sfDir, "region")
     val out = tmp() + "/region_json"
