@@ -1,0 +1,217 @@
+package graft.api
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The user-facing operator library: every LLM-data-pipeline operator as a
+  * parameterized DataFrame combinator. The declared queries in
+  * `graft.queries.*` are thin fixture-bound instantiations of these — a
+  * user brings their own tables and column names.
+  *
+  * All combinators follow the engine's scale rules: candidates come from
+  * equi-join shapes (signature buckets, LSH bands, prefix tokens, cells) —
+  * never all-pairs; survivors of dedup are deterministic; heavy per-element
+  * math runs in codegen (native expression or long-array algebra).
+  */
+object Graft {
+
+  /** Portable 32-bit token hash (md5 prefix) — reproducible in any engine
+    * that has md5, which keeps signatures verifiable outside Spark.
+    */
+  def phash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
+
+  /** Sorted distinct token set of a text column (whitespace tokens). */
+  def tokenSet(text: Column): Column =
+    array_sort(array_distinct(split(text, " ")))
+
+  /** Sorted distinct k-token shingle set, built row-local (no shuffle). */
+  def shingleSet(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_sort(array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Keep-first dedup: deterministic survivor = first row per `keys` under
+    * `order`. One hash-partition shuffle on the keys; never use
+    * `dropDuplicates` when the survivor matters.
+    */
+  def dedupExact(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate pairs by content signature (md5 of the sorted token
+    * set): equi-join on the fixed-width signature, bucketed by it.
+    */
+  def exactDupPairs(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val sigs = df.select(id.as("__id"),
+      md5(array_join(tokenSet(text), " ")).as("__sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+  }
+
+  /** SimHash duplicate pairs: `bits`-bit signature over the distinct token
+    * set (order-independent), pairs via signature-equality join.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    val sigs = df
+      .select(id.as("__id"), transform(tokenSet(text), t => phash32(t)).as("__hs"))
+      .select(col("__id"),
+        (0 until bits).map { b =>
+          val vote = aggregate(col("__hs"), lit(0L), (acc, h) =>
+            acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L))
+          when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.simhash").as("simhash"))
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix filtering:
+    * for Jaccard >= `threshold` over sorted shingle sets, a qualifying pair
+    * must share a shingle in each side's first
+    * floor(|S|·(1−threshold))+1 shingles — candidates come from an
+    * equi-join on exploded prefix shingles (exact recall, never
+    * all-pairs). Set algebra runs over hashed longs.
+    */
+  def nearDupJaccard(df: DataFrame, id: Column, text: Column, k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val sh = df.select(id.as("__id"),
+      array_sort(array_distinct(
+        transform(shingleSet(text, k), t => phash32(t)))).as("__shs"))
+      .cache()
+    val prefLen = (floor(size(col("__shs")) * (1.0 - threshold)) + 1).cast("int")
+    val pref = sh.select(col("__id"),
+      explode(slice(col("__shs"), lit(1), prefLen)).as("__ps"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.__ps") === col("b.__ps") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.__id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.__id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.__shs"), col("sb.__shs"))).cast(DoubleType) /
+          size(array_union(col("sa.__shs"), col("sb.__shs"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Banded MinHash-LSH near-dup pairs: `numHashes` minhashes over hashed
+    * k-shingles (hash once, XOR family), `bands` bands, candidates from
+    * band-bucket equi-joins, confirmed by exact Jaccard >= `threshold`.
+    * Probabilistic recall below J=1 (tune bands/rows for the target J);
+    * exact duplicates always collide.
+    */
+  def nearDupLsh(df: DataFrame, id: Column, text: Column, k: Int = 5,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val seeds = (0 until numHashes).map { i =>
+      val z = 0x9E3779B97F4A7C15L * (i + 1)
+      val m = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      m ^ (m >>> 27)
+    }
+    val docs = df.select(id.as("__id"),
+      array_sort(array_distinct(
+        transform(shingleSet(text, k), t => xxhash64(t)))).as("__shs"))
+      .cache()
+    val sigs = docs.withColumn("__sig", array(seeds.map { c =>
+      array_min(transform(col("__shs"), h => h.bitwiseXOR(lit(c))))
+    }: _*))
+    val bandRows = sigs.select(col("__id"), explode(array(
+      (0 until bands).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          xxhash64(slice(col("__sig"), bIdx * rows + 1, rows)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.as("ta"), col("id_a") === col("ta.__id"))
+      .join(docs.as("tb"), col("id_b") === col("tb.__id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ta.__shs"), col("tb.__shs"))).cast(DoubleType) /
+          size(array_union(col("ta.__shs"), col("tb.__shs"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-k against a one-row query frame
+    * (`queryVec` must have a single row holding an array<float> column
+    * named `qvec`). Broadcasts the query; top-k compiles to
+    * TakeOrderedAndProject.
+    */
+  def cosineTopK(df: DataFrame, id: Column, vec: Column, queryVec: DataFrame,
+      k: Int): DataFrame = {
+    val s = df.sparkSession
+    GraftFunctions.ensureRegistered(s)
+    df.crossJoin(broadcast(queryVec))
+      .withColumn("cos_sim", call_function("cosine_sim", vec, col("qvec")))
+      .withColumn("__id", id)
+      .orderBy(col("cos_sim").desc, col("__id"))
+      .limit(k)
+      .withColumnRenamed("__id", "id")
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
+    * cosine with full tiebreak), probe only the query's cell. `centroids`
+    * holds (cid, cvec array<float>); at scale the cell id becomes a
+    * partition/bucket key and the probe prunes to one cell's files.
+    */
+  def annAssignCells(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    GraftFunctions.ensureRegistered(s)
+    val byVec = Window.partitionBy(col("__id"))
+      .orderBy(col("__csim").desc, col("cid"))
+    df.withColumn("__id", id)
+      .crossJoin(broadcast(centroids))
+      .withColumn("__csim", call_function("cosine_sim", vec, col("cvec")))
+      .withColumn("__rn", row_number().over(byVec))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__csim", "cvec")
+      .withColumnRenamed("cid", "cell")
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  /** Token frequency top-N with deterministic tiebreak. */
+  def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =
+    df.select(explode(split(lower(text), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topN)
+
+  /** Positional rolling-hash fingerprint mod 1e9+7 (ANSI-safe modular
+    * fold; order-sensitive, unlike the dedup signatures).
+    */
+  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val P = 1000000007L
+    val weights = Iterator.iterate(1L)(w => w * 31 % P).take(8).toSeq
+    val wLit = array(weights.map(lit): _*)
+    val terms = transform(split(text, " "), (t, i) =>
+      pmod(phash32(t), lit(P)) * element_at(wLit, pmod(i, lit(8)) + 1))
+    df.select(id.as("id"),
+      aggregate(terms, lit(0L), (acc, x) => pmod(acc + x, lit(P)))
+        .as("fingerprint"))
+  }
+}

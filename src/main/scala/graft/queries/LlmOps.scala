@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.api.Graft
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, SparkSession}
@@ -32,25 +33,6 @@ object LlmOps {
   def phash32(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
 
-  /** Distinct sorted token set of a document. */
-  private def tokenSet(text: Column): Column =
-    array_sort(array_distinct(split(text, " ")))
-
-  /** Distinct sorted k-token shingle set — the similarity unit for
-    * MinHash-LSH. Built row-local with higher-order functions (no
-    * explode/shuffle): shingle i = tokens[i..i+k-1] joined by spaces.
-    */
-  private def shingleSet(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    array_sort(array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(k)), " "))))
-  }
-
-  /** Sum of an array<double> column via fold (deterministic order). */
-  private def asum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
   /** Cosine similarity via the native codegen'd Catalyst expression
     * ([[graft.functions.CosineSimilarity]]) — double accumulation in
     * element order, bit-identical to the oracle's DOUBLE[] math and to the
@@ -64,11 +46,9 @@ object LlmOps {
     // doc_id per (lang, source). One hash-partition shuffle on the key.
     Q("q30_dedup_exact",
       (s, d) => {
-        val w = Window.partitionBy(col("lang"), col("source"))
-          .orderBy(col("doc_id"))
-        Tables(s, d, "documents")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        Graft.dedupExact(Tables(s, d, "documents"),
+            keys = Seq(col("lang"), col("source")),
+            order = Seq(col("doc_id")))
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .orderBy(col("lang"), col("source"))
       },
@@ -95,14 +75,9 @@ object LlmOps {
     // on the 32-char signature (equi-key, bucketed — never all-pairs).
     Q("q31_neardup",
       (s, d) => {
-        val sigs = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            md5(array_join(tokenSet(col("text")), " ")).as("sig"))
-        val a = sigs.as("a")
-        val b = sigs.as("b")
-        a.join(b, col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        Graft.exactDupPairs(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("""WITH sigs AS (
@@ -143,46 +118,11 @@ object LlmOps {
     // false candidates for the identical final pair set).
     Q("q31_minhash_lsh",
       (s, d) => {
-        // deterministic splitmix-style XOR constants for the hash family
-        val seeds = (0 until 16).map { i =>
-          val z = 0x9E3779B97F4A7C15L * (i + 1)
-          val m = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          m ^ (m >>> 27)
-        }
-        // shingles are hashed once (xxhash64, sorted distinct long array);
-        // all set algebra below runs on longs, never strings
-        val docs = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            array_sort(array_distinct(
-              transform(shingleSet(col("text"), 5), t => xxhash64(t))))
-              .as("toks"))
-          .cache()
-        val sigs = docs
-          .withColumn("sig", array(seeds.map { c =>
-            array_min(transform(col("toks"), h => h.bitwiseXOR(lit(c))))
-          }: _*))
-          .select(col("doc_id"), col("sig"))
-          .cache()
-        val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until 4).map { bIdx =>
-            struct(lit(bIdx).as("band"),
-              xxhash64(slice(col("sig"), bIdx * 4 + 1, 4)).as("bh"))
-          }: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(docs.as("ta"), col("doc_a") === col("ta.doc_id"))
-          .join(docs.as("tb"), col("doc_b") === col("tb.doc_id"))
-          .withColumn("jaccard",
-            size(array_intersect(col("ta.toks"), col("tb.toks")))
-              .cast(DoubleType) /
-              size(array_union(col("ta.toks"), col("tb.toks"))))
-          .filter(col("jaccard") >= 0.9)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        Graft.nearDupLsh(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"),
+            k = 5, numHashes = 16, bands = 4, threshold = 0.9)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None),
@@ -195,12 +135,11 @@ object LlmOps {
       (s, d) => {
         val e = Tables(s, d, "embeddings")
         val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qemb"))
-        e.crossJoin(broadcast(qv))
-          .select(col("vec_id"), col("label"),
-            cosineD(s, col("embedding"), col("qemb")).as("cos_sim"))
+          .select(col("embedding").as("qvec"))
+        Graft.cosineTopK(e, id = col("vec_id"), vec = col("embedding"),
+            queryVec = qv, k = 10)
+          .select(col("vec_id"), col("label"), col("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10)
       },
       Some("""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
              |            FROM embeddings WHERE vec_id = 0)
@@ -219,21 +158,10 @@ object LlmOps {
     // exact signatures.
     Q("q30_simhash",
       (s, d) => {
-        val sigs = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            transform(tokenSet(col("text")), t => phash32(t)).as("hs"))
-          .select(col("doc_id"),
-            (0 until 32).map { b =>
-              val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
-                acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-                  .otherwise(-1L))
-              when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-            }.reduce(_ + _).as("simhash"))
-        sigs.as("a").join(sigs.as("b"),
-            col("a.simhash") === col("b.simhash") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.simhash").as("simhash"))
+        Graft.simhashPairs(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"), bits = 32)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("simhash"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
@@ -274,27 +202,10 @@ object LlmOps {
     // both sides the same way — parity holds.
     Q("q31_ngram_jaccard",
       (s, d) => {
-        val sh = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            array_sort(array_distinct(
-              transform(shingleSet(col("text"), 5), t => phash32(t))))
-              .as("shs"))
-          .cache()
-        val pref = sh.select(col("doc_id"),
-          explode(slice(col("shs"), lit(1),
-            (floor(size(col("shs")) / 2) + 1).cast("int"))).as("ps"))
-        val cand = pref.as("a").join(pref.as("b"),
-            col("a.ps") === col("b.ps") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .withColumn("jaccard",
-            size(array_intersect(col("sa.shs"), col("sb.shs"))).cast(DoubleType) /
-              size(array_union(col("sa.shs"), col("sb.shs"))))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        Graft.nearDupJaccard(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"), k = 5, threshold = 0.5)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("""WITH sh AS (
@@ -360,15 +271,10 @@ object LlmOps {
       (s, d) => {
         val e = Tables(s, d, "embeddings")
         val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))
-        val cells = e.crossJoin(broadcast(cents))
-          .withColumn("csim", cosineD(s, col("embedding"), col("cemb")))
-          .withColumn("rn", row_number().over(byVec))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("label"), col("embedding"),
-            col("cid").as("cell"))
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val cells = Graft.annAssignCells(e, id = col("vec_id"),
+            vec = col("embedding"), centroids = cents)
+          .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
         val qrow = cells.filter(col("vec_id") === 0)
           .select(col("embedding").as("qemb"), col("cell").as("qcell"))
         cells.join(broadcast(qrow), col("cell") === col("qcell"))
@@ -398,11 +304,7 @@ object LlmOps {
     // full tiebreak. Partial aggregation keeps the shuffle small.
     Q("q33_token_freq",
       (s, d) => {
-        Tables(s, d, "documents")
-          .select(explode(split(lower(col("text")), " ")).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("word"))
-          .limit(50)
+        Graft.tokenFrequency(Tables(s, d, "documents"), col("text"), 50)
       },
       Some("""SELECT word, count(*) AS cnt FROM (
              |  SELECT unnest(string_split(lower(text), ' ')) AS word

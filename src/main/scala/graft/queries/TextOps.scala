@@ -143,14 +143,9 @@ object TextOps {
     // so re-ordered near-dups get distinct fingerprints.
     Q("q33_fingerprint",
       (s, d) => {
-        val wLit = array(weights.map(lit): _*)
-        val terms = transform(toks(col("text")), (t, i) =>
-          pmod(LlmOps.phash32(t), lit(P)) *
-            element_at(wLit, pmod(i, lit(8)) + 1))
-        Tables(s, d, "documents").select(
-          col("doc_id"),
-          aggregate(terms, lit(0L), (acc, x) => pmod(acc + x, lit(P)))
-            .as("fingerprint"))
+        graft.api.Graft.fingerprint(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"))
+          .select(col("id").as("doc_id"), col("fingerprint"))
           .orderBy(col("doc_id"))
       },
       Some {

@@ -1,0 +1,89 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** The user-facing combinators work on arbitrary tables/column names, not
+  * just the fixture schema (the declared queries delegate to these; the
+  * oracle run proves their values — this spec proves the parameterization).
+  */
+class GraftApiSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (10L, "one two three four five six seven eight"),
+      (11L, "one two three four five six seven eight"),   // exact dup of 10
+      (12L, "totally different content here nine ten eleven twelve"),
+      (13L, "one two three four five six seven nine")      // near dup of 10
+    ).toDF("k", "body")
+  }
+
+  test("dedupExact keeps the first row per key under the given order") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5.0), (2L, "a", 9.0), (3L, "b", 1.0))
+      .toDF("pk", "grp", "score")
+    val out = Graft.dedupExact(df, Seq(col("grp")),
+      Seq(col("score").desc, col("pk")))
+    assert(out.collect().map(r => (r.getString(1), r.getLong(0))).toSet ==
+      Set(("a", 2L), ("b", 3L)))
+  }
+
+  test("exactDupPairs / simhashPairs find the duplicate pair on custom columns") {
+    val c = corpus()
+    val exact = Graft.exactDupPairs(c, col("k"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.toSeq == Seq((10L, 11L)))
+    val sim = Graft.simhashPairs(c, col("k"), col("body"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sim.contains((10L, 11L)))
+  }
+
+  test("nearDupJaccard finds near dups at a threshold that excludes unrelated docs") {
+    val pairs = Graft.nearDupJaccard(corpus(), col("k"), col("body"),
+        k = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"missed exact dup: $pairs")
+    assert(pairs.contains((10L, 13L)) && pairs.contains((11L, 13L)),
+      s"missed near dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L),
+      s"false positive on unrelated doc: $pairs")
+  }
+
+  test("nearDupLsh agrees with nearDupJaccard for exact duplicates") {
+    val lsh = Graft.nearDupLsh(corpus(), col("k"), col("body"),
+        k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((10L, 11L)), s"got $lsh")
+  }
+
+  test("cosineTopK + annAssignCells run on a custom embedding frame") {
+    import spark.implicits._
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.9f, 0.1f)),
+      (102L, Array(0.0f, 1.0f)), (103L, Array(-1.0f, 0.0f)))
+      .toDF("vid", "v")
+    val q = vecs.filter(col("vid") === 100L).select(col("v").as("qvec"))
+    val top = Graft.cosineTopK(vecs, col("vid"), col("v"), q, 2)
+      .select("id").collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(100L, 101L))
+    val cents = vecs.filter(col("vid") < 102L)
+      .select(col("vid").as("cid"), col("v").as("cvec"))
+    val cells = Graft.annAssignCells(vecs, col("vid"), col("v"), cents)
+    assert(cells.filter(col("vid") === 102L).select("cell").head().getLong(0) == 101L)
+    assert(cells.count() == 4)
+  }
+
+  test("fingerprint is order-sensitive where dedup signatures are not") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("k", "body")
+    val fps = Graft.fingerprint(df, col("k"), col("body"))
+      .collect().map(_.getLong(1)).toSet
+    assert(fps.size == 2, "reordered text must fingerprint differently")
+    val sigPairs = Graft.exactDupPairs(df, col("k"), col("body")).count()
+    assert(sigPairs == 1, "token-set signature must match reordered text")
+  }
+}
