@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.Scalars.qs ++
       graft.queries.LlmOps.qs ++
       graft.queries.TextOps.qs ++
+      graft.queries.Analytics.qs ++
       graft.queries.Extensibility.qs ++
       graft.queries.EventTime.qs
 

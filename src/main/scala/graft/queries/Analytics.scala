@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Analytics coverage pack: distribution window functions, deterministic
+  * statistical aggregates, GROUPING SETS, pivot, regex strings, binary
+  * columns.
+  *
+  * Determinism note for the statistical aggregates: built-in
+  * `stddev`/`corr` merge partial moments in partition order, so their last
+  * ulps are nondeterministic — and the oracle hash rounds to 6 *absolute*
+  * decimals, which a ~2e10 variance can never satisfy across engines.
+  * Instead the moments are computed as EXACT integer sums (prices in
+  * cents, products fit in long, decimal(38,0) accumulation) and the final
+  * scalar formula runs once in double — bit-identical on every engine and
+  * at any partition count.
+  */
+object Analytics {
+
+  private val D0 = DecimalType(38, 0)
+
+  /** Exact decimal sum of a long column, returned as double. */
+  private def lsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(D0)).cast(DoubleType)
+
+  val qs: Seq[Q] = Seq(
+    // Q16b — distribution window functions: exact rationals, identical
+    // across engines.
+    Q("q16_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q11b — stddev/variance/median/correlation via exact moments.
+    Q("q11_stats",
+      (s, d) => {
+        val xc = round(col("o_totalprice") * 100).cast(LongType) // exact cents
+        val k = col("o_custkey")
+        val base = Tables(s, d, "orders")
+          .select(col("o_orderstatus"), xc.as("xc"), k.as("k"),
+            col("o_totalprice"))
+        val agg = base.groupBy(col("o_orderstatus")).agg(
+          count(lit(1)).as("n"),
+          lsum(col("xc")).as("sx"),
+          lsum(col("xc") * col("xc")).as("sxx"),
+          lsum(col("k")).as("sk"),
+          lsum(col("k") * col("k")).as("skk"),
+          lsum(col("xc") * col("k")).as("sxk"),
+          expr("percentile(o_totalprice, 0.5)").as("median_price"))
+        val n = col("n").cast(DoubleType)
+        agg.select(
+          col("o_orderstatus"),
+          col("n"),
+          (col("sx") / n / 100.0).as("mean_price"),
+          (sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - 1)) / 100.0)
+            .as("stddev_price"),
+          (((col("sxx") - col("sx") * col("sx") / n) / (n - 1)) / 10000.0)
+            .as("var_price"),
+          col("median_price"),
+          ((n * col("sxk") - col("sx") * col("sk")) /
+            (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+              sqrt(n * col("skk") - col("sk") * col("sk"))))
+            .as("corr_price_cust"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderstatus,
+             |    count(*) AS n,
+             |    CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(xc*xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(k AS DECIMAL(38,0))) AS DOUBLE) AS sk,
+             |    CAST(SUM(CAST(k*k AS DECIMAL(38,0))) AS DOUBLE) AS skk,
+             |    CAST(SUM(CAST(xc*k AS DECIMAL(38,0))) AS DOUBLE) AS sxk,
+             |    quantile_cont(xc / 100.0, 0.5) AS median_price
+             |  FROM (SELECT o_orderstatus,
+             |          CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             |          o_custkey AS k
+             |        FROM orders)
+             |  GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, n,
+             |  sx / n / 100.0 AS mean_price,
+             |  sqrt((sxx - sx*sx/n) / (n-1)) / 100.0 AS stddev_price,
+             |  ((sxx - sx*sx/n) / (n-1)) / 10000.0 AS var_price,
+             |  median_price,
+             |  (n*sxk - sx*sk) /
+             |    (sqrt(n*sxx - sx*sx) * sqrt(n*skk - sk*sk))
+             |    AS corr_price_cust
+             |FROM m ORDER BY o_orderstatus""".stripMargin)),
+
+    // Q15b — explicit GROUPING SETS with grouping() disambiguation markers.
+    Q("q15_grouping_sets",
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  grouping(o_orderstatus) AS g_s,
+                |  grouping(o_orderpriority) AS g_p,
+                |  count(*) AS n
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus),
+                |  (o_orderpriority), (o_orderstatus, o_orderpriority))
+                |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST,
+                |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_s,
+             |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_p,
+             |  count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus),
+             |  (o_orderpriority), (o_orderstatus, o_orderpriority))
+             |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST,
+             |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Q15c — pivot: one output column per pivoted key. The oracle states
+    // the portable relational meaning (conditional aggregation) — which is
+    // exactly what Catalyst compiles pivot into.
+    Q("q15_pivot",
+      (s, d) => {
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(Exact.dsum(col("o_totalprice")))
+          .withColumnRenamed("F", "sum_f")
+          .withColumnRenamed("O", "sum_o")
+          .withColumnRenamed("P", "sum_p")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority,
+              |  ${Exact.sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS sum_f,
+              |  ${Exact.sqlSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS sum_o,
+              |  ${Exact.sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS sum_p
+              |FROM orders GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q22b — regex + padding string surface (RE2-safe patterns only).
+    Q("q22_regex",
+      (s, d) => {
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_caps"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          rpad(col("p_type"), 15, ".").as("rpadded"),
+          reverse(col("p_brand")).as("rev"),
+          repeat(col("p_brand"), 2).as("doubled"),
+          instr(col("p_name"), "re").as("re_pos"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_caps,
+             |  lpad(p_brand, 12, '*') AS padded,
+             |  rpad(p_type, 15, '.') AS rpadded,
+             |  reverse(p_brand) AS rev,
+             |  repeat(p_brand, 2) AS doubled,
+             |  CAST(strpos(p_name, 're') AS INT) AS re_pos
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Q34b — binary-column surface over the declared tables: byte payloads
+    // with length/digest ops (the multimodal storage primitive; the decode
+    // path lives in graft.operators.Multimodal).
+    Q("q34_binary",
+      (s, d) => {
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"),
+          substring(hex(encode(substring(col("text"), 1, 4), "UTF-8")), 1, 8)
+            .as("head_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  md5(text) AS digest,
+             |  substr(upper(to_hex(encode(substr(text, 1, 4)))), 1, 8)
+             |    AS head_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+}
