@@ -232,6 +232,73 @@ object Relational {
       Some("""SELECT c_nationkey AS nationkey FROM customer
              |EXCEPT
              |SELECT s_nationkey FROM supplier
-             |ORDER BY nationkey""".stripMargin))
+             |ORDER BY nationkey""".stripMargin)),
+
+    // Full outer join: customers with no orders AND orders with no
+    // customer both survive, keys coalesced for a total result ordering.
+    Q("q05_join_full",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        val o = Tables(s, d, "orders")
+          .filter(col("o_custkey") % 3 === 1)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+            col("c_name"), col("n_orders"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS k, c_name, n_orders
+             |FROM (SELECT c_custkey, c_name FROM customer
+             |      WHERE c_custkey % 3 = 0) c
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+             |                 FROM orders WHERE o_custkey % 3 = 1
+             |                 GROUP BY o_custkey) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY k""".stripMargin)),
+
+    // Multiset set operations: EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (bag semantics), unlike q21's set variants.
+    Q("q21_setops_all",
+      (s, d) => {
+        val c = Tables(s, d, "customer").select(col("c_nationkey").as("nk"))
+        val su = Tables(s, d, "supplier").select(col("s_nationkey").as("nk"))
+        c.exceptAll(su).groupBy(col("nk")).agg(count(lit(1)).as("n_except"))
+          .join(
+            c.intersectAll(su).groupBy(col("nk"))
+              .agg(count(lit(1)).as("n_intersect")),
+            Seq("nk"), "full")
+          .orderBy(col("nk"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT nk, count(*) AS n_except FROM (
+             |    SELECT c_nationkey AS nk FROM customer
+             |    EXCEPT ALL
+             |    SELECT s_nationkey FROM supplier)
+             |  GROUP BY nk),
+             |ix AS (
+             |  SELECT nk, count(*) AS n_intersect FROM (
+             |    SELECT c_nationkey AS nk FROM customer
+             |    INTERSECT ALL
+             |    SELECT s_nationkey FROM supplier)
+             |  GROUP BY nk)
+             |SELECT coalesce(ex.nk, ix.nk) AS nk, n_except, n_intersect
+             |FROM ex FULL OUTER JOIN ix ON ex.nk = ix.nk
+             |ORDER BY nk""".stripMargin)),
+
+    // Pagination: ORDER BY ... LIMIT ... OFFSET — deterministic because
+    // the ordering key is unique.
+    Q("q19_offset",
+      (s, d) => {
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(50)
+          .limit(25)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 25 OFFSET 50""".stripMargin))
   )
 }
