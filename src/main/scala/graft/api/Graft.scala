@@ -192,6 +192,54 @@ object Graft {
       .withColumnRenamed("cid", "cell")
   }
 
+  /** Deterministic hash sampling: keeps a row iff the portable hash of its
+    * id lands under `percent`. Unlike `df.sample`, the decision is a pure
+    * function of the id — reproducible across engines, runs, partitionings,
+    * and cluster sizes (the property that matters when a 100 TB corpus is
+    * resampled incrementally).
+    */
+  def hashSample(df: DataFrame, id: Column, percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100)
+    df.filter(pmod(phash32(id.cast(StringType)), lit(100)) < percent)
+  }
+
+  /** Resolve duplicate PAIRS into CLUSTERS: connected components by
+    * min-label propagation to a fixed point. Input: (id_a, id_b) edges;
+    * output: (id, cluster) where cluster = the smallest id reachable.
+    *
+    * Iterative joins with a convergence check per round — each round is a
+    * bounded shuffle join, and the round count is O(log(diameter)) because
+    * labels jump through the current minimum, not just one hop. The
+    * survivor rule "keep cluster representative" is then deterministic.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label for u = min(current, min over neighbors v of v's label)
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("cluster")).as("nb_min"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      val changed = next.as("n").join(labels.as("l"), Seq("id"))
+        .filter(col("n.cluster") =!= col("l.cluster")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Token frequency top-N with deterministic tiebreak. */

@@ -300,6 +300,78 @@ object LlmOps {
              |FROM cells, q WHERE cell = qcell
              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // Q30d — deterministic hash sampling: membership is a pure function of
+    // the id (portable md5 hash mod 100), reproducible at any scale or
+    // partitioning — unlike df.sample, whose output depends on the RNG and
+    // split layout.
+    Q("q30_sample",
+      (s, d) => {
+        Graft.hashSample(Tables(s, d, "documents"), col("doc_id"), 10)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |           AS BIGINT) % 100 < 10
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q30e — the full corpus-cleaning pipeline, composed from the API:
+    // quality gate -> exact dedup (keep-first by content signature) ->
+    // near-dup removal (drop the higher id of every shingle-Jaccard pair)
+    // -> per-language stats. Every stage is the scale-safe shape used by
+    // its standalone query; the oracle replays the identical pipeline.
+    Q("q30_pipeline",
+      (s, d) => {
+        val base = Tables(s, d, "documents").filter(col("n_chars") >= 150)
+        val ded = Graft.dedupExact(base,
+          keys = Seq(md5(array_join(Graft.tokenSet(col("text")), " "))),
+          order = Seq(col("doc_id")))
+        val pairs = Graft.nearDupJaccard(ded, col("doc_id"), col("text"),
+          k = 5, threshold = 0.5)
+        val clean = ded.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        clean.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH base AS (SELECT * FROM documents WHERE n_chars >= 150),
+             |ded AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY md5(array_to_string(list_sort(list_distinct(
+             |        string_split(text, ' '))), ' '))
+             |      ORDER BY doc_id) AS rn
+             |    FROM base) WHERE rn = 1),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_sort(list_distinct(
+             |      [CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)
+             |       FOR sh IN [array_to_string(ts[i:i+4], ' ')
+             |                  FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)]]))
+             |      AS shs
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM ded)),
+             |pref AS (
+             |  SELECT doc_id, unnest(shs[1 : len(shs) // 2 + 1]) AS ps
+             |  FROM sh),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM pref a JOIN pref b
+             |    ON a.ps = b.ps AND a.doc_id < b.doc_id),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM (
+             |    SELECT doc_a, doc_b,
+             |      len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+             |        len(list_distinct(list_concat(sa.shs, sb.shs))) AS j
+             |    FROM cand
+             |    JOIN sh sa ON doc_a = sa.doc_id
+             |    JOIN sh sb ON doc_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |clean AS (
+             |  SELECT * FROM ded
+             |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
+             |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+             |FROM clean GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small.
     Q("q33_token_freq",

@@ -76,6 +76,30 @@ class GraftApiSpec extends SparkSpec {
     assert(cells.count() == 4)
   }
 
+  test("dupClusters resolves pair edges into min-label connected components") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Graft.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L), s"got $got")
+  }
+
+  test("hashSample is deterministic and roughly proportional") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Graft.hashSample(docs, col("doc_id"), 20)
+    val b = Graft.hashSample(docs, col("doc_id"), 20)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty)
+    val frac = a.count().toDouble / docs.count()
+    assert(frac > 0.05 && frac < 0.4, s"fraction $frac far from 20%")
+    // monotone: a 20% sample contains the 10% sample
+    val small = Graft.hashSample(docs, col("doc_id"), 10)
+    assert(small.exceptAll(a).isEmpty)
+  }
+
   test("fingerprint is order-sensitive where dedup signatures are not") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
