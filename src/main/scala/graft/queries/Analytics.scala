@@ -174,6 +174,36 @@ object Analytics {
              |  CAST(strpos(p_name, 're') AS INT) AS re_pos
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Q27b — higher-order array functions as a declared surface:
+    // transform / filter / aggregate-fold / exists over the embedding
+    // vectors. The oracle uses DuckDB list lambdas with an explicit
+    // sequential list_reduce so the double fold order matches Spark's
+    // aggregate() exactly.
+    Q("q27_hof",
+      (s, d) => {
+        val v = col("embedding")
+        Tables(s, d, "embeddings").select(
+          col("vec_id"),
+          size(filter(v, x => x > 0f)).as("n_pos"),
+          aggregate(transform(v, x => x.cast(DoubleType) * x.cast(DoubleType)),
+            lit(0.0), (acc, x) => acc + x).as("sum_sq"),
+          array_max(v).cast(DoubleType).as("vmax"),
+          array_min(v).cast(DoubleType).as("vmin"),
+          exists(v, x => x.cast(DoubleType) > 0.3).as("has_big"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+             |  list_reduce(
+             |    list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]),
+             |                                     x -> x * x)),
+             |    (acc, x) -> acc + x) AS sum_sq,
+             |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+             |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.3)) > 0
+             |    AS has_big
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // Q34b — binary-column surface over the declared tables: byte payloads
     // with length/digest ops (the multimodal storage primitive; the decode
     // path lives in graft.operators.Multimodal).
