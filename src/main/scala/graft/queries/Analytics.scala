@@ -174,6 +174,32 @@ object Analytics {
              |  CAST(strpos(p_name, 're') AS INT) AS re_pos
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Q23b — date arithmetic breadth: interval shifts with month-end
+    // clamping, calendar boundaries, day/quarter/week-of-year numbering
+    // (both engines use ISO week numbering).
+    Q("q23_date_arith",
+      (s, d) => {
+        val od = col("o_orderdate").cast("date")
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          date_add(od, 30).as("plus_30d"),
+          add_months(od, 2).as("plus_2m"),
+          last_day(od).as("month_end"),
+          quarter(od).as("qtr"),
+          weekofyear(od).as("iso_week"),
+          dayofyear(od).as("doy"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+             |    AS plus_2m,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Q27b — higher-order array functions as a declared surface:
     // transform / filter / aggregate-fold / exists over the embedding
     // vectors. The oracle uses DuckDB list lambdas with an explicit
