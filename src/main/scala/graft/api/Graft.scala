@@ -242,6 +242,52 @@ object Graft {
 
   // ------------------------------------------------------- text analysis
 
+  /** Per-document quality signals: token count, average token length,
+    * stopword ratio, vowel-group density. Pure per-row codegen arithmetic.
+    */
+  def qualityScores(df: DataFrame, id: Column, text: Column,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): DataFrame = {
+    val t = split(text, " ")
+    val nTok = size(t)
+    val nStop = size(filter(t, x => x.isin(stopwords: _*)))
+    val squeezed = regexp_replace(text, "[aeiou]+", "~")
+    val nVg = length(squeezed) - length(regexp_replace(squeezed, "~", ""))
+    df.select(id.as("id"),
+      nTok.as("n_tokens"),
+      ((length(text) - (nTok - 1)).cast(DoubleType) / nTok).as("avg_tok_len"),
+      (nStop.cast(DoubleType) / nTok).as("stop_ratio"),
+      (nVg.cast(DoubleType) / nTok).as("vowel_groups_per_tok"))
+  }
+
+  /** Language ID from corpus-derived token profiles: top-`profileSize`
+    * tokens per observed language (needs a labeled subset in `langCol`),
+    * prediction = argmax profile overlap with deterministic tiebreaks.
+    * The profile table is tiny and broadcast.
+    */
+  def languageId(df: DataFrame, id: Column, text: Column, langCol: Column,
+      profileSize: Int = 5): DataFrame = {
+    val byLang = Window.partitionBy(col("__lang"))
+      .orderBy(col("__cnt").desc, col("__tok"))
+    val profiles = df
+      .select(langCol.as("__lang"),
+        explode(split(lower(text), " ")).as("__tok"))
+      .groupBy(col("__lang"), col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(byLang))
+      .filter(col("__rn") <= profileSize)
+      .select(col("__lang").as("__p_lang"), col("__tok"))
+    val byDoc = Window.partitionBy(col("__id"))
+      .orderBy(col("__hits").desc, col("__p_lang"))
+    df.select(id.as("__id"),
+        array_distinct(split(lower(text), " ")).as("__dtoks"))
+      .join(broadcast(profiles), array_contains(col("__dtoks"), col("__tok")))
+      .groupBy(col("__id"), col("__p_lang"))
+      .agg(count(lit(1)).as("__hits"))
+      .withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as("id"), col("__p_lang").as("pred_lang"),
+        col("__hits").as("hits"))
+  }
+
   /** Token frequency top-N with deterministic tiebreak. */
   def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =
     df.select(explode(split(lower(text), " ")).as("word"))

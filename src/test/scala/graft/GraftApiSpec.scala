@@ -100,6 +100,24 @@ class GraftApiSpec extends SparkSpec {
     assert(small.exceptAll(a).isEmpty)
   }
 
+  test("qualityScores and languageId run on custom columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "le chat est sur le tapis", "fr"),
+      (3L, "the dog ran to the park", "en"))
+      .toDF("pk", "body", "tongue")
+    val q = Graft.qualityScores(df, col("pk"), col("body"))
+    assert(q.count() == 3)
+    val r1 = q.filter(col("id") === 1).head()
+    assert(r1.getInt(1) == 6) // n_tokens
+    assert(math.abs(r1.getDouble(3) - 2.0 / 6) < 1e-12) // "the" twice
+    val lid = Graft.languageId(df, col("pk"), col("body"), col("tongue"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // docs 1 and 3 share english profile tokens; doc 2 matches french
+    assert(lid(1L) == "en" && lid(3L) == "en" && lid(2L) == "fr", s"got $lid")
+  }
+
   test("fingerprint is order-sensitive where dedup signatures are not") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
