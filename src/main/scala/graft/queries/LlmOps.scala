@@ -372,6 +372,22 @@ object LlmOps {
              |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
              |FROM clean GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Q34c — multimodal decode pipeline (engine-verified: the stub codec
+    // has no SQL analog): binary payload columns through the batched
+    // mapPartitions decoder, aggregated per mime type. Exposes
+    // graft.operators.Multimodal through the declared surface.
+    Q("q34_decode",
+      (s, d) => {
+        import s.implicits._
+        val decoded = graft.operators.Multimodal.pipeline(s, d)
+        decoded.toDF()
+          .groupBy(col("mime"))
+          .agg(count(lit(1)).as("n_assets"),
+            min(col("width")).as("min_w"), max(col("height")).as("max_h"))
+          .orderBy(col("mime"))
+      },
+      None),
+
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small.
     Q("q33_token_freq",

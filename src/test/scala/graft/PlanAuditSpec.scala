@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-quality invariants as regression tests: the physical plans that
+  * make queries scale must not silently regress. Checks mirror the
+  * `.explain` audit: filter pushdown, column pruning, broadcast dims,
+  * top-k without global sort, equi-join (not nested-loop) for theta joins,
+  * single shuffle for keyed dedup.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed into the parquet scan") {
+    assert(plan("q02_filter").contains("PushedFilters: [IsNotNull(o_totalprice)"))
+  }
+
+  test("q01: scan reads only projected columns") {
+    val p = plan("q01_scan")
+    assert(p.contains("ReadSchema") && !p.contains("o_comment") &&
+      !p.contains("l_comment"))
+  }
+
+  test("q04: dimension joins broadcast, never shuffle the fact side") {
+    val p = plan("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q10/q19/q32: top-k compiles to TakeOrderedAndProject, no global sort") {
+    assert(plan("q10_join_multiway").contains("TakeOrderedAndProject"))
+    assert(plan("q19_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q32_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q08: theta join keeps an equi-key (no cartesian/nested-loop)") {
+    val p = plan("q08_join_theta")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q30: keyed dedup costs exactly one hash-partition shuffle") {
+    val p = plan("q30_dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q11: aggregation is partial+final inside whole-stage codegen") {
+    val df = SparkEntry.queries("q11_agg_hash")(spark, sfDir)
+    assert(plan("q11_agg_hash").contains("partial_sum"))
+    // codegen spans only appear once AQE finalizes the plan; collect()
+    // executes THIS QueryExecution (df.write would build a fresh one)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("*("), s"no codegen spans:\n$finalPlan")
+  }
+}
