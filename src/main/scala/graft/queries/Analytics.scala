@@ -174,6 +174,53 @@ object Analytics {
              |  CAST(strpos(p_name, 're') AS INT) AS re_pos
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Q24b — bitwise scalar surface over integer keys.
+    Q("q24_bitwise",
+      (s, d) => {
+        val k = col("o_orderkey")
+        val c = col("o_custkey")
+        Tables(s, d, "orders").select(
+          k,
+          k.bitwiseAND(c).as("b_and"),
+          k.bitwiseOR(c).as("b_or"),
+          k.bitwiseXOR(c).as("b_xor"),
+          shiftleft(pmod(k, lit(1024)), 4).as("shl"),
+          shiftright(k, 3).as("shr"))
+          .orderBy(k)
+      },
+      Some("""SELECT o_orderkey,
+             |  o_orderkey & o_custkey AS b_and,
+             |  o_orderkey | o_custkey AS b_or,
+             |  xor(o_orderkey, o_custkey) AS b_xor,
+             |  (o_orderkey % 1024) << 4 AS shl,
+             |  o_orderkey >> 3 AS shr
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Q12b — conditional aggregates: FILTER clause, count_if, bool
+    // aggregates, argmin/argmax — identical ANSI SQL on both engines.
+    Q("q12_cond_agg",
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT o_orderstatus,
+                |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+                |  count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+                |  bool_or(o_totalprice > 400000) AS any_huge,
+                |  bool_and(o_totalprice > 0) AS all_positive,
+                |  min_by(o_orderkey, o_totalprice) AS cheapest_key,
+                |  max_by(o_orderkey, o_totalprice) AS priciest_key
+                |FROM orders GROUP BY o_orderstatus
+                |ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+             |  count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+             |  bool_or(o_totalprice > 400000) AS any_huge,
+             |  bool_and(o_totalprice > 0) AS all_positive,
+             |  min_by(o_orderkey, o_totalprice) AS cheapest_key,
+             |  max_by(o_orderkey, o_totalprice) AS priciest_key
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // Q23b — date arithmetic breadth: interval shifts with month-end
     // clamping, calendar boundaries, day/quarter/week-of-year numbering
     // (both engines use ISO week numbering).

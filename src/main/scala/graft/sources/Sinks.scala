@@ -17,9 +17,13 @@ object Sinks {
 
   val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+  /** zstd: the right default at storage scale — parquet-mr's zstd is both
+    * smaller and faster to decode than the legacy snappy default.
+    */
   def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L, compression: String = "zstd"): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
