@@ -27,6 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70+ codegen-heavy queries in one JVM overflow the default 240m JIT
+  // code cache; once full, hot generated code runs interpreted (measured
+  // 3-10x slowdowns on queries late in the Bench run).
+  "-XX:ReservedCodeCacheSize=1g",
 )
 
 // CatalogSpec needs a Hive-enabled session; spark.sql.catalogImplementation

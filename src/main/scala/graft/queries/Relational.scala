@@ -287,6 +287,29 @@ object Relational {
              |FROM ex FULL OUTER JOIN ix ON ex.nk = ix.nk
              |ORDER BY nk""".stripMargin)),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // match each other, unlike plain =. The fixtures are null-free, so
+    // nulls are synthesized deterministically with nullif.
+    Q("q03_nullsafe_join",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(col("c_custkey"), nullif(pmod(col("c_nationkey"), lit(5)), lit(3)).as("k"))
+        val n = Tables(s, d, "nation")
+          .filter(col("n_nationkey") < 5)
+          .select(nullif(pmod(col("n_nationkey"), lit(5)), lit(3)).as("nk"),
+            col("n_name"))
+        c.join(n, col("k") <=> col("nk"))
+          .select(col("c_custkey"), col("k"), col("n_name"))
+          .orderBy(col("c_custkey"), col("n_name"))
+      },
+      Some("""SELECT c_custkey, k, n_name FROM
+             |  (SELECT c_custkey, nullif(c_nationkey % 5, 3) AS k
+             |   FROM customer) c
+             |JOIN (SELECT nullif(n_nationkey % 5, 3) AS nk, n_name
+             |      FROM nation WHERE n_nationkey < 5) n
+             |  ON k IS NOT DISTINCT FROM nk
+             |ORDER BY c_custkey, n_name""".stripMargin)),
+
     // Pagination: ORDER BY ... LIMIT ... OFFSET — deterministic because
     // the ordering key is unique.
     Q("q19_offset",

@@ -64,6 +64,22 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  /** foreachBatch sink with idempotent commits: every micro-batch writes
+    * to its own `batch_id=N` directory with overwrite, so a replayed batch
+    * (at-least-once delivery after failure) replaces its previous partial
+    * attempt instead of appending duplicates — exactly-once file output.
+    * Readers take the directory as a partitioned dataset.
+    */
+  def startIdempotentParquetSink(df: DataFrame, outDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+
   /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
     * running totals emitted on every update (the engine's escape hatch when
     * windowed aggregation can't express the state machine). State is

@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
 /** Session windows, custom flatMapGroupsWithState, and file-source
   * streaming — the rest of the streaming surface beyond Q38/Q39.
   */
+case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+
 class StatefulSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
-
-  case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 
   test("streaming session_window closes sessions at the 30-min gap") {
     implicit val sq = spark.sqlContext
@@ -61,6 +61,29 @@ class StatefulSpec extends SparkSpec {
       // state carried across batches; user 9 starts fresh
       assert(rows == Set((7L, 1L, 1.0), (7L, 2L, 3.0), (7L, 3L, 7.0),
         (9L, 1L, 8.0)), s"got: $rows")
+    } finally query.stop()
+  }
+
+  test("foreachBatch sink commits batches idempotently") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fbsink").toString
+    val input = MemoryStream[Ev]
+    val query = Streams.startIdempotentParquetSink(
+      input.toDF(), dir, "fb_golden")
+    try {
+      input.addData(Ev(1, 1, ts(0), 1.0), Ev(2, 1, ts(1), 2.0))
+      query.processAllAvailable()
+      input.addData(Ev(3, 2, ts(2), 4.0))
+      query.processAllAvailable()
+      assert(spark.read.parquet(dir).count() == 3)
+      // replaying a batch (failure recovery) overwrites, never duplicates
+      Seq(Ev(1, 1, ts(0), 1.0), Ev(2, 1, ts(1), 2.0)).toDF()
+        .write.mode("overwrite").parquet(s"$dir/batch_id=0")
+      val replayed = spark.read.parquet(dir)
+      assert(replayed.count() == 3)
+      assert(replayed.select("event_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L))
     } finally query.stop()
   }
 
