@@ -64,19 +64,25 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
-  /** foreachBatch sink with idempotent commits: every micro-batch writes
-    * to its own `batch_id=N` directory with overwrite, so a replayed batch
+  /** The per-batch commit used by [[startIdempotentParquetSink]]: each
+    * micro-batch overwrites its own `batch_id=N` directory through the
+    * standard parquet writer (zstd, file-size cap), so a replayed batch
     * (at-least-once delivery after failure) replaces its previous partial
-    * attempt instead of appending duplicates — exactly-once file output.
-    * Readers take the directory as a partitioned dataset.
+    * attempt instead of appending duplicates. Exposed so tests replay the
+    * REAL commit path.
+    */
+  def commitBatch(outDir: String)(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit =
+    graft.sources.Sinks.parquet(batch.toDF(), s"$outDir/batch_id=$batchId")
+
+  /** foreachBatch sink with idempotent commits (see [[commitBatch]]);
+    * readers take the directory as a partitioned dataset.
     */
   def startIdempotentParquetSink(df: DataFrame, outDir: String,
       queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .queryName(queryName)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      }
+      .foreachBatch(commitBatch(outDir) _)
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .start()
 

@@ -77,9 +77,10 @@ class StatefulSpec extends SparkSpec {
       input.addData(Ev(3, 2, ts(2), 4.0))
       query.processAllAvailable()
       assert(spark.read.parquet(dir).count() == 3)
-      // replaying a batch (failure recovery) overwrites, never duplicates
-      Seq(Ev(1, 1, ts(0), 1.0), Ev(2, 1, ts(1), 2.0)).toDF()
-        .write.mode("overwrite").parquet(s"$dir/batch_id=0")
+      // replay batch 0 through the SINK'S commit path (failure recovery):
+      // it must overwrite, never duplicate
+      Streams.commitBatch(dir)(
+        Seq(Ev(1, 1, ts(0), 1.0), Ev(2, 1, ts(1), 2.0)).toDF(), 0L)
       val replayed = spark.read.parquet(dir)
       assert(replayed.count() == 3)
       assert(replayed.select("event_id").collect().map(_.getLong(0)).sorted
