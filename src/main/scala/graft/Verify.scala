@@ -16,10 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // repartition(1), not coalesce(1): coalesce would collapse the whole
-      // upstream plan into a single task; repartition keeps the query
-      // parallel and only funnels the (small) result through one writer.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      // coalesce(1), NOT repartition(1): repartition inserts a round-robin
+      // shuffle AFTER the query's declared ORDER BY, so the dumped file
+      // would lose the ordering the oracle contract requires (and lets the
+      // optimizer elide the sort). coalesce keeps the ordered plan intact;
+      // the single-task cost is fine at verification scale (sf0.01).
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -15,6 +15,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * equi-join shapes (signature buckets, LSH bands, prefix tokens, cells) —
   * never all-pairs; survivors of dedup are deterministic; heavy per-element
   * math runs in codegen (native expression or long-array algebra).
+  *
+  * Caching note: the near-dup combinators and dupClusters `.cache()`
+  * intermediate signature/label tables (self-joins would otherwise
+  * recompute the lineage per side). Caches live until the caller runs
+  * `spark.catalog.clearCache()` or unpersists — long-lived applications
+  * calling these per-shard should clear between shards (Bench/Verify do).
   */
 object Graft {
 
@@ -63,7 +69,8 @@ object Graft {
     * set (order-independent), pairs via signature-equality join.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
-    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    // the portable token hash is 32-bit; more bits would silently be zero
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     val sigs = df
       .select(id.as("__id"), transform(tokenSet(text), t => phash32(t)).as("__hs"))
       .select(col("__id"),
@@ -164,12 +171,13 @@ object Graft {
       k: Int): DataFrame = {
     val s = df.sparkSession
     GraftFunctions.ensureRegistered(s)
+    // output = the caller's columns + cos_sim (no renamed id column —
+    // callers may already have an `id`, and `qvec` must not leak)
     df.crossJoin(broadcast(queryVec))
       .withColumn("cos_sim", call_function("cosine_sim", vec, col("qvec")))
-      .withColumn("__id", id)
-      .orderBy(col("cos_sim").desc, col("__id"))
+      .orderBy(col("cos_sim").desc, id)
       .limit(k)
-      .withColumnRenamed("__id", "id")
+      .drop("qvec")
   }
 
   /** IVF-style ANN: assign every vector to its nearest centroid (argmax
@@ -204,15 +212,17 @@ object Graft {
   }
 
   /** Resolve duplicate PAIRS into CLUSTERS: connected components by
-    * min-label propagation to a fixed point. Input: (id_a, id_b) edges;
-    * output: (id, cluster) where cluster = the smallest id reachable.
+    * min-label propagation with pointer jumping to a fixed point. Input:
+    * (id_a, id_b) edges; output: (id, cluster) where cluster = the
+    * smallest id in the component.
     *
-    * Iterative joins with a convergence check per round — each round is a
-    * bounded shuffle join, and the round count is O(log(diameter)) because
-    * labels jump through the current minimum, not just one hop. The
-    * survivor rule "keep cluster representative" is then deterministic.
+    * Each round does (1) a one-hop neighbor-min step and (2) a pointer
+    * jump (relabel through the label's own label), so convergence is
+    * O(log diameter) rounds of bounded shuffle joins. Throws if the fixed
+    * point is not reached within maxIter — a silent early exit would
+    * return a component split into several clusters.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
@@ -221,48 +231,64 @@ object Graft {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label for u = min(current, min over neighbors v of v's label)
+      // (1) candidate = min(current, min over neighbors' labels)
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster")).as("nb_min"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
+      val hopped = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
             .as("cluster"))
-        .cache()
+      // (2) pointer jump: cluster := label(cluster), halving chain depth
+      // localCheckpoint (eager), NOT cache: each round's plan embeds two
+      // copies of the previous round's (self-join), so without truncating
+      // the LOGICAL lineage the plan doubles per round and planning itself
+      // OOMs after ~7 rounds. Checkpointing keeps every round's plan flat.
+      val next = hopped.as("a")
+        .join(hopped.select(col("id").as("cluster"),
+          col("cluster").as("jump")).as("b"), Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("jump"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("l"), Seq("id"))
         .filter(col("n.cluster") =!= col("l.cluster")).count()
       labels = next
       converged = changed == 0
       i += 1
     }
+    require(converged,
+      s"dupClusters did not converge within $maxIter rounds")
     labels
   }
 
   // ------------------------------------------------------- text analysis
 
-  /** Per-document quality signals: token count, average token length,
-    * stopword ratio, vowel-group density. Pure per-row codegen arithmetic.
+  /** Per-document quality signals appended as columns (all input columns
+    * preserved): token count, average token length, stopword ratio,
+    * vowel-group density. Pure per-row codegen arithmetic.
     */
-  def qualityScores(df: DataFrame, id: Column, text: Column,
+  def qualityScores(df: DataFrame, text: Column,
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): DataFrame = {
     val t = split(text, " ")
     val nTok = size(t)
     val nStop = size(filter(t, x => x.isin(stopwords: _*)))
     val squeezed = regexp_replace(text, "[aeiou]+", "~")
     val nVg = length(squeezed) - length(regexp_replace(squeezed, "~", ""))
-    df.select(id.as("id"),
-      nTok.as("n_tokens"),
-      ((length(text) - (nTok - 1)).cast(DoubleType) / nTok).as("avg_tok_len"),
-      (nStop.cast(DoubleType) / nTok).as("stop_ratio"),
-      (nVg.cast(DoubleType) / nTok).as("vowel_groups_per_tok"))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("avg_tok_len",
+        (length(text) - (nTok - 1)).cast(DoubleType) / nTok)
+      .withColumn("stop_ratio", nStop.cast(DoubleType) / nTok)
+      .withColumn("vowel_groups_per_tok", nVg.cast(DoubleType) / nTok)
   }
 
   /** Language ID from corpus-derived token profiles: top-`profileSize`
     * tokens per observed language (needs a labeled subset in `langCol`),
     * prediction = argmax profile overlap with deterministic tiebreaks.
-    * The profile table is tiny and broadcast.
+    * The profile table is tiny and broadcast. TOTAL over the input: a
+    * document matching no profile comes back with a null `pred_lang` and
+    * `hits` 0 rather than silently vanishing.
     */
   def languageId(df: DataFrame, id: Column, text: Column, langCol: Column,
       profileSize: Int = 5): DataFrame = {
@@ -277,15 +303,18 @@ object Graft {
       .select(col("__lang").as("__p_lang"), col("__tok"))
     val byDoc = Window.partitionBy(col("__id"))
       .orderBy(col("__hits").desc, col("__p_lang"))
-    df.select(id.as("__id"),
+    val preds = df.select(id.as("__id"),
         array_distinct(split(lower(text), " ")).as("__dtoks"))
       .join(broadcast(profiles), array_contains(col("__dtoks"), col("__tok")))
       .groupBy(col("__id"), col("__p_lang"))
       .agg(count(lit(1)).as("__hits"))
       .withColumn("__rn", row_number().over(byDoc))
       .filter(col("__rn") === 1)
+      .select(col("__id"), col("__p_lang"), col("__hits"))
+    df.select(id.as("__id")).distinct()
+      .join(preds, Seq("__id"), "left")
       .select(col("__id").as("id"), col("__p_lang").as("pred_lang"),
-        col("__hits").as("hits"))
+        coalesce(col("__hits"), lit(0L)).as("hits"))
   }
 
   /** Token frequency top-N with deterministic tiebreak. */

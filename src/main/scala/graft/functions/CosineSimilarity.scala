@@ -50,7 +50,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm vectors (padding / failed encodes): similarity 0, not NaN —
+    // NaN sorts above every double, so it would hijack any top-k ranking
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,7 +77,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yi = (double) $y[$i];
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -74,11 +74,13 @@ object Multimodal {
       ceil(col("n_bytes").cast("double") / frameBytes).cast("int"))
     val stride = greatest(lit(frameBytes),
       (col("n_bytes") / nFrames).cast("int"))
-    assets.select(
-      col("doc_id"), col("mime"),
+    // empty payload => empty frames: sequence(0, -1) would yield [0, -1]
+    // (negative default step), not an empty array
+    val frames = when(col("n_bytes") > 0,
       transform(sequence(lit(0), nFrames - 1),
-        i => col("payload").substr(i * stride + 1, lit(frameBytes)))
-        .as("frames"))
+        i => col("payload").substr(i * stride + 1, lit(frameBytes))))
+      .otherwise(expr("CAST(array() AS ARRAY<BINARY>)"))
+    assets.select(col("doc_id"), col("mime"), frames.as("frames"))
   }
 
   /** End-to-end demo pipeline over the fixture documents table. */

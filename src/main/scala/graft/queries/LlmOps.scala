@@ -26,13 +26,6 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
   */
 object LlmOps {
 
-  /** Portable 32-bit token hash (as long): both engines compute
-    * `int(md5(token)[0:8], 16)` identically — used where the DuckDB oracle
-    * must reproduce hash values exactly (SimHash, fingerprints).
-    */
-  def phash32(tok: Column): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
-
   /** Cosine similarity via the native codegen'd Catalyst expression
     * ([[graft.functions.CosineSimilarity]]) — double accumulation in
     * element order, bit-identical to the oracle's DOUBLE[] math and to the
@@ -272,9 +265,12 @@ object LlmOps {
         val e = Tables(s, d, "embeddings")
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        // cached: the query row and the probe side would otherwise each
+        // recompute the full assignment (cross join + window)
         val cells = Graft.annAssignCells(e, id = col("vec_id"),
             vec = col("embedding"), centroids = cents)
           .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+          .cache()
         val qrow = cells.filter(col("vec_id") === 0)
           .select(col("embedding").as("qemb"), col("cell").as("qcell"))
         cells.join(broadcast(qrow), col("cell") === col("qcell"))

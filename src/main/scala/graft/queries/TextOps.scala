@@ -20,8 +20,6 @@ import org.apache.spark.sql.types.DoubleType
   */
 object TextOps {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
-
   /** 31^(k) mod P weights for the positional fingerprint. */
   private val P = 1000000007L
   private val weights: Seq[Long] =
@@ -38,24 +36,11 @@ object TextOps {
     Q("q33_langid",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val byLang = Window.partitionBy(col("lang"))
-          .orderBy(col("cnt").desc, col("tok"))
-        val profiles = docs
-          .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
-          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(byLang))
-          .filter(col("rn") <= 5)
-          .select(col("lang").as("p_lang"), col("tok"))
-        val byDoc = Window.partitionBy(col("doc_id"))
-          .orderBy(col("hits").desc, col("p_lang"))
-        docs.select(col("doc_id"), col("lang"),
-            array_distinct(split(lower(col("text")), " ")).as("dtoks"))
-          .join(broadcast(profiles), array_contains(col("dtoks"), col("tok")))
-          .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-          .agg(count(lit(1)).as("hits"))
-          .withColumn("rn", row_number().over(byDoc))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+        graft.api.Graft.languageId(docs, id = col("doc_id"),
+            text = col("text"), langCol = col("lang"))
+          .filter(col("pred_lang").isNotNull)
+          .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+          .select(col("id").as("doc_id"), col("lang"), col("pred_lang"),
             col("hits"))
           .orderBy(col("doc_id"))
       },
@@ -85,20 +70,10 @@ object TextOps {
     // ratio, vowel-group density. Pure per-row arithmetic in codegen.
     Q("q33_quality",
       (s, d) => {
-        val t = toks(col("text"))
-        val nTok = size(t)
-        val nStop = size(filter(t, x => x.isin(stopwords: _*)))
-        val squeezed = regexp_replace(col("text"), "[aeiou]+", "~")
-        val nVg = length(squeezed) -
-          length(regexp_replace(squeezed, "~", ""))
-        Tables(s, d, "documents").select(
-          col("doc_id"),
-          col("n_chars"),
-          nTok.as("n_tokens"),
-          ((col("n_chars") - (nTok - 1)).cast(DoubleType) / nTok)
-            .as("avg_tok_len"),
-          (nStop.cast(DoubleType) / nTok).as("stop_ratio"),
-          (nVg.cast(DoubleType) / nTok).as("vowel_groups_per_tok"))
+        graft.api.Graft.qualityScores(Tables(s, d, "documents"), col("text"))
+          .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+            col("avg_tok_len"), col("stop_ratio"),
+            col("vowel_groups_per_tok"))
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id, n_chars,

@@ -67,7 +67,7 @@ class GraftApiSpec extends SparkSpec {
       .toDF("vid", "v")
     val q = vecs.filter(col("vid") === 100L).select(col("v").as("qvec"))
     val top = Graft.cosineTopK(vecs, col("vid"), col("v"), q, 2)
-      .select("id").collect().map(_.getLong(0))
+      .select("vid").collect().map(_.getLong(0))
     assert(top.toSeq == Seq(100L, 101L))
     val cents = vecs.filter(col("vid") < 102L)
       .select(col("vid").as("cid"), col("v").as("cvec"))
@@ -107,15 +107,55 @@ class GraftApiSpec extends SparkSpec {
       (2L, "le chat est sur le tapis", "fr"),
       (3L, "the dog ran to the park", "en"))
       .toDF("pk", "body", "tongue")
-    val q = Graft.qualityScores(df, col("pk"), col("body"))
+    val q = Graft.qualityScores(df, col("body"))
     assert(q.count() == 3)
-    val r1 = q.filter(col("id") === 1).head()
-    assert(r1.getInt(1) == 6) // n_tokens
-    assert(math.abs(r1.getDouble(3) - 2.0 / 6) < 1e-12) // "the" twice
+    assert(q.columns.startsWith(Array("pk", "body", "tongue")),
+      "input columns must be preserved")
+    val r1 = q.filter(col("pk") === 1).head()
+    assert(r1.getAs[Int]("n_tokens") == 6)
+    assert(math.abs(r1.getAs[Double]("stop_ratio") - 2.0 / 6) < 1e-12)
     val lid = Graft.languageId(df, col("pk"), col("body"), col("tongue"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // docs 1 and 3 share english profile tokens; doc 2 matches french
     assert(lid(1L) == "en" && lid(3L) == "en" && lid(2L) == "fr", s"got $lid")
+  }
+
+  test("languageId is total: a no-hit document surfaces with null prediction") {
+    import spark.implicits._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and ran to it", "en"),
+      (2L, "zzz qqq xxx", "en")) // its rare tokens miss the top-5 profile
+      .toDF("pk", "body", "tongue")
+    val out = Graft.languageId(df, col("pk"), col("body"), col("tongue"))
+    val r2 = out.filter(col("id") === 2).collect()
+    assert(r2.length == 1, "no-hit document must not vanish")
+    assert(r2.head.isNullAt(1) && r2.head.getLong(2) == 0L)
+  }
+
+  test("dupClusters resolves a chain longer than a naive hop count") {
+    import spark.implicits._
+    // path graph 0-1-2-...-59: diameter 59 forces pointer jumping
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graft.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60 && got.values.forall(_ == 0L),
+      s"chain not fully resolved: ${got.toSeq.sortBy(_._1).takeRight(5)}")
+  }
+
+  test("zero-norm vectors get cosine 0, not NaN, and never win top-k") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f)))
+      .toDF("vid", "v")
+    val q = vecs.filter(col("vid") === 1).select(col("v").as("qvec"))
+    val top = Graft.cosineTopK(vecs, col("vid"), col("v"), q, 3)
+      .select("vid", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 == 1L)
+    assert(!top.exists(_._2.isNaN), s"NaN leaked: ${top.mkString(",")}")
+    assert(top.last._1 == 2L && top.last._2 == 0.0)
   }
 
   test("fingerprint is order-sensitive where dedup signatures are not") {

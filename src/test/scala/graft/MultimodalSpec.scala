@@ -32,6 +32,14 @@ class MultimodalSpec extends SparkSpec {
     decoded.unpersist()
   }
 
+  test("frame sampling of an empty payload yields an empty frame array") {
+    import spark.implicits._
+    val assets = Seq((99L, "media/none", 0L, Array.empty[Byte]))
+      .toDF("doc_id", "mime", "n_bytes", "payload")
+    val row = Multimodal.sampleFrames(assets).select("frames").head()
+    assert(row.getSeq[Array[Byte]](0).isEmpty)
+  }
+
   test("frame sampling emits bounded fixed-size binary frames") {
     val assets = Multimodal.withPayload(
       spark.read.parquet(s"$sfDir/documents.parquet"))
