@@ -23,28 +23,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.views(spark, sfDir)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.all.map(_.name)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // median of `reps` runs per query: single-shot timings on a shared JVM
+    // swing 10-29x on identical code (JIT warmup, GC, code-cache churn) —
+    // r2 vs r3 proved single-shot numbers are pure noise
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop any caches a query materialized: each query is timed as a
+        // standalone job, and leaked cache blocks distort later timings
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop any caches a query materialized: each query is timed as a
-      // standalone job, and leaked cache blocks distort later timings
-      spark.catalog.clearCache()
-      name -> dt
+      val median =
+        if (times.isEmpty) Double.NaN
+        else times.sorted.apply((times.size - 1) / 2)
+      name -> median
     }
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale emits
+    // "1,234" and silently corrupts the JSON line the driver parses
+    def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      jq(k) + ":" + (if (v.isNaN) "null" else fm(v))
+    }.mkString("{", ",", "}")
     val errJson = errors.map(jq).mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filterNot(_.isNaN).sum
+    println(s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"agg":"median","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Fixture-table registry (TESTDATA.md / FIXTURES.md).
   *
@@ -10,7 +11,8 @@ import org.apache.spark.sql.functions.expr
   * are applied automatically for any downstream `select`/`filter`.
   *
   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
-  * its µs TimestampType. We read it as raw nanos (`nanosAsLong`) and convert
+  * its µs TimestampType. We read it as raw nanos (explicit LongType read
+  * schema — no session conf needed) and convert
   * with integer division — lossless here (the fixture has no sub-µs
   * components; DuckDB's reader does the same ns→µs cast on the oracle side).
   * Trade-off noted for scale: predicates on the converted `ts` don't push
@@ -20,10 +22,23 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Explicit read schema for events, with `ts` requested as raw LongType
+    * nanos. A user-supplied schema skips footer inference entirely, so the
+    * read needs NO session conf (`nanosAsLong`) — the previous approach of
+    * setting that legacy flag inside apply() silently changed how every
+    * OTHER ns-timestamp parquet read in the session resolves.
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -39,14 +39,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // null ELEMENTS are treated as 0.0 contributions (toFloatArray() would
+  // throw on them — typed array<float> input with containsNull must not
+  // have a runtime crash path). Zero contribution = the element is absent
+  // from dot and norms, consistent with the zero-norm guard below.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x(i).toDouble; val yi = y(i).toDouble
+      val xi = if (xs.isNullAt(i)) 0.0 else xs.getFloat(i).toDouble
+      val yi = if (ys.isNullAt(i)) 0.0 else ys.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -58,8 +63,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
@@ -68,13 +71,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
-         |int $n = Math.min($x.length, $y.length);
+         |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x[$i];
-         |  double $yi = (double) $y[$i];
+         |  double $xi = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
@@ -92,8 +93,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineFunction)
+    ext.injectFunction(GraftFunctions.simhashFunction)
+  }
 }
 
 /** Registration + Column-API surface for the native functions. */
@@ -106,13 +109,23 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1)))
 
-  /** Idempotently register `cosine_sim` in the session's function
-    * registry, making it available to SQL and `call_function` (for
+  private[functions] val simhashFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (children: Seq[Expression]) =>
+        SimHash(children.head, children(1)))
+
+  /** Idempotently register the native functions in the session's function
+    * registry, making them available to SQL and `call_function` (for
     * sessions not built with [[GraftExtensions]]).
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineFunction._1, cosineFunction._2, cosineFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashFunction._1, simhashFunction._2, simhashFunction._3)
+  }
 
   /** Column API: cosine similarity of two array<float> columns. Requires
     * [[ensureRegistered]] on the session (query builders call it).
@@ -120,5 +133,14 @@ object GraftFunctions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+
+  /** Column API: `bits`-bit SimHash of an array<bigint> token-hash column.
+    * Requires [[ensureRegistered]] on the session (query builders call it).
+    */
+  def simhash(spark: SparkSession, hashes: Column, bits: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("simhash", hashes,
+      org.apache.spark.sql.functions.lit(bits))
   }
 }

@@ -27,11 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** @param leftSaltSource a DETERMINISTIC per-row expression on `left`
+    *   (typically its unique id). The salt must be a pure function of row
+    *   content: deriving it from `monotonically_increasing_id()`/`rand()`
+    *   is the SPARK-23207 hazard — a stage retry re-assigns ids, rows land
+    *   on different shuffle partitions than the first attempt, and the
+    *   fetch-side dedup silently drops or duplicates them. That failure
+    *   only manifests with executor loss, i.e. exactly the 1000-executor
+    *   run this operator exists for.
+    */
   def inner(left: DataFrame, right: DataFrame, leftKey: Column,
-      rightKey: Column, saltFactor: Int = 8): DataFrame = {
+      rightKey: Column, leftSaltSource: Column,
+      saltFactor: Int = 8): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
-        .cast("int"))
+      pmod(xxhash64(leftSaltSource), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated,

@@ -213,7 +213,9 @@ object Analytics {
       },
       Some("""SELECT o_orderstatus,
              |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
-             |  count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+             |  -- DuckDB count_if returns HUGEINT → pandas float64; CAST keeps
+             |  -- the oracle dtype int64 to match Spark (values identical).
+             |  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
              |  bool_or(o_totalprice > 400000) AS any_huge,
              |  bool_and(o_totalprice > 0) AS all_positive,
              |  min_by(o_orderkey, o_totalprice) AS cheapest_key,

@@ -365,7 +365,10 @@ object LlmOps {
              |clean AS (
              |  SELECT * FROM ded
              |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
-             |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+             |SELECT lang, count(*) AS n_docs,
+             |  -- DuckDB SUM(BIGINT) promotes to HUGEINT → pandas float64;
+             |  -- CAST keeps the oracle dtype int64 to match Spark.
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM clean GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Q34c — multimodal decode pipeline (engine-verified: the stub codec

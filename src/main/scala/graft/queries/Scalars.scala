@@ -135,21 +135,31 @@ object Scalars {
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // head3 is projected as a string, not a raw array<float>: the driver's
+    // pandas compare cannot sort/hash array cells. Elements go through
+    // float→double→*1e6→floor→bigint — every step is IEEE-identical on both
+    // engines, unlike float-to-string rendering (Spark shortest-decimal vs
+    // DuckDB's own formatter).
     Q("q27_arrays",
       (s, d) => {
         Tables(s, d, "embeddings").select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          element_at(col("embedding"), 1).as("e1"),
-          slice(col("embedding"), 1, 3).as("head3"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          array_join(
+            transform(slice(col("embedding"), 1, 3),
+              x => floor(x.cast("double") * 1000000d).cast("long").cast("string")),
+            ",").as("head3"),
           array_contains(col("embedding"), element_at(col("embedding"), 1))
             .as("has_e1"))
           .orderBy(col("vec_id"))
       },
       Some("""SELECT vec_id,
              |  CAST(len(embedding) AS INT) AS dim,
-             |  embedding[1] AS e1,
-             |  embedding[1:3] AS head3,
+             |  CAST(embedding[1] AS DOUBLE) AS e1,
+             |  array_to_string(
+             |    [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             |     FOR x IN embedding[1:3]], ',') AS head3,
              |  list_contains(embedding, embedding[1]) AS has_e1
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
@@ -171,6 +181,24 @@ object Scalars {
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
              |  CAST(len(json_keys(props)) AS INT) AS n_keys
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q28b — map ENTRY expansion (the generator half of the map surface):
+    // explode(map) → one row per entry. Oracle: DuckDB has no json_each
+    // table function, but unnest(json_keys(...)) in a subquery + keyed
+    // json_extract_string reproduces the same (event_id, mkey, mval) rows.
+    Q("q28_map_entries",
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(col("event_id"),
+            from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+          .select(col("event_id"), explode(col("m")).as(Seq("mkey", "mval")))
+          .orderBy(col("event_id"), col("mkey"))
+      },
+      Some("""SELECT event_id, k AS mkey,
+             |  CAST(json_extract_string(props, '$.' || k) AS INT) AS mval
+             |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+             |      FROM events)
+             |ORDER BY event_id, mkey""".stripMargin)),
 
     // Identical ANSI SQL runs on both engines: scalar subquery, IN-subquery,
     // correlated EXISTS. Catalyst decorrelates; no manual rewriting.

@@ -34,13 +34,35 @@ object Catalog {
   def registerHiveTables(spark: SparkSession, dir: String,
       database: String = "graft"): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    // idempotent re-registration must handle either object kind under the
+    // name (DROP TABLE on a view and vice versa are analysis errors)
+    def dropAny(qualified: String): Unit =
+      if (spark.catalog.tableExists(qualified)) {
+        val kind = spark.catalog.getTable(qualified).tableType
+        if (kind == "VIEW") spark.sql(s"DROP VIEW $qualified")
+        else spark.sql(s"DROP TABLE $qualified")
+      }
     Tables.names.foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $database.$n")
+      // events carries parquet TIMESTAMP(NANOS) read as raw longs
+      // (nanosAsLong): exposing that directly would hand metastore users a
+      // BIGINT ts with silently different values than the view path. The
+      // raw table goes to events_raw; `events` is a persistent VIEW
+      // applying the same ns→µs conversion as Tables.apply, so both
+      // catalogs expose identical schema AND values (CatalogSpec asserts).
+      val tbl = if (n == "events") "events_raw" else n
+      dropAny(s"$database.$n")
+      if (tbl != n) dropAny(s"$database.$tbl")
       // USING parquet + explicit path = external, schema from the footer
       spark.sql(
-        s"""CREATE TABLE $database.$n
+        s"""CREATE TABLE $database.$tbl
            |USING parquet
            |OPTIONS (path '$dir/$n.parquet')""".stripMargin)
+      if (n == "events")
+        spark.sql(
+          s"""CREATE VIEW $database.events AS
+             |SELECT event_id, timestamp_micros(ts DIV 1000) AS ts,
+             |       user_id, event_type, value, props
+             |FROM $database.events_raw""".stripMargin)
     }
   }
 

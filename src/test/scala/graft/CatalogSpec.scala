@@ -29,6 +29,15 @@ class CatalogSpec extends AnyFunSuite {
           |ORDER BY l_returnflag""".stripMargin).collect()
       assert(viaHive.toSeq == viaView.toSeq)
       assert(viaHive.nonEmpty)
+      // events parity: the metastore path must expose the SAME ts type and
+      // values as the view path (raw registration would leak BIGINT nanos)
+      val evHive = spark.table("graft.events")
+      val evView = spark.table("events")
+      assert(evHive.schema == evView.schema,
+        s"hive ${evHive.schema.treeString} vs view ${evView.schema.treeString}")
+      val h = evHive.orderBy("event_id").collect()
+      val v = evView.orderBy("event_id").collect()
+      assert(h.nonEmpty && h.toSeq == v.toSeq)
       // metastore survives: table is listed in the catalog, and external —
       // dropping must not delete the fixture parquet
       assert(spark.catalog.tableExists("graft.lineitem"))

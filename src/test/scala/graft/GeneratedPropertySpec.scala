@@ -82,7 +82,7 @@ class GeneratedPropertySpec extends SparkSpec {
       val right = (0L to 4L).map(k => (k, s"d$k")).toDF("rk", "name")
       val plain = left.join(right, col("k") === col("rk"))
         .select("id", "name")
-      val salted = SaltedJoin.inner(left, right, col("k"), col("rk"), salt)
+      val salted = SaltedJoin.inner(left, right, col("k"), col("rk"), col("id"), salt)
         .select("id", "name")
       assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     }

@@ -45,6 +45,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q33: language-ID profile join is a broadcast HASH join, not BNLJ") {
+    val p = plan("q33_langid")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q11: aggregation is partial+final inside whole-stage codegen") {
     val df = SparkEntry.queries("q11_agg_hash")(spark, sfDir)
     assert(plan("q11_agg_hash").contains("partial_sum"))

@@ -14,7 +14,7 @@ class SaltedJoinSpec extends SparkSpec {
     val right = (0L to 8L).map(k => (k, s"dim_$k")).toDF("rk", "name")
     val plain = left.join(right, col("k") === col("rk"))
       .select("id", "k", "name")
-    val salted = SaltedJoin.inner(left, right, col("k"), col("rk"), 8)
+    val salted = SaltedJoin.inner(left, right, col("k"), col("rk"), col("id"), 8)
       .select("id", "k", "name")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
@@ -25,7 +25,21 @@ class SaltedJoinSpec extends SparkSpec {
     val left = Seq((1L, 1L)).toDF("id", "k")
     val right = Seq((1L, "x")).toDF("rk", "name")
     // with one left row only one salt matches, but the join must still find it
-    val out = SaltedJoin.inner(left, right, col("k"), col("rk"), 16)
+    val out = SaltedJoin.inner(left, right, col("k"), col("rk"), col("id"), 16)
     assert(out.count() == 1)
+  }
+
+  test("salt is a pure function of the row: identical result under repartitioning") {
+    import spark.implicits._
+    val left = (1 to 500).map(i => (i.toLong, 1L)).toDF("id", "k")
+    val right = Seq((1L, "hot")).toDF("rk", "name")
+    val a = SaltedJoin.inner(left, right, col("k"), col("rk"), col("id"), 8)
+      .select("id", "k", "name")
+    // re-deriving the salt after an arbitrary repartition must route every
+    // row identically — this is what monotonically_increasing_id() breaks
+    val b = SaltedJoin.inner(left.repartition(7), right, col("k"), col("rk"),
+        col("id"), 8)
+      .select("id", "k", "name")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 }
