@@ -83,6 +83,32 @@ object LlmOps {
              |  ON a.sig = b.sig AND a.doc_id < b.doc_id
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Q31c — dup-pair → CLUSTER resolution through the distributed
+    // connected-components operator (Graft.dupClusters: min-label
+    // propagation + pointer jumping). Oracle: exact-dup pairs are cliques
+    // per content signature, so each component IS a signature group and
+    // its label is the group's min doc_id — a deterministic relational
+    // encoding DuckDB computes with a window function. The iterative CC
+    // path must converge to exactly that closed form.
+    Q("q31_dup_clusters",
+      (s, d) => {
+        val pairs = Graft.exactDupPairs(Tables(s, d, "documents"),
+          id = col("doc_id"), text = col("text"))
+        Graft.dupClusters(pairs)
+          .select(col("id"), col("cluster"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH sigs AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(text, ' '))), ' ')) AS sig
+             |  FROM documents),
+             |dup AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) > 1)
+             |SELECT s.doc_id AS id,
+             |  min(s.doc_id) OVER (PARTITION BY s.sig) AS cluster
+             |FROM sigs s JOIN dup USING (sig)
+             |ORDER BY id""".stripMargin)),
+
     // Q31-full — banded MinHash-LSH near-dup pipeline (engine-verified:
     // banding recall is probabilistic for 0.9<=J<1, so no exact oracle).
     //
