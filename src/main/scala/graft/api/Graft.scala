@@ -262,6 +262,81 @@ object Graft {
     labels
   }
 
+  // -------------------------------------------------- temporal/range joins
+
+  /** As-of (point-in-time) join: for every left row, attach the LATEST
+    * right row with the same `key` and `right.time <= left.time`
+    * (inclusive, LEFT-outer — unmatched left rows keep null right values).
+    *
+    * Implementation is the scale-shape one: union both sides on (key,
+    * time) and forward-fill right values with one window pass — a SINGLE
+    * hash shuffle on the key plus a per-partition sort. The naive
+    * formulation (`l.ts >= r.ts` theta join + keep-latest) explodes to
+    * |L|·|R| rows per key before pruning; this never materializes more
+    * than |L|+|R| rows. At equal timestamps the right row sorts first, so
+    * a simultaneous right row IS matched (DuckDB `ASOF JOIN ... ON
+    * l.ts >= r.ts` semantics — oracle-paired in q44_asof_join).
+    *
+    * Both inputs must carry `key` and `time` columns under those names;
+    * remaining column names must be disjoint across sides. Known skew
+    * note: a pathologically hot key serializes into one task — pre-split
+    * such keys by time range before calling (the window is time-ordered,
+    * so range splits compose).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
+    val lv = left.columns.filterNot(c => c == key || c == time)
+    val rv = right.columns.filterNot(c => c == key || c == time)
+    val overlap = lv.toSet.intersect(rv.toSet)
+    require(overlap.isEmpty, s"asofJoin value columns must be disjoint: $overlap")
+    val lNorm = left.select(
+      Seq(col(key), col(time), lit(1).as("__side")) ++
+        lv.map(col) ++
+        rv.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rNorm = right.select(
+      Seq(col(key), col(time), lit(0).as("__side")) ++
+        lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rv.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rNorm)
+      .select(Seq(col(key), col(time), col("__side")) ++ lv.map(col) ++
+        rv.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Range join: pair each point row with every interval row of the same
+    * `key` whose `[lo, hi]` contains the point (inclusive both ends).
+    *
+    * A raw `lo <= p AND p <= hi` predicate next to the key equality still
+    * hash-joins on the key, but every candidate pair of a key meets the
+    * range filter post-join — fine until one key dominates. This operator
+    * additionally BUCKETS the range dimension (width `bucketWidth`, in the
+    * point column's units): intervals explode to the buckets they overlap,
+    * points to exactly one bucket, and the equi-join key becomes (key,
+    * bucket) — hot keys spread across their time range instead of one
+    * reducer. Exact: the containment filter re-checks after the bucket
+    * candidate join, and each (interval, point) pair meets in exactly one
+    * bucket (the point's), so no dedup pass is needed.
+    *
+    * `point`/`lo`/`hi` must be numeric (epoch-cast timestamps first).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      point: String, lo: String, hi: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val pb = points.withColumn("__bucket",
+      floor(col(point) / bucketWidth).cast(LongType))
+    val ib = intervals
+      .withColumn("__bucket",
+        explode(sequence(floor(col(lo) / bucketWidth).cast(LongType),
+          floor(col(hi) / bucketWidth).cast(LongType))))
+      .filter(col(lo) <= col(hi))
+    pb.join(ib, Seq(key, "__bucket"))
+      .filter(col(lo) <= col(point) && col(point) <= col(hi))
+      .drop("__bucket")
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Per-document quality signals appended as columns (all input columns

@@ -322,6 +322,67 @@ object Relational {
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey
-             |LIMIT 25 OFFSET 50""".stripMargin))
+             |LIMIT 25 OFFSET 50""".stripMargin)),
+
+    // Q44 — as-of (point-in-time) join: each click gets the latest
+    // same-user purchase at-or-before it. Spark side is the union+window
+    // forward-fill operator (Graft.asofJoin — one shuffle, never |L|·|R|);
+    // oracle is DuckDB's native ASOF LEFT JOIN.
+    Q("q44_asof_join",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("last_purchase_value"))
+        graft.api.Graft.asofJoin(clicks, purch, "user_id", "ts")
+          .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'click'),
+             |purch AS (
+             |  SELECT user_id, ts, value AS last_purchase_value FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT c.event_id, c.user_id, p.last_purchase_value
+             |FROM clicks c ASOF LEFT JOIN purch p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // Q45 — range (interval-containment) join: clicks within ±1 h of a
+    // same-user purchase. Spark side is the bucketed range join
+    // (Graft.rangeJoin — equi-join on (key, time-bucket), exact after the
+    // containment re-check); oracle is the plain inequality join, feasible
+    // at oracle scale.
+    Q("q45_range_join",
+      (s, d) => {
+        val hourUs = 3600000000L
+        val ev = Tables(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("cus"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (unix_micros(col("ts")) - hourUs).as("lo"),
+            (unix_micros(col("ts")) + hourUs).as("hi"))
+        graft.api.Graft.rangeJoin(clicks, purch, "user_id", "cus", "lo", "hi",
+            bucketWidth = hourUs)
+          .select(col("click_id"), col("user_id"), col("purchase_id"))
+          .orderBy(col("click_id"), col("purchase_id"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+             |  FROM events WHERE event_type = 'click'),
+             |purch AS (
+             |  SELECT event_id AS purchase_id, user_id,
+             |    epoch_us(ts) - 3600000000 AS lo,
+             |    epoch_us(ts) + 3600000000 AS hi
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.click_id, c.user_id, p.purchase_id
+             |FROM clicks c JOIN purch p
+             |  ON c.user_id = p.user_id AND p.lo <= c.cus AND c.cus <= p.hi
+             |ORDER BY click_id, purchase_id""".stripMargin))
   )
 }

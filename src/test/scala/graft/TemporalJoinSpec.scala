@@ -1,0 +1,79 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the temporal join operators (Graft.asofJoin /
+  * Graft.rangeJoin) on hand-built frames: inclusive equal-timestamp match,
+  * left-outer nulls, latest-wins, bucket-straddling intervals, exactness
+  * of the bucket candidate join (no duplicate pairs).
+  */
+class TemporalJoinSpec extends SparkSpec {
+
+  test("asofJoin: latest right row at-or-before each left row, left outer") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, 10L, 1.0), // key 1: quotes at t=10, 20
+      (1L, 20L, 2.0),
+      (2L, 50L, 9.0)
+    ).toDF("k", "t", "px")
+    val trades = Seq(
+      (1L, 5L),  // before any quote -> null
+      (1L, 10L), // equal ts -> inclusive match 1.0
+      (1L, 15L), // between -> 1.0
+      (1L, 25L), // after both -> latest 2.0
+      (3L, 99L)  // key with no quotes -> null
+    ).toDF("k", "t").withColumn("tid", col("t") * 100)
+    val out = Graft.asofJoin(trades, quotes, "k", "t")
+      .orderBy("k", "t")
+      .select("k", "t", "px")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, null), (1L, 10L, 1.0), (1L, 15L, 1.0), (1L, 25L, 2.0),
+      (3L, 99L, null)))
+  }
+
+  test("asofJoin: overlapping value-column names are rejected") {
+    import spark.implicits._
+    val a = Seq((1L, 1L, "x")).toDF("k", "t", "v")
+    val b = Seq((1L, 1L, "y")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] { Graft.asofJoin(a, b, "k", "t") }
+  }
+
+  test("rangeJoin: exact containment pairs, intervals straddling buckets, no dups") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, 0L), (1L, 99L), (1L, 100L), (1L, 250L),
+      (2L, 50L)
+    ).toDF("k", "p")
+    val intervals = Seq(
+      (1L, 90L, 110L, "a"),  // straddles buckets 0 and 1 (width 100)
+      (1L, 0L, 300L, "b"),   // spans 4 buckets, contains all key-1 points
+      (2L, 60L, 70L, "c"),   // contains nothing
+      (2L, 500L, 400L, "d")  // inverted (lo > hi) -> dropped
+    ).toDF("k", "lo", "hi", "tag")
+    val out = Graft.rangeJoin(points, intervals, "k", "p", "lo", "hi", 100L)
+      .select("k", "p", "tag").orderBy("k", "p", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "b"), (1L, 99L, "a"), (1L, 99L, "b"), (1L, 100L, "a"),
+      (1L, 100L, "b"), (1L, 250L, "b")))
+  }
+
+  test("rangeJoin equals the naive theta join on random-ish data") {
+    import spark.implicits._
+    val points = (1 to 300).map(i => ((i % 7).toLong, (i * 37 % 1000).toLong))
+      .toDF("k", "p")
+    val intervals = (1 to 60).map { i =>
+      val lo = (i * 53 % 900).toLong
+      ((i % 7).toLong, lo, lo + (i % 5) * 40L, i.toLong)
+    }.toDF("k", "lo", "hi", "iid")
+    val bucketed = Graft.rangeJoin(points, intervals, "k", "p", "lo", "hi", 128L)
+      .select("k", "p", "iid")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("lo") <= col("p") && col("p") <= col("hi"))
+      .select("k", "p", "iid")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
+}
