@@ -51,6 +51,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q44: as-of join is ONE key shuffle + window, never a join node") {
+    val p = plan("q44_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q45: range join stays an equi-join on (key, bucket), no NLJ") {
+    val p = plan("q45_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q11: aggregation is partial+final inside whole-stage codegen") {
     val df = SparkEntry.queries("q11_agg_hash")(spark, sfDir)
     assert(plan("q11_agg_hash").contains("partial_sum"))
