@@ -322,6 +322,44 @@ object LlmOps {
              |FROM cells, q WHERE cell = qcell
              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // Q32c — int8 scalar quantization (Graft.quantizeScalar): the 4x
+    // storage cut for an embedding corpus. floor-based code assignment is
+    // plain IEEE double math (round() would diverge cross-engine), so even
+    // the reconstruction MSE is oracle-exact. Codes ride as a joined
+    // string because the driver's compare cannot hash raw array cells.
+    Q("q32_quantize",
+      (s, d) => {
+        val q = Graft.quantizeScalar(Tables(s, d, "embeddings"),
+          id = col("vec_id"), vec = col("embedding"))
+        q.select(col("id").as("vec_id"),
+            array_join(transform(col("codes"), _.cast(StringType)), ",")
+              .as("codes_str"),
+            (aggregate(
+              zip_with(col("vec_d"), col("dequant"), (a, b) => (a - b) * (a - b)),
+              lit(0.0), _ + _) / size(col("vec_d"))).as("mse"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |p AS (
+             |  SELECT vec_id, e, list_min(e) AS vmin,
+             |    (list_max(e) - list_min(e)) / 255.0 AS scale
+             |  FROM v),
+             |c AS (
+             |  SELECT vec_id, e, vmin, scale,
+             |    CASE WHEN scale = 0
+             |         THEN [0 FOR x IN e]
+             |         ELSE [CAST(least(255, floor((x - vmin) / scale)) AS INT)
+             |               FOR x IN e]
+             |    END AS codes
+             |  FROM p)
+             |SELECT vec_id,
+             |  array_to_string(codes, ',') AS codes_str,
+             |  list_sum([(e[i] - (vmin + (codes[i] + 0.5) * scale)) *
+             |            (e[i] - (vmin + (codes[i] + 0.5) * scale))
+             |            FOR i IN range(1, len(e) + 1)]) / len(e) AS mse
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
     // Q30d — deterministic hash sampling: membership is a pure function of
     // the id (portable md5 hash mod 100), reproducible at any scale or
     // partitioning — unlike df.sample, whose output depends on the RNG and

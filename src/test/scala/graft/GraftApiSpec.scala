@@ -158,6 +158,30 @@ class GraftApiSpec extends SparkSpec {
     assert(top.last._1 == 2L && top.last._2 == 0.0)
   }
 
+  test("quantizeScalar: codes bounded, reconstruction within half a bin") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, 0.25f)),
+      (2L, Array(7.0f, 7.0f, 7.0f)), // constant vector -> scale 0, code 0
+      (3L, Array(-4.0f, 4.0f))
+    ).toDF("vid", "v")
+    val q = Graft.quantizeScalar(vecs, col("vid"), col("v"), levels = 16)
+    val bad = q.select(col("id"), col("scale"),
+        aggregate(col("codes"), lit(0),
+          (m, c) => greatest(m, c)).as("max_code"),
+        aggregate(zip_with(col("vec_d"), col("dequant"),
+          (a, b) => abs(a - b)), lit(0.0), (m, e) => greatest(m, e))
+          .as("max_err"))
+      .filter(col("max_code") > 15 ||
+        (col("scale") > 0.0 && col("max_err") > col("scale") * 0.5 + 1e-9) ||
+        (col("scale") === 0.0 && col("max_code") =!= 0))
+    assert(bad.count() == 0)
+    // constant vector round-trips to its midpoint-of-single-bin value
+    val const = q.filter(col("id") === 2).select(col("dequant")).head()
+      .getSeq[Double](0)
+    assert(const.forall(v => math.abs(v - 7.0) < 1e-12))
+  }
+
   test("fingerprint is order-sensitive where dedup signatures are not") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
