@@ -291,6 +291,43 @@ object Graft {
     labels
   }
 
+  // ------------------------------------------------- scalable prefix scans
+
+  /** EXCLUSIVE running max of `value` in `order` (each row sees the max
+    * over all strictly-preceding rows; the first row gets null), as new
+    * column `out`.
+    *
+    * `Window.orderBy(order)` with no partition computes this through ONE
+    * task holding the whole dataset — the classic batch scale-killer. This
+    * is the two-level formulation: rows chunk by `order DIV chunkSize`,
+    * the within-chunk prefix max runs as a PARTITIONED window (parallel),
+    * and cross-chunk carry-in comes from a prefix max over the tiny
+    * one-row-per-chunk summary table, broadcast-joined back. The only
+    * unpartitioned window left runs over n_chunks rows, not n rows.
+    *
+    * `order` must be unique and non-negative numeric (a monotone id);
+    * ties within a chunk would make "strictly preceding" ambiguous.
+    */
+  def prefixMaxExclusive(df: DataFrame, order: Column, value: Column,
+      out: String, chunkSize: Long = 1L << 16): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val wChunk = Window.partitionBy(col("__chunk")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevChunks = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = df
+      .withColumn("__chunk", floor(order / lit(chunkSize)).cast(LongType))
+      .withColumn("__local", max(value).over(wChunk))
+    val carry = chunked.groupBy(col("__chunk")).agg(max(value).as("__cmax"))
+      .withColumn("__prev", max(col("__cmax")).over(wPrevChunks))
+      .select(col("__chunk"), col("__prev"))
+    // greatest() skips nulls (null only when BOTH are null = first row of
+    // the first chunk) — exactly the exclusive-prefix-of-nothing case
+    chunked.join(broadcast(carry), Seq("__chunk"))
+      .withColumn(out, greatest(col("__local"), col("__prev")))
+      .drop("__chunk", "__local", "__prev")
+  }
+
   // -------------------------------------------------- temporal/range joins
 
   /** As-of (point-in-time) join: for every left row, attach the LATEST

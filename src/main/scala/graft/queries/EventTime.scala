@@ -102,13 +102,16 @@ object EventTime {
 
     // Q38 — watermark/late-data semantics, deterministic batch dual:
     // arrival order = event_id; a row is late (dropped) if its event time
-    // is >10min behind the max event time seen strictly before it.
+    // is >10min behind the max event time seen strictly before it. The
+    // running max is Graft.prefixMaxExclusive — the two-level chunked
+    // prefix scan — NOT a bare Window.orderBy(event_id), which would move
+    // the whole table through one task (the production path remains the
+    // streaming query with real per-partition watermarks, Streams.scala).
     Q("q38_late_data",
       (s, d) => {
-        val arrival = Window.orderBy(col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables(s, d, "events")
-          .withColumn("wm_us", max(unix_micros(col("ts"))).over(arrival))
+        graft.api.Graft.prefixMaxExclusive(Tables(s, d, "events"),
+            order = col("event_id"), value = unix_micros(col("ts")),
+            out = "wm_us")
           .filter(col("wm_us").isNull ||
             unix_micros(col("ts")) >= col("wm_us") - 600L * 1000000L)
           .groupBy(window(col("ts"), "1 hour"))

@@ -158,6 +158,23 @@ class GraftApiSpec extends SparkSpec {
     assert(top.last._1 == 2L && top.last._2 == 0.0)
   }
 
+  test("prefixMaxExclusive equals the single-task global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values deliberately non-monotone in the order column
+    val df = (0L until 500L).map(i => (i, (i * 7919 % 101).toDouble))
+      .toDF("oid", "v")
+    val naive = df.withColumn("pm",
+      max(col("v")).over(Window.orderBy(col("oid"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    // chunkSize 64 forces multiple chunks and cross-chunk carry-in
+    val chunked = Graft.prefixMaxExclusive(df, col("oid"), col("v"), "pm",
+      chunkSize = 64L)
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+    // first row of the first chunk has no predecessor
+    assert(chunked.filter(col("oid") === 0).head().isNullAt(2))
+  }
+
   test("quantizeScalar: codes bounded, reconstruction within half a bin") {
     import spark.implicits._
     val vecs = Seq(
