@@ -64,6 +64,34 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join (the streaming dual of the batch
+    * `Graft.rangeJoin`): each click pairs with same-user purchases whose
+    * event time falls in [click_ts − lookback, click_ts]. Both sides carry
+    * watermarks and the join predicate bounds event time on BOTH sides, so
+    * the state store evicts rows once the watermark passes their
+    * reachable-match horizon — state is O(traffic within
+    * watermark + lookback), never O(stream history). Inputs use the
+    * events schema (event_id, user_id, ts, value, ...).
+    */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+      lookback: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") <= col("click_ts") &&
+          col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
   /** The per-batch commit used by [[startIdempotentParquetSink]]: each
     * micro-batch overwrites its own `batch_id=N` directory through the
     * standard parquet writer (zstd, file-size cap), so a replayed batch

@@ -70,4 +70,29 @@ class StreamingSpec extends SparkSpec {
         s"dedup output wrong: ${rows.mkString(", ")}")
     } finally query.stop()
   }
+
+  case class UEv(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+
+  test("stream-stream interval join pairs clicks with in-window purchases only") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[UEv]
+    val purchases = MemoryStream[UEv]
+    val query = Streams.purchaseAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj_golden")
+      .outputMode("append").start()
+    try {
+      // user 7: purchase at 0:30, clicks at 0:50 (within 1h lookback) and
+      // at 2:30 (beyond lookback). user 8: purchase AFTER its click.
+      purchases.addData(UEv(100, 7, ts(30), 9.99), UEv(200, 8, ts(60), 5.0))
+      clicks.addData(UEv(1, 7, ts(50), 0.0), UEv(2, 7, ts(150), 0.0),
+        UEv(3, 8, ts(40), 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("ssj_golden")
+        .select("click_id", "purchase_id", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 100L, 9.99)),
+        s"interval join wrong: ${rows.mkString(", ")}")
+    } finally query.stop()
+  }
 }
