@@ -61,6 +61,28 @@ class TemporalJoinSpec extends SparkSpec {
       (1L, 100L, "b"), (1L, 250L, "b")))
   }
 
+  test("asofJoin equals the naive theta-join + keep-latest on generated data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val trades = (1 to 400).map(i =>
+      ((i % 5).toLong, (i * 13 % 997).toLong, i.toLong)).toDF("k", "t", "tid")
+    val quotes = (1 to 80).map(i =>
+      ((i % 5).toLong, (i * 31 % 997).toLong, i * 1.5)).toDF("k", "t", "px")
+      // unique (k, t): keep max px per timestamp so "latest" is well-defined
+      .groupBy("k", "t").agg(max("px").as("px"))
+    val fast = Graft.asofJoin(trades, quotes, "k", "t")
+      .select("k", "t", "tid", "px")
+    val naive = trades.as("l")
+      .join(quotes.as("r"),
+        col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l.k"), col("l.tid"))
+          .orderBy(col("r.t").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("l.k").as("k"), col("l.t").as("t"), col("tid"), col("px"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("rangeJoin equals the naive theta join on random-ish data") {
     import spark.implicits._
     val points = (1 to 300).map(i => ((i % 7).toLong, (i * 37 % 1000).toLong))
