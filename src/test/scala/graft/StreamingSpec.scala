@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
 
   case class UEv(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 
+  test("session windows close on gap > 30 min and emit once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UEv]
+    val query = Streams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess_golden")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0:00 and 0:20 (same session, gap 20 < 30), then
+      // 1:10 (new session, gap 50 > 30)
+      input.addData(UEv(1, 1, ts(0), 1.0), UEv(2, 1, ts(20), 2.0),
+        UEv(3, 1, ts(70), 4.0))
+      query.processAllAvailable()
+      // push the watermark far past every open session so all finalize
+      input.addData(UEv(9, 2, ts(600), 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess_golden")
+        .filter(col("user_id") === 1)
+        .select("sess_start", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 00:00:00.0", 2L, 3.0),
+        ("2024-01-01 01:10:00.0", 1L, 4.0)),
+        s"session output wrong: ${rows.mkString(", ")}")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases only") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
