@@ -44,6 +44,22 @@ object Graft {
 
   // ---------------------------------------------------------------- dedup
 
+  /** Top-k rows per group under `order` (make it a total order — include a
+    * unique tiebreak column — or survivors are partition-dependent).
+    * Generalizes [[dedupExact]] (k = 1); one hash shuffle on the keys,
+    * `row_number` streams each group so memory is O(1) per group, never
+    * O(group size). The global-top-k dual is `orderBy(...).limit(k)`,
+    * which compiles to TakeOrderedAndProject — use that when there is no
+    * group key.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Keep-first dedup: deterministic survivor = first row per `keys` under
     * `order`. One hash-partition shuffle on the keys; never use
     * `dropDuplicates` when the survivor matters.

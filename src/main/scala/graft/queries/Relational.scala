@@ -324,6 +324,29 @@ object Relational {
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 25 OFFSET 50""".stripMargin)),
 
+    // Q46 — grouped top-k (Graft.topKPerGroup): top-3 orders by price per
+    // order status, deterministic via the unique orderkey tiebreak. One
+    // hash shuffle; row_number streams each group (no per-group buffering).
+    Q("q46_topk_grouped",
+      (s, d) => {
+        graft.api.Graft.topKPerGroup(
+            Tables(s, d, "orders")
+              .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+            keys = Seq(col("o_orderstatus")),
+            order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+            k = 3)
+          .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
+            col("o_orderkey"))
+      },
+      Some("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders)
+             |WHERE rk <= 3
+             |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey"""
+        .stripMargin)),
+
     // Q44 — as-of (point-in-time) join: each click gets the latest
     // same-user purchase at-or-before it. Spark side is the union+window
     // forward-fill operator (Graft.asofJoin — one shuffle, never |L|·|R|);
