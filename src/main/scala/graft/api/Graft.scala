@@ -478,6 +478,35 @@ object Graft {
         coalesce(col("__hits"), lit(0L)).as("hits"))
   }
 
+  /** Top-`topK` terms per document by TF-IDF, with deterministic
+    * tiebreaks. tf = term count / doc length; idf = ln(N / doc-freq);
+    * the multiply/divide order is fixed so the doubles are reproducible
+    * cross-engine (ln is 1-ulp libm — far under 6-dp hashing).
+    * Shapes: one explode feeding two partial aggregations (term counts,
+    * doc lengths), a tiny broadcast doc-frequency join keyed by token,
+    * and a per-doc top-k window — every join is an equi-join, every
+    * aggregate map-side combinable.
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+      topK: Int = 5): DataFrame = {
+    val toks = df.select(id.as("id"),
+      explode(split(lower(text), " ")).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tc"))
+    val dlen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("nd"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dlen, Seq("id"))
+      .join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tc").cast(DoubleType) / col("dl").cast(DoubleType)) *
+          log(col("n_docs").cast(DoubleType) / col("nd").cast(DoubleType)))
+      .select(col("id"), col("tok"), col("tfidf"))
+    topKPerGroup(scored, Seq(col("id")),
+      Seq(col("tfidf").desc, col("tok")), topK)
+  }
+
   /** Token frequency top-N with deterministic tiebreak. */
   def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =
     df.select(explode(split(lower(text), " ")).as("word"))

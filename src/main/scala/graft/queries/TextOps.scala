@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.api.Graft
 import graft.{Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -135,5 +136,41 @@ object TextOps {
            |    unnest(range(0, len(string_split(text, ' ')))) AS i
            |  FROM documents)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // Q33g — TF-IDF top terms (Graft.tfidfTopTerms): tf·ln(N/df) scored
+    // over the whole corpus, top-3 terms per doc with deterministic
+    // tiebreaks; result filtered to doc_id < 50 AFTER scoring so the
+    // verified rows stay small while df/N remain corpus-level. The
+    // multiply/divide order is pinned identically in both engines.
+    Q("q33_tfidf",
+      (s, d) => {
+        Graft.tfidfTopTerms(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"), topK = 3)
+          .filter(col("id") < 50)
+          .select(col("id").as("doc_id"), col("tok"), col("tfidf"))
+          .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tc FROM toks
+             |       GROUP BY doc_id, tok),
+             |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |dfreq AS (SELECT tok, count(*) AS nd FROM tf GROUP BY tok),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |    (CAST(tc AS DOUBLE) / CAST(dl AS DOUBLE)) *
+             |      ln(CAST(n_docs AS DOUBLE) / CAST(nd AS DOUBLE)) AS tfidf
+             |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (tok)
+             |  CROSS JOIN n)
+             |SELECT doc_id, tok, tfidf FROM (
+             |  SELECT doc_id, tok, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tfidf DESC, tok) AS rk
+             |  FROM scored)
+             |WHERE rk <= 3 AND doc_id < 50
+             |ORDER BY doc_id, tfidf DESC, tok""".stripMargin))
+  )
 }
