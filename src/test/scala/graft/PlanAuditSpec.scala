@@ -58,6 +58,11 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q46: grouped top-k costs exactly one hash-partition shuffle") {
+    val p = plan("q46_topk_grouped")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q45: range join stays an equi-join on (key, bucket), no NLJ") {
     val p = plan("q45_range_join")
     assert(!p.contains("CartesianProduct") &&
