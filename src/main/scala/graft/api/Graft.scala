@@ -280,8 +280,11 @@ object Graft {
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster")).as("nb_min"))
+      // the round's INPUT label rides along as __old so convergence is a
+      // cheap filter-count over the checkpointed output — the previous
+      // formulation paid an extra shuffle join (next vs labels) per round
       val hopped = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
             .as("cluster"))
       // (2) pointer jump: cluster := label(cluster), halving chain depth
@@ -292,13 +295,12 @@ object Graft {
       val next = hopped.as("a")
         .join(hopped.select(col("id").as("cluster"),
           col("cluster").as("jump")).as("b"), Seq("cluster"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("cluster"), coalesce(col("jump"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("l"), Seq("id"))
-        .filter(col("n.cluster") =!= col("l.cluster")).count()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("__old")).count()
+      labels = next.drop("__old")
       converged = changed == 0
       i += 1
     }
