@@ -255,6 +255,22 @@ object Graft {
     df.filter(pmod(phash32(id.cast(StringType)), lit(100)) < percent)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep-rates (percent,
+    * 0–100) with the same pure-function-of-id decision as [[hashSample]] —
+    * reproducible across runs, partitionings, and engines. Strata missing
+    * from `rates` fall back to `defaultPercent`. The typical use: flatten
+    * a skewed language/source mix into a training budget.
+    */
+  def hashSampleStratified(df: DataFrame, id: Column, strata: Column,
+      rates: Map[String, Int], defaultPercent: Int = 0): DataFrame = {
+    require((rates.values ++ Seq(defaultPercent)).forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0,100]: $rates default=$defaultPercent")
+    val rateCol = rates.foldLeft(lit(defaultPercent)) {
+      case (acc, (k, p)) => when(strata === lit(k), lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(phash32(id.cast(StringType)), lit(100)) < rateCol)
+  }
+
   /** Resolve duplicate PAIRS into CLUSTERS: connected components by
     * min-label propagation with pointer jumping to a fixed point. Input:
     * (id_a, id_b) edges; output: (id, cluster) where cluster = the

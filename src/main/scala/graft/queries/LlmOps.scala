@@ -375,6 +375,24 @@ object LlmOps {
              |           AS BIGINT) % 100 < 10
              |ORDER BY doc_id""".stripMargin)),
 
+    // Q30e — stratified deterministic sampling: per-language keep-rates
+    // flatten a skewed mix into a budget; the keep decision is the same
+    // pure function of doc_id as q30_sample, so resampling is stable
+    // across runs, partitionings, and engines.
+    Q("q30_stratified",
+      (s, d) => {
+        Graft.hashSampleStratified(Tables(s, d, "documents"),
+            id = col("doc_id"), strata = col("lang"),
+            rates = Map("en" -> 50, "de" -> 20), defaultPercent = 5)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |           AS BIGINT) % 100 <
+             |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 5 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // Q30e — the full corpus-cleaning pipeline, composed from the API:
     // quality gate -> exact dedup (keep-first by content signature) ->
     // near-dup removal (drop the higher id of every shingle-Jaccard pair)
