@@ -325,6 +325,26 @@ object Graft {
     labels
   }
 
+  // ----------------------------------------------------------- data layout
+
+  /** Z-order (Morton) key: interleaves the low `bitsPerDim` bits of two
+    * non-negative dimension columns (a in even positions, b in odd), so
+    * sorting by the key clusters rows that are close in BOTH dimensions.
+    * Range-partition + sort by this key before writing parquet and the
+    * row-group min/max stats stay tight on each dimension separately —
+    * range predicates on EITHER column prune row groups, where a plain
+    * lexicographic sort only serves its leading column. Pure bitwise
+    * column ops: stays inside whole-stage codegen.
+    */
+  def zorderKey(a: Column, b: Column, bitsPerDim: Int = 31): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31,
+      s"bitsPerDim must be in [1,31]: $bitsPerDim")
+    (0 until bitsPerDim).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   // ------------------------------------------------- scalable prefix scans
 
   /** EXCLUSIVE running max of `value` in `order` (each row sees the max

@@ -40,6 +40,26 @@ object Sinks {
       .option("timestampFormat", TsFmt)
       .json(path)
 
+  /** Z-ordered parquet layout: range-partition + sort by the Morton
+    * interleave of two dimension columns (graft.api.Graft.zorderKey), so
+    * row-group min/max stats prune range predicates on EITHER dimension.
+    * The complement to directory partitioning (low-cardinality keys) and
+    * bucketing (equi-join keys): use for the two high-cardinality columns
+    * your scans range-filter most (e.g. user_id × time).
+    */
+  def zorderedParquet(df: DataFrame, path: String, dimA: String,
+      dimB: String, nFiles: Int = 8, compression: String = "zstd"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z",
+        graft.api.Graft.zorderKey(col(dimA).cast("long"), col(dimB).cast("long")))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .parquet(path)
+  }
+
   /** Bucketed catalog table: rows are hash-partitioned into `nBuckets`
     * files by `bucketCols` at write time, so later equi-joins/aggregations
     * on those columns read co-located data and skip the shuffle entirely

@@ -23,6 +23,31 @@ class SinksSpec extends SparkSpec {
       s"lang filter not pruned:\n$plan")
   }
 
+  test("zorderKey interleaves bits exactly; z-ordered write round-trips") {
+    import spark.implicits._
+    import graft.api.Graft
+    // reference Morton interleave on the driver
+    def morton(a: Long, b: Long): Long =
+      (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L),
+      ((1L << 30) - 1, 42L))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Graft.zorderKey(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) => assert(z == morton(a, b), s"($a,$b)") }
+    // layout write: multiple files, content-identical after round-trip
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ev = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    Sinks.zorderedParquet(ev, out, "user_id", "event_id", nFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) > 1)
+  }
+
   test("csv round-trip preserves values") {
     val df = Tables(spark, sfDir, "nation")
     val out = tmp() + "/nation_csv"
