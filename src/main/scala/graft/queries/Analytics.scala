@@ -106,6 +106,29 @@ object Analytics {
              |FROM m ORDER BY o_orderstatus""".stripMargin)),
 
     // Q15b — explicit GROUPING SETS with grouping() disambiguation markers.
+    // Q11c — exact percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` both use linear interpolation at h = (n−1)·q and
+    // produce bit-identical doubles (verified to 17 significant digits on
+    // this fixture) — so the exact-percentile surface is oracle-paired.
+    // The approx sketch dual (percentile_approx) is engine-verified with a
+    // rank-error bound in PropertySpec.
+    Q("q11_percentiles",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+            expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+            expr("percentile(l_quantity, 0.5)").as("p50_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+             |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+             |  quantile_cont(l_quantity, 0.5) AS p50_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     Q("q15_grouping_sets",
       (s, d) => {
         Tables.views(s, d)

@@ -75,6 +75,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx lands within rank-error bounds of exact percentile") {
+    val li = Tables(spark, sfDir, "lineitem")
+    // accuracy 100 => rank error <= 1/100; check the p50 approximation
+    // sits between the exact p45 and p55 per group
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 100)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(ap >= lo && ap <= hi,
+        s"${r.getString(0)}: approx p50 $ap outside exact [$lo, $hi]")
+    }
+  }
+
   test("window ranks are >=1 and rn >= rk >= drk") {
     val df = SparkEntry.queries("q16_window_rank")(spark, sfDir)
     assert(df.filter(col("rn") < 1 || col("rk") < 1 || col("drk") < 1).count() == 0)
