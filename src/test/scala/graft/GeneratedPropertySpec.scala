@@ -87,4 +87,26 @@ class GeneratedPropertySpec extends SparkSpec {
       assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     }
   }
+
+  test("topKPerGroup equals per-group sorted take-k (generated groups)") {
+    import graft.api.Graft
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L)))
+    forAllSampled(rowsGen, Gen.chooseNum(1, 4)) { (rows, k) =>
+      // unique (grp, v, uid) triples: uid makes the order total
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("grp", "v", "uid")
+      val got = Graft.topKPerGroup(df, Seq(col("grp")),
+          Seq(col("v").desc, col("uid")), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1).values
+        .flatMap(_.sortBy(t => (-t._2, t._3)).take(k))
+        .toSet
+      assert(got == want, s"k=$k got=${got.size} want=${want.size}")
+    }
+  }
 }
