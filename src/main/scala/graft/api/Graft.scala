@@ -132,6 +132,34 @@ object Graft {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance near-dup pairs for SHORT text fields (titles, names):
+    * pairs with levenshtein <= `maxDist`, exact. Candidates come from a
+    * length-bucket equi-join (bucket width maxDist+1; one side explodes to
+    * adjacent buckets, so every pair within the length bound meets exactly
+    * once — no dedup pass). Length is the only blocking key that is EXACT
+    * for edit distance (a single edit can change any character, including
+    * a prefix, but shifts length by at most 1). Confirm is codegen'd
+    * `levenshtein`, O(len²) per candidate — use for short strings; for
+    * documents use the shingle-based operators instead.
+    */
+  def nearDupEdit(df: DataFrame, id: Column, text: Column,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    val w = maxDist + 1
+    val t = df.select(id.as("__id"), text.as("__t"), length(text).as("__len"))
+    val a = t.withColumn("__bk", floor(col("__len") / w).cast(LongType))
+    val b = t.select(col("__id").as("__idb"), col("__t").as("__tb"),
+        col("__len").as("__lenb"))
+      .withColumn("__bk", explode(array((-1 to 1).map(o =>
+        floor(col("__lenb") / w).cast(LongType) + o): _*)))
+    a.join(b, Seq("__bk"))
+      .filter(col("__id") < col("__idb") &&
+        abs(col("__len") - col("__lenb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__t"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__id").as("id_a"), col("__idb").as("id_b"), col("dist"))
+  }
+
   /** Banded MinHash-LSH near-dup pairs: `numHashes` minhashes over hashed
     * k-shingles (hash once, XOR family), `bands` bands, candidates from
     * band-bucket equi-joins, confirmed by exact Jaccard >= `threshold`.

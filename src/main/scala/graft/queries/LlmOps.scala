@@ -109,6 +109,24 @@ object LlmOps {
              |FROM sigs s JOIN dup USING (sig)
              |ORDER BY id""".stripMargin)),
 
+    // Q31d — edit-distance near-dup on SHORT strings (part names):
+    // exact levenshtein <= 1 pairs, candidates from the length-bucket
+    // equi-join (Graft.nearDupEdit). The short-field complement to the
+    // shingle-based document operators.
+    Q("q31_edit_neardup",
+      (s, d) => {
+        Graft.nearDupEdit(Tables(s, d, "part"),
+            id = col("p_partkey"), text = col("p_name"), maxDist = 1)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+             |FROM part a JOIN part b
+             |  ON a.p_partkey < b.p_partkey
+             | AND abs(length(a.p_name) - length(b.p_name)) <= 1
+             |WHERE levenshtein(a.p_name, b.p_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Q31-full — banded MinHash-LSH near-dup pipeline (engine-verified:
     // banding recall is probabilistic for 0.9<=J<1, so no exact oracle).
     //

@@ -158,6 +158,19 @@ class GraftApiSpec extends SparkSpec {
     assert(top.last._1 == 2L && top.last._2 == 0.0)
   }
 
+  test("nearDupEdit finds cross-bucket pairs and respects the distance bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a"), (2L, "ab"),      // lengths 1,2 -> ADJACENT buckets, dist 1
+      (3L, "abc"), (4L, "abd"),   // same bucket, dist 1; both 1 insert from "ab"
+      (5L, "xyz"), (6L, "xyzqq")  // dist 2 > maxDist -> excluded
+    ).toDF("pk", "name")
+    val got = Graft.nearDupEdit(df, col("pk"), col("name"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 1), (2L, 4L, 1), (3L, 4L, 1)),
+      got.toString)
+  }
+
   test("prefixMaxExclusive equals the single-task global window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
