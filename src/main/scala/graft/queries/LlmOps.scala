@@ -110,19 +110,23 @@ object LlmOps {
              |ORDER BY id""".stripMargin)),
 
     // Q31d — edit-distance near-dup on SHORT strings (part names):
-    // exact levenshtein <= 1 pairs, candidates from the length-bucket
-    // equi-join (Graft.nearDupEdit). The short-field complement to the
-    // shingle-based document operators.
+    // exact levenshtein <= 1 pairs over the DISTINCT name vocabulary —
+    // the canonical entity-resolution shape (exact-dedup values first,
+    // fuzzy-match the distinct vocabulary, map back by equi-join). Pairing
+    // raw rows instead would re-compare every duplicate occurrence:
+    // measured 223 s at sf0.1 vs sub-second on the 64-name vocabulary.
     Q("q31_edit_neardup",
       (s, d) => {
-        Graft.nearDupEdit(Tables(s, d, "part"),
-            id = col("p_partkey"), text = col("p_name"), maxDist = 1)
+        val names = Tables(s, d, "part").select(col("p_name")).distinct()
+        Graft.nearDupEdit(names, id = col("p_name"), text = col("p_name"),
+            maxDist = 1)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      Some("""WITH names AS (SELECT DISTINCT p_name FROM part)
+             |SELECT a.p_name AS id_a, b.p_name AS id_b,
              |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-             |FROM part a JOIN part b
-             |  ON a.p_partkey < b.p_partkey
+             |FROM names a JOIN names b
+             |  ON a.p_name < b.p_name
              | AND abs(length(a.p_name) - length(b.p_name)) <= 1
              |WHERE levenshtein(a.p_name, b.p_name) <= 1
              |ORDER BY id_a, id_b""".stripMargin)),
