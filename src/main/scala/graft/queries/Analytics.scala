@@ -111,7 +111,10 @@ object Analytics {
     // produce bit-identical doubles (verified to 17 significant digits on
     // this fixture) — so the exact-percentile surface is oracle-paired.
     // The approx sketch dual (percentile_approx) is engine-verified with a
-    // rank-error bound in PropertySpec.
+    // rank-error bound in PropertySpec. Scale posture: exact percentile
+    // buffers every group value in the aggregation (fine at verification
+    // scale, the priciest agg in the bench) — at 100 TB use the
+    // percentile_approx sketch, whose state is O(1/accuracy) per group.
     Q("q11_percentiles",
       (s, d) => {
         Tables(s, d, "lineitem")
