@@ -25,7 +25,8 @@ object Bench {
     Tables.views(spark, sfDir)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.all.map(_.name)
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // LinkedHashSet: a query failing identically on every rep reports once
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // median of `reps` runs per query: single-shot timings on a shared JVM
     // swing 10-29x on identical code (JIT warmup, GC, code-cache churn) —
     // r2 vs r3 proved single-shot numbers are pure noise

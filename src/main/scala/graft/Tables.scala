@@ -28,7 +28,7 @@ object Tables {
     * setting that legacy flag inside apply() silently changed how every
     * OTHER ns-timestamp parquet read in the session resolves.
     */
-  private val eventsRawSchema = StructType(Seq(
+  private[graft] val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

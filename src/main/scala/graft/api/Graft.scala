@@ -3,7 +3,7 @@ package graft.api
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** The user-facing operator library: every LLM-data-pipeline operator as a
@@ -252,6 +252,12 @@ object Graft {
     * round()), so results are bit-identical across engines — the query
     * surface (q32_quantize) is oracle-paired, unlike typical quantizers.
     * Constant vectors (scale 0) map to code 0.
+    *
+    * Null elements quantize to null code/dequant (vmin/scale come from the
+    * non-null elements — array_min/array_max skip nulls), never to a
+    * silently wrong clamp value. NaN elements are a documented
+    * PRECONDITION violation: NaN poisons vmin/scale for the whole vector
+    * (as it would in any min/max-based quantizer) — filter NaNs upstream.
     */
   def quantizeScalar(df: DataFrame, id: Column, vec: Column,
       levels: Int = 256): DataFrame = {
@@ -261,11 +267,15 @@ object Graft {
       .withColumn("vmin", array_min(col("__v")))
       .withColumn("scale",
         (array_max(col("__v")) - col("vmin")) / lit((levels - 1).toDouble))
+      // per-element null guard: least()/floor() silently skip nulls, which
+      // would otherwise turn a null element into code levels-1
       .withColumn("codes",
-        when(col("scale") === 0.0, transform(col("__v"), _ => lit(0)))
+        when(col("scale") === 0.0, transform(col("__v"), x =>
+          when(x.isNull, lit(null).cast("int")).otherwise(lit(0))))
           .otherwise(transform(col("__v"), x =>
-            least(lit(levels - 1),
-              floor((x - col("vmin")) / col("scale")).cast("int")))))
+            when(x.isNull, lit(null).cast("int")).otherwise(
+              least(lit(levels - 1),
+                floor((x - col("vmin")) / col("scale")).cast("int"))))))
       .withColumn("dequant", transform(col("codes"), c =>
         col("vmin") + (c.cast(DoubleType) + lit(0.5)) * col("scale")))
       .select(col("id"), col("__v").as("vec_d"), col("vmin"), col("scale"),
@@ -426,32 +436,39 @@ object Graft {
     * l.ts >= r.ts` semantics — oracle-paired in q44_asof_join).
     *
     * Both inputs must carry `key` and `time` columns under those names;
-    * remaining column names must be disjoint across sides. Known skew
-    * note: a pathologically hot key serializes into one task — pre-split
-    * such keys by time range before calling (the window is time-ordered,
-    * so range splits compose).
+    * remaining column names must be disjoint across sides. The matched
+    * right row is attached ATOMICALLY: all right value columns are packed
+    * into one struct before the forward-fill, so a right row carrying a
+    * genuine NULL in one column cannot have that column back-filled from
+    * an older row (and multi-column results never mix fields from
+    * different right rows). Known skew note: a pathologically hot key
+    * serializes into one task — pre-split such keys by time range before
+    * calling (the window is time-ordered, so range splits compose).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
     val lv = left.columns.filterNot(c => c == key || c == time)
     val rv = right.columns.filterNot(c => c == key || c == time)
     val overlap = lv.toSet.intersect(rv.toSet)
     require(overlap.isEmpty, s"asofJoin value columns must be disjoint: $overlap")
+    if (rv.isEmpty) return left
+    // one nullable struct per right row — filled as a unit, unpacked after
+    val rvStructType = StructType(rv.map(c => right.schema(c).copy(nullable = true)))
     val lNorm = left.select(
       Seq(col(key), col(time), lit(1).as("__side")) ++
-        lv.map(col) ++
-        rv.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lv.map(col) :+
+        lit(null).cast(rvStructType).as("__rv"): _*)
     val rNorm = right.select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
-        lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rv.map(col): _*)
+        lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rv.map(col): _*).as("__rv"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
-      .select(Seq(col(key), col(time), col("__side")) ++ lv.map(col) ++
-        rv.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(Seq(col(key), col(time)) ++ lv.map(col) ++
+        rv.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
   /** Range join: pair each point row with every interval row of the same

@@ -105,7 +105,6 @@ object Analytics {
              |    AS corr_price_cust
              |FROM m ORDER BY o_orderstatus""".stripMargin)),
 
-    // Q15b — explicit GROUPING SETS with grouping() disambiguation markers.
     // Q11c — exact percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` both use linear interpolation at h = (n−1)·q and
     // produce bit-identical doubles (verified to 17 significant digits on
@@ -132,6 +131,7 @@ object Analytics {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Q15b — explicit GROUPING SETS with grouping() disambiguation markers.
     Q("q15_grouping_sets",
       (s, d) => {
         Tables.views(s, d)

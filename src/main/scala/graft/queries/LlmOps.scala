@@ -415,7 +415,7 @@ object LlmOps {
              |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 5 END
              |ORDER BY doc_id""".stripMargin)),
 
-    // Q30e — the full corpus-cleaning pipeline, composed from the API:
+    // Q30f — the full corpus-cleaning pipeline, composed from the API:
     // quality gate -> exact dedup (keep-first by content signature) ->
     // near-dup removal (drop the higher id of every shingle-Jaccard pair)
     // -> per-language stats. Every stage is the scale-safe shape used by

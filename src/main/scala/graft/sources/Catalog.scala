@@ -52,9 +52,16 @@ object Catalog {
       val tbl = if (n == "events") "events_raw" else n
       dropAny(s"$database.$n")
       if (tbl != n) dropAny(s"$database.$tbl")
-      // USING parquet + explicit path = external, schema from the footer
+      // USING parquet + explicit path = external. events_raw declares its
+      // schema explicitly (ts BIGINT nanos, mirroring Tables.eventsRawSchema)
+      // instead of inferring from the footer: footer inference of the
+      // TIMESTAMP(NANOS) column fails on any session without the legacy
+      // nanosAsLong conf, and registration should need no session conf —
+      // same posture as the view path.
+      val cols =
+        if (n == "events") s" (${Tables.eventsRawSchema.toDDL})" else ""
       spark.sql(
-        s"""CREATE TABLE $database.$tbl
+        s"""CREATE TABLE $database.$tbl$cols
            |USING parquet
            |OPTIONS (path '$dir/$n.parquet')""".stripMargin)
       if (n == "events")
@@ -76,8 +83,6 @@ object Catalog {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"$warehouseDir/warehouse")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (see Tables)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$warehouseDir/metastore_db;create=true")
       .config("spark.ui.enabled", "false")

@@ -212,6 +212,24 @@ class GraftApiSpec extends SparkSpec {
     assert(const.forall(v => math.abs(v - 7.0) < 1e-12))
   }
 
+  test("quantizeScalar: null elements quantize to null, never to a clamp value") {
+    import spark.implicits._
+    // least()/floor() skip nulls, so an unguarded pipeline would hand a
+    // null element code levels-1; vmin/scale must come from non-nulls only
+    val vecs = Seq(
+      (1L, Seq[java.lang.Double](0.0, null, 1.0)),
+      (2L, Seq[java.lang.Double](null, 5.0, 5.0)) // constant among non-nulls
+    ).toDF("vid", "v")
+    val q = Graft.quantizeScalar(vecs, col("vid"), col("v"), levels = 16)
+      .select(col("id"), col("codes"), col("dequant"), col("vmin"), col("scale"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Any](1), r.getSeq[Any](2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val r1 = q(0)
+    assert(r1._2 == Seq(0, null, 15) && r1._3(1) == null && r1._4 == 0.0)
+    val r2 = q(1)
+    assert(r2._5 == 0.0 && r2._2 == Seq(null, 0, 0) && r2._3(0) == null)
+  }
+
   test("fingerprint is order-sensitive where dedup signatures are not") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))

@@ -34,6 +34,25 @@ class TemporalJoinSpec extends SparkSpec {
       (3L, 99L, null)))
   }
 
+  test("asofJoin: a genuine NULL in a matched right row survives; columns never mix rows") {
+    import spark.implicits._
+    // key 1: row at t=10 has (px=1.0, sz=100); row at t=20 has (px=null, sz=200).
+    // A per-column forward-fill would resurrect px=1.0 at t=25 — mixing fields
+    // of two different right rows. Atomic struct fill must keep (null, 200).
+    val quotes = Seq(
+      (1L, 10L, Some(1.0), Some(100L)),
+      (1L, 20L, None, Some(200L))
+    ).toDF("k", "t", "px", "sz")
+    val trades = Seq((1L, 15L), (1L, 25L)).toDF("k", "t")
+      .withColumn("tid", col("t") * 100)
+    val out = Graft.asofJoin(trades, quotes, "k", "t")
+      .orderBy("t").select("t", "px", "sz").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(out.toSeq == Seq((15L, 1.0, 100L), (25L, null, 200L)))
+  }
+
   test("asofJoin: overlapping value-column names are rejected") {
     import spark.implicits._
     val a = Seq((1L, 1L, "x")).toDF("k", "t", "v")
