@@ -29,23 +29,33 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // median of `reps` runs per query: single-shot timings on a shared JVM
     // swing 10-29x on identical code (JIT warmup, GC, code-cache churn) —
-    // r2 vs r3 proved single-shot numbers are pure noise
+    // r2 vs r3 proved single-shot numbers are pure noise.
+    // Reps run as INTERLEAVED full passes (every query rep1, then rep2, ...)
+    // rather than back-to-back per query: a minutes-long co-located load
+    // spike then inflates one pass instead of all reps of whichever queries
+    // it overlapped, and the median filters it (r4 saw isolated-2s queries
+    // report 11-24s when consecutive reps all landed inside a spike).
+    def runOnce(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop any caches a query materialized: each query is timed as a
+      // standalone job, and leaked cache blocks distort later timings
+      spark.catalog.clearCache()
+      if (ok) Some(dt) else None
+    }
+    val samples = (1 to reps).flatMap { _ =>
+      names.flatMap(n => runOnce(n).map(n -> _))
+    }.groupMap(_._1)(_._2)
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop any caches a query materialized: each query is timed as a
-        // standalone job, and leaked cache blocks distort later timings
-        spark.catalog.clearCache()
-        if (ok) Some(dt) else None
-      }
+      val times = samples.getOrElse(name, Seq.empty)
       val median =
         if (times.isEmpty) Double.NaN
         else times.sorted.apply((times.size - 1) / 2)

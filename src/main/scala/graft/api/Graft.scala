@@ -420,6 +420,56 @@ object Graft {
       .drop("__chunk", "__local", "__prev")
   }
 
+  /** EXCLUSIVE running sum of `value` in `order` (each row sees the sum
+    * over all strictly-preceding rows; the first row gets 0), as new
+    * column `out`. Same two-level chunked shape as [[prefixMaxExclusive]]:
+    * within-chunk prefix sums run as a partitioned window, cross-chunk
+    * carry-in comes from a prefix sum over the one-row-per-chunk summary,
+    * broadcast back — the only unpartitioned window runs over n_chunks
+    * rows. `order` must be unique non-negative numeric; `value` is summed
+    * as long (token counts, byte sizes).
+    */
+  def prefixSumExclusive(df: DataFrame, order: Column, value: Column,
+      out: String, chunkSize: Long = 1L << 16): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val v = value.cast(LongType)
+    val wChunk = Window.partitionBy(col("__chunk")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevChunks = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = df
+      .withColumn("__chunk", floor(order / lit(chunkSize)).cast(LongType))
+      .withColumn("__local", sum(v).over(wChunk))
+    val carry = chunked.groupBy(col("__chunk")).agg(sum(v).as("__csum"))
+      .withColumn("__prev", sum(col("__csum")).over(wPrevChunks))
+      .select(col("__chunk"), col("__prev"))
+    chunked.join(broadcast(carry), Seq("__chunk"))
+      .withColumn(out,
+        coalesce(col("__local"), lit(0L)) + coalesce(col("__prev"), lit(0L)))
+      .drop("__chunk", "__local", "__prev")
+  }
+
+  /** Concat-and-chunk sequence packing: lay documents end-to-end in
+    * `order` and cut the token stream into training-context bins of
+    * `capacity` tokens — the standard "concatenate then chunk" packing of
+    * LLM pretraining pipelines (no padding waste, documents may straddle a
+    * bin boundary). Appends each document's token span start (`offset`,
+    * exclusive prefix sum of `tokens`) and the first/last bin its span
+    * touches. Scale shape: the global running sum is the chunked
+    * [[prefixSumExclusive]], never a single-task window. Rows with
+    * `tokens` = 0 carry an empty span (`bin_last` may sort before
+    * `bin_first`) — filter them upstream if they shouldn't be placed.
+    */
+  def packSequences(df: DataFrame, order: Column, tokens: Column,
+      capacity: Long, chunkSize: Long = 1L << 16): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val n = tokens.cast(LongType)
+    prefixSumExclusive(df, order, n, "offset", chunkSize)
+      .withColumn("bin_first", floor(col("offset") / capacity).cast(LongType))
+      .withColumn("bin_last",
+        floor((col("offset") + n - 1) / capacity).cast(LongType))
+  }
+
   // -------------------------------------------------- temporal/range joins
 
   /** As-of (point-in-time) join: for every left row, attach the LATEST
@@ -520,6 +570,75 @@ object Graft {
         (length(text) - (nTok - 1)).cast(DoubleType) / nTok)
       .withColumn("stop_ratio", nStop.cast(DoubleType) / nTok)
       .withColumn("vowel_groups_per_tok", nVg.cast(DoubleType) / nTok)
+  }
+
+  /** PII patterns shared by [[scrubPii]] and its counting queries. Kept to
+    * constructs Java regex and RE2 execute identically (character classes,
+    * bounded/greedy quantifiers — no alternation-overlap or backtracking
+    * edge cases), so an external engine reproduces the scrub exactly.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d[\\d-]{7,}\\d"
+
+  /** Redact email addresses, IPv4 addresses, and international-format
+    * phone numbers with typed placeholder tokens — the standard scrub pass
+    * before training-data release. Order matters and is fixed: emails
+    * first (their local part may contain digits a later pass would
+    * mangle), then IPs, then phones; placeholders contain no digits or
+    * '@', so passes never rewrite each other's output. Pure per-row
+    * codegen `regexp_replace` — scale-safe by construction.
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Re, "<IP>")
+    regexp_replace(noIp, phoneRe, "<PHONE>")
+  }
+
+  /** Fraction of n-gram occurrences that are duplicates of an earlier
+    * n-gram in the same document: 1 − distinct/total over token `n`-grams
+    * — the Gopher-style repetition signal for filtering
+    * boilerplate/degenerate text. Row-local array algebra (no shuffle);
+    * documents shorter than `n` tokens yield one truncated gram and score
+    * 0. The double division is exact-input IEEE, so cross-engine parity
+    * holds bit-for-bit.
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val toks = split(text, " ")
+    val grams = transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
+      size(grams).cast(DoubleType)
+  }
+
+  /** Fixed-size token chunking with overlap: each document explodes into
+    * chunks of `chunkTokens` tokens starting every `chunkTokens − overlap`
+    * tokens (the RAG/context-window preprocessing shape). The last chunk
+    * may be shorter; every token lands in ≥ 1 chunk; a document never
+    * yields zero rows (an empty/short doc is one chunk). Explode feeds
+    * downstream partial aggregation — no shuffle is introduced here.
+    */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    val stride = chunkTokens - overlap
+    // chunks = 1 + ceil(max(n - chunkTokens, 0) / stride), via integer
+    // ceil-div (values are far under 2^53, so the double floor is exact)
+    df.select(id.as("id"), split(text, " ").as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        greatest(floor((col("__n") - chunkTokens + stride - 1)
+          .cast(DoubleType) / stride).cast(LongType), lit(0L)))))
+      .withColumn("chunk",
+        array_join(slice(col("__t"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkTokens)), " "))
+      .withColumn("n_tokens",
+        least(lit(chunkTokens), col("__n") - col("chunk_id") * stride)
+          .cast(LongType))
+      .select(col("id"), col("chunk_id"), col("chunk"), col("n_tokens"))
   }
 
   /** Language ID from corpus-derived token profiles: top-`profileSize`

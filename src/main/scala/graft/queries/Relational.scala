@@ -406,6 +406,30 @@ object Relational {
              |SELECT c.click_id, c.user_id, p.purchase_id
              |FROM clicks c JOIN purch p
              |  ON c.user_id = p.user_id AND p.lo <= c.cus AND c.cus <= p.hi
-             |ORDER BY click_id, purchase_id""".stripMargin))
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    // Q47 — skew-salted equi-join (operators.SaltedJoin): the hot side's
+    // key is salted into 8 sub-keys (salt = pure function of l_orderkey —
+    // deterministic under stage retry, see SPARK-23207) and the supplier
+    // side replicates across salts, so a pathological hot supplier spreads
+    // over 8 reducers instead of one straggler. Result is row-identical to
+    // the plain join — the oracle IS the plain join, proving that identity
+    // end-to-end, not just in SaltedJoinSpec.
+    Q("q47_salted_join",
+      (s, d) => {
+        graft.operators.SaltedJoin.inner(
+            Tables(s, d, "lineitem"), Tables(s, d, "supplier"),
+            leftKey = col("l_suppkey"), rightKey = col("s_suppkey"),
+            leftSaltSource = col("l_orderkey"), saltFactor = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            Exact.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS n_items,
+             |  ${Exact.sqlSum("l_extendedprice")} AS sum_price
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey
+             |ORDER BY s_nationkey""".stripMargin))
   )
 }

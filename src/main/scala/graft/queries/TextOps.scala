@@ -171,6 +171,142 @@ object TextOps {
              |      ORDER BY tfidf DESC, tok) AS rk
              |  FROM scored)
              |WHERE rk <= 3 AND doc_id < 50
-             |ORDER BY doc_id, tfidf DESC, tok""".stripMargin))
+             |ORDER BY doc_id, tfidf DESC, tok""".stripMargin)),
+
+    // Q33h — PII scrubbing (Graft.scrubPii): emails / IPv4s / phone
+    // numbers redacted with typed placeholders, plus per-kind match
+    // counts. The fixture text carries no PII, so the query plants
+    // deterministic PII derived from fixture columns (doc_id, source)
+    // first — both engines construct the identical string, then scrub
+    // with the identical regexes (Java regex and RE2 agree on these
+    // pattern classes; see Graft.emailRe note).
+    Q("q33_pii",
+      (s, d) => {
+        val raw = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".example.com from 10.1."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 7, lit(256)).cast("string"),
+          lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        Tables(s, d, "documents")
+          .withColumn("__raw", raw)
+          .select(col("doc_id"),
+            Graft.scrubPii(col("__raw")).as("scrubbed"),
+            regexp_count(col("__raw"), lit(Graft.emailRe)).as("n_email"),
+            regexp_count(col("__raw"), lit(Graft.ipv4Re)).as("n_ip"),
+            regexp_count(col("__raw"), lit(Graft.phoneRe)).as("n_phone"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@' || source || '.example.com from 10.1.'
+             |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+             |      || CAST((doc_id * 7) % 256 AS VARCHAR)
+             |      || ' call +1-555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS r
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(r,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+\d[\d-]{7,}\d', '<PHONE>', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(r,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    AS INT) AS n_email,
+             |  CAST(len(regexp_extract_all(r,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+             |  CAST(len(regexp_extract_all(r,
+             |    '\+\d[\d-]{7,}\d')) AS INT) AS n_phone
+             |FROM raw ORDER BY doc_id""".stripMargin)),
+
+    // Q33i — duplicate-n-gram repetition score
+    // (Graft.duplicateNgramFraction): fraction of unigram and trigram
+    // occurrences that repeat an earlier gram in the same document — the
+    // Gopher-style boilerplate/degeneracy signal. Row-local array algebra;
+    // the doubles are exact-input IEEE divisions, identical cross-engine.
+    Q("q33_repetition",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            Graft.duplicateNgramFraction(col("text"), 1).as("dup_unigram"),
+            Graft.duplicateNgramFraction(col("text"), 3).as("dup_trigram"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, lang, ts AS g1,
+             |    [array_to_string(ts[i:i+2], ' ')
+             |     FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)] AS g3
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts
+             |        FROM documents))
+             |SELECT doc_id, lang,
+             |  1.0 - CAST(len(list_distinct(g1)) AS DOUBLE) /
+             |    CAST(len(g1) AS DOUBLE) AS dup_unigram,
+             |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) /
+             |    CAST(len(g3) AS DOUBLE) AS dup_trigram
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Q33j — fixed-size token chunking with overlap
+    // (Graft.chunkDocuments): 40-token chunks every 30 tokens (10-token
+    // overlap) — the RAG/context-window preprocessing shape. Explode is
+    // row-local; chunk boundaries are pure integer arithmetic, so the
+    // oracle reproduces every chunk string byte-for-byte.
+    Q("q33_chunks",
+      (s, d) => {
+        Graft.chunkDocuments(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"),
+            chunkTokens = 40, overlap = 10)
+          .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"),
+            col("n_tokens"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |c AS (
+             |  SELECT doc_id, ts,
+             |    unnest(range(0,
+             |      greatest((len(ts) - 40 + 29) // 30, 0) + 1)) AS chunk_id
+             |  FROM t)
+             |SELECT doc_id, chunk_id,
+             |  array_to_string(ts[chunk_id*30+1 : chunk_id*30+40], ' ')
+             |    AS chunk,
+             |  least(40, len(ts) - chunk_id*30) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Q33k — concat-and-chunk sequence packing (Graft.packSequences):
+    // documents laid end-to-end in doc_id order, cut into 512-token
+    // training bins; each doc reports its stream offset and the bins its
+    // span touches. The running sum is the CHUNKED prefix scan
+    // (Graft.prefixSumExclusive, chunkSize=64 to exercise the carry path
+    // at fixture scale) — the oracle's single window proves the two-level
+    // formulation exact.
+    Q("q33_pack",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Graft.packSequences(docs, order = col("doc_id"),
+            tokens = col("n_tokens"), capacity = 512L, chunkSize = 64L)
+          .select(col("doc_id"), col("n_tokens"),
+            col("offset").as("tok_offset"), col("bin_first"),
+            col("bin_last"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS tok_offset
+             |  FROM t)
+             |SELECT doc_id, n_tokens, tok_offset,
+             |  tok_offset // 512 AS bin_first,
+             |  (tok_offset + n_tokens - 1) // 512 AS bin_last
+             |FROM o ORDER BY doc_id""".stripMargin))
   )
 }

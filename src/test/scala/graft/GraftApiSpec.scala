@@ -188,6 +188,89 @@ class GraftApiSpec extends SparkSpec {
     assert(chunked.filter(col("oid") === 0).head().isNullAt(2))
   }
 
+  test("prefixSumExclusive equals the single-task global window; first row 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 500L).map(i => (i, i * 7919 % 101)).toDF("oid", "v")
+    val naive = df.withColumn("ps",
+      coalesce(sum(col("v")).over(Window.orderBy(col("oid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunked = Graft.prefixSumExclusive(df, col("oid"), col("v"), "ps",
+      chunkSize = 64L)
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+    assert(chunked.filter(col("oid") === 0).head().getLong(2) == 0L)
+  }
+
+  test("packSequences: spans tile the token stream; straddlers cross bins") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, 1L + i * 31 % 97)).toDF("did", "n")
+    val packed = Graft.packSequences(docs, col("did"), col("n"),
+        capacity = 128L, chunkSize = 16L)
+      .orderBy("did")
+      .select("did", "n", "offset", "bin_first", "bin_last")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // offsets tile: each doc starts exactly where the previous one ended
+    packed.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between ${a._1} and ${b._1}")
+    }
+    // bin arithmetic: first/last bins bracket the span, in capacity units
+    packed.foreach { case (_, n, off, bf, bl) =>
+      assert(bf == off / 128 && bl == (off + n - 1) / 128 && bf <= bl)
+    }
+    // at least one doc straddles a bin boundary (capacity < max doc size
+    // would never straddle; this data guarantees crossings)
+    assert(packed.exists { case (_, _, _, bf, bl) => bl > bf })
+  }
+
+  test("chunkDocuments: full coverage, overlap stride, short docs = 1 chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 105).map(i => s"t$i").mkString(" ")), // 105 toks -> 4 chunks
+      (2L, "a b c"),                                   // short -> 1 chunk
+      (3L, (1 to 40).map(i => s"u$i").mkString(" "))   // exactly one size
+    ).toDF("did", "text")
+    val out = Graft.chunkDocuments(docs, col("did"), col("text"),
+        chunkTokens = 40, overlap = 10)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: starts at 0,30,60,90 -> lengths 40,40,40,15
+    assert(byDoc(1L).map(_._4).toSeq == Seq(40L, 40L, 40L, 15L))
+    assert(byDoc(1L)(1)._3.startsWith("t31 ") && byDoc(1L)(1)._3.endsWith(" t70"))
+    assert(byDoc(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, "a b c", 3L)))
+    assert(byDoc(3L).map(_._4).toSeq == Seq(40L))
+    // every token of doc 1 appears in >= 1 chunk
+    val covered = byDoc(1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 105).map(i => s"t$i").toSet)
+  }
+
+  test("scrubPii redacts emails/IPs/phones; placeholders never re-matched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-1.org then 10.0.255.3 then +44-20-7946-0958 end"),
+      (2L, "no pii here at all")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), Graft.scrubPii(col("t")).as("s"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "mail <EMAIL> then <IP> then <PHONE> end")
+    assert(out(1) == "no pii here at all")
+  }
+
+  test("duplicateNgramFraction: repeated text scores high, unique text 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),     // unigram: 3/4 dup; trigram: 1/2 dup
+      (2L, "all tokens fully unique")  // 0 everywhere
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        Graft.duplicateNgramFraction(col("t"), 1).as("d1"),
+        Graft.duplicateNgramFraction(col("t"), 3).as("d3"))
+      .orderBy("id").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out(0) == ((0.75, 0.5)) && out(1) == ((0.0, 0.0)))
+  }
+
   test("quantizeScalar: codes bounded, reconstruction within half a bin") {
     import spark.implicits._
     val vecs = Seq(

@@ -69,6 +69,21 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q47: salted join stays an equi-join on (key, salt), no NLJ") {
+    val p = plan("q47_salted_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q33_pack: packing shuffles by chunk, never one global window task") {
+    // the only unpartitioned window must be over the per-chunk summary
+    // (n_chunks rows), i.e. downstream of the groupBy — the row-level
+    // window must carry a partition key
+    val p = plan("q33_pack")
+    assert(p.contains("Window ["), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+  }
+
   test("q11: aggregation is partial+final inside whole-stage codegen") {
     val df = SparkEntry.queries("q11_agg_hash")(spark, sfDir)
     assert(plan("q11_agg_hash").contains("partial_sum"))
