@@ -42,6 +42,14 @@ object Graft {
         i => array_join(slice(toks, i + 1, lit(k)), " "))))
   }
 
+  /** Content signature: md5 of the sorted distinct token set — the
+    * order-independent exact-dup key used by [[exactDupPairs]] and the
+    * funnel/cleaning queries. Fixed-width, so the dedup shuffle key never
+    * carries document bodies.
+    */
+  def contentSignature(text: Column): Column =
+    md5(array_join(tokenSet(text), " "))
+
   // ---------------------------------------------------------------- dedup
 
   /** Top-k rows per group under `order` (make it a total order — include a
@@ -203,6 +211,32 @@ object Graft {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: per-document count of distinct `k`-token
+    * shingles shared with a benchmark/eval corpus, plus a contamination
+    * flag — the standard pre-training hygiene pass that keeps eval
+    * answers out of the training set.
+    *
+    * Shape: explode corpus shingles once, equi-join against the DISTINCT
+    * benchmark shingle set, count per document, left-join the counts back.
+    * The benchmark side is small by nature (eval suites are KBs–MBs while
+    * the corpus is TBs) and is explicitly `broadcast` — at 100 TB the
+    * corpus streams map-side with zero shuffle for the probe; only the
+    * per-doc count aggregation shuffles, and it partial-aggregates first.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, benchText: Column, k: Int = 5): DataFrame = {
+    val docSh = corpus.select(id.as("__id"),
+      explode(shingleSet(text, k)).as("__sh"))
+    val benchSh = bench.select(explode(shingleSet(benchText, k)).as("__sh"))
+      .distinct()
+    val overlap = docSh.join(broadcast(benchSh), "__sh")
+      .groupBy(col("__id")).agg(count_distinct(col("__sh")).as("n_overlap"))
+    corpus.join(overlap, id === overlap("__id"), "left")
+      .drop("__id")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** Brute-force cosine top-k against a one-row query frame
@@ -307,6 +341,22 @@ object Graft {
       case (acc, (k, p)) => when(strata === lit(k), lit(p)).otherwise(acc)
     }
     df.filter(pmod(phash32(id.cast(StringType)), lit(100)) < rateCol)
+  }
+
+  /** Deterministic shard assignment: shard = portable-hash(id) mod
+    * `numShards`. The decision is a pure function of the id — the same
+    * document lands in the same shard across runs, engines, and cluster
+    * sizes, which is what makes incremental corpus rebuilds and resumable
+    * training-data writes possible (re-running a failed shard touches only
+    * that shard). Pair with `df.repartition(numShards, col("shard"))` +
+    * `partitionBy("shard")` at write time for one shuffle into balanced
+    * output files; the md5-based hash spreads sequential ids uniformly, so
+    * shards stay within a few percent of each other at any corpus size.
+    */
+  def shardAssign(df: DataFrame, id: Column, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    df.withColumn("shard",
+      pmod(phash32(id.cast(StringType)), lit(numShards)).cast("int"))
   }
 
   /** Resolve duplicate PAIRS into CLUSTERS: connected components by
@@ -594,6 +644,30 @@ object Graft {
     val noIp = regexp_replace(noEmail, ipv4Re, "<IP>")
     regexp_replace(noIp, phoneRe, "<PHONE>")
   }
+
+  /** URL part extraction for per-domain corpus statistics (the
+    * CommonCrawl/C4-style grouping key). Deliberately regex-based rather
+    * than `parse_url`: these patterns are in the Java-regex/RE2-identical
+    * subset (see [[emailRe]] note), so an external engine — or the DuckDB
+    * oracle — reproduces the extraction byte-for-byte, while `parse_url`
+    * semantics differ across engines. Still pure per-row codegen.
+    * Malformed input yields '' (regexp_extract's no-match result), which
+    * groups malformed URLs into one visible bucket instead of throwing.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Registrable-suffix heuristic: the last dot-separated label of the
+    * host ("com", "org", country codes). A full public-suffix-list lookup
+    * is a broadcast-join against the PSL table — out of scope for a
+    * zero-egress build; the last-label heuristic is the documented stand-in.
+    */
+  def urlTld(url: Column): Column =
+    regexp_extract(urlHost(url), "\\.([A-Za-z0-9-]+)$", 1)
+
+  /** Path component ('' when absent), query/fragment excluded. */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
 
   /** Fraction of n-gram occurrences that are duplicates of an earlier
     * n-gram in the same document: 1 − distinct/total over token `n`-grams

@@ -538,5 +538,105 @@ object LlmOps {
       },
       Some("""SELECT lang, count(*) AS n_big, max(n_chars) AS max_chars
              |FROM documents WHERE n_chars > 200
-             |GROUP BY lang ORDER BY lang""".stripMargin)))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Q30g — benchmark decontamination (Graft.decontaminate): per-document
+    // count of distinct 5-gram shingles shared with a simulated eval
+    // benchmark (docs with doc_id % 37 = 0), over the rest of the corpus.
+    // The benchmark shingle set is broadcast — at 100 TB the corpus side
+    // streams map-side; only the per-doc count aggregation shuffles.
+    Q("q30_decontam",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+        Graft.decontaminate(corpus, bench, col("doc_id"), col("text"),
+            col("text"), k = 5)
+          .select(col("doc_id"), col("lang"), col("n_overlap"),
+            col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(
+             |    [array_to_string(ts[i:i+4], ' ')
+             |     FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)]) AS shs
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |        FROM documents)),
+             |bench AS (
+             |  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 37 = 0),
+             |docsh AS (
+             |  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 37 <> 0),
+             |ov AS (
+             |  SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_overlap
+             |  FROM docsh JOIN bench USING (s) GROUP BY doc_id)
+             |SELECT d.doc_id, d.lang,
+             |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+             |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+             |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin)),
+
+    // Q30h — cleaning-funnel stats: per-source survivor counts through the
+    // cumulative stage chain (language allowlist -> length gate -> token
+    // floor -> exact-dedup canonical). One window (content-signature
+    // keep-first, the q30_dedup shape) + one partial-aggregated group-by;
+    // conditional counts are count_if-style codegen sums. This is the
+    // monitoring query a 100 TB cleaning run reports per shard.
+    Q("q30_funnel",
+      (s, d) => {
+        val sigW = Window.partitionBy(Graft.contentSignature(col("text")))
+          .orderBy(col("doc_id"))
+        val staged = Tables(s, d, "documents")
+          .withColumn("__canon", row_number().over(sigW) === 1)
+          .withColumn("__s1", col("lang").isin("en", "de", "fr"))
+          .withColumn("__s2", col("__s1") && col("n_chars").between(100, 5000))
+          .withColumn("__s3",
+            col("__s2") && size(split(col("text"), " ")) >= 20)
+          .withColumn("__s4", col("__s3") && col("__canon"))
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            count_if(col("__s1")).as("n_lang"),
+            count_if(col("__s2")).as("n_len"),
+            count_if(col("__s3")).as("n_tokens"),
+            count_if(col("__s4")).as("n_final"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT source,
+             |    row_number() OVER (
+             |      PARTITION BY md5(array_to_string(list_sort(list_distinct(
+             |        string_split(text, ' '))), ' '))
+             |      ORDER BY doc_id) = 1 AS canon,
+             |    lang IN ('en', 'de', 'fr') AS s1,
+             |    n_chars BETWEEN 100 AND 5000 AS s2,
+             |    len(string_split(text, ' ')) >= 20 AS s3
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(count_if(s1) AS BIGINT) AS n_lang,
+             |  CAST(count_if(s1 AND s2) AS BIGINT) AS n_len,
+             |  CAST(count_if(s1 AND s2 AND s3) AS BIGINT) AS n_tokens,
+             |  CAST(count_if(s1 AND s2 AND s3 AND canon) AS BIGINT) AS n_final
+             |FROM staged GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Q30i — deterministic shard assignment (Graft.shardAssign): the
+    // portable-hash shard key a 100 TB corpus write partitions by, with
+    // per-shard balance stats. Shard membership is a pure function of
+    // doc_id — stable under reruns, engines, and cluster sizes.
+    Q("q30_shards",
+      (s, d) => {
+        Graft.shardAssign(Tables(s, d, "documents"), col("doc_id"), 16)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT
+             |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |       AS BIGINT) % 16 AS INT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)))
 }

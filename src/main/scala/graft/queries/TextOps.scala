@@ -307,6 +307,56 @@ object TextOps {
              |SELECT doc_id, n_tokens, tok_offset,
              |  tok_offset // 512 AS bin_first,
              |  (tok_offset + n_tokens - 1) // 512 AS bin_last
-             |FROM o ORDER BY doc_id""".stripMargin))
+             |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // Q33l — per-domain corpus stats over URL parts (Graft.urlHost/
+    // urlTld/urlPath): the CommonCrawl/C4-style grouping a web-scale
+    // pipeline reports (docs and bytes per host, distinct pages). The
+    // fixture carries no URLs, so the query synthesizes one per document
+    // from fixture columns — both engines build the identical string, then
+    // extract with the identical RE2-safe regexes. Per-row codegen
+    // extraction + one partial-aggregated group-by; at 100 TB the
+    // host-key shuffle is the only data movement, and hot hosts (the real
+    // skew risk on web corpora) are exactly what AQE skew-join handles.
+    Q("q33_domains",
+      (s, d) => {
+        val tld = when(pmod(col("doc_id"), lit(3)) === 0, "com")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "org")
+          .otherwise("net")
+        val url = concat(lit("https://"), col("source"), lit("."),
+          col("lang"), lit(".example."), tld, lit("/"), col("lang"),
+          lit("/"), col("doc_id").cast("string"))
+        Tables(s, d, "documents")
+          .withColumn("__url", url)
+          .select(col("doc_id"), col("n_chars"),
+            Graft.urlHost(col("__url")).as("host"),
+            Graft.urlTld(col("__url")).as("tld"),
+            Graft.urlPath(col("__url")).as("path"))
+          .groupBy(col("tld"), col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            count_distinct(col("path")).as("n_pages"))
+          .orderBy(col("tld"), col("host"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, n_chars,
+             |    'https://' || source || '.' || lang || '.example.' ||
+             |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             |        ELSE 'net' END ||
+             |      '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_chars,
+             |    regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+             |    regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path
+             |  FROM u)
+             |SELECT regexp_extract(host, '\.([A-Za-z0-9-]+)$', 1) AS tld,
+             |  host,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(count(DISTINCT path) AS BIGINT) AS n_pages
+             |FROM p GROUP BY tld, host ORDER BY tld, host""".stripMargin))
   )
 }

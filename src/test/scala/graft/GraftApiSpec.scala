@@ -323,4 +323,54 @@ class GraftApiSpec extends SparkSpec {
     val sigPairs = Graft.exactDupPairs(df, col("k"), col("body")).count()
     assert(sigPairs == 1, "token-set signature must match reordered text")
   }
+
+  test("decontaminate flags shingle overlap with the benchmark, exact only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no shared shingles at all"),
+      (3L, "quick brown fox jumps over the lazy dog again")
+    ).toDF("k", "body")
+    val bench = Seq((99L, "a quick brown fox jumps over the lazy dog"))
+      .toDF("k", "body")
+    val out = Graft.decontaminate(corpus, bench, col("k"), col("body"),
+        col("body"), k = 5)
+      .select(col("k"), col("n_overlap"), col("contaminated"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), "every corpus doc surfaces")
+    assert(out(0)._3 && out(0)._2 > 0, "doc 1 shares 5-gram shingles")
+    assert(!out(1)._3 && out(1)._2 == 0, "doc 2 is clean, count 0 not null")
+    assert(out(2)._3, "doc 3 shares 'brown fox jumps over the' etc.")
+  }
+
+  test("shardAssign is deterministic, total, and balanced-ish") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("k")
+    val a = Graft.shardAssign(df, col("k"), 8).groupBy("shard").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(a.keySet == (0 until 8).toSet, "every shard populated")
+    assert(a.values.sum == 2000L)
+    assert(a.values.max < 2 * a.values.min,
+      s"md5 hash should spread sequential ids near-uniformly: $a")
+    val b = Graft.shardAssign(df, col("k"), 8).groupBy("shard").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(a == b, "same ids, same shards, every run")
+  }
+
+  test("url parts: host/tld/path extracted; malformed input yields ''") {
+    import spark.implicits._
+    val df = Seq(
+      "https://news.example.org/world/2024/story?ref=rss#top",
+      "http://example.com",
+      "not a url"
+    ).toDF("u")
+    val out = df.select(Graft.urlHost(col("u")).as("h"),
+        Graft.urlTld(col("u")).as("t"), Graft.urlPath(col("u")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out(0) == (("news.example.org", "org", "/world/2024/story")),
+      s"query/fragment must be excluded: ${out(0)}")
+    assert(out(1) == (("example.com", "com", "")), "absent path is ''")
+    assert(out(2) == (("", "", "")), "malformed URL buckets to '' not error")
+  }
 }
