@@ -24,7 +24,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.views(spark, sfDir)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run while iterating on one query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.all.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     // LinkedHashSet: a query failing identically on every rep reports once
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // median of `reps` runs per query: single-shot timings on a shared JVM

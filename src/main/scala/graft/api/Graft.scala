@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The user-facing operator library: every LLM-data-pipeline operator as a
   * parameterized DataFrame combinator. The declared queries in
@@ -672,18 +672,22 @@ object Graft {
   /** Fraction of n-gram occurrences that are duplicates of an earlier
     * n-gram in the same document: 1 − distinct/total over token `n`-grams
     * — the Gopher-style repetition signal for filtering
-    * boilerplate/degenerate text. Row-local array algebra (no shuffle);
-    * documents shorter than `n` tokens yield one truncated gram and score
-    * 0. The double division is exact-input IEEE, so cross-engine parity
-    * holds bit-for-bit.
+    * boilerplate/degenerate text. Row-local (no shuffle); documents shorter
+    * than `n` tokens yield one truncated gram and score 0. The double
+    * division is exact-input IEEE, so cross-engine parity holds
+    * bit-for-bit.
+    *
+    * Backed by the native codegen'd [[graft.functions.DupNgramFraction]]
+    * expression — one pass over the UTF-8 bytes with zero-copy gram views.
+    * The interpreted-HOF formulation it replaced (transform/sequence/
+    * array_join/array_distinct, semantics proven identical in
+    * ExpressionSpec) dispatched a lambda per gram and was the slowest hot
+    * path in the engine (q33_repetition, 5.7 s at sf0.1).
     */
   def duplicateNgramFraction(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1: $n")
-    val toks = split(text, " ")
-    val grams = transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-    lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
-      size(grams).cast(DoubleType)
+    GraftFunctions.ensureRegistered(SparkSession.active)
+    call_function("dup_ngram_frac", text, lit(n))
   }
 
   /** Fixed-size token chunking with overlap: each document explodes into

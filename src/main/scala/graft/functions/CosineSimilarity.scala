@@ -96,6 +96,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineFunction)
     ext.injectFunction(GraftFunctions.simhashFunction)
+    ext.injectFunction(GraftFunctions.dupNgramFunction)
+    ext.injectFunction(GraftFunctions.normalizeFunction)
   }
 }
 
@@ -116,15 +118,28 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         SimHash(children.head, children(1)))
 
+  private[functions] val dupNgramFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dup_ngram_frac"),
+      new ExpressionInfo(classOf[DupNgramFraction].getName, "dup_ngram_frac"),
+      (children: Seq[Expression]) =>
+        DupNgramFraction(children.head, children(1)))
+
+  private[functions] val normalizeFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NormalizeText(children.head))
+
   /** Idempotently register the native functions in the session's function
     * registry, making them available to SQL and `call_function` (for
     * sessions not built with [[GraftExtensions]]).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineFunction._1, cosineFunction._2, cosineFunction._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      simhashFunction._1, simhashFunction._2, simhashFunction._3)
+    Seq(cosineFunction, simhashFunction, dupNgramFunction, normalizeFunction)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
   }
 
   /** Column API: cosine similarity of two array<float> columns. Requires

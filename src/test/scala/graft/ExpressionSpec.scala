@@ -105,4 +105,56 @@ class ExpressionSpec extends SparkSpec {
       spark.sql("SELECT simhash(array(1L), 65)").collect()
     }
   }
+
+  test("dup_ngram_frac matches the interpreted HOF formulation on fixtures + edges") {
+    GraftFunctions.ensureRegistered(spark)
+    // the exact HOF pipeline the native expression replaced — kept here as
+    // the semantic oracle so any drift breaks loudly
+    def hof(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(text, " ")
+      val grams = transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))
+      lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
+        size(grams).cast(DoubleType)
+    }
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "  ", "a", "a a", "a a a a", "a  b", " a b ",
+      "x y z w", "x y x y x y", "héllo wörld héllo wörld",
+      "единственный 単語 mixed マルチバイト 単語").toDF("text")
+    val fixtures = Tables(spark, sfDir, "documents").select(col("text"))
+    for (n <- Seq(1, 2, 3); df <- Seq(edges, fixtures)) {
+      val bad = df.select(
+        call_function("dup_ngram_frac", col("text"), lit(n)).as("native"),
+        hof(col("text"), n).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(bad.count() == 0, s"n=$n mismatch")
+    }
+  }
+
+  test("dup_ngram_frac: null text is null; n bounds are analysis-time errors") {
+    GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql("SELECT dup_ngram_frac(CAST(NULL AS STRING), 1) AS s")
+      .head().isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT dup_ngram_frac('a b', 0)").collect()
+    }
+  }
+
+  test("nfc_normalize: decomposed forms compose; already-NFC passes through") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // decomposed 'e'+COMBINING ACUTE (U+0301) -> composed U+00E9;
+    // ANGSTROM SIGN (U+212B) -> LATIN A WITH RING (U+00C5)
+    val decomposed = "cafe\u0301 \u212b plain"
+    val composed = "caf\u00e9 \u00c5 plain"
+    val out = Seq(decomposed, composed, "plain ascii", null)
+      .toDF("t")
+      .select(call_function("nfc_normalize", col("t")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) == composed)
+    assert(out(1) == composed)
+    assert(out(2) == "plain ascii")
+    assert(out(3) == null)
+  }
 }
