@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args beyond (sfDir, outDir) narrow the dump to named queries while
+    // iterating; the driver always passes exactly two
+    val Array(sfDir, outDir, rest @ _*) = args: @unchecked
+    val only: Option[Set[String]] = if (rest.isEmpty) None else Some(rest.toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // coalesce(1), NOT repartition(1): repartition inserts a round-robin
       // shuffle AFTER the query's declared ORDER BY, so the dumped file
       // would lose the ordering the oracle contract requires (and lets the

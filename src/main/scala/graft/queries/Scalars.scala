@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType}
   */
 object Scalars {
 
+  // decomposed: e+COMBINING ACUTE, A+COMBINING RING, s+COMBINING DOT
+  // BELOW+DOT ABOVE; NFC composes these to U+00E9, U+00C5, U+1E69. A plain
+  // (non-triple-quoted) literal so the backslash-u escapes are processed
+  // without deprecation; both the Spark plan and the DuckDB SQL text embed
+  // the identical decomposed code points.
+  private val nfcSuffix = " cafe\u0301 A\u030a s\u0323\u0307"
+
   private val q29Sql: String =
     """SELECT o_orderkey, o_totalprice FROM orders
       |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
@@ -53,6 +60,42 @@ object Scalars {
              |  (p_name LIKE '%re%') AS has_re,
              |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
              |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Q22b — Unicode NFC normalization (native graft `nfc_normalize`
+    // expression ≡ DuckDB `nfc_normalize`; Spark has no builtin). The
+    // fixture text is ASCII, so each row is suffixed with decomposed
+    // sequences — e+U+0301, A+U+030A, s+U+0323+U+0307 (the last also
+    // exercises canonical reordering) — making composition observable:
+    // char count shrinks, the changed flag flips, byte identity of the
+    // composed forms is hash-checked. Per-row scalar work, no shuffle;
+    // the already-NFC fast path (Normalizer.isNormalized) means an
+    // ASCII-dominated corpus pays a scan, not a rewrite.
+    Q("q22_normalize",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val raw = concat(substring(col("text"), 1, 32), lit(nfcSuffix))
+        val norm = call_function("nfc_normalize", raw)
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          norm.as("norm"),
+          length(raw).as("n_chars_raw"),
+          length(norm).as("n_chars_norm"),
+          octet_length(norm).as("n_bytes_norm"),
+          (raw =!= norm).as("changed"))
+          .orderBy(col("doc_id"))
+      },
+      // the SQL text carries the same decomposed code points via nfcSuffix
+      Some(s"""WITH raw AS (
+              |  SELECT doc_id,
+              |    substr(text, 1, 32) || '$nfcSuffix' AS r
+              |  FROM documents)
+             |SELECT doc_id,
+             |  nfc_normalize(r) AS norm,
+             |  CAST(length(r) AS INT) AS n_chars_raw,
+             |  CAST(length(nfc_normalize(r)) AS INT) AS n_chars_norm,
+             |  CAST(strlen(nfc_normalize(r)) AS INT) AS n_bytes_norm,
+             |  (nfc_normalize(r) != r) AS changed
+             |FROM raw ORDER BY doc_id""".stripMargin)),
 
     Q("q23_datetime",
       (s, d) => {
