@@ -277,6 +277,38 @@ object Graft {
       .withColumnRenamed("cid", "cell")
   }
 
+  /** Sign-random-projection (SRP) LSH codes: bucket = the bit pattern of
+    * cosine signs against `planes` (rows `(pid, pvec array<float>)`,
+    * pid ∈ [0, 62] — the code packs bit pid as 2^pid into a long). Two
+    * vectors land in one bucket iff they agree on every hyperplane side,
+    * so candidate search is an equi-join on `bucket` — the LSH-bucketed
+    * dual of the IVF cell path ([[annAssignCells]]): IVF prunes by
+    * nearest-centroid region, SRP by angular sector; at scale `bucket` is
+    * the partition/bucketing key and a probe reads one bucket's files.
+    *
+    * One broadcast cross-join with the tiny plane set + ONE shuffle (the
+    * per-vector window that folds the plane rows back into a single coded
+    * row, keeping every caller column). Signs use strict `cos > 0`, and
+    * 2^pid goes through exact double `pow` (integral powers ≤ 2^53) — both
+    * reproduce bit-for-bit in any engine, which keeps the surface
+    * oracle-pairable, unlike seeded-random LSH.
+    */
+  def annSrpCodes(df: DataFrame, id: Column, vec: Column,
+      planes: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    GraftFunctions.ensureRegistered(s)
+    val byVec = Window.partitionBy(col("__id"))
+    df.withColumn("__id", id)
+      .crossJoin(broadcast(planes))
+      .withColumn("__bit",
+        when(call_function("cosine_sim", vec, col("pvec")) > 0.0,
+          pow(lit(2.0), col("pid")).cast(LongType)).otherwise(lit(0L)))
+      .withColumn("bucket", sum(col("__bit")).over(byVec))
+      .withColumn("__rn", row_number().over(byVec.orderBy(col("pid"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__bit", "__id", "pid", "pvec")
+  }
+
   /** Per-vector scalar quantization to `levels` codes (default int8-style
     * 256): code = floor((x − min) / scale) clamped to levels−1, with
     * scale = (max − min)/(levels−1); dequantized reconstruction at bin

@@ -344,6 +344,48 @@ object LlmOps {
              |FROM cells, q WHERE cell = qcell
              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // Q32d — SRP-LSH bucketed ANN (Graft.annSrpCodes): the LSH dual of the
+    // IVF cell path. 8 hyperplanes (fixture rows 1–8, like IVF reuses rows
+    // as centroids — keeps the surface oracle-pairable with zero seeded
+    // randomness) → 256 angular-sector buckets; candidates = the query's
+    // bucket only, confirmed by exact cosine. Never all-pairs: the
+    // candidate join is bucket-equality, and at scale `bucket` is the
+    // partition key so a probe reads one bucket's files.
+    Q("q32_ann_lsh",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val planes = e.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+        // cached: the query row and the probe side share the coded corpus
+        val coded = Graft.annSrpCodes(e, id = col("vec_id"),
+            vec = col("embedding"), planes = planes)
+          .select(col("vec_id"), col("label"), col("embedding"), col("bucket"))
+          .cache()
+        val qrow = coded.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"), col("bucket").as("qbucket"))
+        coded.join(broadcast(qrow), col("bucket") === col("qbucket"))
+          .withColumn("cos_sim", cosineD(s, col("embedding"), col("qemb")))
+          .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 1 AND 8),
+             |coded AS (
+             |  SELECT e.vec_id, e.label, e.v,
+             |    CAST(sum(CASE WHEN list_cosine_similarity(e.v, p.pv) > 0
+             |             THEN CAST(power(2, p.pid) AS BIGINT)
+             |             ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM e CROSS JOIN p
+             |  GROUP BY e.vec_id, e.label, e.v),
+             |q AS (SELECT v AS qv, bucket AS qb FROM coded WHERE vec_id = 0)
+             |SELECT vec_id, label, bucket,
+             |  list_cosine_similarity(v, qv) AS cos_sim
+             |FROM coded, q WHERE bucket = qb
+             |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)),
+
     // Q32c — int8 scalar quantization (Graft.quantizeScalar): the 4x
     // storage cut for an embedding corpus. floor-based code assignment is
     // plain IEEE double math (round() would diverge cross-engine), so even

@@ -373,4 +373,29 @@ class GraftApiSpec extends SparkSpec {
     assert(out(1) == (("example.com", "com", "")), "absent path is ''")
     assert(out(2) == (("", "", "")), "malformed URL buckets to '' not error")
   }
+
+  test("annSrpCodes: one coded row per vector, bucket = sign pattern, dups collide") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),     // same quadrant as 1 vs these planes
+      (3L, Array(-1.0f, -0.2f)),   // opposite side of both planes
+      (4L, Array(1.0f, 0.0f))      // exact dup of 1 -> identical bucket
+    ).toDF("vid", "v")
+    val planes = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f))
+    ).toDF("pid", "pvec")
+    val coded = Graft.annSrpCodes(vecs, id = col("vid"), vec = col("v"),
+        planes = planes)
+      .select(col("vid"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coded.size == 4, "exactly one coded row per input vector")
+    // plane0 = x-axis direction, plane1 = y-axis: (1,0) -> bit0 only
+    // (cos vs (0,1) is exactly 0, strict > excludes it)
+    assert(coded(1L) == 1L, s"sign pattern packs 2^pid: ${coded(1L)}")
+    assert(coded(2L) == 3L, "positive on both planes -> bits 0 and 1")
+    assert(coded(3L) == 0L, "negative on both planes -> empty code")
+    assert(coded(4L) == coded(1L), "identical vectors share a bucket")
+  }
 }
