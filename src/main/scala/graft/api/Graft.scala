@@ -819,6 +819,40 @@ object Graft {
       Seq(col("tfidf").desc, col("tok")), topK)
   }
 
+  /** Inverted index: one row per term with document frequency, total
+    * occurrence count, and a capped posting list of `(doc:tf)` entries in
+    * doc-id order — the search/retrieval dual of [[tfidfTopTerms]].
+    *
+    * Scale posture: the posting CAP is applied with a per-term window rank
+    * BEFORE `collect_list`, so per-term aggregation state is bounded at
+    * `maxPostings` structs even for stopwords that hit every document — an
+    * uncapped `collect_set` would OOM on hot terms at corpus scale. Three
+    * term-keyed shuffles, each with bounded state: per-(term,doc) partial
+    * agg, the ranking window, and the stats/postings aggs whose join is
+    * co-partitioned on `term` (no extra exchange).
+    */
+  def invertedIndex(df: DataFrame, id: Column, text: Column,
+      maxPostings: Int = 20): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
+    val perDoc = df
+      .select(id.as("doc"), explode(split(lower(text), " ")).as("term"))
+      .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("tf"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val ranked = perDoc
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc"))))
+      .filter(col("__rn") <= maxPostings)
+    val posts = ranked.groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("tf"))))
+        .as("__ps"))
+      .select(col("term"),
+        array_join(transform(col("__ps"),
+          p => concat(p.getField("doc").cast(StringType), lit(":"),
+            p.getField("tf").cast(StringType))), ",").as("postings"))
+    stats.join(posts, Seq("term"))
+  }
+
   /** Token frequency top-N with deterministic tiebreak. */
   def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =
     df.select(explode(split(lower(text), " ")).as("word"))

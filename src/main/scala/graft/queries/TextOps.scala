@@ -309,6 +309,46 @@ object TextOps {
              |  (tok_offset + n_tokens - 1) // 512 AS bin_last
              |FROM o ORDER BY doc_id""".stripMargin)),
 
+    // Q33m — inverted index (Graft.invertedIndex): per-term document
+    // frequency, total occurrences, and a CAPPED doc-ordered posting list
+    // of doc:tf entries — the retrieval-side index a corpus search needs.
+    // The cap is a pre-aggregation window rank, NOT a post-hoc slice of
+    // collect_set: per-term state stays bounded at maxPostings even for
+    // stopwords touching every document, which is what keeps the build
+    // viable at 100 TB. df >= 10 bounds the declared output to the
+    // non-hapax vocabulary.
+    Q("q33_invindex",
+      (s, d) => {
+        Graft.invertedIndex(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"), maxPostings = 20)
+          .filter(col("df") >= 10)
+          .select(col("term"), col("df"), col("tf_total"), col("postings"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |perdoc AS (
+             |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY term, doc_id),
+             |stats AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+             |    CAST(sum(tf) AS BIGINT) AS tf_total
+             |  FROM perdoc GROUP BY term),
+             |ranked AS (
+             |  SELECT term, doc_id, tf,
+             |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+             |  FROM perdoc),
+             |posts AS (
+             |  SELECT term,
+             |    string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+             |      AS postings
+             |  FROM ranked WHERE rn <= 20 GROUP BY term)
+             |SELECT s.term, s.df, s.tf_total, p.postings
+             |FROM stats s JOIN posts p USING (term)
+             |WHERE s.df >= 10
+             |ORDER BY s.term""".stripMargin)),
+
     // Q33l — per-domain corpus stats over URL parts (Graft.urlHost/
     // urlTld/urlPath): the CommonCrawl/C4-style grouping a web-scale
     // pipeline reports (docs and bytes per host, distinct pages). The

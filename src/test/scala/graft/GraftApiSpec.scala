@@ -374,6 +374,23 @@ class GraftApiSpec extends SparkSpec {
     assert(out(2) == (("", "", "")), "malformed URL buckets to '' not error")
   }
 
+  test("invertedIndex: df/tf from ALL docs, postings capped in doc order") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "b b a"),
+      (1L, "a a b"),
+      (2L, "a c")
+    ).toDF("k", "body")
+    val out = Graft.invertedIndex(docs, id = col("k"), text = col("body"),
+        maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 'a' hits all 3 docs: stats keep full df/tf, postings cap at 2
+    assert(out("a") == ((3L, 4L, "1:2,2:1")), s"got ${out("a")}")
+    assert(out("b") == ((2L, 3L, "1:1,3:2")), s"got ${out("b")}")
+    assert(out("c") == ((1L, 1L, "2:1")), s"got ${out("c")}")
+  }
+
   test("annSrpCodes: one coded row per vector, bucket = sign pattern, dups collide") {
     import spark.implicits._
     val vecs = Seq(
