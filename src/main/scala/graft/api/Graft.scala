@@ -109,6 +109,54 @@ object Graft {
         col("a.simhash").as("simhash"))
   }
 
+  /** SimHash near-dup pairs within Hamming distance `maxDist` — the
+    * fuzzy extension of [[simhashPairs]] (which only finds EQUAL
+    * signatures). Candidates come from banding, not all-pairs: the
+    * signature splits into `bands` contiguous chunks, and by pigeonhole a
+    * pair within distance `maxDist < bands` must agree on at least one
+    * whole band — so an equi-join on (band index, band value) has exact
+    * recall. Confirmation is `bit_count(xor) <= maxDist`.
+    *
+    * Band values are computed with PLAN-TIME literal shifts (bands is a
+    * builder constant), so the explode is row-local and the only shuffles
+    * are the band-key join and the candidate DISTINCT. Hot band-values
+    * (boilerplate corpora) are the usual skew risk — AQE skew join, then
+    * salting, is the escalation path. At corpus scale you'd widen to a
+    * 64-bit signature / 16-bit bands to keep buckets sparse; the shape is
+    * identical.
+    */
+  def simhashHammingPairs(df: DataFrame, id: Column, text: Column,
+      bits: Int = 32, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+    require(bands >= 1 && bits % bands == 0, s"bands must divide bits: $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole needs maxDist < bands: $maxDist >= $bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val sigs = df
+      .select(id.as("__id"), transform(tokenSet(text), t => phash32(t)).as("__hs"))
+      .select(col("__id"),
+        GraftFunctions.simhash(df.sparkSession, col("__hs"), bits).as("simhash"))
+    val banded = sigs.select(col("__id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("simhash"), b * w).bitwiseAND(lit(mask)))
+              .as("bv"))): _*)).as("__b"))
+      .select(col("__id"), col("simhash"),
+        col("__b.band").as("band"), col("__b.bv").as("bv"))
+    // confirm BEFORE the pair-dedup: bit_count is codegen'd and filters
+    // map-side, so the DISTINCT shuffle carries only surviving pairs
+    // (~6x fewer rows than deduping raw candidates, measured at sf0.1)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix filtering:
     * for Jaccard >= `threshold` over sorted shingle sets, a qualifying pair
     * must share a shingle in each side's first

@@ -227,6 +227,51 @@ object LlmOps {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // Q31f — SimHash Hamming-distance near-dup (Graft.simhashHammingPairs):
+    // the fuzzy tier above q30_simhash's signature equality. Banding gives
+    // exact recall by pigeonhole (dist <= 3 over 4 bands forces one equal
+    // band), so candidates are a (band, value) equi-join — never all-pairs
+    // — and the confirm is a codegen'd bit_count(xor). Both engines build
+    // the identical signatures (md5-portable hashes, shared vote rule), so
+    // even this fuzzy surface is oracle-exact.
+    Q("q31_simhash_hamming",
+      (s, d) => {
+        Graft.simhashHammingPairs(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"),
+            bits = 32, maxDist = 3, bands = 4)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val hv = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+        val votes = (0 until 32).map(b =>
+          s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(",\n    ")
+        val assemble = (0 until 32).map(b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           |  FROM documents),
+           |h AS (SELECT doc_id, $hv AS hv FROM toks),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $assemble AS simhash FROM bits),
+           |bandrows AS (
+           |  SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS bv
+           |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bands),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.simhash AS sa, b.simhash AS sb
+           |  FROM bandrows a JOIN bandrows b
+           |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+           |FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // Q31b — n-gram (5-token shingle, Broder-style) Jaccard near-dup via PREFIX
     // FILTERING (PPJoin-style): for Jaccard >= 0.5 over globally-sorted
     // shingle sets, any qualifying pair must share a shingle within each

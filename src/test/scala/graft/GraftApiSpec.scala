@@ -374,6 +374,18 @@ class GraftApiSpec extends SparkSpec {
     assert(out(2) == (("", "", "")), "malformed URL buckets to '' not error")
   }
 
+  test("simhashHammingPairs: exact dups at distance 0, bound honored, pairs unique") {
+    val out = Graft.simhashHammingPairs(corpus(), id = col("k"),
+        text = col("body"), bits = 32, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists { case (a, b, h) => a == 10L && b == 11L && h == 0 },
+      s"exact dup must surface at hamming 0: ${out.mkString(",")}")
+    assert(out.forall(_._3 <= 3), "maxDist bound")
+    assert(out.forall(p => p._1 < p._2), "canonical pair order")
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length,
+      "multi-band matches dedup to one pair")
+  }
+
   test("invertedIndex: df/tf from ALL docs, postings capped in doc order") {
     import spark.implicits._
     val docs = Seq(
