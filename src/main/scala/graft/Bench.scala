@@ -69,12 +69,41 @@ object Bench {
     def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.map { case (k, v) =>
-      jq(k) + ":" + (if (v.isNaN) "null" else fm(v))
-    }.mkString("{", ",", "}")
+    def entry(kv: (String, Double)) =
+      jq(kv._1) + ":" + (if (kv._2.isNaN) "null" else fm(kv._2))
     val errJson = errors.map(jq).mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"agg":"median","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    def line(qs: Seq[(String, Double)], omitted: Int) = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"agg":"median","queries":${qs.map(entry).mkString("{", ",", "}")}$om,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    }
+    // The harness keeps only the last ~2000 bytes of stdout and parses the
+    // JSON line out of that tail; once the full per-query map outgrows the
+    // window (r5: 90 queries -> 2.4 KB) the line is decapitated and parses
+    // as nothing. So: always write the complete detail to BENCH_FULL.json,
+    // and on stdout keep the whole map only while it fits -- otherwise the
+    // slowest queries that do, plus an explicit omission count. 1800 leaves
+    // headroom for the build tool's trailing status line inside the window.
+    val fullDetail = line(results, 0)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p,
+        fullDetail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // stdout line is the contract; file is extra
+    val budget = 1800
+    val out =
+      if (fullDetail.length <= budget) fullDetail
+      else {
+        val bySlowest = results.sortBy { case (_, v) => if (v.isNaN) 0.0 else -v }
+        val overhead = line(Seq.empty, results.size).length
+        var used = overhead
+        val kept = bySlowest.takeWhile { kv =>
+          used += entry(kv).length + 1
+          used <= budget
+        }
+        line(kept, results.size - kept.size)
+      }
+    println(out)
     spark.stop()
   }
 }
