@@ -357,6 +357,91 @@ object Graft {
       .drop("__rn", "__bit", "__id", "pid", "pvec")
   }
 
+  /** One Lloyd assignment step: nearest centroid (squared-L2, argmin with
+    * smallest-cid tiebreak) for every row. `centroids` is a DRIVER-SIDE
+    * array of (cid, vector) — k·dim doubles, kilobytes even at k=1000 —
+    * embedded as literals, so the scored plan is a pure per-row projection:
+    * NO join, NO window, NO shuffle. This is the classic distributed
+    * Lloyd shape (centers ride with the closure/literals; only the update
+    * step aggregates). The per-centroid distance is the native codegen'd
+    * [[graft.functions.L2DistanceSq]]; argmin is `array_min` over
+    * (dist, cid) structs — lexicographic struct ordering IS the tiebreak.
+    */
+  def kmeansAssign(df: DataFrame, vec: Column,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val s = df.sparkSession
+    GraftFunctions.ensureRegistered(s)
+    val v = transform(vec, x => x.cast(DoubleType))
+    val scored = array(centroids.sortBy(_._1).map { case (cid, cv) =>
+      struct(
+        call_function("l2_sq", v, typedLit(cv.toSeq)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+    df.withColumn("__best", array_min(scored))
+      .withColumn("cluster", col("__best").getField("cid"))
+      .withColumn("dist", col("__best").getField("dist"))
+      .drop("__best")
+  }
+
+  /** Lloyd's k-means over an embedding column: `iters` rounds of
+    * assign-then-mean, centroids initialized from the rows with the `k`
+    * smallest ids (deterministic — no seeded sampling, so runs, engines,
+    * and cluster sizes agree). Returns the final assignment
+    * (input columns + `cluster` + `dist`).
+    *
+    * Scale shape: the assignment step is shuffle-free (literal centroids,
+    * see [[kmeansAssign]]); the update step is ONE map-side-combinable
+    * aggregation over (cluster, dim) — explode(dim) feeds partial
+    * aggregation, so the shuffle carries k·dim partial sums per task, not
+    * rows. The k·dim mean table collected to the driver per round is the
+    * same kilobytes MLlib's KMeans collects; nothing row-scale ever hits
+    * the driver. A cluster left empty keeps its previous centroid (not
+    * dropped, not NaN), so k is stable across rounds.
+    */
+  def kmeansFit(df: DataFrame, id: Column, vec: Column, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val v = df.select(id.as("__vid"), transform(vec, x => x.cast(DoubleType)).as("__e"))
+      .cache()
+    var cents: Seq[(Long, Array[Double])] = v
+      .orderBy(col("__vid")).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    require(cents.size == k, s"need >= $k rows to seed $k centroids")
+    var assigned = kmeansAssign(v, col("__e"), cents)
+    var it = 1
+    while (it < iters) {
+      val means = assigned
+        .select(col("cluster"), posexplode(col("__e")).as(Seq("__d", "__x")))
+        .groupBy(col("cluster"), col("__d")).agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      assigned = kmeansAssign(v, col("__e"), cents)
+      it += 1
+    }
+    assigned
+  }
+
+  /** Per-label centroid (mean pooling) in EXPLODED form: one row per
+    * (label, dim) with the member count and the dimension mean — the
+    * class-prototype / cluster-profile primitive. Exploding dims feeds ONE
+    * map-side-combinable aggregation (labels·dims cells, not rows, cross
+    * the shuffle); the exploded output shape is deliberate — a row per
+    * (label, dim) keeps the result oracle-comparable (raw array columns
+    * are not hash-comparable across engines) and writes/joins cleanly.
+    */
+  def labelCentroids(df: DataFrame, label: Column, vec: Column): DataFrame =
+    df.select(label.as("label"),
+        posexplode(transform(vec, x => x.cast(DoubleType))).as(Seq("dim", "__x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), avg(col("__x")).as("mean"))
+
   /** Per-vector scalar quantization to `levels` codes (default int8-style
     * 256): code = floor((x − min) / scale) clamped to levels−1, with
     * scale = (max − min)/(levels−1); dequantized reconstruction at bin
@@ -836,6 +921,101 @@ object Graft {
       .join(preds, Seq("__id"), "left")
       .select(col("__id").as("id"), col("__p_lang").as("pred_lang"),
         coalesce(col("__hits"), lit(0L)).as("hits"))
+  }
+
+  /** Per-document cross-entropy under the corpus's own unigram language
+    * model: xent = −(1/n)·Σ ln p(tok), p(tok) = corpus count / total
+    * tokens — the self-perplexity quality signal (high = the document's
+    * vocabulary is atypical for the corpus; degenerate/boilerplate text
+    * scores LOW). The classic model-free stand-in for a KenLM-style
+    * perplexity filter in pretraining pipelines.
+    *
+    * Shapes: one explode feeding two partial-aggregated counts (term
+    * frequencies, grand total), an equi-join back on token (AQE broadcasts
+    * the count table when it is small — at corpus scale the vocabulary
+    * table shuffles, still keyed and partial-aggregated), and one per-doc
+    * aggregation. Every token present in the corpus has count >= 1, so
+    * ln never sees 0. Fixed arithmetic: ln(cnt/total) per occurrence,
+    * summed — the double sum is unordered, but per-doc sums land ~1e-13
+    * apart across engines, far under 6-dp hashing.
+    */
+  def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("id"),
+      explode(split(lower(text), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
+    val total = toks.agg(count(lit(1)).as("__tot"))
+    toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(log(col("__cnt").cast(DoubleType) / col("__tot").cast(DoubleType)))
+          / count(lit(1))).as("xent"))
+  }
+
+  /** Bloom-filter decontamination: per-document count of distinct shingles
+    * that MIGHT be in the benchmark corpus — the sub-linear-memory dual of
+    * [[decontaminate]]. The benchmark shingle set folds into a Bloom
+    * filter (bits = set-determined, so insertion order does not matter —
+    * the filter is deterministic for a given (set, fpp)); the corpus probe
+    * is then a pure map-side filter against kilobytes of broadcast bits,
+    * where the exact path broadcasts the full shingle strings. One-sided
+    * error: every truly-shared shingle hits (no false negatives — a doc
+    * flagged clean IS clean), and false positives inflate counts by at
+    * most fpp. Use when the eval suite outgrows comfortable broadcast or
+    * as the cheap first pass before exact confirmation.
+    *
+    * The probe UDF is the one non-codegen step (Bloom bit probes hash
+    * into a shared long[]; there is no builtin expression surface for a
+    * driver-built filter) — it is branch-light and allocation-free, and
+    * the shingle explode it filters feeds partial aggregation, so the
+    * shape stays scale-safe.
+    */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, benchText: Column, k: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val s = corpus.sparkSession
+    val benchSh = bench
+      .select(explode(shingleSet(benchText, k)).as("__sh")).distinct()
+      .select(xxhash64(col("__sh")).as("__h"))
+    val bf = benchSh.stat.bloomFilter("__h",
+      math.max(benchSh.count(), 1L), fpp)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    corpus
+      .select(id.as("id"), explode(shingleSet(text, k)).as("__sh"))
+      .filter(mightContain(xxhash64(col("__sh"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bloom_hits"))
+  }
+
+  /** CDC apply-changes (MERGE/upsert): fold a change stream into a base
+    * snapshot. `changes` carries the base's columns plus a numeric
+    * `version` (strictly ordering changes per key; must be unique per key)
+    * and an `op` column ('u' = upsert a full row, 'd' = delete the key).
+    * The result is the post-merge snapshot: per key, the
+    * highest-version row wins; a winning delete removes the key. Base
+    * rows rank below every change (version −∞).
+    *
+    * Shape: union + ONE keyed window (the [[dedupExact]] shuffle) — the
+    * relational core of what lakehouse MERGE INTO compiles to, and it
+    * scales the same way: one hash shuffle on the key, row_number streams
+    * each key's versions, state O(1) per key.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+      version: String, op: String): DataFrame = {
+    val baseCols = base.columns.toSet
+    require(!baseCols.contains(version) && !baseCols.contains(op),
+      s"base must not already carry '$version'/'$op'")
+    require(changes.columns.toSet == baseCols + version + op,
+      s"changes must be base columns + ($version, $op): got " +
+        changes.columns.mkString(","))
+    val b = base
+      .withColumn(version, lit(Long.MinValue))
+      .withColumn(op, lit("u"))
+    val merged = dedupExact(b.unionByName(changes),
+      Seq(col(key)), Seq(col(version).desc))
+    merged.filter(col(op) =!= "d").drop(version, op)
   }
 
   /** Top-`topK` terms per document by TF-IDF, with deterministic

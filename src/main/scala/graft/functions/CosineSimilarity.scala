@@ -98,6 +98,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.simhashFunction)
     ext.injectFunction(GraftFunctions.dupNgramFunction)
     ext.injectFunction(GraftFunctions.normalizeFunction)
+    ext.injectFunction(GraftFunctions.l2SqFunction)
   }
 }
 
@@ -131,12 +132,20 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NormalizeText].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NormalizeText(children.head))
 
+  private[functions] val l2SqFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_sq"),
+      (children: Seq[Expression]) =>
+        L2DistanceSq(children.head, children(1)))
+
   /** Idempotently register the native functions in the session's function
     * registry, making them available to SQL and `call_function` (for
     * sessions not built with [[GraftExtensions]]).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    Seq(cosineFunction, simhashFunction, dupNgramFunction, normalizeFunction)
+    Seq(cosineFunction, simhashFunction, dupNgramFunction, normalizeFunction,
+      l2SqFunction)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
@@ -157,5 +166,13 @@ object GraftFunctions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function("simhash", hashes,
       org.apache.spark.sql.functions.lit(bits))
+  }
+
+  /** Column API: squared L2 distance of two array<double> columns. Requires
+    * [[ensureRegistered]] on the session (query builders call it).
+    */
+  def l2Sq(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("l2_sq", a, b)
   }
 }

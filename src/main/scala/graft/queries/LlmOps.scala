@@ -469,6 +469,68 @@ object LlmOps {
              |            FOR i IN range(1, len(e) + 1)]) / len(e) AS mse
              |FROM c ORDER BY vec_id""".stripMargin)),
 
+    // Q32e — Lloyd's k-means (Graft.kmeansFit): 2 rounds, k=8, centroids
+    // seeded from the 8 smallest vec_ids (deterministic — no RNG). The
+    // assignment step embeds the centroids as literals (no join, no
+    // window, no shuffle; distance = native codegen'd l2_sq); the update
+    // step is one map-side-combinable (cluster, dim) aggregation. The
+    // oracle replays both rounds as CTEs: distances land ~1e-13 apart
+    // across engines (grouped sum vs sequential fold), far below both the
+    // argmin decision margins and 6-dp hashing.
+    Q("q32_kmeans",
+      (s, d) => {
+        Graft.kmeansFit(Tables(s, d, "embeddings"), id = col("vec_id"),
+            vec = col("embedding"), k = 8, iters = 2)
+          .select(col("__vid").as("vec_id"), col("cluster"), col("dist"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM embeddings),
+             |ve AS (
+             |  SELECT vec_id, generate_subscripts(e, 1) AS d, unnest(e) AS x
+             |  FROM v),
+             |c0 AS (SELECT vec_id AS cid, d, x FROM ve WHERE vec_id < 8),
+             |d1 AS (
+             |  SELECT ve.vec_id, c0.cid, sum((ve.x - c0.x) * (ve.x - c0.x)) AS dist
+             |  FROM ve JOIN c0 USING (d) GROUP BY ve.vec_id, c0.cid),
+             |a1 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |c1 AS (
+             |  SELECT a1.cid, ve.d, avg(ve.x) AS x
+             |  FROM a1 JOIN ve USING (vec_id) GROUP BY a1.cid, ve.d),
+             |d2 AS (
+             |  SELECT ve.vec_id, c1.cid, sum((ve.x - c1.x) * (ve.x - c1.x)) AS dist
+             |  FROM ve JOIN c1 USING (d) GROUP BY ve.vec_id, c1.cid),
+             |a2 AS (
+             |  SELECT vec_id, cid AS cluster, dist FROM (
+             |    SELECT vec_id, cid, dist,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM d2) WHERE rn = 1)
+             |SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id""".stripMargin)),
+
+    // Q32f — per-label centroid / mean pooling (Graft.labelCentroids),
+    // exploded to one row per (label, dim): the class-prototype primitive
+    // (seed centroids for IVF/kmeans, per-class profiles). Exploded output
+    // on purpose — raw array columns are not hash-comparable across
+    // engines (r3's q27_arrays lesson). posexplode is 0-based; the oracle
+    // aligns with generate_subscripts - 1.
+    Q("q32_centroid",
+      (s, d) => {
+        Graft.labelCentroids(Tables(s, d, "embeddings"),
+            label = col("label"), vec = col("embedding"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings)
+             |SELECT label, dim, count(*) AS n, avg(x) AS mean
+             |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
     // Q30d — deterministic hash sampling: membership is a pure function of
     // the id (portable md5 hash mod 100), reproducible at any scale or
     // partitioning — unlike df.sample, whose output depends on the RNG and
@@ -725,5 +787,25 @@ object LlmOps {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-             |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)))
+             |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Q30j — Bloom-filter decontamination (Graft.bloomDecontaminate): the
+    // sub-linear-memory dual of q30_decontam — benchmark shingles fold
+    // into a deterministic Bloom filter, the corpus probe is a map-side
+    // bit test. Engine-verified (DuckDB has no Bloom surface): the driver
+    // checks rows-only; the containment law vs the exact path (no false
+    // negatives, counts >= exact, FPR-bounded) is GraftApiSpec territory.
+    // Deterministic: the filter's bits are a pure function of the
+    // (shingle set, fpp), so the flagged set is run-stable.
+    Q("q30_bloom",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+        Graft.bloomDecontaminate(corpus, bench, col("doc_id"), col("text"),
+            col("text"), k = 5, fpp = 0.001)
+          .select(col("id").as("doc_id"), col("n_bloom_hits"))
+          .orderBy(col("doc_id"))
+      },
+      None))
 }

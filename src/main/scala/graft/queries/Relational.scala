@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Exact, Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{StringType, TimestampType}
 
 /** Relational core: scan/projection, filter, the join family, cross join,
   * multi-way join, sort/limit/top-k, set operations (SURVEY.md §2B
@@ -430,6 +430,45 @@ object Relational {
              |  ${Exact.sqlSum("l_extendedprice")} AS sum_price
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey
-             |ORDER BY s_nationkey""".stripMargin))
+             |ORDER BY s_nationkey""".stripMargin)),
+
+    // Q48 — CDC apply-changes / MERGE upsert (Graft.applyChanges): fold a
+    // change stream into a base snapshot — per key the highest-version row
+    // wins, a winning delete drops the key. Fixture: customer as base;
+    // orders replayed as changes (version = o_orderkey, final-status
+    // orders act as deletes). One keyed window shuffle — the relational
+    // core lakehouse MERGE INTO compiles to.
+    Q("q48_upsert",
+      (s, d) => {
+        val base = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val changes = Tables(s, d, "orders")
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("upd#"), col("o_orderkey").cast(StringType))
+              .as("c_name"),
+            col("o_totalprice").as("c_acctbal"),
+            col("o_orderkey").as("ver"),
+            when(col("o_orderstatus") === "F", "d").otherwise("u").as("op"))
+        graft.api.Graft.applyChanges(base, changes, key = "c_custkey",
+            version = "ver", op = "op")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH b AS (
+             |  SELECT c_custkey, c_name, c_acctbal,
+             |    CAST(-9223372036854775808 AS BIGINT) AS ver, 'u' AS op
+             |  FROM customer),
+             |c AS (
+             |  SELECT o_custkey AS c_custkey,
+             |    'upd#' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             |    o_totalprice AS c_acctbal, o_orderkey AS ver,
+             |    CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'u' END AS op
+             |  FROM orders),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY c_custkey ORDER BY ver DESC) AS rn
+             |  FROM (SELECT * FROM b UNION ALL SELECT * FROM c))
+             |SELECT c_custkey, c_name, c_acctbal
+             |FROM r WHERE rn = 1 AND op <> 'd'
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -397,6 +397,31 @@ object TextOps {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  CAST(count(DISTINCT path) AS BIGINT) AS n_pages
-             |FROM p GROUP BY tld, host ORDER BY tld, host""".stripMargin))
+             |FROM p GROUP BY tld, host ORDER BY tld, host""".stripMargin)),
+
+    // Q33k — unigram-LM cross-entropy (Graft.lmScore): each document
+    // scored against the corpus's own unigram distribution — the
+    // model-free stand-in for a KenLM perplexity quality filter.
+    // One explode feeds two partial-aggregated counts; the token join is
+    // AQE-broadcastable at fixture scale, keyed+partial-aggregated at
+    // corpus scale. Both engines sum ln(cnt/total) per doc (unordered
+    // double sums land ~1e-13 apart — far under 6-dp hashing).
+    Q("q33_lm_score",
+      (s, d) => {
+        Graft.lmScore(Tables(s, d, "documents"), id = col("doc_id"),
+            text = col("text"))
+          .select(col("id").as("doc_id"), col("n_tokens"), col("xent"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |tot AS (SELECT count(*) AS tot FROM toks)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  -sum(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))) / count(*)
+             |    AS xent
+             |FROM toks JOIN cnts USING (tok) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

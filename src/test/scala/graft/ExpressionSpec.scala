@@ -157,4 +157,37 @@ class ExpressionSpec extends SparkSpec {
     assert(out(2) == "plain ascii")
     assert(out(3) == null)
   }
+
+  test("l2_sq matches the HOF fold bit-for-bit on fixture embeddings") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+    val d = transform(col("embedding"), x => x.cast(DoubleType))
+    val qv = e.filter(col("vec_id") === 0).select(
+      transform(col("embedding"), x => x.cast(DoubleType)).as("q"))
+    val hof = aggregate(zip_with(d, col("q"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+    val both = e.crossJoin(broadcast(qv)).select(
+      call_function("l2_sq", d, col("q")).as("native"), hof.as("hof"))
+    // same sequential element-order accumulation: exact equality
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("l2_sq null/edge behavior: null array, null element, length mismatch") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT l2_sq(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS s").head()
+    assert(r.isNullAt(0), "null input -> null")
+    val z = spark.sql(
+      """SELECT l2_sq(array(1.0d, CAST(NULL AS DOUBLE)),
+        |             array(1.0d, 5.0d)) AS s""".stripMargin)
+      .head().getDouble(0)
+    assert(z == 25.0, "null element contributes 0.0, not a crash")
+    val p = spark.sql(
+      "SELECT l2_sq(array(1.0d, 2.0d, 99.0d), array(1.0d, 4.0d)) AS s")
+      .head().getDouble(0)
+    assert(p == 4.0, "length mismatch uses the common prefix")
+    intercept[Exception] {
+      spark.sql("SELECT l2_sq(array('a'), array('b'))").collect()
+    }
+  }
 }

@@ -427,4 +427,75 @@ class GraftApiSpec extends SparkSpec {
     assert(coded(3L) == 0L, "negative on both planes -> empty code")
     assert(coded(4L) == coded(1L), "identical vectors share a bucket")
   }
+
+  test("kmeansFit: two obvious blobs separate; empty clusters keep centroids") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.1f, -0.1f)), (3L, Array(10.2f, 9.9f)),
+      (4L, Array(-0.2f, 0.2f)), (5L, Array(9.8f, 10.1f))
+    ).toDF("id", "v")
+    val out = Graft.kmeansFit(pts, col("id"), col("v"), k = 2, iters = 3)
+      .select(col("__vid"), col("cluster"), col("dist"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(Set(0L, 2L, 4L).map(out(_)._1).size == 1, "blob A is one cluster")
+    assert(Set(1L, 3L, 5L).map(out(_)._1).size == 1, "blob B is one cluster")
+    assert(out(0L)._1 != out(1L)._1, "blobs land in different clusters")
+    assert(out.values.forall(_._2 >= 0.0), "squared distances are non-negative")
+  }
+
+  test("labelCentroids: per-(label, dim) means in exploded form") {
+    import spark.implicits._
+    val df = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(2.0f, 2.0f))).toDF("lab", "v")
+    val out = Graft.labelCentroids(df, col("lab"), col("v"))
+      .orderBy(col("label"), col("dim"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 0, 2L, 2.0), (0, 1, 2L, 4.0),
+      (1, 0, 1L, 2.0), (1, 1, 1L, 2.0)))
+  }
+
+  test("lmScore: corpus-typical vocabulary scores lower cross-entropy") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "a a a b")).toDF("id", "t")
+    // corpus: p(a) = 7/8, p(b) = 1/8
+    val out = Graft.lmScore(df, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+    assert(out(1L)._2 < out(2L)._2, "doc with the rare token scores higher")
+    assert(math.abs(out(1L)._2 - (-math.log(7.0 / 8))) < 1e-12,
+      "xent(all-a doc) = -ln p(a) exactly")
+  }
+
+  test("bloomDecontaminate: superset of exact overlap, never a false negative") {
+    val docs = Tables(spark, sfDir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+    val exact = Graft.decontaminate(corpus, bench, col("doc_id"), col("text"),
+        col("text"), k = 5)
+      .filter(col("contaminated"))
+      .select(col("doc_id"), col("n_overlap"))
+    val bloom = Graft.bloomDecontaminate(corpus, bench, col("doc_id"),
+      col("text"), col("text"), k = 5, fpp = 0.001)
+    val j = exact.join(bloom, exact("doc_id") === bloom("id"), "left")
+    assert(j.filter(col("id").isNull).count() == 0,
+      "every exactly-contaminated doc is flagged by the bloom pass")
+    assert(j.filter(col("n_bloom_hits") < col("n_overlap")).count() == 0,
+      "bloom hit counts upper-bound the exact overlap counts")
+  }
+
+  test("applyChanges: latest version wins, deletes drop, untouched keys survive") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "a2", 10.0, 5L, "u"), (1L, "a3", 11.0, 6L, "u"),
+      (2L, "xx", 0.0, 7L, "d"),
+      (4L, "new", 4.0, 8L, "u")
+    ).toDF("k", "name", "v", "ver", "op")
+    val out = Graft.applyChanges(base, changes, "k", "ver", "op")
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a3", 11.0), (3L, "c", 3.0), (4L, "new", 4.0)))
+  }
 }

@@ -84,6 +84,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q32_kmeans: assignment stage is join-free and window-free") {
+    // centroids are embedded as literals (kmeansAssign), so the final
+    // assignment must be a pure projection + sort — a Join or Window here
+    // means the literal-centroid design regressed to a shuffle shape
+    val p = plan("q32_kmeans")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q11: aggregation is partial+final inside whole-stage codegen") {
     val df = SparkEntry.queries("q11_agg_hash")(spark, sfDir)
     assert(plan("q11_agg_hash").contains("partial_sum"))
