@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2B Q38–Q39).
   *
@@ -137,6 +137,65 @@ object Streams {
           state.update(UserTotal(uid, n, sum))
           out.iterator
       }
+  }
+
+  /** Composite per-key state via the Spark 4 `transformWithState` API
+    * ([[SnapshotProcessor]]): per-user running totals (ValueState) plus a
+    * bounded most-recent-event-id list (ListState), one snapshot row per
+    * (key, micro-batch). This is the modern replacement for
+    * [[runningTotals]]' flatMapGroupsWithState — typed named state
+    * variables with independent TTLs instead of one opaque state blob,
+    * and the state store is RocksDB-backed (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider before starting the query — required by
+    * transformWithState). The recent-id list is trimmed INSIDE the
+    * processor, so per-key state is O(recentN), never O(stream history).
+    */
+  def userSnapshots(events: Dataset[UserEvent],
+      recentN: Int = 3): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SnapshotProcessor(recentN),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** Snapshot emitted by [[Streams.userSnapshots]]: running totals plus the
+  * (bounded) most recent event ids, one row per (key, micro-batch).
+  */
+case class UserSnapshot(user_id: Long, n_events: Long, sum_value: Double,
+    recent_ids: String)
+
+/** StatefulProcessor holding two independent named state variables per
+  * user: the running total (ValueState[UserTotal]) and the last `recentN`
+  * event ids (ListState[Long], trimmed on every batch). Batch rows are
+  * processed in event_id order so emitted snapshots are deterministic
+  * regardless of shuffle arrival order.
+  */
+class SnapshotProcessor(recentN: Int)
+    extends StatefulProcessor[Long, UserEvent, UserSnapshot] {
+  require(recentN >= 1, s"recentN must be >= 1: $recentN")
+  @transient private var totals: ValueState[UserTotal] = _
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState[UserTotal]("totals",
+      Encoders.product[UserTotal], TTLConfig.NONE)
+    recent = getHandle.getListState[Long]("recent",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timers: TimerValues): Iterator[UserSnapshot] = {
+    val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+    val batch = rows.toSeq.sortBy(_.event_id)
+    val n = prev.n_events + batch.size
+    val sum = prev.sum_value + batch.map(_.value).sum
+    totals.update(UserTotal(key, n, sum))
+    val ids = (recent.get().toSeq ++ batch.map(_.event_id)).takeRight(recentN)
+    recent.put(ids.toArray)
+    Iterator.single(UserSnapshot(key, n, sum, ids.mkString(",")))
   }
 }
 

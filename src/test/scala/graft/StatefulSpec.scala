@@ -64,6 +64,43 @@ class StatefulSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState keeps composite per-user state across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store; scope the
+    // provider to this query and restore the session default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val query = Streams.userSnapshots(input.toDS(), recentN = 3)
+        .writeStream.format("memory").queryName("tws_golden")
+        .outputMode("append").start()
+      try {
+        input.addData(UserEvent(1, 7, ts(0), 1.0), UserEvent(2, 7, ts(1), 2.0))
+        query.processAllAvailable()
+        input.addData(UserEvent(3, 7, ts(2), 4.0), UserEvent(5, 7, ts(4), 16.0),
+          UserEvent(4, 9, ts(3), 8.0))
+        query.processAllAvailable()
+        val rows = spark.table("tws_golden")
+          .collect().map(r => (r.getAs[Long]("user_id"),
+            r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+            r.getAs[String]("recent_ids"))).toSet
+        // user 7: ValueState total carries across batches; ListState keeps
+        // only the last 3 ids (1 falls off in batch 2); user 9 starts fresh
+        assert(rows == Set(
+          (7L, 2L, 3.0, "1,2"),
+          (7L, 4L, 23.0, "2,3,5"),
+          (9L, 1L, 8.0, "4")), s"got: $rows")
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch sink commits batches idempotently") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
