@@ -305,6 +305,61 @@ object Graft {
       .drop("qvec")
   }
 
+  /** Batched exact top-k: nearest `k` corpus vectors for EVERY query in a
+    * query batch (cosine, ties broken by neighbor id) — the serving-side
+    * dual of [[cosineTopK]] (one query) and the exact baseline every ANN
+    * variant ([[annAssignCells]], [[annSrpCodes]]) is measured against.
+    *
+    * Shape: broadcast the query batch, score with the native codegen'd
+    * cosine, ONE window keyed by query id. The scored set is
+    * |corpus|·|queries| rows, so this is the VERIFICATION baseline: for
+    * large query batches at corpus scale, route through the cell/bucket
+    * probed variants instead — brute force is what they are scored
+    * against, not what ships.
+    */
+  def cosineTopKBatch(df: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val s = df.sparkSession
+    GraftFunctions.ensureRegistered(s)
+    val q = queries.select(qid.as("q_id"), qvec.as("__qv"))
+    val scored = df.select(id.as("n_id"), vec.as("__cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        call_function("cosine_sim", col("__cv"), col("__qv")))
+      .select(col("q_id"), col("n_id"), col("cos_sim"))
+    topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("cos_sim").desc, col("n_id")), k)
+  }
+
+  /** Count-min-sketch heavy hitters: candidate tokens whose CMS estimate
+    * reaches `minCount`, with the estimate attached — the single-pass,
+    * bounded-memory dual of an exact `groupBy(token).count()` top-list,
+    * completing the sketch family next to HLL distinct counts and the
+    * Bloom decontamination pass. One-sided error: estimates only
+    * OVER-count (collisions add, never subtract), so every true heavy
+    * hitter is present (no false negatives) and estimate >= exact count
+    * always; `eps` bounds the overshoot at eps·N with `confidence`.
+    *
+    * The sketch is built by [[org.apache.spark.sql.DataFrameStatFunctions
+    * .countMinSketch]] — one aggregation pass into a w×d counter grid
+    * (kilobytes; merged associatively across partitions, the same shape a
+    * 1000-executor run uses) — then broadcast for the estimate probe.
+    * Deterministic for a fixed `seed`.
+    */
+  def heavyHitters(df: DataFrame, token: Column, minCount: Long,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val s = df.sparkSession
+    val toks = df.select(token.as("token"))
+    val cms = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
+    val cmsB = s.sparkContext.broadcast(cms)
+    val estimate = udf((t: String) => cmsB.value.estimateCount(t))
+    toks.distinct()
+      .withColumn("est", estimate(col("token")))
+      .filter(col("est") >= minCount)
+  }
+
   /** IVF-style ANN: assign every vector to its nearest centroid (argmax
     * cosine with full tiebreak), probe only the query's cell. `centroids`
     * holds (cid, cvec array<float>); at scale the cell id becomes a

@@ -531,6 +531,38 @@ object LlmOps {
              |SELECT label, dim, count(*) AS n, avg(x) AS mean
              |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
+    // Q32g — batched exact top-k (Graft.cosineTopKBatch): top-3 corpus
+    // neighbors for each of 5 query vectors — the serving-batch shape and
+    // the exact baseline the ANN variants are scored against. Broadcast
+    // query batch + native cosine + one window keyed by q_id. The oracle's
+    // list_cosine_similarity over DOUBLE[] is bit-identical to the native
+    // expression's sequential fold (proven by q32_cosine_topk).
+    Q("q32_topk_batch",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Graft.cosineTopKBatch(
+            e.filter(col("vec_id") >= 5), id = col("vec_id"),
+            vec = col("embedding"),
+            queries = e.filter(col("vec_id") < 5), qid = col("vec_id"),
+            qvec = col("embedding"), k = 3)
+          .orderBy(col("q_id"), col("n_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |c AS (
+             |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id >= 5),
+             |sc AS (
+             |  SELECT q_id, n_id, list_cosine_similarity(qv, cv) AS cos_sim
+             |  FROM q CROSS JOIN c),
+             |r AS (
+             |  SELECT q_id, n_id, cos_sim, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+             |  FROM sc)
+             |SELECT q_id, n_id, cos_sim FROM r WHERE rn <= 3
+             |ORDER BY q_id, n_id""".stripMargin)),
+
     // Q30d — deterministic hash sampling: membership is a pure function of
     // the id (portable md5 hash mod 100), reproducible at any scale or
     // partitioning — unlike df.sample, whose output depends on the RNG and

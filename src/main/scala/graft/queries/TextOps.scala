@@ -422,6 +422,24 @@ object TextOps {
              |  -sum(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))) / count(*)
              |    AS xent
              |FROM toks JOIN cnts USING (tok) CROSS JOIN tot
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q33l — count-min-sketch heavy hitters (Graft.heavyHitters): tokens
+    // whose CMS estimate reaches the threshold, single pass + bounded
+    // memory. Engine-verified (DuckDB has no CMS): the driver checks
+    // rows-only; the one-sided-error law (estimate >= exact, no false
+    // negatives, eps-bounded overshoot) is proven against exact counts in
+    // GraftApiSpec. Deterministic for the fixed seed.
+    Q("q33_heavy",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+        // standard phi-heavy-hitter threshold: count > 1% of the stream
+        // (the count() is one agg job, like the sketch pass itself)
+        val minCount = math.max(1L, toks.count() / 100)
+        Graft.heavyHitters(toks, col("token"), minCount = minCount)
+          .orderBy(col("token"))
+      },
+      None)
   )
 }

@@ -484,6 +484,25 @@ class GraftApiSpec extends SparkSpec {
       "bloom hit counts upper-bound the exact overlap counts")
   }
 
+  test("heavyHitters: one-sided error vs exact counts (CMS law)") {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val n = toks.count()
+    val minCount = math.max(1L, n / 100)
+    val eps = 0.001
+    val est = Graft.heavyHitters(toks, col("token"), minCount, eps = eps)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val j = exact.join(est, Seq("token"), "left")
+    assert(j.filter(col("cnt") >= minCount && col("est").isNull).count() == 0,
+      "every true heavy hitter is reported (no false negatives)")
+    val found = j.filter(col("est").isNotNull)
+    assert(found.filter(col("est") < col("cnt")).count() == 0,
+      "CMS estimates never under-count")
+    val maxOver = math.ceil(eps * n * 2).toLong
+    assert(found.filter(col("est") > col("cnt") + maxOver).count() == 0,
+      s"estimates stay within the eps*N error bound (slack 2x, N=$n)")
+  }
+
   test("applyChanges: latest version wins, deletes drop, untouched keys survive") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
