@@ -194,6 +194,38 @@ object Aggregates {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              |  sli AS (PARTITION BY o_custkey ORDER BY o_orderkey
              |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q18b — RANGE frame (value-based, not row-count): per-customer spend
+    // over the trailing 30 DAYS — the moving-time-window aggregate ROWS
+    // frames cannot express (ties and gaps in the order column change the
+    // frame membership). Spark's rangeBetween takes numeric offsets, so
+    // the order key is epoch days (cast identically in the oracle); the
+    // windowed double sum goes through exact decimal so partition layout
+    // and tie order can never change the result.
+    Q("q18_range_frames",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables(s, d, "orders")
+          .withColumn("days",
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+              .cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"), col("days"),
+            sum(col("o_totalprice").cast(D)).over(w).cast(DoubleType)
+              .as("sum_30d"),
+            count(lit(1)).over(w).as("n_30d"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  datediff('day', DATE '1970-01-01', o_orderdate) AS days,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             |    AS sum_30d,
+             |  COUNT(*) OVER w AS n_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+             |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
              |ORDER BY o_orderkey""".stripMargin))
   )
 }

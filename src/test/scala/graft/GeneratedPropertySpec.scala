@@ -109,4 +109,38 @@ class GeneratedPropertySpec extends SparkSpec {
       assert(got == want, s"k=$k got=${got.size} want=${want.size}")
     }
   }
+
+  test("applyChanges: batched == sequential, and replay is idempotent (generated)") {
+    import graft.api.Graft
+    import spark.implicits._
+    // changes: (key in small space, payload, global version, op)
+    val changesGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 99L),
+        Gen.oneOf("u", "u", "d")))
+    forAllSampled(changesGen, Gen.const(())) { (raw, _) =>
+      val base = Seq((0L, 100L), (1L, 101L), (9L, 109L)).toDF("k", "p")
+      // version = list index: unique, strictly ordered
+      val cs = raw.zipWithIndex.map { case ((k, p, op), i) =>
+        (k, p, i.toLong, op)
+      }
+      val all = cs.toDF("k", "p", "ver", "op")
+      val (first, second) = cs.splitAt(cs.size / 2)
+      val batched = Graft.applyChanges(base, all, "k", "ver", "op")
+      val sequential = Graft.applyChanges(
+        Graft.applyChanges(base, first.toDF("k", "p", "ver", "op"),
+          "k", "ver", "op"),
+        second.toDF("k", "p", "ver", "op"), "k", "ver", "op")
+      assert(batched.exceptAll(sequential).isEmpty &&
+        sequential.exceptAll(batched).isEmpty,
+        "one merge of all changes == two sequential half-merges")
+      // replaying the full change set over the merged snapshot is a no-op
+      // for every key whose last change was an upsert (deletes drop keys,
+      // and base rows rank below changes, so replay re-applies the same
+      // winners)
+      val replay = Graft.applyChanges(batched, all, "k", "ver", "op")
+      assert(replay.exceptAll(batched).isEmpty &&
+        batched.exceptAll(replay).isEmpty,
+        "replaying the same changes is idempotent")
+    }
+  }
 }

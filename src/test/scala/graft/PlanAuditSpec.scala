@@ -84,6 +84,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q48: CDC merge costs exactly one keyed shuffle (union + window)") {
+    val p = plan("q48_upsert")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "MERGE must not degrade to a join: " + p)
+  }
+
   test("q32_kmeans: assignment stage is join-free and window-free") {
     // centroids are embedded as literals (kmeansAssign), so the final
     // assignment must be a pure projection + sort — a Join or Window here
