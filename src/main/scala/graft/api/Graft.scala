@@ -633,6 +633,77 @@ object Graft {
     labels
   }
 
+  /** PageRank over a duplicate-pair graph: `iters` synchronous power
+    * iterations with damping, edges taken undirected (each pair
+    * contributes both directions). Ranks duplicate-cluster "hubs" — the
+    * canonical-document signal when collapsing near-dup groups (keep the
+    * highest-rank member instead of the smallest id).
+    *
+    * Scale shape per iteration: one equi-join of edges against the rank
+    * table (both hash-partitioned on the source vertex — the classic
+    * Pregel message join) and one partial-aggregated groupBy on the
+    * destination. Lineage is truncated per round with an eager
+    * localCheckpoint (same rationale as [[dupClusters]]: the plan would
+    * otherwise double per iteration). Every node of an undirected edge
+    * list has degree >= 1, so there are no dangling-mass corrections.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
+    val nodes = edges.select(col("u").as("id")).distinct().cache()
+    val n = nodes.count().toDouble
+    val deg = edges.groupBy(col("u"))
+      .agg(count(lit(1)).cast(DoubleType).as("d"))
+    var pr = nodes.withColumn("pr", lit(1.0) / lit(n))
+    var it = 0
+    while (it < iters) {
+      pr = edges
+        .join(pr.withColumnRenamed("id", "u"), Seq("u"))
+        .join(deg, Seq("u"))
+        .groupBy(col("v"))
+        .agg((lit(1.0 - damping) / lit(n) +
+          lit(damping) * sum(col("pr") / col("d"))).as("pr"))
+        .select(col("v").as("id"), col("pr"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    pr
+  }
+
+  // --------------------------------------------------------- data profiling
+
+  /** Single-pass numeric table profile: one row per requested column with
+    * count, null count, exact distinct count, and min/max (as double) —
+    * the data-quality summary a pipeline asserts on before training runs.
+    * ONE scan and ONE aggregation produce every column's stats
+    * simultaneously (the per-column rows come from exploding the single
+    * aggregated row, not from N passes). Exact distinct counts shuffle
+    * per-column expand rows at corpus scale — swap in
+    * `approx_count_distinct` (the q13 HLL surface) when 2% error is
+    * acceptable.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast(DoubleType).as(s"__min_$c"),
+      max(col(c)).cast(DoubleType).as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("n"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_d"),
+        col(s"__max_$c").as("max_d"))): _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
   // ----------------------------------------------------------- data layout
 
   /** Z-order (Morton) key: interleaves the low `bitsPerDim` bits of two

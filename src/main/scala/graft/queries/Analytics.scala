@@ -323,5 +323,38 @@ object Analytics {
              |  md5(text) AS digest,
              |  substr(upper(to_hex(encode(substr(text, 1, 4)))), 1, 8)
              |    AS head_hex
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q49 — single-pass numeric table profile (Graft.profileNumeric): one
+    // scan + ONE aggregation computes every column's count / null count /
+    // exact distinct / min / max simultaneously; the per-column rows come
+    // from exploding the aggregated row, not from N passes. The
+    // data-quality gate a pipeline asserts on before a training run.
+    Q("q49_profile",
+      (s, d) => {
+        graft.api.Graft.profileNumeric(Tables(s, d, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+             |  count(*) - count(l_quantity) AS n_null,
+             |  count(DISTINCT l_quantity) AS n_distinct,
+             |  CAST(min(l_quantity) AS DOUBLE) AS min_d,
+             |  CAST(max(l_quantity) AS DOUBLE) AS max_d FROM lineitem
+             |UNION ALL
+             |SELECT 'l_extendedprice', count(l_extendedprice),
+             |  count(*) - count(l_extendedprice),
+             |  count(DISTINCT l_extendedprice),
+             |  CAST(min(l_extendedprice) AS DOUBLE),
+             |  CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_discount', count(l_discount),
+             |  count(*) - count(l_discount), count(DISTINCT l_discount),
+             |  CAST(min(l_discount) AS DOUBLE),
+             |  CAST(max(l_discount) AS DOUBLE) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_tax', count(l_tax), count(*) - count(l_tax),
+             |  count(DISTINCT l_tax), CAST(min(l_tax) AS DOUBLE),
+             |  CAST(max(l_tax) AS DOUBLE) FROM lineitem
+             |ORDER BY col_name""".stripMargin)))
 }

@@ -531,6 +531,53 @@ object LlmOps {
              |SELECT label, dim, count(*) AS n, avg(x) AS mean
              |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
+    // Q31g — PageRank over the exact-dup graph (Graft.pageRank): 3 damped
+    // power iterations on the signature-equality pairs, undirected — the
+    // canonical-document signal when collapsing dup groups (keep the
+    // highest-rank hub, not just the smallest id). Iterative Pregel-style
+    // join + partial agg per round, lineage checkpoint-truncated like
+    // dupClusters. The oracle replays all 3 iterations as CTEs with the
+    // identical pinned formula (0.15/n + 0.85*sum(pr/deg)); unordered
+    // double sums land far under 6-dp hashing.
+    Q("q31_pagerank",
+      (s, d) => {
+        val pairs = Graft.exactDupPairs(Tables(s, d, "documents"),
+          id = col("doc_id"), text = col("text"))
+        Graft.pageRank(pairs, iters = 3, damping = 0.85)
+          .select(col("id").as("doc_id"), col("pr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sigs AS (
+             |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             |    string_split(text, ' '))), ' ')) AS sig
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS u, b.doc_id AS v
+             |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+             |edges AS (SELECT u, v FROM pairs
+             |          UNION ALL SELECT v AS u, u AS v FROM pairs),
+             |nodes AS (SELECT DISTINCT u AS id FROM edges),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d
+             |        FROM edges GROUP BY u),
+             |p0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+             |i1 AS (SELECT e.v AS id, 0.15 / any_value(nn.n)
+             |         + 0.85 * sum(p.pr / deg.d) AS pr
+             |       FROM edges e JOIN p0 p ON e.u = p.id
+             |         JOIN deg ON deg.u = e.u CROSS JOIN nn
+             |       GROUP BY e.v),
+             |i2 AS (SELECT e.v AS id, 0.15 / any_value(nn.n)
+             |         + 0.85 * sum(p.pr / deg.d) AS pr
+             |       FROM edges e JOIN i1 p ON e.u = p.id
+             |         JOIN deg ON deg.u = e.u CROSS JOIN nn
+             |       GROUP BY e.v),
+             |i3 AS (SELECT e.v AS id, 0.15 / any_value(nn.n)
+             |         + 0.85 * sum(p.pr / deg.d) AS pr
+             |       FROM edges e JOIN i2 p ON e.u = p.id
+             |         JOIN deg ON deg.u = e.u CROSS JOIN nn
+             |       GROUP BY e.v)
+             |SELECT id AS doc_id, pr FROM i3 ORDER BY doc_id""".stripMargin)),
+
     // Q32g — batched exact top-k (Graft.cosineTopKBatch): top-3 corpus
     // neighbors for each of 5 query vectors — the serving-batch shape and
     // the exact baseline the ANN variants are scored against. Broadcast

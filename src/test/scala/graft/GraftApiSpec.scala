@@ -484,6 +484,31 @@ class GraftApiSpec extends SparkSpec {
       "bloom hit counts upper-bound the exact overlap counts")
   }
 
+  test("pageRank: mass conserved, hub outranks leaves, symmetric ties equal") {
+    import spark.implicits._
+    // star 1-{2,3,4} plus a detached pair 10-11
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val pr = Graft.pageRank(pairs, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+      s"undirected graph conserves rank mass: ${pr.values.sum}")
+    assert(pr(1L) > pr(2L), "the star hub outranks its leaves")
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), "symmetric leaves tie")
+    assert(pr(10L) == pr(11L), "detached pair is symmetric")
+  }
+
+  test("profileNumeric: one pass, exact per-column stats incl. nulls") {
+    import spark.implicits._
+    val df = Seq((Option(1.0), 5L), (Option.empty[Double], 5L),
+      (Option(3.0), 7L)).toDF("x", "y")
+    val out = Graft.profileNumeric(df, Seq("x", "y")).orderBy(col("col_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == (("x", 2L, 1L, 2L, 1.0, 3.0)))
+    assert(out(1) == (("y", 3L, 0L, 2L, 5.0, 7.0)))
+  }
+
   test("heavyHitters: one-sided error vs exact counts (CMS law)") {
     val toks = Tables(spark, sfDir, "documents")
       .select(explode(split(lower(col("text")), " ")).as("token"))
