@@ -704,6 +704,31 @@ object Graft {
       .select(col("__p.*"))
   }
 
+  /** Fixed-width value histogram: `nbins` equal buckets over [lo, hi),
+    * out-of-range values clamped into the edge buckets (so the histogram
+    * is TOTAL over the input — nothing silently dropped), empty buckets
+    * emitted with count 0. Pure per-row floor arithmetic feeding one
+    * partial-aggregated groupBy, plus a broadcast join against the tiny
+    * literal bucket spine to surface empties. The profiling dual of
+    * [[profileNumeric]] for distribution shape.
+    */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+      nbins: Int): DataFrame = {
+    require(nbins >= 1, s"nbins must be >= 1: $nbins")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val width = (hi - lo) / nbins
+    val bucket = least(lit(nbins - 1), greatest(lit(0),
+      floor((value.cast(DoubleType) - lit(lo)) / lit(width)).cast("int")))
+    val counts = df.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(nbins)
+      .select(col("id").cast("int").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("bucket_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   // ----------------------------------------------------------- data layout
 
   /** Z-order (Morton) key: interleaves the low `bitsPerDim` bits of two
@@ -809,6 +834,46 @@ object Graft {
       .withColumn("bin_first", floor(col("offset") / capacity).cast(LongType))
       .withColumn("bin_last",
         floor((col("offset") + n - 1) / capacity).cast(LongType))
+  }
+
+  /** Time-series resample + forward fill: bucket each key's events into
+    * fixed `stepSeconds` slots, emit a COMPLETE per-key slot spine over
+    * the data's global time range (gaps surfaced, not skipped), and
+    * forward-fill the per-slot exact average through empty slots — the
+    * gap-filling/resample primitive behind dashboards and feature
+    * backfills. Slots before a key's first observation stay null.
+    *
+    * Scale shape: slot assignment is per-row floor arithmetic; the
+    * per-(key, slot) aggregation partial-aggregates; the spine is
+    * keys × slots built from a broadcast 1-row bounds table; forward fill
+    * is the classic two-window trick (running non-null count defines
+    * fill groups, then a per-(key, group) max) — BOTH windows are
+    * partitioned by key, so no single-task global window exists. The
+    * fill value rides the exact-decimal average ([[graft.Exact]]), so
+    * results are partition-order-independent.
+    */
+  def resampleFfill(df: DataFrame, key: Column, time: Column, value: Column,
+      stepSeconds: Long = 3600): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
+    val slots = df.select(key.as("key"),
+      floor(time.cast(LongType) / lit(stepSeconds.toDouble)).cast(LongType)
+        .as("slot"),
+      value.as("__v"))
+    val agg = slots.groupBy(col("key"), col("slot"))
+      .agg(count(lit(1)).as("n_events"), graft.Exact.davg(col("__v")).as("v_avg"))
+    val bounds = slots.agg(min(col("slot")).as("__lo"), max(col("slot")).as("__hi"))
+    val spine = slots.select(col("key")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("key"),
+        explode(sequence(col("__lo"), col("__hi"))).as("slot"))
+    val wRun = Window.partitionBy(col("key")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("key", "slot"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("__grp", count(col("v_avg")).over(wRun))
+      .withColumn("v_ffill",
+        max(col("v_avg")).over(Window.partitionBy(col("key"), col("__grp"))))
+      .drop("__grp")
   }
 
   // -------------------------------------------------- temporal/range joins

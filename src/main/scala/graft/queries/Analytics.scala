@@ -356,5 +356,26 @@ object Analytics {
              |SELECT 'l_tax', count(l_tax), count(*) - count(l_tax),
              |  count(DISTINCT l_tax), CAST(min(l_tax) AS DOUBLE),
              |  CAST(max(l_tax) AS DOUBLE) FROM lineitem
-             |ORDER BY col_name""".stripMargin)))
+             |ORDER BY col_name""".stripMargin)),
+
+    // Q49b — fixed-width histogram (Graft.histogram): distribution shape
+    // of l_extendedprice in 11 buckets, TOTAL over the input (out-of-range
+    // clamps to edge buckets, empties surfaced via the literal bucket
+    // spine). Per-row floor arithmetic + one partial-aggregated groupBy.
+    Q("q49_histogram",
+      (s, d) => {
+        graft.api.Graft.histogram(Tables(s, d, "lineitem"),
+            col("l_extendedprice"), lo = 0.0, hi = 110000.0, nbins = 11)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (
+             |  SELECT least(10, greatest(0,
+             |    CAST(floor((l_extendedprice - 0.0) / 10000.0) AS INT)))
+             |    AS bucket
+             |  FROM lineitem),
+             |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+             |s AS (SELECT CAST(unnest(range(11)) AS INT) AS bucket)
+             |SELECT s.bucket, 0.0 + s.bucket * 10000.0 AS bucket_lo,
+             |  COALESCE(c.n, 0) AS n
+             |FROM s LEFT JOIN c USING (bucket) ORDER BY bucket""".stripMargin)))
 }

@@ -129,5 +129,80 @@ object EventTime {
               |      AS wm_us
               |  FROM events)
               |WHERE wm_us IS NULL OR epoch_us(ts) >= wm_us - 600000000
-              |GROUP BY win_start ORDER BY win_start""".stripMargin)))
+              |GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // Q49c — cohort retention: users grouped by first-seen week, activity
+    // counted per weeks-since-cohort — the standard retention matrix.
+    // Two keyed aggregations plus one equi-join on user_id; the
+    // first-seen table is user-sized (small relative to events) and
+    // AQE-broadcastable; at corpus scale it shuffles keyed, both sides
+    // co-partitioned on user_id.
+    Q("q49_cohort",
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort"))
+        ev.join(first, Seq("user_id"))
+          .groupBy(col("cohort"),
+            floor(datediff(col("wk"), col("cohort")) / lit(7.0)).cast("int")
+              .as("week_n"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("week_n"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+             |SELECT cohort,
+             |  CAST(floor(datediff('day', cohort, wk) / 7.0) AS INT) AS week_n,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM ev JOIN f USING (user_id)
+             |GROUP BY cohort, week_n ORDER BY cohort, week_n""".stripMargin)),
+
+    // Q50 — hourly resample + forward fill (Graft.resampleFfill): complete
+    // per-user hour spine over the data's range, per-slot exact average,
+    // gaps forward-filled with the two-window trick (running non-null
+    // count -> fill groups -> per-group max). Both windows are partitioned
+    // by user — no single-task global window. Oracle replays the identical
+    // slot arithmetic and fill groups.
+    Q("q50_resample",
+      (s, d) => {
+        graft.api.Graft.resampleFfill(Tables(s, d, "events"),
+            key = col("user_id"), time = col("ts"), value = col("value"),
+            stepSeconds = 3600)
+          .select(col("key").as("user_id"),
+            timestamp_seconds(col("slot") * 3600).as("slot_ts"),
+            col("n_events"), col("v_avg"), col("v_ffill"))
+          .orderBy(col("user_id"), col("slot_ts"))
+      },
+      Some(s"""WITH sl AS (
+              |  SELECT user_id AS key,
+              |    CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT)
+              |      AS slot,
+              |    value AS v
+              |  FROM events),
+              |agg AS (
+              |  SELECT key, slot, count(*) AS n_events,
+              |    ${Exact.sqlAvg("v")} AS v_avg
+              |  FROM sl GROUP BY key, slot),
+              |b AS (SELECT min(slot) AS lo, max(slot) AS hi FROM sl),
+              |keys AS (SELECT DISTINCT key FROM sl),
+              |spine AS (
+              |  SELECT key, unnest(range(b.lo, b.hi + 1)) AS slot
+              |  FROM keys CROSS JOIN b),
+              |j AS (
+              |  SELECT s.key, s.slot, COALESCE(a.n_events, 0) AS n_events,
+              |    a.v_avg
+              |  FROM spine s LEFT JOIN agg a ON s.key = a.key AND s.slot = a.slot),
+              |g AS (
+              |  SELECT *, count(v_avg) OVER (PARTITION BY key ORDER BY slot
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              |  FROM j)
+              |SELECT key AS user_id, make_timestamp(slot * 3600 * 1000000)
+              |    AS slot_ts,
+              |  n_events, v_avg,
+              |  max(v_avg) OVER (PARTITION BY key, grp) AS v_ffill
+              |FROM g ORDER BY user_id, slot_ts""".stripMargin))
+  )
 }

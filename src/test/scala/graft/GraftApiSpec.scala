@@ -484,6 +484,26 @@ class GraftApiSpec extends SparkSpec {
       "bloom hit counts upper-bound the exact overlap counts")
   }
 
+  test("resampleFfill: complete spine, gaps fill forward, pre-first stays null") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 00:10:00"), 2.0),
+      (1L, t("2024-01-01 03:20:00"), 4.0),
+      (2L, t("2024-01-01 02:05:00"), 8.0)
+    ).toDF("u", "tm", "v")
+    val out = Graft.resampleFfill(df, col("u"), col("tm"), col("v"), 3600)
+      .orderBy(col("key"), col("slot"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // global spine = hours 0..3 for BOTH users (8 rows)
+    assert(out.length == 8, s"spine incomplete: ${out.length}")
+    assert(out.map(_._2).toSeq == Seq(
+      Some(2.0), Some(2.0), Some(2.0), Some(4.0),   // user 1: gap fills with 2.0
+      None, None, Some(8.0), Some(8.0)),            // user 2: null before first obs
+      s"got: ${out.mkString(", ")}")
+  }
+
   test("pageRank: mass conserved, hub outranks leaves, symmetric ties equal") {
     import spark.implicits._
     // star 1-{2,3,4} plus a detached pair 10-11
