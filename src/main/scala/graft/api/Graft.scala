@@ -78,6 +78,50 @@ object Graft {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental corpus dedup: from a NEW batch, drop (1) rows whose
+    * content signature already exists in the standing corpus and (2)
+    * within-batch duplicates (keep-first under `order`). This is the
+    * steady-state shape of corpus maintenance at 100 TB — each ingest
+    * deduplicates only the new slice against fixed-width signatures of
+    * what is already kept, never re-deduplicating the whole corpus.
+    *
+    * The corpus side is projected to DISTINCT md5 signatures before the
+    * join, so the anti-join shuffles 16-byte keys, not document bodies;
+    * AQE turns it into a broadcast anti-join whenever the day's signature
+    * delta fits. In production the corpus signature set would be a
+    * bucketed table maintained across ingests, making the anti-join
+    * shuffle-free on the corpus side.
+    */
+  def dedupIncremental(batch: DataFrame, corpus: DataFrame,
+      batchText: Column, corpusText: Column, order: Seq[Column]): DataFrame = {
+    val corpusSigs = corpus
+      .select(contentSignature(corpusText).as("__sig")).distinct()
+    dedupExact(batch.withColumn("__sig", contentSignature(batchText)),
+        keys = Seq(col("__sig")), order = order)
+      .join(corpusSigs, Seq("__sig"), "left_anti")
+      .drop("__sig")
+  }
+
+  /** Per-group quantile floor: keep rows whose `value` is at or above
+    * their group's exact `q`-quantile (linear interpolation — the same
+    * definition DuckDB's `quantile_cont` uses). The group→threshold table
+    * has one row per group, so it broadcasts; the input is scanned twice
+    * (once to aggregate thresholds, once to filter) but never shuffled on
+    * the data side. The canonical use: a per-language quality floor before
+    * training. Exact `percentile` buffers each group's values at the
+    * aggregator — at extreme cardinality swap in `approx_percentile`
+    * (the q13 sketch surface) for a bounded-memory threshold pass.
+    */
+  def quantileFilterPerGroup(df: DataFrame, group: Column, value: Column,
+      q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1): $q")
+    val thresholds = df.groupBy(group.as("__g"))
+      .agg(percentile(value, lit(q)).as("__thr"))
+    df.join(broadcast(thresholds), group === col("__g"))
+      .filter(value.cast(DoubleType) >= col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Exact-duplicate pairs by content signature (md5 of the sorted token
     * set): equi-join on the fixed-width signature, bucketed by it.
     */
@@ -727,6 +771,28 @@ object Graft {
       .select(col("bucket"),
         (lit(lo) + col("bucket") * lit(width)).as("bucket_lo"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Key-skew diagnostic: the `topN` heaviest keys with their share of all
+    * rows and their skew factor (count ÷ mean per-key count). This is the
+    * report to run BEFORE a big join or groupBy at scale — a skew factor
+    * in the hundreds on a join key is the signal to reach for
+    * [[graft.operators.SaltedJoin]] or AQE skew handling. One partial-
+    * aggregated groupBy; the grand totals come from a second aggregation
+    * over the (already small) per-key counts, broadcast back — no window
+    * over an unpartitioned frame, so nothing funnels through one task.
+    */
+  def keySkew(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        round(col("cnt") / col("__total"), 6).as("frac"),
+        round(col("cnt") * col("__nkeys") / col("__total"), 6).as("skew"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
   }
 
   // ----------------------------------------------------------- data layout

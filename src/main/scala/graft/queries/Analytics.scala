@@ -377,5 +377,27 @@ object Analytics {
              |s AS (SELECT CAST(unnest(range(11)) AS INT) AS bucket)
              |SELECT s.bucket, 0.0 + s.bucket * 10000.0 AS bucket_lo,
              |  COALESCE(c.n, 0) AS n
-             |FROM s LEFT JOIN c USING (bucket) ORDER BY bucket""".stripMargin)))
+             |FROM s LEFT JOIN c USING (bucket) ORDER BY bucket""".stripMargin)),
+
+    // Q53 — key-skew diagnostic (Graft.keySkew): the 20 heaviest event
+    // users with row share and skew factor (count / mean-per-key) — the
+    // pre-flight report that decides between a plain, salted, or AQE-skew
+    // join at scale. Totals come from re-aggregating the small per-key
+    // counts and broadcasting one row back — no unpartitioned window.
+    Q("q53_key_skew",
+      (s, d) => {
+        graft.api.Graft.keySkew(Tables(s, d, "events"), col("user_id"), topN = 20)
+          .withColumnRenamed("key", "user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY user_id),
+             |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+             |             CAST(count(*) AS BIGINT) AS nkeys FROM c)
+             |SELECT user_id, cnt,
+             |  round(CAST(cnt AS DOUBLE) / total, 6) AS frac,
+             |  round(CAST(cnt AS DOUBLE) * nkeys / total, 6) AS skew
+             |FROM c CROSS JOIN t
+             |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin))
+  )
 }

@@ -886,5 +886,35 @@ object LlmOps {
           .select(col("id").as("doc_id"), col("n_bloom_hits"))
           .orderBy(col("doc_id"))
       },
-      None))
+      None),
+
+    // Q51 — incremental corpus dedup (Graft.dedupIncremental): the
+    // steady-state ingest shape — dedup only the NEW batch (odd doc_ids)
+    // against fixed-width signatures of the standing corpus (even
+    // doc_ids), then within-batch keep-first. The corpus ships 16-byte
+    // md5 keys into a left-anti join, never document bodies.
+    Q("q51_dedup_incr",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        Graft.dedupIncremental(batch, corpus, col("text"), col("text"),
+            order = Seq(col("doc_id")))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sigs AS (
+             |  SELECT doc_id, lang, source, n_chars, doc_id % 2 AS par,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(text, ' '))), ' ')) AS sig
+             |  FROM documents),
+             |batch AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY sig
+             |                                 ORDER BY doc_id) AS rn
+             |    FROM sigs WHERE par = 1) WHERE rn = 1)
+             |SELECT doc_id, lang, source, n_chars FROM batch b
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM sigs c WHERE c.par = 0 AND c.sig = b.sig)
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -440,6 +440,27 @@ object TextOps {
         Graft.heavyHitters(toks, col("token"), minCount = minCount)
           .orderBy(col("token"))
       },
-      None)
+      None),
+
+    // Q52 — per-language quality floor (Graft.quantileFilterPerGroup):
+    // keep documents at or above their language's p25 length — the
+    // quantile-threshold filter every training-mix pipeline runs before
+    // sampling. Thresholds are one row per language (broadcast); exact
+    // linear-interpolation percentile matches DuckDB's quantile_cont
+    // definition bit-for-bit on this fixture.
+    Q("q52_quantile_filter",
+      (s, d) => {
+        Graft.quantileFilterPerGroup(Tables(s, d, "documents"),
+            group = col("lang"), value = col("n_chars"), q = 0.25)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH thr AS (
+             |  SELECT lang, quantile_cont(n_chars, 0.25) AS t
+             |  FROM documents GROUP BY lang)
+             |SELECT doc_id, d.lang, n_chars
+             |FROM documents d JOIN thr ON d.lang = thr.lang
+             |WHERE CAST(n_chars AS DOUBLE) >= thr.t
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -562,4 +562,52 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, "a3", 11.0), (3L, "c", 3.0), (4L, "new", 4.0)))
   }
+
+  test("dedupIncremental: drops corpus-known content, keeps first in batch") {
+    import spark.implicits._
+    val corp = Seq((1L, "alpha beta gamma")).toDF("k", "body")
+    val batch = Seq(
+      (20L, "gamma beta alpha"),          // token-set dup of corpus row
+      (21L, "delta epsilon zeta"),        // new content
+      (22L, "zeta delta epsilon"),        // in-batch dup of 21
+      (23L, "eta theta iota")             // new content
+    ).toDF("k", "body")
+    val out = Graft.dedupIncremental(batch, corp, col("body"), col("body"),
+      order = Seq(col("k")))
+    assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(21L, 23L))
+  }
+
+  test("quantileFilterPerGroup: per-group floor, boundary row kept") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 20.0)
+    ).toDF("g", "v")
+    // q=0.5: a's median = 2.5 (keeps 3,4), b's = 15 (keeps 20);
+    // q=0.25 on a: threshold 1.75 — and the exact-boundary row survives
+    val half = Graft.quantileFilterPerGroup(df, col("g"), col("v"), 0.5)
+    assert(half.select("v").as[Double].collect().sorted.toSeq ==
+      Seq(3.0, 4.0, 20.0))
+    val bBoundary = Graft.quantileFilterPerGroup(
+      Seq(("b", 10.0), ("b", 20.0)).toDF("g", "v"), col("g"), col("v"), 0.5)
+    assert(bBoundary.count() == 1) // median 15 keeps only 20
+    val aQuarter = Graft.quantileFilterPerGroup(
+      df.filter(col("g") === "a"), col("g"), col("v"), 0.75)
+    // p75 of 1..4 = 3.25 -> keeps only 4.0
+    assert(aQuarter.select("v").as[Double].collect().toSeq == Seq(4.0))
+  }
+
+  test("keySkew: shares sum to ~1 over all keys, skew = count/mean") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq("warm", "warm", "cold"))
+      .toDF("k")
+    val out = Graft.keySkew(df, col("k"), topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    // 9 rows, 3 keys -> mean 3; hot=6 -> skew 2.0, warm=2 -> 0.666667
+    assert(out.toSeq == Seq(("hot", 6L, 2.0), ("warm", 2L, 0.666667),
+      ("cold", 1L, 0.333333)))
+    val top1 = Graft.keySkew(df, col("k"), topN = 1)
+    assert(top1.count() == 1 &&
+      top1.collect().head.getString(0) == "hot")
+  }
 }
