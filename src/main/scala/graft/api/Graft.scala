@@ -607,6 +607,50 @@ object Graft {
     df.filter(pmod(phash32(id.cast(StringType)), lit(100)) < rateCol)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res): each row draws a uniform u from the md5 hash of its
+    * id and scores ln(u)/w — the top-k scores are an exact weighted sample.
+    * Selection is a pure function of (id, weight), so the sample is
+    * reproducible across runs, partitionings, engines, and cluster sizes,
+    * and compiles to TakeOrderedAndProject (per-partition heaps + driver
+    * merge of k rows) — no global sort, no RNG state to coordinate. The
+    * canonical use: a length- or quality-weighted training subset drawn
+    * the same way on every rebuild.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // u in (0,1): (h + 0.5) / 2^32 never hits either endpoint, so ln(u)
+    // is finite; weight <= 0 means "never sample" and is filtered, not
+    // scored — with k >= candidate count a sentinel score would leak in
+    val u = (phash32(id.cast(StringType)) + lit(0.5)) / lit(4294967296.0)
+    df.filter(weight.cast(DoubleType) > 0)
+      .withColumn("__wscore", log(u) / weight.cast(DoubleType))
+      .orderBy(col("__wscore").desc)
+      .limit(k).drop("__wscore")
+  }
+
+  /** Deterministic training-mix interleave: per-source virtual time
+    * vtime = row_number / weight, so sorting by vtime emits sources in
+    * proportion to their weights at every prefix of the stream (weight 2
+    * appears twice as often as weight 1) — the standard way to fix a
+    * training mix at write time instead of hoping the loader shuffles
+    * well. The per-source row_number is a keyed window (hash shuffle on
+    * source); the global ordering is left AS A SORT COLUMN — write with
+    * `orderBy(mix_order)` (range-partitioned sort) rather than ranking
+    * globally, so nothing funnels through one task. Sources missing from
+    * `weights` get `defaultWeight`.
+    */
+  def mixSources(df: DataFrame, source: Column, order: Seq[Column],
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0),
+      s"weights must be > 0: $weights default=$defaultWeight")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(source === lit(k), lit(v)).otherwise(acc)
+    }
+    val rn = row_number().over(Window.partitionBy(source).orderBy(order: _*))
+    df.withColumn("mix_order", rn.cast(DoubleType) / w)
+  }
+
   /** Deterministic shard assignment: shard = portable-hash(id) mod
     * `numShards`. The decision is a pure function of the id — the same
     * document lands in the same shard across runs, engines, and cluster
@@ -1110,6 +1154,33 @@ object Graft {
     require(n >= 1, s"n must be >= 1: $n")
     GraftFunctions.ensureRegistered(SparkSession.active)
     call_function("dup_ngram_frac", text, lit(n))
+  }
+
+  /** Corpus-level boilerplate score: per document, the fraction of its
+    * DISTINCT n-token shingles that occur in at least `minDf` documents
+    * corpus-wide — high values flag shared headers/footers/templates that
+    * per-document scores ([[duplicateNgramFraction]]) cannot see. The
+    * CCNet/C4 shape: explode distinct shingles, one partial-aggregated
+    * count per shingle (count(*) IS document frequency because shingles
+    * are distinct within a doc), equi-join back on the shingle, re-
+    * aggregate per doc. Every shuffle is keyed by shingle or id — nothing
+    * all-pairs, nothing unpartitioned. Hot shingles (the boilerplate
+    * itself, by definition) are the skew risk: AQE skew-join covers the
+    * join-back; beyond that, cap shingle df at minDf with a pre-filtered
+    * flag table instead of joining raw counts.
+    */
+  def boilerplateFraction(df: DataFrame, id: Column, text: Column,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minDf >= 2, s"minDf must be >= 2: $minDf")
+    val sh = df.select(id.as("id"), explode(shingleSet(text, n)).as("__sh"))
+    val docFreq = sh.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__df"))
+    sh.join(docFreq, Seq("__sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(when(col("__df") >= minDf, 1L).otherwise(0L))
+          / count(lit(1)), 6).as("boiler_frac"))
   }
 
   /** Fixed-size token chunking with overlap: each document explodes into

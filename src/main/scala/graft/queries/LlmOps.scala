@@ -916,5 +916,44 @@ object LlmOps {
              |SELECT doc_id, lang, source, n_chars FROM batch b
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM sigs c WHERE c.par = 0 AND c.sig = b.sig)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q54 — deterministic weighted sampling (Graft.weightedSample,
+    // Efraimidis–Spirakis A-Res): 50 documents drawn with probability
+    // proportional to length, as a pure function of doc_id — the plan is
+    // TakeOrderedAndProject over per-row hash arithmetic, no RNG state.
+    Q("q54_weighted_sample",
+      (s, d) => {
+        Graft.weightedSample(Tables(s, d, "documents"),
+            id = col("doc_id"), weight = col("n_chars"), k = 50)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |         AS BIGINT) + 0.5) / 4294967296.0)
+             |      / CAST(n_chars AS DOUBLE) AS s
+             |  FROM documents ORDER BY s DESC LIMIT 50)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q56 — deterministic training-mix interleave (Graft.mixSources):
+    // per-source virtual time rn/weight; sorting by it yields the target
+    // source proportions at every prefix. src0 is upweighted 3x here; the
+    // global rank is deliberately left as a sort column (range-partitioned
+    // sort at write time), never materialized through one task.
+    Q("q56_mix",
+      (s, d) => {
+        Graft.mixSources(Tables(s, d, "documents"),
+            source = col("source"), order = Seq(col("doc_id")),
+            weights = Map("src0" -> 3.0), defaultWeight = 1.0)
+          .select(col("doc_id"), col("source"), col("mix_order"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             |       AS DOUBLE)
+             |    / (CASE WHEN source = 'src0' THEN 3.0 ELSE 1.0 END)
+             |    AS mix_order
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 }

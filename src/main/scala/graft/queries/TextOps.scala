@@ -461,6 +461,31 @@ object TextOps {
              |SELECT doc_id, d.lang, n_chars
              |FROM documents d JOIN thr ON d.lang = thr.lang
              |WHERE CAST(n_chars AS DOUBLE) >= thr.t
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q55 — corpus-level boilerplate fraction (Graft.boilerplateFraction):
+    // per doc, the share of its distinct 3-token shingles seen in >= 3
+    // docs corpus-wide — the template/header detector that per-doc
+    // repetition scores can't express. Explode -> shingle-keyed count ->
+    // join back -> per-doc aggregate; every shuffle is keyed, none global.
+    Q("q55_boilerplate",
+      (s, d) => {
+        Graft.boilerplateFraction(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"), n = 3, minDf = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(ts[i:i+2], ' ')
+             |     FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)])) AS s
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |        FROM documents)),
+             |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / count(*), 6) AS boiler_frac
+             |FROM sh JOIN dfreq USING (s)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -610,4 +610,47 @@ class GraftApiSpec extends SparkSpec {
     assert(top1.count() == 1 &&
       top1.collect().head.getString(0) == "hot")
   }
+
+  test("weightedSample: deterministic, dominant weight always wins, w<=0 excluded") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i == 42L) 1e9 else 1e-6))
+      .toDF("k", "w")
+    val s1 = Graft.weightedSample(df, col("k"), col("w"), 10)
+      .select("k").as[Long].collect().sorted.toSeq
+    val s2 = Graft.weightedSample(df, col("k"), col("w"), 10)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(s1 == s2, "pure function of (id, weight)")
+    assert(s1.contains(42L), "ln(u)/1e9 ~ 0- dominates every tiny-weight score")
+    val withZero = Seq((1L, 1.0), (2L, 0.0), (3L, -5.0)).toDF("k", "w")
+    val out = Graft.weightedSample(withZero, col("k"), col("w"), 3)
+      .select("k").as[Long].collect().toSeq
+    assert(out == Seq(1L), "non-positive weights never sampled, even with spare k")
+  }
+
+  test("mixSources: vtime = rn/weight per source; sorted prefix honors the mix") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 6L)).toDF("src", "k")
+    val out = Graft.mixSources(df, col("src"), Seq(col("k")),
+        weights = Map("a" -> 2.0), defaultWeight = 1.0)
+      .orderBy(col("mix_order"), col("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 0.5), ("a", 2L, 1.0), ("b", 5L, 1.0),
+      ("a", 3L, 1.5), ("a", 4L, 2.0), ("b", 6L, 2.0)),
+      "source a (weight 2) appears twice per b at every prefix")
+  }
+
+  test("boilerplateFraction: shared shingles flagged corpus-wide, unique doc 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y z"), (2L, "x y w"), (3L, "q r s")
+    ).toDF("k", "body")
+    val out = Graft.boilerplateFraction(df, col("k"), col("body"),
+        n = 2, minDf = 2)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // shingle 'x y' appears in docs 1 and 2 (df=2); all others df=1
+    assert(out.toSeq == Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 2L, 0.0)))
+  }
 }
