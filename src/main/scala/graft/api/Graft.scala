@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 
 /** The user-facing operator library: every LLM-data-pipeline operator as a
   * parameterized DataFrame combinator. The declared queries in
@@ -605,6 +605,52 @@ object Graft {
       case (acc, (k, p)) => when(strata === lit(k), lit(p)).otherwise(acc)
     }
     df.filter(pmod(phash32(id.cast(StringType)), lit(100)) < rateCol)
+  }
+
+  /** Attach zero-cost data-quality counters to a pipeline stage:
+    * row count, empty/null-text count, and total characters ride the
+    * existing action as accumulator-backed observed metrics
+    * (`Dataset.observe`) — no extra pass, no extra shuffle, readable from
+    * `Observation.get` after any action completes. This is how a 100 TB
+    * cleaning run reports per-stage survivor counts without re-counting:
+    * the metrics are a side effect of the write it was doing anyway.
+    */
+  def observeQuality(df: DataFrame, name: String,
+      text: Column): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    val instrumented = df.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(text.isNull || length(text) === 0, 1L).otherwise(0L))
+        .as("empty_docs"),
+      coalesce(sum(length(text).cast(LongType)), lit(0L)).as("total_chars"))
+    (instrumented, obs)
+  }
+
+  /** Corpus snapshot diff: classify every key as added / removed /
+    * changed between two snapshots, comparing a fixed-width md5 over
+    * `hashCols` (nulls and column boundaries disambiguated with control
+    * bytes, so ("a",null) never collides with ("a","")). The full-outer
+    * join runs on (key, 16-byte sig) projections — snapshot bodies never
+    * shuffle — and unchanged keys (the overwhelming majority between
+    * adjacent crawls) are filtered before anything downstream. The ops
+    * question this answers at 100 TB: "what actually changed between
+    * yesterday's corpus and today's?" without re-reading either corpus
+    * twice.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "snapshotDiff needs at least one hash column")
+    def sig(df: DataFrame, as: String) = df.select(col(key),
+      md5(concat_ws("\u0001", hashCols.map(c =>
+        coalesce(col(c).cast(StringType), lit("\u0000"))): _*)).as(as))
+    sig(oldDf, "__old_sig").join(sig(newDf, "__new_sig"), Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("__old_sig").isNull, lit("added"))
+          .when(col("__new_sig").isNull, lit("removed"))
+          .when(col("__old_sig") =!= col("__new_sig"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col(key), col("change"))
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–

@@ -955,5 +955,41 @@ object LlmOps {
              |       AS DOUBLE)
              |    / (CASE WHEN source = 'src0' THEN 3.0 ELSE 1.0 END)
              |    AS mix_order
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q57 — corpus snapshot diff (Graft.snapshotDiff): added / removed /
+    // changed keys between two simulated crawl snapshots (membership by
+    // doc_id mod, a content perturbation on every 11th doc). The join runs
+    // on (key, md5 sig) projections — bodies never shuffle — and the
+    // unchanged majority is filtered before output.
+    Q("q57_snapshot_diff",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"),
+            (col("n_chars") + when(pmod(col("doc_id"), lit(11)) === 0, 1)
+              .otherwise(0)).as("n_chars"))
+        Graft.snapshotDiff(oldSnap, newSnap, key = "doc_id",
+            hashCols = Seq("lang", "source", "n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH olds AS (
+             |  SELECT doc_id, lang, source, n_chars FROM documents
+             |  WHERE doc_id % 7 != 0),
+             |news AS (
+             |  SELECT doc_id, lang, source,
+             |    n_chars + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+             |      AS n_chars
+             |  FROM documents WHERE doc_id % 5 != 0)
+             |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS change
+             |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+             |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+             |   OR o.lang != n.lang OR o.source != n.source
+             |   OR o.n_chars != n.n_chars
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -653,4 +653,26 @@ class GraftApiSpec extends SparkSpec {
     // shingle 'x y' appears in docs 1 and 2 (df=2); all others df=1
     assert(out.toSeq == Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 2L, 0.0)))
   }
+
+  test("snapshotDiff: added/removed/changed classified; null vs empty distinct") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None: Option[String])).toDF("k", "v")
+    val newDf = Seq((1L, Some("a")), (2L, Some("B")), (5L, Some("e")),
+      (4L, Some(""))).toDF("k", "v")
+    val out = Graft.snapshotDiff(oldDf, newDf, "k", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added",
+      4L -> "changed"), "null -> '' must register as a change, 1L unchanged")
+  }
+
+  test("observeQuality: counters ride the action, values exact") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, ""), (3L, null: String), (4L, "xy"))
+      .toDF("k", "body")
+    val (instrumented, obs) = Graft.observeQuality(df, "stage0", col("body"))
+    instrumented.collect()
+    val m = obs.get
+    assert(m("rows") == 4L && m("empty_docs") == 2L && m("total_chars") == 5L)
+  }
 }

@@ -108,4 +108,33 @@ class PlanAuditSpec extends SparkSpec {
     val finalPlan = df.queryExecution.executedPlan.toString
     assert(finalPlan.contains("*("), s"no codegen spans:\n$finalPlan")
   }
+
+  test("q54: weighted sample is TakeOrderedAndProject, no global sort/RNG") {
+    val p = plan("q54_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "weighted sampling must not global-sort the corpus: " + p)
+    assert(!p.toLowerCase.contains("rand"), "selection must be hash-derived: " + p)
+  }
+
+  test("q52: quantile thresholds broadcast back, data side never shuffles on the join") {
+    val p = plan("q52_quantile_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q53: key skew totals broadcast one row, no unpartitioned window") {
+    val p = plan("q53_key_skew")
+    assert(!p.contains("Window"), "totals must not be a global window: " + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+        || p.contains("BroadcastHashJoin"),
+      "expected the one-row totals to join via broadcast: " + p)
+  }
+
+  test("q56: mix interleave windows per source, never one global task") {
+    val p = plan("q56_mix")
+    // the keyed window shuffles by source; only the final declared-query
+    // presentation ORDER BY may range-partition
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
 }
