@@ -181,6 +181,10 @@ object Graft {
       .select(id.as("__id"), transform(tokenSet(text), t => phash32(t)).as("__hs"))
       .select(col("__id"),
         GraftFunctions.simhash(df.sparkSession, col("__hs"), bits).as("simhash"))
+      // self-join below: without this the tokenize+md5+simhash lineage
+      // runs once PER SIDE (the dominant cost — measured at sf0.1); see
+      // the object-level caching note
+      .cache()
     val banded = sigs.select(col("__id"), col("simhash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),

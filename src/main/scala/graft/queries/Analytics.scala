@@ -398,6 +398,27 @@ object Analytics {
              |  round(CAST(cnt AS DOUBLE) / total, 6) AS frac,
              |  round(CAST(cnt AS DOUBLE) * nkeys / total, 6) AS skew
              |FROM c CROSS JOIN t
-             |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin))
+             |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin)),
+
+    // Q58 — file provenance via the hidden `_metadata` scan columns: per
+    // input file, row count and key range — the lineage report that maps a
+    // bad record back to the crawl shard that produced it. Zero extra I/O
+    // (file name rides the scan); the fixture is single-file so the oracle
+    // pins the expected name, the multi-file behavior is SinksSpec's.
+    Q("q58_provenance",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .select(col("_metadata.file_name").as("file_name"),
+            col("l_orderkey"))
+          .groupBy(col("file_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+          .orderBy(col("file_name"))
+      },
+      Some("""SELECT 'lineitem.parquet' AS file_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+             |FROM lineitem GROUP BY 1 ORDER BY file_name""".stripMargin))
   )
 }

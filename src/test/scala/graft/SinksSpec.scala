@@ -23,6 +23,19 @@ class SinksSpec extends SparkSpec {
       s"lang filter not pruned:\n$plan")
   }
 
+  test("_metadata provenance: per-file row counts over a multi-file write") {
+    val out = tmp() + "/prov"
+    spark.range(100).withColumn("part", col("id") % 4)
+      .repartition(4, col("part")).write.parquet(out)
+    val perFile = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_name").as("file_name"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.length > 1, "expected multiple files from 4 partitions")
+    assert(perFile.map(_.getLong(1)).sum == 100L, "counts partition the rows")
+    assert(perFile.forall(_.getString(0).endsWith(".parquet")))
+  }
+
   test("zorderKey interleaves bits exactly; z-ordered write round-trips") {
     import spark.implicits._
     import graft.api.Graft
