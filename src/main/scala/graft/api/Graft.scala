@@ -622,11 +622,18 @@ object Graft {
   def observeQuality(df: DataFrame, name: String,
       text: Column): (DataFrame, Observation) = {
     val obs = Observation(name)
-    val instrumented = df.observe(obs,
+    val metrics = Seq(
       count(lit(1)).as("rows"),
       sum(when(text.isNull || length(text) === 0, 1L).otherwise(0L))
         .as("empty_docs"),
       coalesce(sum(length(text).cast(LongType)), lit(0L)).as("total_chars"))
+    // Observation-backed observe rejects streaming datasets; a stream
+    // reports the same counters per micro-batch through
+    // StreamingQueryProgress.observedMetrics(name) instead, and the
+    // returned Observation is simply never completed.
+    val instrumented =
+      if (df.isStreaming) df.observe(name, metrics.head, metrics.tail: _*)
+      else df.observe(obs, metrics.head, metrics.tail: _*)
     (instrumented, obs)
   }
 
@@ -1327,6 +1334,35 @@ object Graft {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
         (-sum(log(col("__cnt").cast(DoubleType) / col("__tot").cast(DoubleType)))
+          / count(lit(1))).as("xent"))
+  }
+
+  /** Bigram-LM cross-entropy: each document scored under the corpus's own
+    * bigram conditional distribution, xent = −mean ln c(w1 w2)/c(w1 ·) —
+    * one Markov order above [[lmScore]], the cheap KenLM-style fluency
+    * filter (word-salad and shuffled text score high even when every
+    * unigram is corpus-typical). Bigrams build row-local (`zip_with` over
+    * adjacent slices, no shuffle); counts are two map-side-combinable
+    * aggregations; the joins back are keyed by bigram/left-token (hot
+    * stopword bigrams → AQE skew join). Documents with fewer than two
+    * tokens have no bigrams and are absent from the output. The exploded
+    * bigram table is cached — three downstream uses would otherwise
+    * re-explode the corpus per use.
+    */
+  def lmScoreBigram(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ts = split(lower(text), " ")
+    val bi = df.select(id.as("id"),
+        explode(zip_with(
+          slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache()
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cnt"))
+    val cl = bi.groupBy(col("w1")).agg(count(lit(1)).as("__lcnt"))
+    bi.join(cb, Seq("w1", "w2")).join(cl, Seq("w1"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(log(col("__cnt").cast(DoubleType) / col("__lcnt").cast(DoubleType)))
           / count(lit(1))).as("xent"))
   }
 

@@ -486,6 +486,32 @@ object TextOps {
              |  round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
              |        / count(*), 6) AS boiler_frac
              |FROM sh JOIN dfreq USING (s)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q59 — bigram-LM cross-entropy (Graft.lmScoreBigram): per-doc fluency
+    // under the corpus's own bigram conditionals — one Markov order above
+    // q33_lm_score; catches shuffled/word-salad text whose unigrams are
+    // all corpus-typical. Row-local bigram build, keyed count aggs + joins.
+    Q("q59_lm_bigram",
+      (s, d) => {
+        Graft.lmScoreBigram(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bi AS (
+             |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+             |    SELECT doc_id,
+             |      unnest([{'w1': ts[i], 'w2': ts[i+1]}
+             |              FOR i IN range(1, len(ts))]) AS b
+             |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+             |          FROM documents))),
+             |cb AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY w1, w2),
+             |cl AS (SELECT w1, count(*) AS lcnt FROM bi GROUP BY w1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  -sum(ln(CAST(cnt AS DOUBLE) / CAST(lcnt AS DOUBLE)))
+             |    / count(*) AS xent
+             |FROM bi JOIN cb USING (w1, w2) JOIN cl USING (w1)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -666,6 +666,22 @@ class GraftApiSpec extends SparkSpec {
       4L -> "changed"), "null -> '' must register as a change, 1L unchanged")
   }
 
+  test("lmScoreBigram: unique continuations score high, sub-2-token docs absent") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a b"), (2L, "a b a b"), (3L, "a z"), (4L, "q"))
+      .toDF("k", "body")
+    val out = Graft.lmScoreBigram(df, col("k"), col("body"))
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 5L), (2L, 3L), (3L, 1L)),
+      "bigram counts = tokens-1; the single-token doc is absent")
+    // corpus: c(ab)=5 c(ba)=3 c(az)=1, c(a.)=6 c(b.)=3
+    val Seq(x1, x2, x3) = out.map(_._3).toSeq
+    assert(math.abs(x1 - (-(3 * math.log(5.0 / 6)) / 5)) < 1e-9)
+    assert(math.abs(x3 - (-math.log(1.0 / 6))) < 1e-9)
+    assert(x3 > x2 && x3 > x1, "the unique-bigram doc is least fluent")
+  }
+
   test("observeQuality: counters ride the action, values exact") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, ""), (3L, null: String), (4L, "xy"))

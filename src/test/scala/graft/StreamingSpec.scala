@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("observeQuality counters surface per micro-batch on a streaming query") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val (instrumented, _) = graft.api.Graft.observeQuality(
+      input.toDF().toDF("k", "body"), "stream_stage", col("body"))
+    val query = instrumented
+      .writeStream.format("memory").queryName("obs_golden")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "abc"), (2L, ""), (3L, "de"))
+      query.processAllAvailable()
+      // streaming surfaces observed metrics per batch via progress events,
+      // not Observation.get (which requires batch queries)
+      val m = query.lastProgress.observedMetrics.get("stream_stage")
+      assert(m.getAs[Long]("rows") == 3L)
+      assert(m.getAs[Long]("empty_docs") == 1L)
+      assert(m.getAs[Long]("total_chars") == 5L)
+    } finally query.stop()
+  }
+
   test("Q39: dropDuplicatesWithinWatermark keeps first arrival per event_id") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
