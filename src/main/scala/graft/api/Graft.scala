@@ -1231,6 +1231,9 @@ object Graft {
     require(n >= 1, s"n must be >= 1: $n")
     require(minDf >= 2, s"minDf must be >= 2: $minDf")
     val sh = df.select(id.as("id"), explode(shingleSet(text, n)).as("__sh"))
+      // used twice (df count + join back) — uncached, the corpus would
+      // re-tokenize and re-explode per use (measured 4.8s -> 2.9s sf0.1)
+      .cache()
     val docFreq = sh.groupBy(col("__sh"))
       .agg(count(lit(1)).as("__df"))
     sh.join(docFreq, Seq("__sh"))

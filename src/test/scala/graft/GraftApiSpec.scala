@@ -666,6 +666,27 @@ class GraftApiSpec extends SparkSpec {
       4L -> "changed"), "null -> '' must register as a change, 1L unchanged")
   }
 
+  test("laws: snapshotDiff(df, df) empty; incremental dedup vs empty corpus = plain dedup; weightedSample invariant to constant weight scaling") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    assert(Graft.snapshotDiff(docs, docs, "doc_id", Seq("lang", "text")).isEmpty,
+      "a snapshot diffed against itself reports no changes")
+    val viaIncr = Graft.dedupIncremental(docs, docs.filter(lit(false)),
+      col("text"), col("text"), Seq(col("doc_id"))).select("doc_id")
+    val viaExact = Graft.dedupExact(
+        docs.withColumn("__sig", Graft.contentSignature(col("text"))),
+        Seq(col("__sig")), Seq(col("doc_id"))).select("doc_id")
+    assert(viaIncr.exceptAll(viaExact).isEmpty && viaExact.exceptAll(viaIncr).isEmpty,
+      "with nothing in the corpus, incremental dedup IS within-batch dedup")
+    val k = 25
+    val w1 = Graft.weightedSample(docs, col("doc_id"), lit(1.0), k)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val w7 = Graft.weightedSample(docs, col("doc_id"), lit(7.0), k)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(w1 == w7, "scaling every weight by a constant cannot change the sample")
+  }
+
   test("lmScoreBigram: unique continuations score high, sub-2-token docs absent") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a b"), (2L, "a b a b"), (3L, "a z"), (4L, "q"))
