@@ -1518,4 +1518,184 @@ object Graft {
       aggregate(terms, lit(0L), (acc, x) => pmod(acc + x, lit(P)))
         .as("fingerprint"))
   }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE integer ticks per key
+    * (tick = any integer time index the caller derives — epoch day, hour
+    * bucket, sequence number). The classic `tick − row_number()` trick:
+    * within a key, consecutive ticks share the difference, so one keyed
+    * window plus one keyed aggregation finds every maximal run — no
+    * self-join, no iteration. Duplicate (key, tick) observations collapse
+    * first so multiplicity can't split an island. Both shuffles are keyed
+    * by `key`; no global window anywhere — the shape survives 1000
+    * executors as long as a single key's tick set fits a partition (an
+    * events-per-user table at any realistic scale).
+    */
+  def activityIslands(df: DataFrame, key: Column, tick: Column): DataFrame = {
+    val t = df.select(key.as("key"), tick.cast(LongType).as("tick")).distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("tick"))
+    t.withColumn("__island", col("tick") - row_number().over(w))
+      .groupBy(col("key"), col("__island"))
+      .agg(min(col("tick")).as("start_tick"),
+        max(col("tick")).as("end_tick"),
+        count(lit(1)).as("n_ticks"))
+      .drop("__island")
+  }
+
+  /** SCD2 history build: collapse an ordered per-key observation stream
+    * into slowly-changing-dimension rows — one row per maximal run of
+    * consecutive equal `attr` values, with `valid_from` = the run's first
+    * order value and `valid_to` = the next run's `valid_from` (null for
+    * the current/open run). The lakehouse dimension-table shape MERGE
+    * pipelines maintain incrementally; this is the batch (re)build.
+    *
+    * Change detection is null-safe (`<=>`): a null attribute value forms
+    * its own run rather than merging with neighbors. Three keyed windows
+    * + one keyed aggregation, all partitioned by `key` — never a global
+    * window; per-key history is assumed to fit a partition (dimension
+    * keys, not fact rows).
+    */
+  def collapseScd2(df: DataFrame, key: Column, attr: Column,
+      order: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("__ord"))
+    val runs = df.select(key.as("key"), attr.as("attr"), order.as("__ord"))
+      .withColumn("__chg",
+        when(row_number().over(w) === 1 ||
+          !(lag(col("attr"), 1).over(w) <=> col("attr")), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("key"), col("version"))
+      .agg(min(col("attr")).as("attr"), // constant within a run
+        min(col("__ord")).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val wv = Window.partitionBy(col("key")).orderBy(col("version"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .select(col("key"), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"), col("n_obs"))
+  }
+
+  /** Per-document token-distribution stats: unigram Shannon entropy (nats)
+    * and type-token ratio — the cheap lexical-diversity quality signals
+    * (low entropy ⇒ repetitive/templated text; the corpus-free complement
+    * of [[lmScore]]'s corpus-relative fluency). One explode feeding a
+    * (doc, token) count, then a per-doc fold: entropy = ln n − (Σ c·ln c)/n
+    * so the per-token term needs no division. Both aggregations are keyed
+    * and map-side combinable; the double sum is unordered but per-doc terms
+    * land ~1e-13 apart across engines — far under 6-dp hashing.
+    */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val c = col("__c").cast(DoubleType)
+    df.select(id.as("id"), explode(split(lower(text), " ")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (log(sum(col("__c")).cast(DoubleType)) -
+          sum(c * log(c)) / sum(col("__c")).cast(DoubleType)).as("entropy"),
+        (count(lit(1)).cast(DoubleType) /
+          sum(col("__c")).cast(DoubleType)).as("ttr"))
+  }
+
+  /** Canonical URL form for dedup keys: lowercased scheme + host, default
+    * ports (:80/:443) dropped, fragment stripped, tracking query params
+    * (utm_*, fbclid, gclid, ref) removed with separators repaired,
+    * trailing slashes trimmed (bare root stays "/"). Everything is
+    * decompose-with-`regexp_extract` + rebuild — per-row codegen'd
+    * regexes restricted to constructs with identical Java-regex/RE2
+    * semantics, so an external (DuckDB/Trino) pipeline computes the same
+    * key byte-for-byte. Path case is preserved (paths are case-sensitive;
+    * hosts are not). Non-tracking query params survive — a different
+    * query string IS a different page.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    // NOTE: bare scheme pattern has no group; host/rest patterns inline it
+    // so their ([^/?#]+) capture stays group 1
+    val schemeBody = "[A-Za-z][A-Za-z0-9+.-]*"
+    val scheme = lower(regexp_extract(url, s"^($schemeBody)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, s"^$schemeBody://([^/?#]+)", 1)),
+      ":(80|443)$", "")
+    val rest0 = regexp_replace(url, s"^$schemeBody://[^/?#]+", "")
+    val rest1 = regexp_replace(rest0, "#.*$", "") // fragment
+    val rest2 = regexp_replace(rest1, // tracking params, keep separator
+      "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*", "$1")
+    val rest3 = regexp_replace( // repair "&&", "?&", dangling "?"/"&"
+      regexp_replace(regexp_replace(rest2, "&&+", "&"), "\\?&", "?"),
+      "[?&]+$", "")
+    val rest4 = regexp_replace(rest3, "/+$", "") // trailing slashes
+    concat(scheme, lit("://"), host,
+      when(rest4 === "", "/").otherwise(rest4))
+  }
+
+  /** Per-group robust outlier scores: |x − median| / (1.4826 · MAD) — the
+    * median-absolute-deviation z-score, immune to the outliers it hunts
+    * (unlike stddev-based scores, where one extreme row inflates the
+    * denominator and hides itself). Exact linear-interpolation medians
+    * (`percentile` ≡ DuckDB `quantile_cont` — oracle-exact, proven by
+    * q11_percentiles); two rounds of tiny per-group threshold tables
+    * joined back (AQE broadcasts them — group counts, not row counts).
+    * `approx_percentile` is the documented swap at extreme group
+    * cardinality. Groups whose MAD is 0 (over half the values identical)
+    * get null scores rather than ±Inf.
+    */
+  def robustOutlierScores(df: DataFrame, id: Column, group: Column,
+      value: Column): DataFrame = {
+    val base = df.select(id.as("id"), group.as("grp"), value.as("v"))
+    val med = base.groupBy(col("grp"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val withDev = base.join(med, Seq("grp"))
+      .withColumn("__dev", abs(col("v") - col("med")))
+    val mad = withDev.groupBy(col("grp"))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    withDev.join(mad, Seq("grp"))
+      .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
+        when(col("mad") > 0.0, col("__dev") / (lit(1.4826) * col("mad")))
+          .as("score"))
+  }
+
+  /** Exact triangle listing over an undirected pair graph (edges as
+    * (a, b) with a < b, e.g. a near-dup candidate graph): the standard
+    * degree-ordered two-join algorithm — orient every edge from the
+    * lower-(degree, id) endpoint to the higher, join oriented edges on
+    * their source to enumerate wedges, then confirm the closing edge with
+    * one more equi-join. Degree orientation bounds each source's fan-out
+    * by O(√|E|) (arboricity argument), which is what keeps the wedge
+    * table linear-ish on skewed graphs — the naive a<b<c orientation
+    * explodes on hub nodes. All three shuffles are keyed equi-joins.
+    * Output: one row per triangle, corners sorted ascending.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint under that total
+    // order; carry the dst's (degree, id) rank so wedges can reuse it
+    val lt = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), Seq("b"))
+      .select(
+        when(lt, col("a")).otherwise(col("b")).as("src"),
+        when(lt, col("b")).otherwise(col("a")).as("dst"),
+        when(lt, col("db")).otherwise(col("da")).as("dd"))
+      .cache() // used three times below; uncached each use re-joins degrees
+    // wedge endpoints ordered by the SAME (degree, id) order as the
+    // orientation, so a closing edge between them — if one exists — is
+    // oriented exactly u→v, and the confirm join is a pure equi-join
+    // (an either-direction OR condition would degrade to a nested loop).
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("apex"),
+        col("e1.dst").as("u"), col("e2.dst").as("v"))
+    val closed = wedges.join(oriented,
+      col("src") === col("u") && col("dst") === col("v"))
+    closed.select(
+      least(col("apex"), col("u"), col("v")).as("x"),
+      array_sort(array(col("apex"), col("u"), col("v"))).getItem(1).as("y"),
+      greatest(col("apex"), col("u"), col("v")).as("z"))
+  }
 }

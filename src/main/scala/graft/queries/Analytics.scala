@@ -419,6 +419,146 @@ object Analytics {
       Some("""SELECT 'lineitem.parquet' AS file_name,
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
-             |FROM lineitem GROUP BY 1 ORDER BY file_name""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY file_name""".stripMargin)),
+
+    // Q60 — UNPIVOT / melt: wide measure columns to long (key, measure,
+    // value) rows — the schema-normalization dual of q15_pivot and the
+    // standard reshape before per-measure operators (histogram, outlier
+    // scan) that want ONE value column. Spark compiles `unpivot` to an
+    // Expand (each input row emits 4 projected rows map-side — no
+    // shuffle, no join); the oracle spells out the equivalent UNION ALL.
+    Q("q60_unpivot",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "measure", "value")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |    'l_quantity' AS measure, l_quantity AS value FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber,
+             |    'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber,
+             |    'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber,
+             |    'l_tax', l_tax FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // Q61 — gaps-and-islands (Graft.activityIslands): maximal runs of
+    // consecutive active DAYS per user from the raw event stream — the
+    // engagement-streak / contiguous-coverage query. tick = epoch-day
+    // offset from the fixture's first day (pure integer arithmetic on
+    // both engines); one keyed window + one keyed aggregation, no
+    // self-join, no iteration.
+    Q("q61_islands",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        graft.api.Graft.activityIslands(ev, col("user_id"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .withColumnRenamed("key", "user_id")
+          .orderBy(col("user_id"), col("start_tick"))
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS tick
+             |  FROM events),
+             |i AS (
+             |  SELECT user_id, tick,
+             |    tick - row_number() OVER (PARTITION BY user_id
+             |      ORDER BY tick) AS island
+             |  FROM t)
+             |SELECT user_id, min(tick) AS start_tick, max(tick) AS end_tick,
+             |  CAST(count(*) AS BIGINT) AS n_ticks
+             |FROM i GROUP BY user_id, island
+             |ORDER BY user_id, start_tick""".stripMargin)),
+
+    // Q62 — SCD2 dimension build (Graft.collapseScd2): collapse each
+    // customer's order-priority observation stream into
+    // slowly-changing-dimension validity intervals — one row per maximal
+    // run of equal values, valid_to = next run's valid_from (null = open).
+    // The observation order is a single scalar (epoch-day · 10^7 +
+    // orderkey — a fixture-scale tiebreak encoding; a production table
+    // would order by a monotone change-sequence column), decoded back to
+    // the day for the output. Three keyed windows + one keyed agg, all
+    // partitioned by customer.
+    Q("q62_scd2",
+      (s, d) => {
+        val ord = datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast(LongType) * 10000000L +
+          col("o_orderkey")
+        graft.api.Graft.collapseScd2(Tables(s, d, "orders"),
+            col("o_custkey"), col("o_orderpriority"), ord)
+          .select(col("key").as("o_custkey"), col("version"),
+            col("attr").as("priority"),
+            expr("valid_from DIV 10000000").as("from_day"),
+            expr("valid_to DIV 10000000").as("to_day"),
+            col("n_obs"))
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderpriority,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             |      * 10000000 + o_orderkey AS ord
+             |  FROM orders),
+             |c AS (
+             |  SELECT o_custkey, o_orderpriority, ord,
+             |    CASE WHEN row_number() OVER w = 1 OR NOT (
+             |        lag(o_orderpriority) OVER w IS NOT DISTINCT FROM
+             |        o_orderpriority) THEN 1 ELSE 0 END AS chg
+             |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY ord)),
+             |v AS (
+             |  SELECT o_custkey, o_orderpriority, ord,
+             |    sum(chg) OVER (PARTITION BY o_custkey ORDER BY ord
+             |      ROWS UNBOUNDED PRECEDING) AS version
+             |  FROM c),
+             |r AS (
+             |  SELECT o_custkey, version, min(o_orderpriority) AS priority,
+             |    min(ord) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM v GROUP BY o_custkey, version)
+             |SELECT o_custkey, CAST(version AS BIGINT) AS version, priority,
+             |  valid_from // 10000000 AS from_day,
+             |  lead(valid_from) OVER (PARTITION BY o_custkey
+             |    ORDER BY version) // 10000000 AS to_day,
+             |  n_obs
+             |FROM r ORDER BY o_custkey, version""".stripMargin)),
+
+    // Q67 — robust outlier scan (Graft.robustOutlierScores): top-50
+    // orders by MAD z-score within their priority class — the
+    // data-quality sweep where stddev-based scores fail (one extreme row
+    // inflates the denominator and hides itself). Exact medians
+    // (percentile ≡ quantile_cont, proven oracle-exact by
+    // q11_percentiles); per-group threshold tables broadcast back.
+    Q("q67_outliers",
+      (s, d) => {
+        graft.api.Graft.robustOutlierScores(Tables(s, d, "orders"),
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .where(col("score").isNotNull)
+          .select(col("id").as("o_orderkey"), col("grp").as("priority"),
+            col("v").as("price"), round(col("med"), 6).as("med"),
+            round(col("mad"), 6).as("mad"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY o_orderpriority),
+             |d AS (
+             |  SELECT o_orderkey, o.o_orderpriority, o_totalprice, med,
+             |    abs(o_totalprice - med) AS dev
+             |  FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority),
+             |md AS (
+             |  SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad
+             |  FROM d GROUP BY o_orderpriority)
+             |SELECT o_orderkey, d.o_orderpriority AS priority,
+             |  o_totalprice AS price, round(med, 6) AS med,
+             |  round(mad, 6) AS mad,
+             |  round(dev / (1.4826 * mad), 6) AS score
+             |FROM d JOIN md ON d.o_orderpriority = md.o_orderpriority
+             |WHERE mad > 0
+             |ORDER BY score DESC, o_orderkey LIMIT 50""".stripMargin))
   )
 }

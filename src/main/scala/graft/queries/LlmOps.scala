@@ -991,5 +991,32 @@ object LlmOps {
              |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
              |   OR o.lang != n.lang OR o.source != n.source
              |   OR o.n_chars != n.n_chars
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q66 — triangle listing over the dup graph (Graft.triangles):
+    // triangles measure clique density — a dup cluster whose pairs all
+    // close into triangles is one page crawled N times (safe to collapse
+    // to one survivor); a sparse star is a hub template linking distinct
+    // pages (collapsing loses content). Degree-ordered two-join algorithm
+    // (wedge fan-out bounded by O(√|E|) per source — the naive a<b<c
+    // orientation explodes on hubs); all shuffles are keyed equi-joins.
+    // The oracle needs no graph code: exact-dup edges are signature
+    // cliques, so triangles are exactly the 3-subsets per signature.
+    Q("q66_triangles",
+      (s, d) => {
+        val pairs = Graft.exactDupPairs(Tables(s, d, "documents"),
+          id = col("doc_id"), text = col("text"))
+        Graft.triangles(pairs)
+          .orderBy(col("x"), col("y"), col("z"))
+      },
+      Some("""WITH sigs AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(text, ' '))), ' ')) AS sig
+             |  FROM documents)
+             |SELECT a.doc_id AS x, b.doc_id AS y, c.doc_id AS z
+             |FROM sigs a JOIN sigs b
+             |  ON a.sig = b.sig AND a.doc_id < b.doc_id
+             |JOIN sigs c ON b.sig = c.sig AND b.doc_id < c.doc_id
+             |ORDER BY x, y, z""".stripMargin)))
 }

@@ -512,6 +512,139 @@ object TextOps {
              |  -sum(ln(CAST(cnt AS DOUBLE) / CAST(lcnt AS DOUBLE)))
              |    / count(*) AS xent
              |FROM bi JOIN cb USING (w1, w2) JOIN cl USING (w1)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q63 — token-distribution stats (Graft.tokenEntropy): unigram
+    // Shannon entropy + type-token ratio per document — the corpus-free
+    // lexical-diversity quality gate (low entropy = templated/repetitive
+    // text) complementing q33_lm_score's corpus-relative fluency. One
+    // explode into two keyed map-side-combinable aggregations; entropy
+    // folded as ln n − (Σ c·ln c)/n so no per-token division.
+    Q("q63_entropy",
+      (s, d) => {
+        Graft.tokenEntropy(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"))
+          .select(col("id").as("doc_id"), col("n_tokens"), col("n_types"),
+            round(col("entropy"), 6).as("entropy"),
+            round(col("ttr"), 6).as("ttr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY doc_id, tok)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_types,
+             |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+             |  round(count(*) / sum(c), 6) AS ttr
+             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q64 — canonical-URL dedup (Graft.canonicalizeUrl): collapse crawl
+    // URL variants (host case, default ports, fragments, tracking params,
+    // trailing slashes) onto one canonical key and keep-first per key —
+    // the URL-level dedup pass that runs BEFORE any content hashing in a
+    // web-corpus pipeline. Fixture URLs are synthesized as a pure
+    // function of doc_id (page id = doc_id/4; variants 0-3 dirty the
+    // same base URL four ways), so both engines build identical inputs;
+    // variant 3 keeps its non-tracking `a=1` param — a different query
+    // string IS a different page, and the group splits 3+1 by design.
+    // Canonicalization is per-row codegen regex; dedup is one keyed agg.
+    Q("q64_url_dedup",
+      (s, d) => {
+        val pid = expr("doc_id DIV 4")
+        val host = concat(lit("src"), pmod(pid, lit(20)).cast("string"),
+          lit(".example.com"))
+        val path = concat(lit("/p/"), pid.cast("string"))
+        val url = when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("https://"), host, path))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("HTTPS://"), upper(host), path,
+              lit("?utm_source=feed")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://"), host, path, lit("/?ref=nav#frag")))
+          .otherwise(
+            concat(lit("https://"), host, lit(":443"), path,
+              lit("?a=1&utm_campaign=x")))
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            Graft.canonicalizeUrl(url).as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(min(col("doc_id")).as("keep_doc"),
+            count(lit(1)).as("n_variants"))
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'src' || CAST((doc_id // 4) % 20 AS VARCHAR) ||
+             |      '.example.com' AS host,
+             |    '/p/' || CAST(doc_id // 4 AS VARCHAR) AS path
+             |  FROM documents),
+             |raw AS (
+             |  SELECT doc_id, CASE doc_id % 4
+             |    WHEN 0 THEN 'https://' || host || path
+             |    WHEN 1 THEN 'HTTPS://' || upper(host) || path
+             |      || '?utm_source=feed'
+             |    WHEN 2 THEN 'https://' || host || path || '/?ref=nav#frag'
+             |    ELSE 'https://' || host || ':443' || path
+             |      || '?a=1&utm_campaign=x' END AS url
+             |  FROM u),
+             |c AS (
+             |  SELECT doc_id,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             |      || '://' ||
+             |    regexp_replace(lower(regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             |      ':(80|443)$', '') ||
+             |    CASE WHEN rest = '' THEN '/' ELSE rest END AS canonical
+             |  FROM (
+             |    SELECT doc_id, url, regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(regexp_replace(
+             |        regexp_replace(regexp_replace(url,
+             |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', ''),
+             |        '#.*$', ''),
+             |        '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*',
+             |        '\1', 'g'),
+             |      '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', ''),
+             |      '/+$', '') AS rest
+             |    FROM raw))
+             |SELECT canonical, min(doc_id) AS keep_doc,
+             |  CAST(count(*) AS BIGINT) AS n_variants
+             |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin)),
+
+    // Q65 — perplexity bucketing (CCNet head/middle/tail): per language,
+    // rank documents by unigram-LM cross-entropy and cut into terciles —
+    // the quality-tier assignment that decides which corpus slice trains
+    // vs gets filtered. ntile over a fully-tiebroken keyed window (xent
+    // ties broken by doc_id, so bucket edges are deterministic on both
+    // engines); the LM scoring underneath is q33_lm_score's keyed-agg
+    // shape. Output: every doc with its tier + per-tier membership rank.
+    Q("q65_ppl_bucket",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val scored = Graft.lmScore(docs, id = col("doc_id"), text = col("text"))
+          .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("xent"), col("id"))
+        scored.select(col("id").as("doc_id"), col("lang"),
+            round(col("xent"), 6).as("xent"),
+            ntile(3).over(w).as("tier"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+             |sc AS (
+             |  SELECT doc_id,
+             |    -sum(ln(CAST(c AS DOUBLE) / t)) / count(*) AS xent
+             |  FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id, d.lang, round(xent, 6) AS xent,
+             |  CAST(ntile(3) OVER (PARTITION BY d.lang
+             |    ORDER BY xent, d.doc_id) AS INTEGER) AS tier
+             |FROM sc JOIN documents d USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

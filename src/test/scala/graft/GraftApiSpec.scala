@@ -712,4 +712,86 @@ class GraftApiSpec extends SparkSpec {
     val m = obs.get
     assert(m("rows") == 4L && m("empty_docs") == 2L && m("total_chars") == 5L)
   }
+
+  test("activityIslands: maximal runs, duplicates can't split an island") {
+    import spark.implicits._
+    // user 1: {1,2,3, 7, 9,10} (dup tick 2); user 2: {5}
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (1L, 7L),
+      (1L, 9L), (1L, 10L), (2L, 5L)).toDF("u", "t")
+    val out = Graft.activityIslands(df, col("u"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set((1L, 1L, 3L, 3L), (1L, 7L, 7L, 1L),
+      (1L, 9L, 10L, 2L), (2L, 5L, 5L, 1L)))
+  }
+
+  test("collapseScd2: runs collapse, intervals chain, open run has null end") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1L), (1L, "a", 2L), (1L, "b", 3L), (1L, "a", 4L),
+      (2L, null: String, 1L), (2L, "x", 2L)).toDF("k", "s", "o")
+    val out = Graft.collapseScd2(df, col("k"), col("s"), col("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set(
+      (1L, 1L, Some("a"), 1L, 3L, 2L), // a-run [1,3), 2 observations
+      (1L, 2L, Some("b"), 3L, 4L, 1L),
+      (1L, 3L, Some("a"), 4L, -1L, 1L), // re-entering 'a' is a NEW version
+      (2L, 1L, None, 1L, 2L, 1L), // null attr forms its own run
+      (2L, 2L, Some("x"), 2L, -1L, 1L)))
+  }
+
+  test("tokenEntropy: uniform two-type doc has entropy ln 2, ttr 1/2") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b b"), (2L, "z z z z")).toDF("k", "body")
+    val out = Graft.tokenEntropy(df, col("k"), col("body"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 == 4 && out(1L)._2 == 2)
+    assert(math.abs(out(1L)._3 - math.log(2)) < 1e-12)
+    assert(math.abs(out(1L)._4 - 0.5) < 1e-12)
+    assert(math.abs(out(2L)._3) < 1e-12, "single-type doc has zero entropy")
+  }
+
+  test("canonicalizeUrl: variants collapse, meaning-bearing parts survive") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://Ex.COM/a/b", "https://ex.com/a/b"),
+      ("https://ex.com:443/a/b/", "https://ex.com/a/b"),
+      ("http://ex.com:80/", "http://ex.com/"),
+      ("https://ex.com/a?utm_source=x&q=1#frag", "https://ex.com/a?q=1"),
+      ("https://ex.com/a?q=1&utm_a=2&utm_b=3", "https://ex.com/a?q=1"),
+      ("https://ex.com/a?ref=nav", "https://ex.com/a"),
+      ("https://ex.com/a?href=keep", "https://ex.com/a?href=keep"),
+      ("https://ex.com", "https://ex.com/"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Graft.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
+
+  test("robustOutlierScores: known median/MAD; constant group scores null") {
+    import spark.implicits._
+    val df = (Seq.tabulate(9)(i => (i.toLong, "g", (i + 1).toDouble)) ++
+      Seq((100L, "c", 5.0), (101L, "c", 5.0), (102L, "c", 5.0)))
+      .toDF("pk", "grp", "v")
+    val rows = Graft.robustOutlierScores(df, col("pk"), col("grp"), col("v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // group g = 1..9: med 5, |dev| = {4,3,2,1,0,1,2,3,4} -> mad 2
+    assert(rows(0L).getDouble(3) == 5.0 && rows(0L).getDouble(4) == 2.0)
+    assert(math.abs(rows(0L).getDouble(5) - 4.0 / (1.4826 * 2)) < 1e-12)
+    assert(rows(100L).isNullAt(5), "MAD 0 must score null, not Inf")
+  }
+
+  test("triangles: K4 lists all 4; a star has none; orientation-proof") {
+    import spark.implicits._
+    val k4 = (for {a <- 1L to 4L; b <- (a + 1) to 4L} yield (a, b))
+      .toDF("p", "q")
+    val got = Graft.triangles(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("p", "q")
+    assert(Graft.triangles(star).count() == 0)
+  }
 }
