@@ -1698,4 +1698,97 @@ object Graft {
       array_sort(array(col("apex"), col("u"), col("v"))).getItem(1).as("y"),
       greatest(col("apex"), col("u"), col("v")).as("z"))
   }
+
+  /** Exact grouped k-NN self-join: for every vector, its `k` most
+    * cosine-similar neighbors WITHIN its blocking group (label, IVF cell,
+    * LSH bucket — any partition key that bounds the candidate set). The
+    * calibration workhorse: sweep the returned sim distribution to pick
+    * near-dup thresholds before a full dedup run. Self-pairs excluded;
+    * rank ties broken by neighbor id. The pair join is group-blocked
+    * (never all-pairs) and the native codegen'd cosine runs map-side;
+    * per-vector top-k is one keyed window. Unblocked corpus-wide kNN
+    * at scale goes through the ANN paths (annAssignCells / annSrpCodes)
+    * instead — this is the exact in-cell refinement step.
+    */
+  def knnWithinGroups(df: DataFrame, id: Column, group: Column, vec: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = SparkSession.active
+    val e = df.select(id.as("id"), group.as("grp"), vec.as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.grp") === col("b.grp") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("a.grp").as("grp"),
+        col("b.id").as("nn_id"),
+        GraftFunctions.cosineSim(spark, col("a.v"), col("b.v")).as("sim"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("grp"), col("rank"), col("nn_id"), col("sim"))
+  }
+
+  /** Asymmetric shingle containment: pairs (a, b) where at least
+    * `minContain` of a's distinct `n`-token shingles also occur in b —
+    * the quote/excerpt/sub-document detector Jaccard misses (a short
+    * quote inside a long page has high containment but near-zero
+    * Jaccard). Candidates come from an exploded-shingle equi-join;
+    * shingles with document frequency > `maxDf` are excluded from
+    * candidate generation AND intersection counts (both sides of the
+    * score, so the metric stays well-defined): stopword-like shingles
+    * otherwise dominate the join at corpus scale while carrying no
+    * quote signal. Denominator = a's distinct shingles with df ≤ maxDf.
+    * Every shuffle is keyed by shingle or by pair — never all-pairs.
+    */
+  def shingleContainment(df: DataFrame, id: Column, text: Column, n: Int,
+      minContain: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(n >= 1 && minContain > 0.0 && minContain <= 1.0 && maxDf >= 1)
+    val sh = df.select(id.as("id"), explode(shingleSet(text, n)).as("sh"))
+      .cache() // feeds df-count, sizes, and the pair join
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select(col("sh"))
+    val shRare = sh.join(rare, Seq("sh"))
+    val sizes = shRare.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+    shRare.as("a").join(shRare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .withColumn("containment",
+        col("n_shared").cast(DoubleType) / col("__sz").cast(DoubleType))
+      .where(col("containment") >= minContain)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
+  }
+
+  /** Adjacent-token PMI collocations: ln(c(ab)·N / (c(a·)·c(·b))) over
+    * corpus bigrams with a count floor — the association-mining pass
+    * behind tokenizer-vocab and stop-phrase decisions. Marginals are
+    * positional (left-slot vs right-slot counts), so the identity
+    * pmi = ln N − xent-style terms holds exactly and the double math is
+    * reproducible cross-engine. Bigrams build row-local; all three
+    * counts are keyed, map-side-combinable aggregations; the joins back
+    * are by single token (hot stopwords → AQE skew join). A window-w
+    * skip-gram generalization is the same shape with w explode terms.
+    */
+  def pmiBigrams(df: DataFrame, text: Column, minCount: Long,
+      topN: Int): DataFrame = {
+    val ts = split(lower(text), " ")
+    val bi = df.select(explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache() // feeds pair counts, both marginals, and the grand total
+    val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val total = bi.agg(count(lit(1)).as("n"))
+    cnt.where(col("c12") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        log(col("c12").cast(DoubleType) * col("n").cast(DoubleType) /
+          (col("c1").cast(DoubleType) * col("c2").cast(DoubleType)))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

@@ -1018,5 +1018,73 @@ object LlmOps {
              |FROM sigs a JOIN sigs b
              |  ON a.sig = b.sig AND a.doc_id < b.doc_id
              |JOIN sigs c ON b.sig = c.sig AND b.doc_id < c.doc_id
-             |ORDER BY x, y, z""".stripMargin)))
+             |ORDER BY x, y, z""".stripMargin)),
+
+    // Q68 — exact grouped k-NN (Graft.knnWithinGroups): every vector's 3
+    // nearest cosine neighbors within its label cell — the threshold-
+    // calibration sweep run before a full embedding-dedup pass (pick the
+    // near-dup cutoff FROM this distribution, don't guess it). Blocked
+    // self-join (never all-pairs) + native codegen'd cosine map-side +
+    // one keyed top-k window; corpus-wide kNN at scale goes through the
+    // ANN cell/bucket paths, with this as the in-cell exact refinement.
+    Q("q68_knn",
+      (s, d) => {
+        Graft.knnWithinGroups(Tables(s, d, "embeddings"),
+            id = col("vec_id"), group = col("label"),
+            vec = col("embedding"), k = 3)
+          .select(col("id").as("vec_id"), col("grp").as("label"),
+            col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS vec_id, a.label AS label,
+             |    b.vec_id AS nn_id, list_cosine_similarity(a.v, b.v) AS sim
+             |  FROM e a JOIN e b
+             |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+             |r AS (
+             |  SELECT vec_id, label, nn_id, sim, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rank
+             |  FROM p)
+             |SELECT vec_id, label, CAST(rank AS INTEGER) AS rank, nn_id,
+             |  round(sim, 6) AS sim
+             |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
+    // Q69 — shingle containment (Graft.shingleContainment): pairs where
+    // ≥60% of a's distinct 5-gram shingles occur in b — the asymmetric
+    // quote/excerpt detector Jaccard misses (a quote inside a long page
+    // has high containment, near-zero Jaccard). Candidates from an
+    // exploded-shingle equi-join; shingles with df > 100 are dropped
+    // from BOTH candidate generation and scoring (the corpus-scale
+    // stopphrase guard, mirrored exactly in the oracle).
+    Q("q69_containment",
+      (s, d) => {
+        Graft.shingleContainment(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"), n = 5,
+            minContain = 0.6, maxDf = 100L)
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(ts[i:i+4], ' ')
+             |     FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)])) AS s
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |        FROM documents)),
+             |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+             |shr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+             |sz AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+             |pc AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM shr a JOIN shr b
+             |    ON a.s = b.s AND a.doc_id <> b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_a, id_b, n_shared,
+             |  round(CAST(n_shared AS DOUBLE) / sz.sz, 6) AS containment
+             |FROM pc JOIN sz ON pc.id_a = sz.doc_id
+             |WHERE CAST(n_shared AS DOUBLE) / sz.sz >= 0.6
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

@@ -645,6 +645,40 @@ object TextOps {
              |  CAST(ntile(3) OVER (PARTITION BY d.lang
              |    ORDER BY xent, d.doc_id) AS INTEGER) AS tier
              |FROM sc JOIN documents d USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Q70 — PMI collocations (Graft.pmiBigrams): top-50 adjacent-token
+    // pairs by pointwise mutual information with a count floor — the
+    // association-mining pass behind tokenizer-vocab merges and
+    // stop-phrase lists. All inputs to ln() are ratios of exact integer
+    // counts (products < 2^53), so both engines feed ln the identical
+    // double and even the sort key is bit-reproducible; ties broken by
+    // (w1, w2). Keyed, map-side-combinable counts + single-token joins.
+    Q("q70_pmi",
+      (s, d) => {
+        Graft.pmiBigrams(Tables(s, d, "documents"), col("text"),
+            minCount = 5L, topN = 50)
+          .select(col("w1"), col("w2"), col("c12"),
+            round(col("pmi"), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      },
+      Some("""WITH bi AS (
+             |  SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+             |    SELECT unnest([{'w1': ts[i], 'w2': ts[i+1]}
+             |                   FOR i IN range(1, len(ts))]) AS b
+             |    FROM (SELECT string_split(lower(text), ' ') AS ts
+             |          FROM documents))),
+             |c AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+             |l AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+             |r AS (SELECT w2, count(*) AS c2 FROM bi GROUP BY w2),
+             |t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bi),
+             |top AS (
+             |  SELECT w1, w2, c12, ln(CAST(c12 AS DOUBLE) * n /
+             |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS pmi
+             |  FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+             |  WHERE c12 >= 5
+             |  ORDER BY pmi DESC, w1, w2 LIMIT 50)
+             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, round(pmi, 6) AS pmi
+             |FROM top ORDER BY pmi DESC, w1, w2""".stripMargin))
   )
 }

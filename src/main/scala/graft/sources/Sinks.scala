@@ -60,6 +60,42 @@ object Sinks {
       .parquet(path)
   }
 
+  /** ORC sink: the other columnar format Spark writes natively — kept at
+    * parity with the parquet path (zstd, overwrite) for interop with
+    * ORC-based warehouses. Round-trip equality is SinksSpec's.
+    */
+  def orc(df: DataFrame, path: String, compression: String = "zstd"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .orc(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(inputBytes / targetFileBytes) files. Small-file disease is the
+    * steady-state failure mode of incremental ingest (every micro-batch
+    * writes a file per partition; a year later the NameNode/listing and
+    * task-scheduling overhead dominate scans). One round-robin shuffle
+    * sized from the ACTUAL input bytes (driver-side metadata listing, no
+    * data read) — paid once at maintenance time instead of on every
+    * downstream scan. Compressed-size heuristic: output files land near
+    * `targetFileBytes` because input and output share codec family.
+    * Returns the file count written.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 512L << 20,
+      compression: String = "zstd"): Int = {
+    require(targetFileBytes > 0)
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .parquet(outPath)
+    n
+  }
+
   /** Bucketed catalog table: rows are hash-partitioned into `nBuckets`
     * files by `bucketCols` at write time, so later equi-joins/aggregations
     * on those columns read co-located data and skip the shuffle entirely

@@ -784,6 +784,48 @@ class GraftApiSpec extends SparkSpec {
     assert(rows(100L).isNullAt(5), "MAD 0 must score null, not Inf")
   }
 
+  test("knnWithinGroups: self excluded, blocked by group, ranks ordered") {
+    import spark.implicits._
+    // group 0: x-axis, diag, y-axis; group 1: lone vector (no neighbors)
+    val df = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(1f, 1f)), (3L, 0, Array(0f, 1f)),
+      (9L, 1, Array(1f, 0f))).toDF("pk", "cell", "emb")
+    val out = Graft.knnWithinGroups(df, col("pk"), col("cell"), col("emb"), 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(out(1L) == (1, 2L), "x-axis vector is closest to the diagonal")
+    assert(out(3L) == (1, 2L))
+    assert(out(2L)._2 == 1L, "diag ties x/y at cos 45, id tiebreak keeps 1")
+    assert(!out.contains(9L), "a single-vector group emits no pairs")
+  }
+
+  test("shingleContainment: quote inside a long page scores by the quote") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val page = s"intro words here $quote closing words trail off end"
+    val df = Seq((1L, quote), (2L, page), (3L, "unrelated text entirely now"))
+      .toDF("k", "body")
+    val out = Graft.shingleContainment(df, col("k"), col("body"), n = 3,
+        minContain = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out((1L, 2L)) == 1.0, s"every quote shingle is in the page: $out")
+    assert(!out.contains((2L, 1L)),
+      "page→quote containment is low — asymmetry is the point")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("pmiBigrams: repeated collocation outranks chance co-occurrence") {
+    import spark.implicits._
+    // "new york" always together; "the" pairs with everything
+    val df = Seq.fill(6)("the new york times said the weather in new york")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("k", "body")
+    val out = Graft.pmiBigrams(df, col("body"), minCount = 5L, topN = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val m = out.toMap
+    assert(m.contains(("new", "york")))
+    assert(m(("new", "york")) > m.getOrElse(("the", "new"), Double.MinValue),
+      s"PMI must prefer the exclusive pair: $out")
+  }
+
   test("triangles: K4 lists all 4; a star has none; orientation-proof") {
     import spark.implicits._
     val k4 = (for {a <- 1L to 4L; b <- (a + 1) to 4L} yield (a, b))

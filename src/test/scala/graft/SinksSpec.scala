@@ -105,4 +105,31 @@ class SinksSpec extends SparkSpec {
     assert(back.orderBy("r_regionkey").collect().toSeq ==
       df.orderBy("r_regionkey").collect().toSeq)
   }
+
+  test("orc round-trip preserves values and schema") {
+    val df = Tables(spark, sfDir, "documents")
+    val out = tmp() + "/docs_orc"
+    Sinks.orc(df, out)
+    val back = spark.read.orc(out)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      df.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("compactParquet merges a many-file layout, preserving rows") {
+    val in = tmp() + "/shattered"
+    val df = spark.range(10000).withColumn("v", col("id") * 7)
+    df.repartition(64).write.parquet(in) // 64 tiny files
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(in) == 64)
+    val out = tmp() + "/compacted"
+    val n = Sinks.compactParquet(spark, in, out,
+      targetFileBytes = 1L << 30) // everything fits one file
+    assert(n == 1 && files(out) == 1, s"wrote $n files")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10000 &&
+      back.agg(sum(col("v"))).head.getLong(0) ==
+        df.agg(sum(col("v"))).head.getLong(0))
+  }
 }
