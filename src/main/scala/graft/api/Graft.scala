@@ -1759,6 +1759,52 @@ object Graft {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
   }
 
+  /** Exact-k deterministic per-group sample: the k rows per group whose
+    * md5(id) sorts lowest — the "N eval docs per language" draw. Unlike
+    * rate-based [[hashSampleStratified]] (keep-probability per row, size
+    * varies), this guarantees EXACTLY min(k, |group|) rows; the hash
+    * order makes the draw reproducible across runs/engines and indifferent
+    * to input order. One keyed window — row_number streams each group in
+    * O(1) memory, so a hot group can't blow an executor.
+    */
+  def sampleKPerGroup(df: DataFrame, group: Column, id: Column,
+      k: Int): DataFrame =
+    topKPerGroup(df, Seq(group), Seq(md5(id.cast(StringType)), id), k)
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic:
+    * D = max over x of |F_a(x) − F_b(x)| — the standard distribution-drift
+    * gate between corpus snapshots (alert when a feed's length/score/price
+    * distribution shifts, not just its mean). Exact, not binned: both
+    * empirical CDFs are evaluated at every distinct value. Shape: counts
+    * collapse to one row per DISTINCT value first (ties would otherwise
+    * make a running sum order-ambiguous), then the inclusive cumulative
+    * counts come from the chunked [[prefixSumExclusive]] (value-range
+    * chunks + broadcast carry — never a single-task global window; pick
+    * `chunkSize` ~ the value spread per 64k distinct values). All D
+    * inputs are ratios of exact integer counts — bit-reproducible.
+    * Returns one row: (n_a, n_b, d_stat).
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, value: Column,
+      chunkSize: Long = 1L << 12): DataFrame = {
+    val ua = a.select(value.cast(DoubleType).as("v"),
+      lit(1L).as("__ca"), lit(0L).as("__cb"))
+    val ub = b.select(value.cast(DoubleType).as("v"),
+      lit(0L).as("__ca"), lit(1L).as("__cb"))
+    val byV = ua.unionAll(ub).groupBy(col("v"))
+      .agg(sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"))
+    val cum = prefixSumExclusive(
+      prefixSumExclusive(byV, col("v"), col("na"), "pa", chunkSize),
+      col("v"), col("nb"), "pb", chunkSize)
+    val tot = byV.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"),
+        abs((col("pa") + col("na")).cast(DoubleType) / col("ta").cast(DoubleType) -
+          (col("pb") + col("nb")).cast(DoubleType) / col("tb").cast(DoubleType))
+          .as("__d"))
+      .groupBy(col("ta").as("n_a"), col("tb").as("n_b"))
+      .agg(max(col("__d")).as("d_stat"))
+  }
+
   /** Adjacent-token PMI collocations: ln(c(ab)·N / (c(a·)·c(·b))) over
     * corpus bigrams with a count floor — the association-mining pass
     * behind tokenizer-vocab and stop-phrase decisions. Marginals are

@@ -559,6 +559,43 @@ object Analytics {
              |  round(dev / (1.4826 * mad), 6) AS score
              |FROM d JOIN md ON d.o_orderpriority = md.o_orderpriority
              |WHERE mad > 0
-             |ORDER BY score DESC, o_orderkey LIMIT 50""".stripMargin))
+             |ORDER BY score DESC, o_orderkey LIMIT 50""".stripMargin)),
+
+    // Q72 — two-sample KS drift statistic (Graft.ksStatistic): exact
+    // D = max |F_a − F_b| between the price distributions of two
+    // deterministic order splits — the distribution-level drift gate a
+    // mean/variance monitor misses. CDFs are evaluated at every distinct
+    // value (counts collapsed per value first, so ties can't make the
+    // running sum order-ambiguous); the global cumulative is the chunked
+    // prefix scan, never a single-task window. Every D input is a ratio
+    // of exact integer counts — bit-reproducible across engines.
+    Q("q72_ks_drift",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        graft.api.Graft.ksStatistic(
+            o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+            o.where(pmod(col("o_orderkey"), lit(2)) === 1),
+            col("o_totalprice"))
+          .select(col("n_a"), col("n_b"),
+            round(col("d_stat"), 6).as("d_stat"))
+          .orderBy(col("n_a"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_totalprice AS v,
+             |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ca,
+             |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS cb
+             |  FROM orders),
+             |g AS (SELECT v, sum(ca) AS na, sum(cb) AS nb
+             |      FROM t GROUP BY v),
+             |c AS (SELECT v,
+             |    sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cna,
+             |    sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cnb
+             |  FROM g),
+             |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS ta,
+             |               CAST(sum(cb) AS DOUBLE) AS tb FROM t)
+             |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+             |  round(max(abs(cna / ta - cnb / tb)), 6) AS d_stat
+             |FROM c CROSS JOIN tot GROUP BY ta, tb
+             |ORDER BY n_a""".stripMargin))
   )
 }

@@ -1086,5 +1086,24 @@ object LlmOps {
              |  round(CAST(n_shared AS DOUBLE) / sz.sz, 6) AS containment
              |FROM pc JOIN sz ON pc.id_a = sz.doc_id
              |WHERE CAST(n_shared AS DOUBLE) / sz.sz >= 0.6
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Q71 — exact-k per-group sample (Graft.sampleKPerGroup): exactly 20
+    // docs per language by lowest md5(doc_id) — the fixed-size eval-split
+    // draw. Rate-based hash sampling (q30_sample/q30_stratified) varies
+    // the drawn COUNT; this guarantees it, still reproducible across
+    // runs/engines/input order. One keyed window, O(1) memory per group.
+    Q("q71_group_sample",
+      (s, d) => {
+        Graft.sampleKPerGroup(Tables(s, d, "documents"),
+            group = col("lang"), id = col("doc_id"), k = 20)
+          .select(col("lang"), col("doc_id"), col("source"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""SELECT lang, doc_id, source FROM (
+             |  SELECT lang, doc_id, source, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin)))
 }

@@ -826,6 +826,33 @@ class GraftApiSpec extends SparkSpec {
       s"PMI must prefer the exclusive pair: $out")
   }
 
+  test("sampleKPerGroup: exact size, insensitive to input order") {
+    import spark.implicits._
+    val rows = Seq.tabulate(7)(i => (i.toLong, if (i < 5) "big" else "small"))
+    val df = rows.toDF("pk", "grp")
+    val got = Graft.sampleKPerGroup(df, col("grp"), col("pk"), 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got.count(_._1 == "big") == 3, "exactly k from the big group")
+    assert(got.count(_._1 == "small") == 2, "min(k, |group|) from the small")
+    val shuffled = scala.util.Random.shuffle(rows).toDF("pk", "grp")
+    val again = Graft.sampleKPerGroup(shuffled, col("grp"), col("pk"), 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == got, "the draw is a pure function of (group, id)")
+  }
+
+  test("ksStatistic: 0 for identical, 1 for disjoint, exact small case") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0).toDF("x")
+    assert(Graft.ksStatistic(a, a, col("x"))
+      .head.getDouble(2) == 0.0)
+    val b = Seq(10.0, 11.0).toDF("x")
+    assert(Graft.ksStatistic(a, b, col("x")).head.getDouble(2) == 1.0)
+    // a={1,2}, b={1,3}: F_a=(.5,1,1), F_b=(.5,.5,1) at v=1,2,3 -> D=0.5
+    val c = Seq(1.0, 3.0).toDF("x")
+    val r = Graft.ksStatistic(a, c, col("x")).head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getDouble(2) == 0.5)
+  }
+
   test("triangles: K4 lists all 4; a star has none; orientation-proof") {
     import spark.implicits._
     val k4 = (for {a <- 1L to 4L; b <- (a + 1) to 4L} yield (a, b))

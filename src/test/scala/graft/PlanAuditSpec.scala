@@ -137,4 +137,40 @@ class PlanAuditSpec extends SparkSpec {
     // presentation ORDER BY may range-partition
     assert(p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q60: unpivot is a map-side Expand — no shuffle, no join") {
+    val p = plan("q60_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), "melt must not join: " + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "melt must not hash-shuffle: " + p)
+  }
+
+  test("q61/q62: islands and SCD2 shuffle only on their key") {
+    for (q <- Seq("q61_islands", "q62_scd2")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join: $p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must never funnel to one task: $p")
+    }
+  }
+
+  test("q68: grouped kNN is a blocked equi-join, never cartesian/BNLJ") {
+    val p = plan("q68_knn")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q66: triangle joins stay equi-keyed, never cartesian/BNLJ") {
+    val p = plan("q66_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q64: URL canonicalization is per-row codegen + one keyed agg") {
+    val p = plan("q64_url_dedup")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "canonical-URL dedup is one hash shuffle: " + p)
+  }
 }
