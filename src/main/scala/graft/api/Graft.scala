@@ -1498,6 +1498,37 @@ object Graft {
     stats.join(posts, Seq("term"))
   }
 
+  /** Per-group Zipf rank-frequency fit: OLS slope/intercept of
+    * ln(count) ~ ln(rank) over the group's token vocabulary — the corpus
+    * health check (natural language tracks slope ≈ −1; templated or
+    * machine-generated text bends the curve) and the vocabulary-sizing
+    * input for tokenizer work. Rank is a fully-tiebroken keyed window
+    * (count desc, token — binary collation on both engines); the fit
+    * runs on first/second moments from one keyed aggregation. The moment
+    * sums are unordered doubles, but slope ≈ n²·cov scales the ordering
+    * noise to ~1e-13 relative — far under 6-dp hashing (the variance-
+    * scale warning in Analytics applies to prices, not ln-scale values).
+    */
+  def zipfFit(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val cnt = df.select(group.as("grp"),
+        explode(split(lower(text), " ")).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("c").desc, col("w"))
+    val mom = cnt
+      .withColumn("x", log(row_number().over(w).cast(DoubleType)))
+      .withColumn("y", log(col("c").cast(DoubleType)))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val n = col("n_types").cast(DoubleType)
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    mom.select(col("grp"), col("n_types"), slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / n).as("intercept"))
+  }
+
   /** Token frequency top-N with deterministic tiebreak. */
   def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =
     df.select(explode(split(lower(text), " ")).as("word"))
@@ -1744,11 +1775,18 @@ object Graft {
     require(n >= 1 && minContain > 0.0 && minContain <= 1.0 && maxDf >= 1)
     val sh = df.select(id.as("id"), explode(shingleSet(text, n)).as("sh"))
       .cache() // feeds df-count, sizes, and the pair join
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= maxDf).select(col("sh"))
-    val shRare = sh.join(rare, Seq("sh"))
-    val sizes = shRare.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
-    shRare.as("a").join(shRare.as("b"),
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    // denominator: ALL of a's shingles with df <= maxDf (df = 1 included)
+    val sizes = sh.join(dfreq.where(col("__df") <= maxDf), Seq("sh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+    // pair probe: only shingles that CAN pair (2 <= df <= maxDf) enter the
+    // self-join — on a real corpus most shingles are unique, so this drops
+    // the dominant share of join input without changing a single output
+    // row (a df-1 shingle only ever meets itself, which id != id discards)
+    val shared = sh.join(
+      dfreq.where(col("__df") >= 2 && col("__df") <= maxDf).select(col("sh")),
+      Seq("sh"))
+    shared.as("a").join(shared.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -679,6 +679,41 @@ object TextOps {
              |  WHERE c12 >= 5
              |  ORDER BY pmi DESC, w1, w2 LIMIT 50)
              |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, round(pmi, 6) AS pmi
-             |FROM top ORDER BY pmi DESC, w1, w2""".stripMargin))
+             |FROM top ORDER BY pmi DESC, w1, w2""".stripMargin)),
+
+    // Q73 — Zipf rank-frequency fit (Graft.zipfFit): per-language OLS of
+    // ln(count) ~ ln(rank) over the token vocabulary — natural corpora
+    // track slope ≈ −1; templated/generated text bends the curve, so the
+    // slope is a cheap corpus-health gate and tokenizer-vocab input.
+    // Keyed rank window with full (count desc, token) tiebreak; fit from
+    // one keyed moment aggregation.
+    Q("q73_zipf",
+      (s, d) => {
+        Graft.zipfFit(Tables(s, d, "documents"),
+            group = col("lang"), text = col("text"))
+          .select(col("grp").as("lang"), col("n_types"),
+            round(col("slope"), 6).as("slope"),
+            round(col("intercept"), 6).as("intercept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |c AS (SELECT lang, w, count(*) AS cnt
+             |      FROM tok GROUP BY lang, w),
+             |r AS (SELECT lang,
+             |    ln(CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY cnt DESC, w) AS DOUBLE)) AS x,
+             |    ln(CAST(cnt AS DOUBLE)) AS y
+             |  FROM c),
+             |s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |    sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM r GROUP BY lang)
+             |SELECT lang, CAST(n AS BIGINT) AS n_types,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             |    / n, 6) AS intercept
+             |FROM s ORDER BY lang""".stripMargin))
   )
 }

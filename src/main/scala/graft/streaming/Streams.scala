@@ -92,6 +92,20 @@ object Streams {
         col("purchase_id"), col("purchase_value"))
   }
 
+  /** Stream-static dimension enrichment: every streaming event left-joins
+    * a bounded dimension table on `key` — the per-event lookup
+    * (user → account tier, doc → source metadata) that precedes most
+    * streaming aggregations. Stateless: the static side is not a stream,
+    * so no watermark and no state store — Spark re-plans the static scan
+    * per micro-batch (a slowly-changing dim picked up on its next batch)
+    * and the broadcast hint keeps the join map-side; the stream side is
+    * never shuffled. Left join so an unmatched event survives with null
+    * dims rather than silently dropping from the pipeline.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** The per-batch commit used by [[startIdempotentParquetSink]]: each
     * micro-batch overwrites its own `batch_id=N` directory through the
     * standard parquet writer (zstd, file-size cap), so a replayed batch

@@ -826,6 +826,26 @@ class GraftApiSpec extends SparkSpec {
       s"PMI must prefer the exclusive pair: $out")
   }
 
+  test("zipfFit matches a driver-side OLS on the same rank/count points") {
+    import spark.implicits._
+    // vocab: a x8, b x4, c x2, d x1 -> ranks 1..4 with counts 8,4,2,1
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val out = Graft.zipfFit(Seq(("g", text)).toDF("grp0", "body"),
+      col("grp0"), col("body")).head
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1))
+      .map { case (r, c) => (math.log(r.toDouble), math.log(c.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out.getLong(1) == 4)
+    assert(math.abs(out.getDouble(2) - slope) < 1e-12, s"slope ${out.getDouble(2)}")
+    assert(math.abs(out.getDouble(3) - (sy - slope * sx) / n) < 1e-12)
+    assert(slope < 0, "rank-frequency slope must be negative")
+  }
+
   test("sampleKPerGroup: exact size, insensitive to input order") {
     import spark.implicits._
     val rows = Seq.tabulate(7)(i => (i.toLong, if (i < 5) "big" else "small"))

@@ -50,6 +50,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment: dims attach map-side, unmatched survive") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long, Double)]
+    val enriched = Streams.enrichWithDim(
+      input.toDF().toDF("event_id", "user_id", "value"), dim, "user_id")
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_golden").outputMode("append").start()
+    try {
+      input.addData((100L, 1L, 5.0), (101L, 2L, 6.0), (102L, 9L, 7.0))
+      query.processAllAvailable()
+      val rows = spark.table("enrich_golden")
+        .select(col("event_id"), col("tier"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(100L -> Some("gold"), 101L -> Some("basic"),
+        102L -> None), s"got $rows")
+    } finally query.stop()
+  }
+
   test("observeQuality counters surface per micro-batch on a streaming query") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
