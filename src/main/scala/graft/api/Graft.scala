@@ -1730,6 +1730,31 @@ object Graft {
       greatest(col("apex"), col("u"), col("v")).as("z"))
   }
 
+  /** Cluster collapse / survivorship: the step that USES a dup graph —
+    * resolve pairs into connected components ([[dupClusters]]), attach
+    * every row to its cluster (rows in no pair are their own singleton
+    * cluster), keep ONE canonical row per cluster under `order` (e.g.
+    * longest text, then lowest id), and report per-cluster stats. This is
+    * the materialization a cleaning pipeline actually writes: survivors +
+    * an audit of what each absorbed. Shapes: the CC resolution is the
+    * pointer-jumping loop (O(log diameter) rounds); everything after is
+    * keyed joins/aggs on id or cluster — the label table is dup-graph
+    * nodes only (a small fraction of the corpus), AQE-broadcastable.
+    */
+  def collapseClusters(df: DataFrame, pairs: DataFrame, id: Column,
+      order: Seq[Column], stats: Seq[(String, Column)] = Nil): DataFrame = {
+    val labels = dupClusters(pairs).withColumnRenamed("id", "__cid")
+    val withCluster = df.withColumn("__cid", id)
+      .join(labels, Seq("__cid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("__cid")))
+    val agg = withCluster.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        stats.map { case (n, c) => c.as(n) }: _*)
+    dedupExact(withCluster, Seq(col("cluster")), order)
+      .select(col("cluster"), col("__cid").as("keep_id"))
+      .join(agg, Seq("cluster"))
+  }
+
   /** Exact grouped k-NN self-join: for every vector, its `k` most
     * cosine-similar neighbors WITHIN its blocking group (label, IVF cell,
     * LSH bucket — any partition key that bounds the candidate set). The

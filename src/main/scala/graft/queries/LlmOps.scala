@@ -1105,5 +1105,42 @@ object LlmOps {
              |    PARTITION BY lang
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
              |  FROM documents)
-             |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin)))
+             |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
+    // Q74 — cluster collapse / survivorship (Graft.collapseClusters): the
+    // step that USES the dup graph — every doc joins its connected
+    // component (singletons stand alone), the longest member (tiebreak:
+    // lowest id) survives, and each cluster reports membership stats —
+    // the survivors+audit table a cleaning run actually materializes.
+    // Oracle closed form: exact-dup components ARE the signature groups,
+    // so cluster = min id and survivor = first by (n_chars desc, id)
+    // within the signature.
+    Q("q74_survivorship",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = Graft.exactDupPairs(docs, id = col("doc_id"),
+          text = col("text"))
+        Graft.collapseClusters(docs, pairs, id = col("doc_id"),
+            order = Seq(col("n_chars").desc, col("doc_id")),
+            stats = Seq("max_chars" -> max(col("n_chars"))))
+          .select(col("cluster"), col("keep_id").as("keep_doc"),
+            col("n_members"), col("max_chars"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH sigs AS (
+             |  SELECT doc_id, n_chars,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(text, ' '))), ' ')) AS sig
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY sig
+             |      ORDER BY n_chars DESC, doc_id) AS rk,
+             |    min(doc_id) OVER (PARTITION BY sig) AS cluster,
+             |    count(*) OVER (PARTITION BY sig) AS n_members,
+             |    max(n_chars) OVER (PARTITION BY sig) AS max_chars
+             |  FROM sigs)
+             |SELECT cluster, doc_id AS keep_doc,
+             |  CAST(n_members AS BIGINT) AS n_members, max_chars
+             |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin)))
 }

@@ -41,6 +41,22 @@ class CatalogSpec extends AnyFunSuite {
       // metastore survives: table is listed in the catalog, and external —
       // dropping must not delete the fixture parquet
       assert(spark.catalog.tableExists("graft.lineitem"))
+      // ANALYZE feeds CBO: row count + column NDV/min/max land in the
+      // metastore, which is what join reordering and broadcast decisions
+      // read at planning time on a real warehouse (temp views never carry
+      // these). Run before the DROP below retires the table.
+      spark.sql("ANALYZE TABLE graft.lineitem COMPUTE STATISTICS " +
+        "FOR COLUMNS l_orderkey, l_quantity")
+      val tblStats = spark.sql("DESCRIBE TABLE EXTENDED graft.lineitem")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val rowCount = Tables(spark, sfDir, "lineitem").count()
+      assert(tblStats("Statistics").contains(s"$rowCount rows"),
+        s"CBO table stats missing: ${tblStats.get("Statistics")}")
+      val colStats = spark.sql(
+        "DESCRIBE TABLE EXTENDED graft.lineitem l_orderkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(colStats.get("distinct_count").exists(_.toLong > 0),
+        s"column NDV missing: $colStats")
       spark.sql("DROP TABLE graft.lineitem")
       assert(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     } finally spark.stop()

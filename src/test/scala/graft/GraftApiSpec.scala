@@ -826,6 +826,22 @@ class GraftApiSpec extends SparkSpec {
       s"PMI must prefer the exclusive pair: $out")
   }
 
+  test("collapseClusters: singletons stand alone, best member survives") {
+    import spark.implicits._
+    val rows = Seq((1L, "dup dup text", 30L), (2L, "dup dup text", 30L),
+      (3L, "dup dup text", 30L), (9L, "alone here", 10L))
+      .toDF("pk", "body", "len")
+    val pairs = Graft.exactDupPairs(rows, col("pk"), col("body"))
+    val out = Graft.collapseClusters(rows, pairs, col("pk"),
+        order = Seq(col("len").desc, col("pk")),
+        stats = Seq("sum_len" -> sum(col("len"))))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out == Map(
+      1L -> (1L, 3L, 90L), // cluster of 1,2,3: survivor 1 (len tie, min id)
+      9L -> (9L, 1L, 10L)), s"got $out")
+  }
+
   test("zipfFit matches a driver-side OLS on the same rank/count points") {
     import spark.implicits._
     // vocab: a x8, b x4, c x2, d x1 -> ranks 1..4 with counts 8,4,2,1
