@@ -596,6 +596,68 @@ object Analytics {
              |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
              |  round(max(abs(cna / ta - cnb / tb)), 6) AS d_stat
              |FROM c CROSS JOIN tot GROUP BY ta, tb
-             |ORDER BY n_a""".stripMargin))
+             |ORDER BY n_a""".stripMargin)),
+
+    // Q75 — event transition matrix: P(next event type | current) per
+    // user-ordered stream — the Markov view of user journeys (and the
+    // event-level sibling of the token bigram LM). One keyed window
+    // (user, fully tiebroken by ts then event_id) + one keyed agg; the
+    // per-row conditional divides exact integer counts, so even the
+    // probabilities hash identically cross-engine.
+    Q("q75_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = Window.partitionBy(col("cur"))
+        Tables(s, d, "events")
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast(DoubleType) /
+            sum(col("n")).over(wc).cast(DoubleType), 6))
+          .orderBy(col("cur"), col("nxt"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type AS cur, lead(event_type) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+             |      FROM t WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+             |SELECT cur, nxt, n,
+             |  round(CAST(n AS DOUBLE) /
+             |    CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+             |FROM c ORDER BY cur, nxt""".stripMargin)),
+
+    // Q76 — error-tolerant scalar parsing (try_cast / guarded division):
+    // the dirty-ingest surface — malformed numerics become NULL instead
+    // of failing the job (ANSI mode stays ON for the clean paths). The
+    // dirty strings are synthesized deterministically (every third row
+    // gets a non-numeric prefix), so both engines parse identical inputs;
+    // Spark's try_divide(x, 0) → NULL is mirrored with an explicit CASE.
+    Q("q76_try_funcs",
+      (s, d) => {
+        Tables(s, d, "events")
+          .withColumn("raw",
+            when(pmod(col("event_id"), lit(3)) === 0,
+              concat(lit("x"), get_json_object(col("props"), "$.k")))
+            .otherwise(get_json_object(col("props"), "$.k")))
+          .select(col("event_id"),
+            expr("try_cast(raw AS BIGINT)").as("parsed_k"),
+            // integer numerator on purpose: CAST(double AS BIGINT)
+            // truncates in Spark but rounds in DuckDB — never put a
+            // float→int cast in an oracle-paired expression
+            expr("try_divide(event_id * 7, event_id % 5)").as("per_bucket"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  TRY_CAST(CASE WHEN event_id % 3 = 0
+             |    THEN 'x' || json_extract_string(props, '$.k')
+             |    ELSE json_extract_string(props, '$.k') END
+             |    AS BIGINT) AS parsed_k,
+             |  CASE WHEN event_id % 5 = 0 THEN NULL
+             |    ELSE CAST(event_id * 7 AS DOUBLE) / (event_id % 5)
+             |  END AS per_bucket
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }
