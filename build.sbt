@@ -39,6 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / forkOptions).value
-  tests.groupBy(t => if (t.name.endsWith("CatalogSpec")) "hive" else "main")
+  tests.groupBy(t =>
+    if (t.name.endsWith("CatalogSpec")) "hive"
+    else if (t.name.endsWith("ExtensionsSpec")) "ext" // needs a virgin JVM:
+    // withExtensions only applies when the builder CREATES the session
+    else "main")
     .map { case (g, ts) => Tests.Group(g, ts, Tests.SubProcess(opts)) }.toSeq
 }

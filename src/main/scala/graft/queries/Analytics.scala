@@ -658,6 +658,112 @@ object Analytics {
              |  CASE WHEN event_id % 5 = 0 THEN NULL
              |    ELSE CAST(event_id * 7 AS DOUBLE) / (event_id % 5)
              |  END AS per_bucket
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q77 — time-bounded funnel conversion: of each week's first-time
+    // signups, how many purchased within 7 days — the product-funnel dual
+    // of q30_funnel's cleaning funnel. Two keyed aggregations + one
+    // user-keyed equi-join with a range residual (the signup table is
+    // users, AQE-broadcastable against the purchase stream); conversion
+    // divides exact integer counts.
+    Q("q77_convert",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val signups = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val conv = signups.join(purchases, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("signup_ts"))
+          .agg(max(when(col("p_ts") >= col("signup_ts") &&
+            col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"),
+            1L).otherwise(0L)).as("converted"))
+        conv.groupBy(date_trunc("week", col("signup_ts")).cast("date")
+            .as("week"))
+          .agg(count(lit(1)).as("n_signups"),
+            sum(col("converted")).as("n_converted"))
+          .withColumn("rate", round(col("n_converted").cast(DoubleType) /
+            col("n_signups").cast(DoubleType), 6))
+          .orderBy(col("week"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, min(ts) AS signup_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |c AS (
+             |  SELECT s.user_id, s.signup_ts,
+             |    max(CASE WHEN e.ts >= s.signup_ts
+             |      AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+             |      THEN 1 ELSE 0 END) AS converted
+             |  FROM s LEFT JOIN events e
+             |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             |  GROUP BY s.user_id, s.signup_ts)
+             |SELECT date_trunc('week', signup_ts) AS week,
+             |  CAST(count(*) AS BIGINT) AS n_signups,
+             |  CAST(sum(converted) AS BIGINT) AS n_converted,
+             |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS rate
+             |FROM c GROUP BY 1 ORDER BY week""".stripMargin)),
+
+    // Q78 — RFM segmentation: recency/frequency/monetary scores per
+    // customer — the classic warehouse scoring query, built scale-safe:
+    // a global ntile would funnel every customer through ONE window
+    // task, so scores come instead from exact quintile THRESHOLDS
+    // (percentile ≡ quantile_cont) broadcast back — the q52 pattern;
+    // score = 1 + #thresholds exceeded (r counts staleness: higher =
+    // older). Monetary uses the exact decimal sum (a double sum is
+    // partition-order nondeterministic); the recency anchor is the
+    // corpus max date (one broadcast row, no wall-clock dependence).
+    Q("q78_rfm",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+        val per = o.groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("f"), Exact.dsum(col("o_totalprice")).as("m"))
+          .crossJoin(broadcast(anchor))
+          .withColumn("r", datediff(col("anchor"), col("last_day")))
+        val th = per.agg(
+          expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
+          expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
+          expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mq"))
+        def score(v: org.apache.spark.sql.Column, q: String) = (1 to 4).map(i =>
+          when(v > element_at(col(q), i), 1).otherwise(0))
+          .foldLeft(lit(1))(_ + _)
+        per.crossJoin(broadcast(th))
+          .select(col("o_custkey"), col("r"), col("f"),
+            round(col("m"), 6).as("m"),
+            score(col("r"), "rq").as("r_score"),
+            score(col("f"), "fq").as("f_score"),
+            score(col("m"), "mq").as("m_score"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor
+             |           FROM orders),
+             |per AS (
+             |  SELECT o_custkey,
+             |    date_diff('day', max(CAST(o_orderdate AS DATE)), a.anchor)
+             |      AS r,
+             |    CAST(count(*) AS BIGINT) AS f,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             |      AS m
+             |  FROM orders CROSS JOIN a GROUP BY o_custkey, a.anchor),
+             |th AS (
+             |  SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rq,
+             |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fq,
+             |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mq
+             |  FROM per)
+             |SELECT o_custkey, CAST(r AS INTEGER) AS r, f, round(m, 6) AS m,
+             |  1 + CASE WHEN r > rq[1] THEN 1 ELSE 0 END
+             |    + CASE WHEN r > rq[2] THEN 1 ELSE 0 END
+             |    + CASE WHEN r > rq[3] THEN 1 ELSE 0 END
+             |    + CASE WHEN r > rq[4] THEN 1 ELSE 0 END AS r_score,
+             |  1 + CASE WHEN f > fq[1] THEN 1 ELSE 0 END
+             |    + CASE WHEN f > fq[2] THEN 1 ELSE 0 END
+             |    + CASE WHEN f > fq[3] THEN 1 ELSE 0 END
+             |    + CASE WHEN f > fq[4] THEN 1 ELSE 0 END AS f_score,
+             |  1 + CASE WHEN m > mq[1] THEN 1 ELSE 0 END
+             |    + CASE WHEN m > mq[2] THEN 1 ELSE 0 END
+             |    + CASE WHEN m > mq[3] THEN 1 ELSE 0 END
+             |    + CASE WHEN m > mq[4] THEN 1 ELSE 0 END AS m_score
+             |FROM per CROSS JOIN th ORDER BY o_custkey""".stripMargin))
   )
 }
