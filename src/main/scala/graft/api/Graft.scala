@@ -1580,10 +1580,13 @@ object Graft {
     * pipelines maintain incrementally; this is the batch (re)build.
     *
     * Change detection is null-safe (`<=>`): a null attribute value forms
-    * its own run rather than merging with neighbors. Three keyed windows
-    * + one keyed aggregation, all partitioned by `key` — never a global
-    * window; per-key history is assumed to fit a partition (dimension
-    * keys, not fact rows).
+    * its own run rather than merging with neighbors. `order` must be
+    * UNIQUE within a key (a change-sequence number, or an encoded
+    * timestamp+id tiebreak) — ties would make run boundaries
+    * partition-order-dependent. Three keyed windows + one keyed
+    * aggregation, all partitioned by `key` — never a global window;
+    * per-key history is assumed to fit a partition (dimension keys, not
+    * fact rows).
     */
   def collapseScd2(df: DataFrame, key: Column, attr: Column,
       order: Column): DataFrame = {
@@ -1636,7 +1639,10 @@ object Graft {
     * semantics, so an external (DuckDB/Trino) pipeline computes the same
     * key byte-for-byte. Path case is preserved (paths are case-sensitive;
     * hosts are not). Non-tracking query params survive — a different
-    * query string IS a different page.
+    * query string IS a different page. Input contract: absolute URLs
+    * with a scheme (crawl frontiers store them resolved); a scheme-less
+    * string passes through with an empty scheme/host rather than
+    * erroring — filter those upstream.
     */
   def canonicalizeUrl(url: Column): Column = {
     // NOTE: bare scheme pattern has no group; host/rest patterns inline it
