@@ -1608,6 +1608,39 @@ object Graft {
         col("valid_from"), col("valid_to"), col("n_obs"))
   }
 
+  /** Per-key interval union: merge overlapping/touching [start, end]
+    * intervals into maximal spans and report per-key coverage — the
+    * continuous-domain sibling of [[activityIslands]] (machine uptime,
+    * session coverage, sensor validity windows). Classic sweep: within a
+    * key, an interval starts a new span iff its start exceeds the running
+    * max end of every earlier interval (exclusive-prefix max window);
+    * span id = cumulative flag sum. Duplicate intervals and start-ties
+    * are safe: rows with equal (start, end) are interchangeable under the
+    * window order, and the running max is permutation-invariant over
+    * them. Two keyed windows + two keyed aggregations, all partitioned
+    * by `key`. Returns (key, n_spans, covered, min_start, max_end).
+    */
+  def intervalCoverage(df: DataFrame, key: Column, start: Column,
+      end: Column): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(key.as("key"), start.cast(LongType).as("s"),
+        end.cast(LongType).as("e"))
+      .withColumn("__new",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("__span"))
+      .agg(min(col("s")).as("span_s"), max(col("e")).as("span_e"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_e") - col("span_s")).as("covered"),
+        min(col("span_s")).as("min_start"),
+        max(col("span_e")).as("max_end"))
+  }
+
   /** Per-document token-distribution stats: unigram Shannon entropy (nats)
     * and type-token ratio — the cheap lexical-diversity quality signals
     * (low entropy ⇒ repetitive/templated text; the corpus-free complement

@@ -764,6 +764,47 @@ object Analytics {
              |    + CASE WHEN m > mq[2] THEN 1 ELSE 0 END
              |    + CASE WHEN m > mq[3] THEN 1 ELSE 0 END
              |    + CASE WHEN m > mq[4] THEN 1 ELSE 0 END AS m_score
-             |FROM per CROSS JOIN th ORDER BY o_custkey""".stripMargin))
+             |FROM per CROSS JOIN th ORDER BY o_custkey""".stripMargin)),
+
+    // Q79 — interval union / coverage (Graft.intervalCoverage): each
+    // event opens a 10-minute activity window; per user, overlapping
+    // windows merge into maximal spans and total covered seconds are
+    // reported — the uptime/session-coverage query (and the continuous
+    // sibling of q61's integer islands). Exclusive-prefix-max sweep in
+    // epoch seconds (timestamp arithmetic stays integer on both
+    // engines); two keyed windows + two keyed aggs, all by user.
+    Q("q79_coverage",
+      (s, d) => {
+        val sec = col("ts").cast(LongType)
+        graft.api.Graft.intervalCoverage(Tables(s, d, "events"),
+            key = col("user_id"), start = sec, end = sec + 600L)
+          .withColumnRenamed("key", "user_id")
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+             |    epoch_us(ts) // 1000000 + 600 AS e
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, s, e,
+             |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      IS NULL THEN 1
+             |    WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS new_span
+             |  FROM iv),
+             |sp AS (
+             |  SELECT user_id, s, e,
+             |    sum(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS UNBOUNDED PRECEDING) AS span
+             |  FROM f),
+             |m AS (
+             |  SELECT user_id, span, min(s) AS span_s, max(e) AS span_e
+             |  FROM sp GROUP BY user_id, span)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(span_e - span_s) AS BIGINT) AS covered,
+             |  min(span_s) AS min_start, max(span_e) AS max_end
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

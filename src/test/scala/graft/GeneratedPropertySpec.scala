@@ -143,4 +143,74 @@ class GeneratedPropertySpec extends SparkSpec {
         "replaying the same changes is idempotent")
     }
   }
+
+  test("activityIslands partitions the tick set into non-adjacent runs (generated)") {
+    import graft.api.Graft
+    import spark.implicits._
+    val ticksGen = Gen.listOfN(2,
+      Gen.zip(Gen.chooseNum(1L, 3L), Gen.nonEmptyListOf(Gen.chooseNum(0L, 30L))))
+    forAllSampled(ticksGen, Gen.const(())) { (byKey, _) =>
+      val rows = byKey.flatMap { case (k, ts) => ts.map(k -> _) }
+      val islands = Graft.activityIslands(rows.toDF("k", "t"),
+          col("k"), col("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val expect = rows.groupMap(_._1)(_._2).view.mapValues(_.distinct.sorted)
+      for ((k, ticks) <- expect) {
+        val mine = islands.filter(_._1 == k).sortBy(_._2)
+        // islands partition the distinct ticks exactly
+        assert(mine.map(i => i._3 - i._2 + 1).sum == ticks.size,
+          s"k=$k islands $mine vs ticks $ticks")
+        assert(mine.forall(i => i._4 == i._3 - i._2 + 1),
+          s"k=$k count != span on consecutive run: $mine")
+        // maximality: consecutive islands never touch
+        mine.sliding(2).foreach {
+          case Array(a, b) => assert(b._2 > a._3 + 1,
+            s"k=$k adjacent islands should have merged: $a $b")
+          case _ =>
+        }
+        // every island's ticks are present and its boundary neighbors absent
+        val tickSet = ticks.toSet
+        assert(mine.forall(i => (i._2 to i._3).forall(tickSet.contains)))
+        assert(mine.forall(i =>
+          !tickSet.contains(i._2 - 1) && !tickSet.contains(i._3 + 1)))
+      }
+    }
+  }
+
+  test("ksStatistic is symmetric, in [0,1], and 0 iff same multiset (generated)") {
+    import graft.api.Graft
+    import spark.implicits._
+    val listGen = Gen.nonEmptyListOf(Gen.chooseNum(-5.0, 5.0))
+    forAllSampled(listGen, listGen) { (xs, ys) =>
+      val (a, b) = (xs.toDF("x"), ys.toDF("x"))
+      val dAb = Graft.ksStatistic(a, b, col("x")).head.getDouble(2)
+      val dBa = Graft.ksStatistic(b, a, col("x")).head.getDouble(2)
+      assert(dAb == dBa, s"not symmetric: $dAb vs $dBa")
+      assert(dAb >= 0.0 && dAb <= 1.0, s"out of range: $dAb")
+      val dAa = Graft.ksStatistic(a, a, col("x")).head.getDouble(2)
+      assert(dAa == 0.0, s"self-distance must be 0: $dAa")
+      if (xs.sorted != ys.sorted)
+        assert(dAb > 0.0, "different multisets must have D > 0")
+    }
+  }
+
+  test("triangles on disjoint cliques = sum of C(k,3) (generated)") {
+    import graft.api.Graft
+    import spark.implicits._
+    val sizesGen = Gen.listOfN(3, Gen.chooseNum(1, 5))
+    forAllSampled(sizesGen, Gen.const(())) { (sizes, _) =>
+      var base = 0L
+      val edges = sizes.flatMap { k =>
+        val ids = (base until base + k)
+        base += k + 1 // gap keeps cliques disjoint
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }
+      val want = sizes.map(k => k.toLong * (k - 1) * (k - 2) / 6).sum
+      val got =
+        if (edges.isEmpty) 0L
+        else Graft.triangles(edges.toDF("a", "b")).count()
+      assert(got == want, s"cliques $sizes: got $got triangles, want $want")
+    }
+  }
 }

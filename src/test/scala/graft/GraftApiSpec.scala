@@ -826,6 +826,19 @@ class GraftApiSpec extends SparkSpec {
       s"PMI must prefer the exclusive pair: $out")
   }
 
+  test("intervalCoverage: overlaps merge, touching merge, gaps split") {
+    import spark.implicits._
+    // key 1: [0,10] ∪ [5,15] ∪ [15,20] = one span [0,20]; [30,40] separate
+    // key 2: duplicate intervals collapse into the same span
+    val df = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L),
+      (1L, 30L, 40L), (2L, 3L, 7L), (2L, 3L, 7L)).toDF("k", "s", "e")
+    val out = Graft.intervalCoverage(df, col("k"), col("s"), col("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (2L, 30L, 0L, 40L), s"got ${out(1L)}")
+    assert(out(2L) == (1L, 4L, 3L, 7L), s"got ${out(2L)}")
+  }
+
   test("collapseClusters: singletons stand alone, best member survives") {
     import spark.implicits._
     val rows = Seq((1L, "dup dup text", 30L), (2L, "dup dup text", 30L),
