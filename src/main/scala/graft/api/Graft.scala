@@ -1900,8 +1900,10 @@ object Graft {
     val tot = byV.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     cum.crossJoin(broadcast(tot))
       .select(col("ta"), col("tb"),
-        abs((col("pa") + col("na")).cast(DoubleType) / col("ta").cast(DoubleType) -
-          (col("pb") + col("nb")).cast(DoubleType) / col("tb").cast(DoubleType))
+        // an empty side has no CDF: null d_stat, never NaN/Infinity
+        when(col("ta") > 0 && col("tb") > 0,
+          abs((col("pa") + col("na")).cast(DoubleType) / col("ta").cast(DoubleType) -
+            (col("pb") + col("nb")).cast(DoubleType) / col("tb").cast(DoubleType)))
           .as("__d"))
       .groupBy(col("ta").as("n_a"), col("tb").as("n_b"))
       .agg(max(col("__d")).as("d_stat"))

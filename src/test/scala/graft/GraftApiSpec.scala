@@ -900,6 +900,10 @@ class GraftApiSpec extends SparkSpec {
     val c = Seq(1.0, 3.0).toDF("x")
     val r = Graft.ksStatistic(a, c, col("x")).head
     assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getDouble(2) == 0.5)
+    // an empty side yields null d_stat, never NaN/Infinity
+    val empty = Seq.empty[Double].toDF("x")
+    val re = Graft.ksStatistic(a, empty, col("x")).head
+    assert(re.getLong(1) == 0 && re.isNullAt(2), s"got $re")
   }
 
   test("triangles: K4 lists all 4; a star has none; orientation-proof") {
