@@ -853,6 +853,88 @@ object Analytics {
              |  CASE WHEN CAST(cum AS DOUBLE) / total <= 0.80 THEN 'A'
              |       WHEN CAST(cum AS DOUBLE) / total <= 0.95 THEN 'B'
              |       ELSE 'C' END AS abc
-             |FROM c CROSS JOIN t ORDER BY l_partkey""".stripMargin))
+             |FROM c CROSS JOIN t ORDER BY l_partkey""".stripMargin)),
+
+    // Q81 — cumulative distinct users (growth curve): distinct-to-date is
+    // NOT a windowable aggregate; the scalable identity is first-seen
+    // collapse — per user min(day) (one keyed agg over the raw stream),
+    // then a running sum over the DAY dimension, which is calendar-sized
+    // (30 rows here, ~thousands at any horizon), so its global window is
+    // broadcast-scale by construction, never a data-sized single task.
+    Q("q81_users_to_date",
+      (s, d) => {
+        val firstSeen = Tables(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstSeen
+          .withColumn("users_to_date", sum(col("new_users")).over(w))
+          .orderBy(col("day"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+             |  FROM events GROUP BY user_id),
+             |n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+             |      FROM f GROUP BY day)
+             |SELECT day, new_users,
+             |  CAST(sum(new_users) OVER (ORDER BY day
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS users_to_date
+             |FROM n ORDER BY day""".stripMargin)),
+
+    // Q82 — chi-square independence test (categorical drift): order
+    // status × priority contingency, χ² = Σ (obs − exp)²/exp — the
+    // categorical complement of q72's numeric KS gate (a feed whose
+    // status MIX shifts trips this while every marginal count looks
+    // sane). Cell counts, marginals, and the grand total are three keyed
+    // (or one-row broadcast) aggregations; expected = row·col/N in exact
+    // integer products, so χ² is reproducible cross-engine. Zero-count
+    // cells contribute nothing — iterating observed cells is exactly the
+    // Σ over the support.
+    Q("q82_chi2",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val cells = o.groupBy(col("o_orderstatus").as("r"),
+          col("o_orderpriority").as("c")).agg(count(lit(1)).as("n"))
+        val rows = cells.groupBy(col("r")).agg(sum(col("n")).as("nr"))
+        val cols = cells.groupBy(col("c")).agg(sum(col("n")).as("nc"))
+        val tot = cells.agg(sum(col("n")).as("nn"),
+          count_distinct(col("r")).as("kr"),
+          count_distinct(col("c")).as("kc"))
+        cells.join(rows, Seq("r")).join(cols, Seq("c"))
+          .crossJoin(broadcast(tot))
+          .select(((col("n").cast(DoubleType) -
+            col("nr").cast(DoubleType) * col("nc").cast(DoubleType) /
+              col("nn").cast(DoubleType)) * (col("n").cast(DoubleType) -
+            col("nr").cast(DoubleType) * col("nc").cast(DoubleType) /
+              col("nn").cast(DoubleType)) /
+            (col("nr").cast(DoubleType) * col("nc").cast(DoubleType) /
+              col("nn").cast(DoubleType))).as("term"),
+            col("kr"), col("kc"))
+          .groupBy(((col("kr") - 1) * (col("kc") - 1)).as("dof"))
+          .agg(round(sum(col("term")), 6).as("chi2"))
+          .orderBy(col("dof"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT o_orderstatus AS r, o_orderpriority AS c,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |rm AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr
+             |       FROM cells GROUP BY r),
+             |cm AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc
+             |       FROM cells GROUP BY c),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |  CAST(count(DISTINCT r) AS BIGINT) AS kr,
+             |  CAST(count(DISTINCT c) AS BIGINT) AS kc FROM cells)
+             |SELECT (kr - 1) * (kc - 1) AS dof,
+             |  round(sum(
+             |    (CAST(n AS DOUBLE) -
+             |      CAST(nr AS DOUBLE) * nc / nn) *
+             |    (CAST(n AS DOUBLE) -
+             |      CAST(nr AS DOUBLE) * nc / nn) /
+             |    (CAST(nr AS DOUBLE) * nc / nn)), 6) AS chi2
+             |FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN t
+             |GROUP BY 1 ORDER BY dof""".stripMargin))
   )
 }
