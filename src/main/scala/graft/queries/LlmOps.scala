@@ -1055,9 +1055,10 @@ object LlmOps {
     // ≥60% of a's distinct 5-gram shingles occur in b — the asymmetric
     // quote/excerpt detector Jaccard misses (a quote inside a long page
     // has high containment, near-zero Jaccard). Candidates from an
-    // exploded-shingle equi-join; shingles with df > 100 are dropped
-    // from BOTH candidate generation and scoring (the corpus-scale
-    // stopphrase guard, mirrored exactly in the oracle).
+    // exploded-shingle equi-join keyed by the portable md5-prefix hash
+    // (8-byte shuffle keys, not n-gram strings); shingles with df > 100
+    // are dropped from BOTH candidate generation and scoring (the
+    // corpus-scale stopphrase guard, mirrored exactly in the oracle).
     Q("q69_containment",
       (s, d) => {
         Graft.shingleContainment(Tables(s, d, "documents"),
@@ -1069,8 +1070,10 @@ object LlmOps {
       },
       Some("""WITH sh AS (
              |  SELECT doc_id, unnest(list_distinct(
-             |    [array_to_string(ts[i:i+4], ' ')
-             |     FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)])) AS s
+             |    [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+             |     FOR g IN [array_to_string(ts[i:i+4], ' ')
+             |               FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)]]))
+             |    AS s
              |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
              |        FROM documents)),
              |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
