@@ -935,6 +935,83 @@ object Analytics {
              |      CAST(nr AS DOUBLE) * nc / nn) /
              |    (CAST(nr AS DOUBLE) * nc / nn)), 6) AS chi2
              |FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN t
-             |GROUP BY 1 ORDER BY dof""".stripMargin))
+             |GROUP BY 1 ORDER BY dof""".stripMargin)),
+
+    // Q83 — Gini coefficient of customer-revenue concentration: the
+    // inequality summary behind q80's ABC classes (how skewed is spend —
+    // and for corpora, how concentrated a source mix is).
+    // G = 2·Σ rank·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted values;
+    // the global ascending rank is an exclusive prefix COUNT from the
+    // chunked scan (value 1 per row — no single-task window), revenue is
+    // exact integer cents, and every Σ is a keyed/one-row aggregation of
+    // exact integers — only the final scalar formula runs in double.
+    Q("q83_gini",
+      (s, d) => {
+        val per = Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(25, 6))) * 100)
+            .cast(LongType).as("cents"))
+        val ranked = graft.api.Graft.prefixSumExclusive(
+          per.withColumn("__ord", col("cents") * 1000000L + col("o_custkey")),
+          col("__ord"), lit(1L), "rank0", chunkSize = 1L << 38)
+        val agg = ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("cents").cast(D0)).as("sx"),
+          sum(((col("rank0") + 1) * col("cents")).cast(D0)).as("srx"))
+        agg.select(col("n").as("n_customers"),
+            round((lit(2.0) * col("srx").cast(DoubleType) /
+              (col("n").cast(DoubleType) * col("sx").cast(DoubleType))) -
+              ((col("n") + 1).cast(DoubleType) / col("n").cast(DoubleType)),
+              6).as("gini"))
+          .orderBy(col("n_customers"))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |r AS (
+             |  SELECT cents, row_number() OVER (
+             |    ORDER BY cents * 1000000 + o_custkey) AS rnk
+             |  FROM per)
+             |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             |  round(2.0 * CAST(sum(CAST(rnk AS DECIMAL(38,0))
+             |        * cents) AS DOUBLE) /
+             |    (count(*) * CAST(sum(CAST(cents AS DECIMAL(38,0)))
+             |        AS DOUBLE)) -
+             |    CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+             |FROM r ORDER BY n_customers""".stripMargin)),
+
+    // Q84 — inter-arrival (dwell) time stats: per event type, the
+    // median/p95 seconds between consecutive same-user events — the
+    // temporal-texture profile (bot streams have near-zero dwell;
+    // sparse feeds show up in the p95). One keyed lag window (user,
+    // fully tiebroken) + one keyed percentile aggregation; gaps are
+    // exact integer seconds so the interpolated quantiles match
+    // quantile_cont bit-for-bit.
+    Q("q84_dwell",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .withColumn("gap",
+            col("ts").cast(LongType) - lag(col("ts").cast(LongType), 1).over(w))
+          .where(col("gap").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            round(expr("percentile(gap, 0.5)"), 6).as("med_gap_s"),
+            round(expr("percentile(gap, 0.95)"), 6).as("p95_gap_s"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |  round(quantile_cont(gap, 0.5), 6) AS med_gap_s,
+             |  round(quantile_cont(gap, 0.95), 6) AS p95_gap_s
+             |FROM g WHERE gap IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
