@@ -41,6 +41,22 @@ object Multimodal {
     }
   }
 
+  /** Media-directory ingestion via Spark's built-in `binaryFile` source —
+    * how raw image/audio/video files actually enter the pipeline: each
+    * file becomes one row (path, modificationTime, length, content) with
+    * the bytes untouched. `pathGlobFilter` prunes by extension BEFORE any
+    * read; `maxBytesPerFile` would be the guard against a stray huge file
+    * at scale (one row must fit an executor). The projection drops
+    * `modificationTime` so downstream caching/dedup keys are
+    * content-derived, not scan-time-derived.
+    */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"), col("content"))
+
   /** Attach a fake binary payload to the documents table (in production the
     * payload column arrives from the source parquet; text bytes stand in).
     * The metadata struct keeps scan-time pruning possible: filters on
