@@ -1950,4 +1950,69 @@ object Graft {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** Bounded-horizon exponentially weighted moving average per key: for
+    * each row, ewma = Σ_{j<m} decay^j·x_{t−j} · (1−decay)/(1−decay^m)
+    * over the last m ≤ `horizon` rows of the key's order. The exact
+    * (unbounded) EWMA is a sequential recurrence — hostile to both SQL
+    * windows and partition-parallel execution — but its tail weight decays
+    * geometrically, so truncating at `horizon` bounds the error by
+    * decay^horizon (≈0.028 for 0.8^16) while renormalizing keeps the
+    * weights a proper convex combination (a length-m prefix is EXACT, not
+    * approximated). The frame is ROWS-bounded, so the collected list is
+    * O(horizon) per row regardless of key cardinality — one keyed shuffle,
+    * row-local fold, no growing state. Appends column "ewma".
+    */
+  def ewma(df: DataFrame, key: Column, order: Seq[Column], value: Column,
+      decay: Double, horizon: Int): DataFrame = {
+    require(decay > 0 && decay < 1, s"decay must be in (0,1): $decay")
+    require(horizon >= 1, s"horizon must be >= 1: $horizon")
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(-(horizon - 1), Window.currentRow)
+    val lst = col("__ewma_lst")
+    df.withColumn("__ewma_lst", collect_list(value).over(w))
+      // list is frame-ordered oldest→newest; element i (0-based) of an
+      // m-long list gets weight decay^(m−1−i). The fold is sequential in
+      // that order on both engines, so 6-dp rounding is stable.
+      .withColumn("ewma",
+        round(
+          aggregate(
+            transform(lst, (x, i) =>
+              x * pow(lit(decay), (size(lst) - 1 - i).cast(DoubleType))),
+            lit(0.0), (acc, y) => acc + y)
+            * (1.0 - decay) / (lit(1.0) - pow(lit(decay), size(lst))),
+          6))
+      .drop("__ewma_lst")
+  }
+
+  /** Population Stability Index drift between a baseline and a current
+    * slice of one value column: fixed-width bins (no data-dependent
+    * cutpoints — deterministic, join-free, and identical across engines),
+    * Laplace-smoothed shares p = (n + ½)/(N + ½·B) so empty-on-one-side
+    * bins contribute a finite penalty instead of ±∞, and the per-bin PSI
+    * term (p_cur − p_base)·ln(p_cur/p_base). Σ over bins is the classic
+    * PSI score (>0.2 = major shift); emitting per-bin rows keeps WHERE the
+    * mass moved visible. Two keyed aggregations over the raw data, then a
+    * broadcast of the one-row totals — the bin relation after aggregation
+    * is O(range/width), never row-scale, so the final math is free.
+    */
+  def psiDrift(df: DataFrame, current: Column, value: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0: $binWidth")
+    val bins = df
+      .select((floor(value / binWidth) * binWidth).as("bin"),
+        current.as("__cur"))
+      .groupBy(col("bin"))
+      .agg(sum(when(!col("__cur"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__cur"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = bins.agg(
+      sum(col("n_base")).cast(DoubleType).as("__tb"),
+      sum(col("n_cur")).cast(DoubleType).as("__tc"),
+      count(lit(1)).cast(DoubleType).as("__nb"))
+    val pb = (col("n_base") + 0.5) / (col("__tb") + lit(0.5) * col("__nb"))
+    val pc = (col("n_cur") + 0.5) / (col("__tc") + lit(0.5) * col("__nb"))
+    bins.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round((pc - pb) * log(pc / pb), 6).as("psi_contrib"))
+  }
 }

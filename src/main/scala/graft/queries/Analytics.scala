@@ -1012,6 +1012,76 @@ object Analytics {
              |  round(quantile_cont(gap, 0.5), 6) AS med_gap_s,
              |  round(quantile_cont(gap, 0.95), 6) AS p95_gap_s
              |FROM g WHERE gap IS NOT NULL
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q85 — bounded-horizon EWMA (Graft.ewma): per user, the decayed
+    // running level of `value` over the last 16 events (decay 0.8 —
+    // truncation tail 0.8^16 ≈ 0.028, renormalized so any length-m
+    // prefix is exact). The per-row frame list is O(horizon), the fold
+    // is row-local and frame-ordered on both engines; one keyed shuffle
+    // total. The oracle reproduces the identical weighted sum with a
+    // windowed list() + list comprehension.
+    Q("q85_ewma",
+      (s, d) => {
+        graft.api.Graft.ewma(
+            Tables(s, d, "events"),
+            key = col("user_id"),
+            order = Seq(col("ts"), col("event_id")),
+            value = col("value"), decay = 0.8, horizon = 16)
+          .select(col("event_id"), col("user_id"), col("ewma"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id,
+             |    list(value) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  round(list_sum([lst[i] * pow(CAST(0.8 AS DOUBLE),
+             |        len(lst) - i) FOR i IN range(1, len(lst) + 1)])
+             |    * (1 - CAST(0.8 AS DOUBLE))
+             |    / (1 - pow(CAST(0.8 AS DOUBLE), len(lst))), 6) AS ewma
+             |FROM l ORDER BY event_id""".stripMargin)),
+
+    // Q86 — PSI distribution drift (Graft.psiDrift): how far the event
+    // `value` distribution moved between the first and second half of the
+    // time range, per fixed 20-wide bin. The split threshold is the
+    // midpoint of (min,max) epoch-seconds — one tiny aggregate broadcast
+    // back; bins are data-independent so no quantile pass; counts are
+    // exact longs and the smoothed-share formula runs once per bin row.
+    Q("q86_psi",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("event_id"), col("ts").cast(LongType).as("tsec"),
+            col("value"))
+        val thr = e.agg(
+          floor((min(col("tsec")) + max(col("tsec"))) / 2.0)
+            .cast(LongType).as("__thr"))
+        graft.api.Graft.psiDrift(
+            e.crossJoin(broadcast(thr)),
+            current = col("tsec") >= col("__thr"),
+            value = col("value"), binWidth = 20.0)
+          .orderBy(col("bin"))
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_us(ts) // 1000000 AS tsec, value FROM events),
+             |t AS (SELECT (min(tsec) + max(tsec)) // 2 AS thr FROM e),
+             |b AS (SELECT floor(value / 20.0) * 20.0 AS bin,
+             |        tsec >= thr AS cur FROM e, t),
+             |a AS (SELECT bin,
+             |        sum(CASE WHEN cur THEN 0 ELSE 1 END) AS n_base,
+             |        sum(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+             |      FROM b GROUP BY bin),
+             |tt AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+             |             CAST(sum(n_cur) AS DOUBLE) AS tc,
+             |             CAST(count(*) AS DOUBLE) AS nb FROM a)
+             |SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+             |  CAST(n_cur AS BIGINT) AS n_cur,
+             |  round(((n_cur + 0.5) / (tc + 0.5 * nb)
+             |      - (n_base + 0.5) / (tb + 0.5 * nb))
+             |    * ln(((n_cur + 0.5) / (tc + 0.5 * nb))
+             |      / ((n_base + 0.5) / (tb + 0.5 * nb))), 6) AS psi_contrib
+             |FROM a, tt ORDER BY bin""".stripMargin))
   )
 }

@@ -916,4 +916,36 @@ class GraftApiSpec extends SparkSpec {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("p", "q")
     assert(Graft.triangles(star).count() == 0)
   }
+
+  test("ewma: horizon 1 is identity, constants are fixed points, exact 2-row") {
+    import spark.implicits._
+    val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (2L, 1, 7.0), (2L, 2, 7.0))
+      .toDF("k", "t", "x")
+    // horizon 1: only the current row is in frame -> ewma == x
+    val h1 = Graft.ewma(df, col("k"), Seq(col("t")), col("x"), 0.8, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3))).toSet
+    assert(h1 == Set((1L, 1, 10.0), (1L, 2, 20.0), (2L, 1, 7.0), (2L, 2, 7.0)))
+    val h16 = Graft.ewma(df, col("k"), Seq(col("t")), col("x"), 0.5, 16)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    // constant series is a fixed point regardless of length
+    assert(h16((2L, 1)) == 7.0 && h16((2L, 2)) == 7.0)
+    // two rows, decay 1/2: (0.5*10 + 1*20) * 0.5 / (1 - 0.25) = 16.666667
+    assert(h16((1L, 2)) == 16.666667, s"got ${h16((1L, 2))}")
+  }
+
+  test("psiDrift: identical halves give zero contribs, a moved bin does not") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i =>
+      Seq((i.toDouble % 40, false), (i.toDouble % 40, true)))
+      .toDF("v", "cur")
+    val z = Graft.psiDrift(same, col("cur"), col("v"), 10.0).collect()
+    assert(z.nonEmpty && z.forall(_.getDouble(3) == 0.0),
+      s"expected all-zero contribs: ${z.mkString(",")}")
+    // all baseline mass in [0,10), all current mass in [10,20)
+    val moved = ((1 to 20).map(_ => (5.0, false)) ++
+      (1 to 20).map(_ => (15.0, true))).toDF("v", "cur")
+    val m = Graft.psiDrift(moved, col("cur"), col("v"), 10.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(m(0.0) > 1.0 && m(10.0) > 1.0, s"got $m") // big one-sided shifts
+  }
 }

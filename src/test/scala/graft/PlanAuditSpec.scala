@@ -173,4 +173,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "canonical-URL dedup is one hash shuffle: " + p)
   }
+
+  test("q85: EWMA is one keyed window shuffle — no join, no global sort task") {
+    val p = plan("q85_ewma")
+    assert(!p.contains("Join"), p)
+    // the only unpartitioned exchange allowed is the final ORDER BY's range
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition(user_id"), p)
+  }
+
+  test("q86: PSI totals broadcast one row back — bins never re-shuffle") {
+    val p = plan("q86_psi")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // 1-row totals ride a broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
