@@ -2015,4 +2015,31 @@ object Graft {
       .select(col("bin"), col("n_base"), col("n_cur"),
         round((pc - pb) * log(pc / pb), 6).as("psi_contrib"))
   }
+
+  /** Blocked fuzzy record linkage: distinct names, self-joined within a
+    * caller-chosen blocking key (phonetic bucket, first/last token, zip —
+    * whatever bounds a cell), scored by the native [[graft.functions
+    * .JaroWinkler]] kernel, kept at `threshold`. The three scale levers:
+    * names DEDUP before pairing (at corpus scale the same name repeats
+    * millions of times — pair distinct strings, join survivors back by
+    * equality), the block equi-join bounds candidates to cell² instead of
+    * n² (pick keys whose cells stay ~10³-10⁴; salt or sub-block hot
+    * cells), and the O(l²)-per-pair kernel runs in codegen. Emits
+    * (n1, n2, jw) with n1 < n2 so each pair appears once.
+    */
+  def linkRecords(df: DataFrame, name: Column, block: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold: $threshold")
+    GraftFunctions.ensureRegistered(SparkSession.active)
+    val names = df.select(name.as("name"), block.as("__blk")).distinct()
+    val jw = call_function("jaro_winkler", col("n1"), col("n2"))
+    names.select(col("name").as("n1"), col("__blk"))
+      .join(names.select(col("name").as("n2"), col("__blk")), Seq("__blk"))
+      .where(col("n1") < col("n2"))
+      // filter on the raw double (the score IS the predicate); round only
+      // the emitted column
+      .withColumn("__jw", jw)
+      .where(col("__jw") >= threshold)
+      .select(col("n1"), col("n2"), round(col("__jw"), 6).as("jw"))
+  }
 }

@@ -99,6 +99,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.dupNgramFunction)
     ext.injectFunction(GraftFunctions.normalizeFunction)
     ext.injectFunction(GraftFunctions.l2SqFunction)
+    ext.injectFunction(GraftFunctions.jaroWinklerFunction)
   }
 }
 
@@ -139,13 +140,20 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         L2DistanceSq(children.head, children(1)))
 
+  private[functions] val jaroWinklerFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinkler(children.head, children(1)))
+
   /** Idempotently register the native functions in the session's function
     * registry, making them available to SQL and `call_function` (for
     * sessions not built with [[GraftExtensions]]).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     Seq(cosineFunction, simhashFunction, dupNgramFunction, normalizeFunction,
-      l2SqFunction)
+      l2SqFunction, jaroWinklerFunction)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -1082,6 +1082,29 @@ object Analytics {
              |      - (n_base + 0.5) / (tb + 0.5 * nb))
              |    * ln(((n_cur + 0.5) / (tc + 0.5 * nb))
              |      / ((n_base + 0.5) / (tb + 0.5 * nb))), 6) AS psi_contrib
-             |FROM a, tt ORDER BY bin""".stripMargin))
+             |FROM a, tt ORDER BY bin""".stripMargin)),
+
+    // Q87 — fuzzy record linkage (Graft.linkRecords): distinct part names
+    // blocked by their noun token, scored with the native jaro_winkler
+    // expression (semantics pinned bit-identical to the oracle's builtin
+    // — ExpressionSpec), kept at ≥ 0.78. The dedup-block-score shape is
+    // the entity-resolution front end; pairs feed dupClusters for the
+    // transitive close.
+    Q("q87_jaro_linkage",
+      (s, d) => {
+        graft.api.Graft.linkRecords(
+            Tables(s, d, "part"),
+            name = col("p_name"),
+            block = element_at(split(col("p_name"), " "), 2),
+            threshold = 0.78)
+          .orderBy(col("n1"), col("n2"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT p_name,
+             |    string_split(p_name, ' ')[2] AS blk FROM part)
+             |SELECT a.p_name AS n1, b.p_name AS n2,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+             |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+             |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.78
+             |ORDER BY n1, n2""".stripMargin))
   )
 }

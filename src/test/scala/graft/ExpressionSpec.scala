@@ -190,4 +190,31 @@ class ExpressionSpec extends SparkSpec {
       spark.sql("SELECT l2_sq(array('a'), array('b'))").collect()
     }
   }
+
+  test("jaro_winkler matches the oracle engine's builtin bit-for-bit") {
+    GraftFunctions.ensureRegistered(spark)
+    // Constants are duckdb jaro_winkler_similarity outputs, exact doubles
+    // (the prototype kernel matched it on 25k random pairs + all fixture
+    // part-name pairs with zero bit mismatches before porting).
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // boost, prefix 3
+      ("dixon", "dicksonx", 0.8133333333333332),  // boost, uneven lengths
+      ("ab", "abcdefghij", 0.7866666666666667),   // boost just above 0.7
+      ("aaaaaa", "aaabbb", 0.6666666666666666),   // prefix 3 but NO boost
+      ("CRATE", "TRACE", 0.7333333333333334),     // eligible, prefix 0
+      ("abcd", "abdc", 0.9333333333333333),       // one transposition
+      ("xy", "yx", 0.0),                          // window 0: no matches
+      ("abcdef", "abcdef", 1.0),
+      ("", "", 0.0), ("a", "", 0.0))              // empty -> 0, not 1
+    for ((a, b, want) <- cases) {
+      val got = spark.sql(s"SELECT jaro_winkler('$a', '$b') AS s")
+        .head().getDouble(0)
+      assert(got == want, s"jw($a,$b): got $got want $want")
+    }
+    assert(spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x') AS s")
+      .head().isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT jaro_winkler(1, 'x')").collect()
+    }
+  }
 }
