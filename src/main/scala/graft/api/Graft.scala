@@ -2042,4 +2042,58 @@ object Graft {
       .where(col("__jw") >= threshold)
       .select(col("n1"), col("n2"), round(col("__jw"), 6).as("jw"))
   }
+
+  /** Market-basket co-occurrence: item pairs that appear in ≥ `minSupport`
+    * shared baskets, with lift = N·supp(a,b) / (supp(a)·supp(b)). The
+    * pair generator is a self EQUI-join on the basket key — candidate
+    * count is Σ basket_size², bounded by the data's basket size (never
+    * n²); distinct-ing (basket,item) first both dedups repeat lines and
+    * shrinks the join input. Marginals join back per item (equi, partial-
+    * agg'd) and the one-row basket total rides a broadcast. At skew
+    * (one mega-basket) cap or sub-sample giant baskets upstream — a
+    * 10⁶-item basket is 10¹² pairs no engine should emit.
+    */
+  def coPurchasePairs(df: DataFrame, basket: Column, item: Column,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val li = df.select(basket.as("__bk"), item.as("__it")).distinct()
+    val supp = li.select(col("__bk"), col("__it").as("p1"))
+      .join(li.select(col("__bk"), col("__it").as("p2")), Seq("__bk"))
+      .where(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= minSupport)
+    val marg = li.groupBy(col("__it")).agg(count(lit(1)).as("__c"))
+    val total = li.agg(count_distinct(col("__bk")).as("__n"))
+    supp
+      .join(marg.select(col("__it").as("p1"), col("__c").as("__c1")), Seq("p1"))
+      .join(marg.select(col("__it").as("p2"), col("__c").as("__c2")), Seq("p2"))
+      .crossJoin(broadcast(total))
+      .select(col("p1"), col("p2"), col("supp"),
+        // all factors are exact ints < 2^53: one double division total
+        round(col("supp").cast(DoubleType) * col("__n").cast(DoubleType) /
+          (col("__c1").cast(DoubleType) * col("__c2").cast(DoubleType)), 6)
+          .as("lift"))
+  }
+
+  /** Benford first-significant-digit profile of an exact integer column
+    * (pass prices as cents — floating log10 near a power of ten must not
+    * decide the digit, so it is read off the decimal string, which both
+    * engines format identically for integers). Emits per digit: observed
+    * count, expected count N·log10(1+1/d), and the χ² term (O−E)²/E —
+    * Σ over the 9 rows is the test statistic; per-digit rows show where
+    * the deviation lives (fraud/synthetic-data forensics). One keyed
+    * 9-group aggregation + a broadcast one-row total: free at any scale.
+    */
+  def benfordDigits(df: DataFrame, cents: Column): DataFrame = {
+    val d = df.select(
+        substring(cents.cast(StringType), 1, 1).cast("int").as("digit"))
+      .where(col("digit") >= 1) // guard: zero/negative values have no digit
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = d.agg(sum(col("n")).cast(DoubleType).as("__t"))
+    val e = col("__t") * log10(lit(1.0) + lit(1.0) / col("digit"))
+    d.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), round(e, 6).as("expected"),
+        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_term"))
+  }
 }

@@ -1105,6 +1105,60 @@ object Analytics {
              |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
              |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
              |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.78
-             |ORDER BY n1, n2""".stripMargin))
+             |ORDER BY n1, n2""".stripMargin)),
+
+    // Q88 — market-basket co-occurrence (Graft.coPurchasePairs): part
+    // pairs sharing ≥2 orders, with lift against independence. The pair
+    // join is keyed by order (candidates bounded by basket size), the
+    // marginals join back per part, the basket total broadcasts.
+    Q("q88_itemsets",
+      (s, d) => {
+        graft.api.Graft.coPurchasePairs(
+            Tables(s, d, "lineitem"),
+            basket = col("l_orderkey"), item = col("l_partkey"),
+            minSupport = 2L)
+          .orderBy(col("p1"), col("p2"))
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+             |  FROM lineitem),
+             |s AS (SELECT a.it AS p1, b.it AS p2, count(*) AS supp
+             |      FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+             |      GROUP BY a.it, b.it HAVING count(*) >= 2),
+             |m AS (SELECT it, count(*) AS c FROM li GROUP BY it),
+             |t AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n FROM li)
+             |SELECT p1, p2, CAST(supp AS BIGINT) AS supp,
+             |  round(CAST(supp AS DOUBLE) * n /
+             |    (CAST(m1.c AS DOUBLE) * CAST(m2.c AS DOUBLE)), 6) AS lift
+             |FROM s JOIN m m1 ON s.p1 = m1.it
+             |       JOIN m m2 ON s.p2 = m2.it, t
+             |ORDER BY p1, p2""".stripMargin)),
+
+    // Q89 — Benford first-digit profile (Graft.benfordDigits) of order
+    // totals in exact cents: observed vs log10(1+1/d) expectation with
+    // per-digit χ² terms — the synthetic-data/fraud forensics gate. The
+    // digit comes off the integer's decimal string, never floating log.
+    Q("q89_benford",
+      (s, d) => {
+        graft.api.Graft.benfordDigits(
+            Tables(s, d, "orders"),
+            cents = (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT) AS cents FROM orders),
+             |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+             |        AS INT) AS digit FROM c),
+             |g AS (SELECT digit, count(*) AS n FROM d
+             |      WHERE digit >= 1 GROUP BY digit),
+             |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM g)
+             |SELECT digit, CAST(n AS BIGINT) AS n,
+             |  round(tt * log10(1 + 1.0 / digit), 6) AS expected,
+             |  round((n - tt * log10(1 + 1.0 / digit))
+             |    * (n - tt * log10(1 + 1.0 / digit))
+             |    / (tt * log10(1 + 1.0 / digit)), 6) AS chi2_term
+             |FROM g, t ORDER BY digit""".stripMargin))
   )
 }

@@ -948,4 +948,30 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
     assert(m(0.0) > 1.0 && m(10.0) > 1.0, s"got $m") // big one-sided shifts
   }
+
+  test("coPurchasePairs: support counts baskets, lift exact, repeats dedup") {
+    import spark.implicits._
+    // baskets: 1={a,b,c} (b repeated), 2={a,b}, 3={a}
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a")).toDF("bk", "it")
+    val got = Graft.coPurchasePairs(df, col("bk"), col("it"), 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    // only (a,b): supp 2, lift = 2*3 / (3*2) = 1.0
+    assert(got.toSeq == Seq((("a", "b"), (2L, 1.0))), got.mkString(","))
+    val all = Graft.coPurchasePairs(df, col("bk"), col("it"), 1L)
+    assert(all.count() == 3) // (a,b), (a,c), (b,c)
+  }
+
+  test("benfordDigits: digits off the decimal string, zero rows guarded") {
+    import spark.implicits._
+    val df = (1L to 9L).map(d => d * 100L).toDF("cents") // digits 1..9 once
+      .union(Seq(0L).toDF("cents"))                      // no first digit
+    val rows = Graft.benfordDigits(df, col("cents"))
+      .orderBy(col("digit")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9) &&
+      rows.forall(_.getLong(1) == 1L))
+    // expected(d=1) = 9 * log10(2)
+    assert(math.abs(rows.head.getDouble(2) - 9 * math.log10(2.0)) < 1e-6)
+  }
 }
