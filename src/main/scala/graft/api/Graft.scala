@@ -2096,4 +2096,32 @@ object Graft {
       .select(col("digit"), col("n"), round(e, 6).as("expected"),
         round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_term"))
   }
+
+  /** Per-key OLS slope of `y` over `x` from EXACT integer moments: one
+    * keyed aggregation of (n, Σx, Σy, Σxy, Σx²) in int64, then the
+    * closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluated once in double —
+    * bit-identical at any partition count, unlike builtin `regr_slope`
+    * whose float partials merge in partition order (the engine's exact-
+    * moments rule, Analytics header). Caller contract: x and y are
+    * integers pre-scaled so n·max|x·y| fits int64 — offset x to a per-key
+    * baseline (days since first event) and y to cents; raw epoch seconds
+    * squared would overflow. Keys with < `minPoints` rows or zero
+    * x-variance (vertical line) are dropped, not NaN'd. Emits
+    * (k, n, slope).
+    */
+  def linearTrend(df: DataFrame, key: Column, x: Column, y: Column,
+      minPoints: Long): DataFrame = {
+    require(minPoints >= 2, s"minPoints must be >= 2: $minPoints")
+    val a = df.select(key.as("k"), x.as("__x"), y.as("__y"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    a.where(col("n") >= minPoints && den =!= 0)
+      .select(col("k"), col("n"),
+        round(num.cast(DoubleType) / den.cast(DoubleType), 6).as("slope"))
+  }
 }

@@ -1159,6 +1159,80 @@ object Analytics {
              |  round((n - tt * log10(1 + 1.0 / digit))
              |    * (n - tt * log10(1 + 1.0 / digit))
              |    / (tt * log10(1 + 1.0 / digit)), 6) AS chi2_term
-             |FROM g, t ORDER BY digit""".stripMargin))
+             |FROM g, t ORDER BY digit""".stripMargin)),
+
+    // Q90 — per-customer spend trend (Graft.linearTrend): OLS slope of
+    // order totals (exact cents) over days-since-first-order, from exact
+    // int64 moments — the feature-engineering shape (is this account
+    // growing?). x is baselined per key by a window min so x² stays tiny;
+    // one keyed window + one keyed aggregation, same shuffle key.
+    Q("q90_trend",
+      (s, d) => {
+        val wmin = Window.partitionBy(col("o_custkey"))
+        val o = Tables(s, d, "orders").select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")),
+            min(to_date(col("o_orderdate"))).over(wmin)).as("x"),
+          (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+            .cast(LongType).as("y"))
+        graft.api.Graft.linearTrend(o, col("o_custkey"),
+            col("x"), col("y"), minPoints = 3L)
+          .select(col("k").as("o_custkey"), col("n").as("n_orders"),
+            col("slope"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS k,
+             |    date_diff('day',
+             |      min(CAST(o_orderdate AS DATE))
+             |        OVER (PARTITION BY o_custkey),
+             |      CAST(o_orderdate AS DATE)) AS x,
+             |    CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) AS y
+             |  FROM orders),
+             |a AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x * y) AS sxy, sum(x * x) AS sxx
+             |      FROM o GROUP BY k)
+             |SELECT k AS o_custkey, CAST(n AS BIGINT) AS n_orders,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+             |FROM a WHERE n >= 3 AND n * sxx - sx * sx <> 0
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Q91 — ntile bucketing: per-event-type deciles of value (the
+    // equal-frequency binning behind score quantiles/cohort splits).
+    // Keyed window with a fully tiebroken order — deterministic and
+    // scale-safe (no global-order task; q83's chunked scan is the shape
+    // for GLOBAL ntile).
+    Q("q91_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            ntile(10).over(w).as("decile"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, value,
+             |  ntile(10) OVER (PARTITION BY event_type
+             |    ORDER BY value, event_id) AS decile
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q92 — positional explode: token + its 0-based position (the
+    // generator variant q42's explode drops). Row-local expansion feeds
+    // partial aggregation downstream; the oracle zips DuckDB's unnest
+    // with a range unnest positionally.
+    Q("q92_posexplode",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(slice(split(col("text"), " "), 1, 12)))
+          .withColumnRenamed("col", "tok")
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split(text, ' ')[1:12] AS ts FROM documents)
+             |SELECT doc_id, unnest(range(0, len(ts))) AS pos,
+             |  unnest(ts) AS tok
+             |FROM t ORDER BY doc_id, pos""".stripMargin))
   )
 }

@@ -974,4 +974,16 @@ class GraftApiSpec extends SparkSpec {
     // expected(d=1) = 9 * log10(2)
     assert(math.abs(rows.head.getDouble(2) - 9 * math.log10(2.0)) < 1e-6)
   }
+
+  test("linearTrend: exact slope on a known line, degenerate keys dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 1L, 13L), ("a", 2L, 16L),   // slope exactly 3
+      ("b", 0L, 1L), ("b", 0L, 9L), ("b", 0L, 5L),      // zero x-variance
+      ("c", 0L, 1L), ("c", 5L, 2L))                     // only 2 points
+      .toDF("k", "x", "y")
+    val got = Graft.linearTrend(df, col("k"), col("x"), col("y"), 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 3L, 3.0)), got.mkString(","))
+  }
 }

@@ -61,6 +61,25 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) > 1)
   }
 
+  test("directory partitioning + selective dim join prunes at runtime (DPP)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables(spark, sfDir, "orders")
+      .withColumn("oday", dayofmonth(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("oday").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim side carries a selective filter on the partition key -> Spark
+    // should inject a runtime partition filter (DPP) into the fact scan
+    val dim = Tables(spark, sfDir, "nation")
+      .where(col("n_nationkey") < 3)
+      .select(col("n_nationkey").as("oday"))
+    val joined = fact.join(dim, Seq("oday"))
+      .agg(sum(col("o_totalprice")).as("s"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamic partition pruning filter in the fact scan:\n" + plan)
+    joined.collect() // and it executes
+  }
+
   test("csv round-trip preserves values") {
     val df = Tables(spark, sfDir, "nation")
     val out = tmp() + "/nation_csv"
