@@ -1233,6 +1233,57 @@ object Analytics {
              |    string_split(text, ' ')[1:12] AS ts FROM documents)
              |SELECT doc_id, unnest(range(0, len(ts))) AS pos,
              |  unnest(ts) AS tok
-             |FROM t ORDER BY doc_id, pos""".stripMargin))
+             |FROM t ORDER BY doc_id, pos""".stripMargin)),
+
+    // Q93 — rolling 7-day distinct actives + day-over-day change: EXACT
+    // sliding-window distinct via bounded fan-out — each distinct
+    // (day,user) replicates to the ≤7 window-ends it serves (explode of a
+    // 7-element sequence, row-local), then a keyed count_distinct per
+    // window end. That is the scale shape for exact sliding distinct: no
+    // per-window state, no quadratic self-join; fan-out cost is the
+    // window length, chosen by the caller. The trailing lag runs on the
+    // per-DAY aggregate (bounded by calendar days, never row-scale).
+    Q("q93_rolling_dau",
+      (s, d) => {
+        val du = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val daily = du.groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as("dau"))
+        val hi = du.agg(max(col("day")).as("__hi"))
+        val roll = du
+          .select(explode(sequence(lit(0), lit(6))).as("off"),
+            col("day"), col("user_id"))
+          .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+          .crossJoin(broadcast(hi)).where(col("day") <= col("__hi"))
+          .groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as("wau7"))
+        val w = Window.orderBy(col("day")) // bounded by calendar days
+        daily.join(roll, Seq("day"))
+          .select(col("day"), col("dau"), col("wau7"),
+            round((col("dau") - lag(col("dau"), 1).over(w))
+              .cast(DoubleType) / lag(col("dau"), 1).over(w), 6)
+              .as("dod_change"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |daily AS (SELECT day, count(DISTINCT user_id) AS dau
+             |          FROM du GROUP BY day),
+             |span AS (SELECT max(day) AS hi FROM du),
+             |ex AS (SELECT unnest(range(0, 7)) AS off, day, user_id
+             |       FROM du),
+             |r7 AS (SELECT day + to_days(CAST(off AS INT)) AS day,
+             |         count(DISTINCT user_id) AS wau7
+             |       FROM ex, span
+             |       WHERE day + to_days(CAST(off AS INT)) <= hi
+             |       GROUP BY 1)
+             |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+             |  CAST(r.wau7 AS BIGINT) AS wau7,
+             |  round(CAST(d.dau - lag(d.dau) OVER (ORDER BY d.day)
+             |      AS DOUBLE) / lag(d.dau) OVER (ORDER BY d.day), 6)
+             |    AS dod_change
+             |FROM daily d JOIN r7 r ON d.day = r.day
+             |ORDER BY d.day""".stripMargin))
   )
 }

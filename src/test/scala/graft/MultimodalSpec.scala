@@ -73,4 +73,26 @@ class MultimodalSpec extends SparkSpec {
       .as[Multimodal.Asset]
     assert(Multimodal.decodeAll(assets2).count() == 2)
   }
+
+  test("pngDims reads IHDR width/height off real header bytes; non-PNG null") {
+    import spark.implicits._
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    def png(w: Int, h: Int): Array[Byte] =
+      sig ++ be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0)
+    val rows = Seq(
+      (1L, png(640, 480)), (2L, png(1, 1)), (3L, png(65535, 2)),
+      (4L, Array[Byte](-1, -40, -1)),         // JPEG magic: not a PNG
+      (5L, sig.take(8)))                      // signature only, truncated
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.pngDims(col("payload")).as("dims"))
+      .orderBy("id").collect()
+    def dims(i: Int) = (rows(i).getStruct(1).getLong(0),
+      rows(i).getStruct(1).getLong(1))
+    assert(dims(0) == (640L, 480L) && dims(1) == (1L, 1L) &&
+      dims(2) == (65535L, 2L))
+    assert(rows(3).isNullAt(1) && rows(4).isNullAt(1))
+  }
 }

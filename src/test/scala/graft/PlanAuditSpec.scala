@@ -189,4 +189,16 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p) // 1-row totals ride a broadcast
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("join strategy hints are honored (SHUFFLE_HASH / MERGE)") {
+    val e = SparkEntry.queries("q01_scan")(spark, sfDir) // any lineitem frame
+    val o = Tables(spark, sfDir, "orders")
+    val sh = e.join(o.hint("SHUFFLE_HASH"),
+      e("l_orderkey") === o("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(sh.contains("ShuffledHashJoin"), sh)
+    val sm = e.join(o.hint("MERGE"), e("l_orderkey") === o("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(sm.contains("SortMergeJoin"), sm)
+  }
 }
