@@ -100,6 +100,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.normalizeFunction)
     ext.injectFunction(GraftFunctions.l2SqFunction)
     ext.injectFunction(GraftFunctions.jaroWinklerFunction)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerPrefilter)
   }
 }
 

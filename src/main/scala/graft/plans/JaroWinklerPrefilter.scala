@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.functions.JaroWinkler
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression,
+  GreaterThan, GreaterThanOrEqual, Greatest, Least, Literal, Multiply,
+  OctetLength}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: in front of an expensive `jaro_winkler(a,b) >= t`
+  * predicate, inject a cheap byte-length prefilter implied by the
+  * threshold, so the O(|a|·|b|) kernel never runs on pairs a length check
+  * already rules out.
+  *
+  * Derivation (kernel semantics in [[graft.functions.JaroWinklerImpl]]):
+  * matches m ≤ min(l1,l2), so jaro ≤ (2 + min/max) / 3, and the Winkler
+  * boost (prefix ≤ 4, weight 0.1) gives jw ≤ 0.6·jaro + 0.4. Hence
+  * jw ≥ t forces min/max ≥ 5t − 4 — a bound that only bites for
+  * t > 0.8, which is exactly the high-precision linkage regime where the
+  * blocked candidate join is large. The injected conjunct
+  * `3·octet_length(min) ≥ (5t−4)·octet_length(max)` is codegen'd integer/
+  * double arithmetic evaluated before the kernel (And short-circuits),
+  * and — like every sound pushed predicate — never changes the result.
+  *
+  * Registered by `GraftExtensions` (injectOptimizerRule); runs in the
+  * operator-optimization fixpoint batch, so the rewrite is idempotent: a
+  * predicate whose filter already contains the semantically-equal bound
+  * is left alone.
+  */
+object JaroWinklerPrefilter extends Rule[LogicalPlan] {
+
+  private def bound(a: Expression, b: Expression, t: Double): Expression = {
+    val la = Cast(OctetLength(a), DoubleType)
+    val lb = Cast(OctetLength(b), DoubleType)
+    GreaterThanOrEqual(
+      Multiply(Least(Seq(la, lb)), Literal(3.0)),
+      Multiply(Greatest(Seq(la, lb)), Literal(5.0 * t - 4.0)))
+  }
+
+  /** Add the bound in front of every qualifying comparison inside `cond`
+    * (idempotent: a condition that already carries the semantically-equal
+    * bound — this batch runs to fixpoint — is returned unchanged).
+    */
+  private def rewrite(cond: Expression): Expression = cond.transformUp {
+    case ge @ GreaterThanOrEqual(jw: JaroWinkler, Literal(t: Double, DoubleType))
+        if t > 0.8 &&
+          !cond.exists(_.semanticEquals(bound(jw.left, jw.right, t))) =>
+      And(bound(jw.left, jw.right, t), ge)
+    case gt @ GreaterThan(jw: JaroWinkler, Literal(t: Double, DoubleType))
+        if t > 0.8 &&
+          !cond.exists(_.semanticEquals(bound(jw.left, jw.right, t))) =>
+      And(bound(jw.left, jw.right, t), gt)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // both shapes matter: the predicate starts in a Filter, but pushdown
+    // may fold it into a Join condition before this rule runs
+    case f @ Filter(cond, child) =>
+      val newCond = rewrite(cond)
+      if (newCond fastEquals cond) f else Filter(newCond, child)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      val newCond = rewrite(cond)
+      if (newCond fastEquals cond) j else j.copy(condition = Some(newCond))
+  }
+}

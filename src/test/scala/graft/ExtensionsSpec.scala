@@ -41,6 +41,16 @@ class ExtensionsSpec extends AnyFunSuite {
       // and the SQL catalog can DESCRIBE them (ExpressionInfo present)
       assert(spark.sql("DESCRIBE FUNCTION cosine_sim").collect()
         .exists(_.getString(0).contains("cosine_sim")))
+      assert(spark.sql("SELECT jaro_winkler('martha', 'marhta') AS s")
+        .head().getDouble(0) == 0.9611111111111111)
+      // the injected optimizer rule fires on high-threshold predicates
+      val opt = spark.sql(
+        """SELECT * FROM (SELECT CAST(id AS STRING) AS a, 'abc' AS b
+          |               FROM range(5))
+          |WHERE jaro_winkler(a, b) >= 0.9""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("octet_length"),
+        "expected the length prefilter in:\n" + opt)
     } finally spark.stop()
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.plans.JaroWinklerPrefilter
+import org.apache.spark.sql.functions._
+
+/** The Jaro-Winkler length-prefilter rule: high-threshold predicates gain
+  * a byte-length bound ahead of the O(l²) kernel; results never change;
+  * low thresholds (where the bound is vacuous) are left alone.
+  */
+class PrefilterRuleSpec extends SparkSpec {
+
+  private def pairs() = {
+    import spark.implicits._
+    val names = Seq("alpha", "alphabet", "al", "alpine", "alphonse",
+      "x", "alphabets").toDF("n1")
+    names.crossJoin(names.toDF("n2"))
+  }
+
+  test("jaro_winkler >= t>0.8 gains a byte-length prefilter, same rows") {
+    GraftFunctions.ensureRegistered(spark)
+    val jw = call_function("jaro_winkler", col("n1"), col("n2"))
+    val before = pairs().where(jw >= 0.9).collect().toSet // rule absent
+    spark.experimental.extraOptimizations = Seq(JaroWinklerPrefilter)
+    try {
+      val q = pairs().where(jw >= 0.9)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("octet_length"), "bound not injected:\n" + opt)
+      assert(q.collect().toSet == before, "prefilter changed the result")
+      // strict > works too; idempotent under the fixpoint batch (one copy)
+      val strict = pairs().where(jw > 0.9)
+      val sopt = strict.queryExecution.optimizedPlan.toString
+      assert("octet_length".r.findAllIn(sopt).size <= 4, sopt)
+      assert(sopt.contains("octet_length"), sopt)
+      // t <= 0.8: min/max >= 5t-4 is vacuous — no rewrite
+      val low = pairs().where(jw >= 0.5)
+      assert(!low.queryExecution.optimizedPlan.toString
+        .contains("octet_length"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("the bound itself is sound: a ruled-out pair really scores below t") {
+    GraftFunctions.ensureRegistered(spark)
+    // min/max = 1/9 < 5*0.9-4 = 0.5 -> prefilter drops it; kernel agrees
+    val r = spark.sql("SELECT jaro_winkler('x', 'abcdefghi') AS s").head()
+    assert(r.getDouble(0) < 0.9)
+  }
+}
