@@ -2124,4 +2124,40 @@ object Graft {
       .select(col("k"), col("n"),
         round(num.cast(DoubleType) / den.cast(DoubleType), 6).as("slope"))
   }
+
+  /** TTL dedup (rate limiting): per key, keep a row only if ≥ `ttlSeconds`
+    * elapsed since the last KEPT row — the anchor semantics behind
+    * "at most one alert/snapshot per user per hour". This is genuinely
+    * sequential (whether a row survives depends on which earlier rows
+    * survived), so no window/self-join formulation exists; the scale shape
+    * is `flatMapSortedGroups`: one keyed shuffle, Spark's secondary sort
+    * streams each group ordered by (time, tieBreak) through an O(1)-state
+    * iterator — no per-group materialization, spill-safe, same cost
+    * profile as a window. The batch dual of the streaming
+    * dropDuplicatesWithinWatermark family. Key is grouped by its string
+    * form; `tieBreak` must complete a total order for determinism.
+    */
+  def dedupWithinTtl(df: DataFrame, key: Column, time: Column,
+      ttlSeconds: Long, tieBreak: Column): DataFrame = {
+    require(ttlSeconds > 0, s"ttlSeconds must be > 0: $ttlSeconds")
+    val prep = df.withColumn("__ttl_k", key.cast(StringType))
+      .withColumn("__ttl_t", time.cast(LongType))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[
+      org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(prep.schema)
+    import org.apache.spark.sql.Encoders
+    val kIdx = prep.schema.fieldIndex("__ttl_k")
+    val tIdx = prep.schema.fieldIndex("__ttl_t")
+    prep.groupByKey(_.getString(kIdx))(Encoders.STRING)
+      .flatMapSortedGroups(col("__ttl_t"), tieBreak) { (_, it) =>
+        var lastKept = Long.MinValue
+        it.filter { r =>
+          val t = r.getLong(tIdx)
+          val keep = lastKept == Long.MinValue || t - lastKept >= ttlSeconds
+          if (keep) lastKept = t
+          keep
+        }
+      }
+      .toDF().drop("__ttl_k", "__ttl_t")
+  }
 }

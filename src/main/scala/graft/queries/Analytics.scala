@@ -1284,6 +1284,48 @@ object Analytics {
              |      AS DOUBLE) / lag(d.dau) OVER (ORDER BY d.day), 6)
              |    AS dod_change
              |FROM daily d JOIN r7 r ON d.day = r.day
-             |ORDER BY d.day""".stripMargin))
+             |ORDER BY d.day""".stripMargin)),
+
+    // Q94 — mergeable distinct-count sketches: per-shard datasketches HLL
+    // unioned == sketch built in one pass (bit-identical estimates), both
+    // within the lgK=12 error envelope of the exact count. THE 100 TB
+    // cardinality pattern: sketch each shard/day once (tiny, partial-
+    // aggregated), union bytes forever after — re-scanning history to
+    // re-count distincts is the anti-pattern. Engine-verified (PropertySpec
+    // asserts merged == direct and the error bound); no oracle — DuckDB's
+    // approx_count_distinct is a different sketch.
+    Q("q94_hll_shards",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        val shards = e
+          .groupBy(pmod(xxhash64(col("user_id")), lit(16)).as("shard"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val merged = shards.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("est_merged"))
+        val direct = e.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+            .as("est_direct"),
+          count_distinct(col("user_id")).as("n_exact"))
+        // hll_sketch_estimate returns an integral estimate (bigint)
+        merged.crossJoin(broadcast(direct))
+          .select(col("est_merged"), col("est_direct"), col("n_exact"))
+      },
+      None),
+
+    // Q95 — TTL dedup (Graft.dedupWithinTtl): at most one event per user
+    // per 30 minutes, anchored to the last KEPT event — sequential
+    // semantics no window expresses (GraftApiSpec proves the anchor-vs-
+    // lag-gap distinction); engine-verified, no SQL oracle exists.
+    Q("q95_ttl_dedup",
+      (s, d) => {
+        graft.api.Graft.dedupWithinTtl(
+            Tables(s, d, "events"),
+            key = col("user_id"), time = col("ts"),
+            ttlSeconds = 1800L, tieBreak = col("event_id"))
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .orderBy(col("event_id"))
+      },
+      None)
   )
 }

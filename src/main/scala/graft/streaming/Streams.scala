@@ -74,7 +74,8 @@ object Streams {
     * events schema (event_id, user_id, ts, value, ...).
     */
   def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
-      lookback: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+      lookback: String = "1 hour", watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -84,10 +85,16 @@ object Streams {
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
       .withWatermark("purchase_ts", watermark)
+    // "leftOuter": an unattributed click is emitted with null purchase
+    // columns — but only once the watermark proves no match can still
+    // arrive (same state bound as inner; emission is just deferred to
+    // watermark passage). The time bound on BOTH sides stays mandatory:
+    // it is what lets the state store evict.
     c.join(p,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") <= col("click_ts") &&
-          col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+          col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_value"))
   }

@@ -986,4 +986,22 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq(("a", 3L, 3.0)), got.mkString(","))
   }
+
+  test("dedupWithinTtl: anchor semantics (not lag-gap), per key, all cols") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 0L, "a"), ("u", 5L, "b"), ("u", 10L, "c"),
+      ("u", 14L, "d"), ("u", 20L, "e"),
+      ("v", 3L, "x"))
+      .toDF("k", "t", "payload")
+    val kept = Graft.dedupWithinTtl(df, col("k"), col("t"), 10L, col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // u: keep 0; 5 within ttl of 0; 10 >= 0+10 keep; 14 within ttl of 10
+    // (anchor is the KEPT row — a lag-gap window would wrongly keep 14);
+    // 20 >= 10+10 keep. v: singleton survives.
+    assert(kept == Set(("u", 0L), ("u", 10L), ("u", 20L), ("v", 3L)), kept)
+    // schema passes through untouched
+    assert(Graft.dedupWithinTtl(df, col("k"), col("t"), 10L, col("payload"))
+      .columns.toSeq == Seq("k", "t", "payload"))
+  }
 }

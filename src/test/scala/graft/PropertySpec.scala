@@ -98,4 +98,15 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("rn") < 1 || col("rk") < 1 || col("drk") < 1).count() == 0)
     assert(df.filter(col("rn") < col("rk") || col("rk") < col("drk")).count() == 0)
   }
+
+  test("HLL shard sketches union to the one-pass sketch; both near exact") {
+    val r = SparkEntry.queries("q94_hll_shards")(spark, sfDir).head()
+    val (merged, direct, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(merged == direct,
+      s"sketch union must be lossless: merged=$merged direct=$direct")
+    // datasketches HLL rsd at lgK=12 is ~1.04/sqrt(4096) ≈ 1.6%; 3σ gate
+    assert(math.abs(direct - exact) / exact.toDouble < 0.05,
+      s"estimate $direct too far from exact $exact")
+  }
 }

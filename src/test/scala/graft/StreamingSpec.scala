@@ -165,4 +165,35 @@ class StreamingSpec extends SparkSpec {
         s"interval join wrong: ${rows.mkString(", ")}")
     } finally query.stop()
   }
+
+  test("left-outer attribution emits unmatched clicks once watermark proves it") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[UEv]
+    val purchases = MemoryStream[UEv]
+    val query = Streams.purchaseAttribution(clicks.toDF(), purchases.toDF(),
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(UEv(1, 9, ts(50), 0.0), UEv(2, 10, ts(55), 0.0))
+      purchases.addData(UEv(100, 9, ts(45), 3.0)) // matches click 1 only
+      query.processAllAvailable()
+      // push BOTH watermarks (join watermark is their min) far past
+      // click_ts + lookback + delay so the no-match verdict is final
+      clicks.addData(UEv(3, 11, ts(400), 0.0))
+      purchases.addData(UEv(300, 12, ts(400), 1.0))
+      query.processAllAvailable()
+      clicks.addData(UEv(4, 11, ts(401), 0.0))
+      purchases.addData(UEv(301, 12, ts(401), 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("ssj_outer").select("click_id", "purchase_id")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((1L, 100L)), s"matched row missing: $rows")
+      assert(rows.contains((2L, -1L)),
+        s"unmatched click must surface with null purchase: $rows")
+    } finally query.stop()
+  }
 }
