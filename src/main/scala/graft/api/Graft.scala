@@ -2160,4 +2160,36 @@ object Graft {
       }
       .toDF().drop("__ttl_k", "__ttl_t")
   }
+
+  /** Interval-overlap JOIN: pairs of closed intervals (same key, one from
+    * each side) that overlap in time — the interval-interval sibling of
+    * [[rangeJoin]]'s point-in-interval. Candidates come from an equi-join
+    * on (key, coarse time bucket): each interval explodes to the buckets
+    * it touches (fan-out = length/bucketSeconds, so pick the bucket near
+    * the typical interval length; a multi-bucket pair matches in several
+    * buckets and dedups via DISTINCT before scoring). Never all-pairs,
+    * never a nested-loop theta join — at 100 TB the bucket count is the
+    * knob that trades replication for candidate precision. Emits
+    * (key, left_id, right_id, overlap_s ≥ 0, closed-bounds).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      key: String, id: String, start: String, end: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    def sides(df: DataFrame, idAs: String, sAs: String, eAs: String) =
+      df.select(col(key), col(id).as(idAs),
+        col(start).as(sAs), col(end).as(eAs),
+        explode(sequence(
+          floor(col(start) / bucketSeconds).cast(LongType),
+          floor(col(end) / bucketSeconds).cast(LongType))).as("__b"))
+    sides(left, "left_id", "__ls", "__le")
+      .join(sides(right, "right_id", "__rs", "__re"), Seq(key, "__b"))
+      .where(col("__ls") <= col("__re") && col("__rs") <= col("__le"))
+      .select(col(key), col("left_id"), col("right_id"),
+        col("__ls"), col("__le"), col("__rs"), col("__re"))
+      .distinct() // an overlap spanning k buckets matched k times
+      .select(col(key), col("left_id"), col("right_id"),
+        (least(col("__le"), col("__re")) -
+          greatest(col("__ls"), col("__rs"))).as("overlap_s"))
+  }
 }

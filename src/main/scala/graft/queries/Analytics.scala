@@ -1326,6 +1326,72 @@ object Analytics {
           .select(col("event_id"), col("user_id"), col("ts"))
           .orderBy(col("event_id"))
       },
-      None)
+      None),
+
+    // Q96 — interval-overlap join (Graft.intervalOverlapJoin): per user,
+    // daily browsing spans (click/view min..max) that overlap daily
+    // purchase spans — candidates from a (user, hour-bucket) equi-join,
+    // never a theta nested loop; multi-bucket matches dedup before
+    // scoring. Interval ids are (user, epoch-day)-derived so both engines
+    // compute them exactly.
+    Q("q96_overlap_join",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        def spans(types: Seq[String]) = e
+          .where(col("event_type").isin(types: _*))
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts").cast(LongType)).as("start"),
+            max(col("ts").cast(LongType)).as("end"))
+          .select(col("user_id"),
+            (col("user_id") * 100000 +
+              datediff(col("day"), to_date(lit("1970-01-01"))))
+              .as("iv_id"),
+            col("start"), col("end"))
+        graft.api.Graft.intervalOverlapJoin(
+            spans(Seq("click", "view")), spans(Seq("purchase")),
+            key = "user_id", id = "iv_id", start = "start", end = "end",
+            bucketSeconds = 3600L)
+          .orderBy(col("left_id"), col("right_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    min(epoch_us(ts) // 1000000) AS s,
+             |    max(epoch_us(ts) // 1000000) AS e
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1, 2),
+             |p AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    min(epoch_us(ts) // 1000000) AS s,
+             |    max(epoch_us(ts) // 1000000) AS e
+             |  FROM events WHERE event_type = 'purchase'
+             |  GROUP BY 1, 2)
+             |SELECT b.user_id,
+             |  b.user_id * 100000
+             |    + date_diff('day', DATE '1970-01-01', b.day) AS left_id,
+             |  p.user_id * 100000
+             |    + date_diff('day', DATE '1970-01-01', p.day) AS right_id,
+             |  least(b.e, p.e) - greatest(b.s, p.s) AS overlap_s
+             |FROM b JOIN p ON b.user_id = p.user_id
+             |  AND b.s <= p.e AND p.s <= b.e
+             |ORDER BY left_id, right_id""".stripMargin)),
+
+    // Q97 — ordered string aggregation (LISTAGG): per region, the
+    // member-nation roster as one sorted comma-joined string —
+    // collect_list is partition-order-nondeterministic, so array_sort
+    // before joining is what makes the result well-defined (and hash-
+    // equal to the oracle's ORDER BY inside string_agg).
+    Q("q97_stringagg",
+      (s, d) => {
+        Tables(s, d, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), ",")
+              .as("nations"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY n_regionkey
+             |ORDER BY n_regionkey""".stripMargin))
   )
 }

@@ -1004,4 +1004,20 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.dedupWithinTtl(df, col("k"), col("t"), 10L, col("payload"))
       .columns.toSeq == Seq("k", "t", "payload"))
   }
+
+  test("intervalOverlapJoin: closed bounds, multi-bucket dedup, keyed block") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 0L, 250L),    // spans 3 buckets of 100
+      (1L, 11L, 400L, 450L), (2L, 20L, 0L, 50L))
+      .toDF("k", "iv", "s", "e")
+    val b = Seq((1L, 90L, 200L, 600L),  // overlaps 10 (at 200-250) and 11
+      (1L, 91L, 260L, 300L),            // gap vs 10, before 11
+      (2L, 92L, 50L, 60L),              // touches 20 at exactly 50
+      (3L, 93L, 0L, 1000L))             // different key: never paired
+      .toDF("k", "iv", "s", "e")
+    val got = Graft.intervalOverlapJoin(a, b, "k", "iv", "s", "e", 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((10L, 90L, 50L), (11L, 90L, 50L), (20L, 92L, 0L)),
+      got.toString) // each pair exactly once despite multi-bucket matches
+  }
 }
