@@ -2192,4 +2192,31 @@ object Graft {
         (least(col("__le"), col("__re")) -
           greatest(col("__ls"), col("__rs"))).as("overlap_s"))
   }
+
+  /** Transitive ancestor closure of a parent-pointer hierarchy (org
+    * charts, category trees, BOMs) to `maxDepth` levels — the recursive-
+    * CTE workload Spark SQL has no syntax for, expressed as a statically
+    * unrolled iterated equi-join: frontier(depth d) ⋈ edges → depth d+1,
+    * all levels unioned. Each step is one keyed shuffle on the ancestor
+    * column and the frontier shrinks as chains terminate (a join miss IS
+    * the stop condition — no driver-side convergence check needed when
+    * the caller bounds depth). For depth beyond ~10 on 100 TB graphs,
+    * localCheckpoint the frontier per round (the [[dupClusters]]
+    * pattern) to keep lineage flat. Emits (node, anc, depth ≥ 1).
+    */
+  def ancestorClosure(edges: DataFrame, child: Column, parent: Column,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = edges.select(child.as("__c"), parent.as("__p")).cache()
+    var frontier = e.select(col("__c").as("node"), col("__p").as("anc"),
+      lit(1).as("depth"))
+    var acc = frontier
+    for (_ <- 2 to maxDepth) {
+      frontier = frontier.join(e, col("anc") === col("__c"))
+        .select(col("node"), col("__p").as("anc"),
+          (col("depth") + 1).as("depth"))
+      acc = acc.unionAll(frontier)
+    }
+    acc
+  }
 }

@@ -1392,6 +1392,33 @@ object Analytics {
       Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
              |  string_agg(n_name, ',' ORDER BY n_name) AS nations
              |FROM nation GROUP BY n_regionkey
-             |ORDER BY n_regionkey""".stripMargin))
+             |ORDER BY n_regionkey""".stripMargin)),
+
+    // Q98 — hierarchy expansion (Graft.ancestorClosure): every
+    // (node, ancestor, depth) pair of a synthetic decimal-digit customer
+    // tree (parent = custkey DIV 10) — the recursive-CTE workload as a
+    // statically unrolled iterated join; the oracle IS a recursive CTE,
+    // proving the unrolled dual exact.
+    Q("q98_hierarchy",
+      (s, d) => {
+        val edges = Tables(s, d, "customer")
+          .where(col("c_custkey") >= 1)
+          .select(col("c_custkey").as("child"),
+            expr("c_custkey DIV 10").as("parent"))
+        graft.api.Graft.ancestorClosure(edges,
+            col("child"), col("parent"), maxDepth = 6)
+          .orderBy(col("node"), col("depth"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT c_custkey AS child, c_custkey // 10 AS parent
+             |  FROM customer WHERE c_custkey >= 1),
+             |anc AS (
+             |  SELECT child AS node, parent AS anc, 1 AS depth FROM e
+             |  UNION ALL
+             |  SELECT a.node, e.parent, a.depth + 1
+             |  FROM anc a JOIN e ON a.anc = e.child
+             |  WHERE a.depth < 6)
+             |SELECT node, anc, depth FROM anc
+             |ORDER BY node, depth""".stripMargin))
   )
 }

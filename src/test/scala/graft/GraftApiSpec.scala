@@ -1020,4 +1020,17 @@ class GraftApiSpec extends SparkSpec {
     assert(got == Set((10L, 90L, 50L), (11L, 90L, 50L), (20L, 92L, 0L)),
       got.toString) // each pair exactly once despite multi-bucket matches
   }
+
+  test("ancestorClosure: full chain depths, maxDepth caps, branches merge") {
+    import spark.implicits._
+    //      4 -> 3 -> 1,  5 -> 3,  2 -> 1   (1 is the root, no out-edge)
+    val edges = Seq((4L, 3L), (5L, 3L), (3L, 1L), (2L, 1L))
+      .toDF("c", "p")
+    val full = Graft.ancestorClosure(edges, col("c"), col("p"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == Set((4L, 3L, 1), (4L, 1L, 2), (5L, 3L, 1), (5L, 1L, 2),
+      (3L, 1L, 1), (2L, 1L, 1)), full.toString)
+    val capped = Graft.ancestorClosure(edges, col("c"), col("p"), 1)
+    assert(capped.count() == 4) // direct parents only
+  }
 }

@@ -190,6 +190,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q96/q98: interval-overlap and hierarchy joins stay equi-keyed") {
+    for (q <- Seq("q96_overlap_join", "q98_hierarchy")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("join strategy hints are honored (SHUFFLE_HASH / MERGE)") {
     val e = SparkEntry.queries("q01_scan")(spark, sfDir) // any lineitem frame
     val o = Tables(spark, sfDir, "orders")
