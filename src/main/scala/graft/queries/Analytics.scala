@@ -1419,6 +1419,66 @@ object Analytics {
              |  FROM anc a JOIN e ON a.anc = e.child
              |  WHERE a.depth < 6)
              |SELECT node, anc, depth FROM anc
-             |ORDER BY node, depth""".stripMargin))
+             |ORDER BY node, depth""".stripMargin)),
+
+    // Q99 — per-event sessionization: session_id = running count of
+    // gap>30min session breaks per user (fully tiebroken order, so the
+    // default RANGE frame ≡ ROWS on both engines) — the label-per-EVENT
+    // dual of q37's session-window aggregate; one keyed window, two
+    // passes (lag then running sum) on the same shuffle key.
+    Q("q99_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .withColumn("gap",
+            col("ts").cast(LongType) -
+              lag(col("ts").cast(LongType), 1).over(w))
+          .withColumn("session_id",
+            sum(when(col("gap").isNull || col("gap") > 1800L, 1L)
+              .otherwise(0L)).over(w))
+          .select(col("event_id"), col("user_id"), col("session_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id,
+             |    epoch_us(ts) // 1000000
+             |      - lag(epoch_us(ts) // 1000000)
+             |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS gap,
+             |    ts FROM events)
+             |SELECT event_id, user_id,
+             |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS session_id
+             |FROM g ORDER BY event_id""".stripMargin)),
+
+    // Q100 — calendar dimension build: one row per day of the observed
+    // range with portable derived attributes (ISO weekday computed from
+    // a shared formula-safe base; week = ISO week on both engines). The
+    // generate-join-never-scan shape: a date spine is O(days), built
+    // from a one-row min/max aggregate, never from distinct-ing the fact
+    // table's billions of timestamps.
+    Q("q100_datedim",
+      (s, d) => {
+        val span = Tables(s, d, "events")
+          .agg(min(to_date(col("ts"))).as("lo"),
+            max(to_date(col("ts"))).as("hi"))
+        span.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+          .select(col("d"), year(col("d")).as("y"),
+            month(col("d")).as("m"), dayofmonth(col("d")).as("dom"),
+            (((dayofweek(col("d")) + 5) % 7) + 1).as("isodow"),
+            weekofyear(col("d")).as("iso_week"))
+          .withColumn("is_weekend", col("isodow") >= 6)
+          .orderBy(col("d"))
+      },
+      Some("""WITH s AS (SELECT min(CAST(ts AS DATE)) AS lo,
+             |    max(CAST(ts AS DATE)) AS hi FROM events),
+             |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS d FROM s)
+             |SELECT d, year(d) AS y, month(d) AS m, dayofmonth(d) AS dom,
+             |  isodow(d) AS isodow, weekofyear(d) AS iso_week,
+             |  isodow(d) >= 6 AS is_weekend
+             |FROM spine ORDER BY d""".stripMargin))
   )
 }
