@@ -60,6 +60,24 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Incremental partition refresh: overwrite ONLY the directory
+    * partitions present in `df`, leaving every other partition's files
+    * untouched (`partitionOverwriteMode=dynamic`, set per-write — never a
+    * session-conf mutation). THE backfill shape at 100 TB: recompute the
+    * changed days/shards (found via `Graft.snapshotDiff` or upstream CDC)
+    * and rewrite just those directories; a full-table overwrite of a
+    * petabyte output to fix one day is the anti-pattern this replaces.
+    * Combined with `partitionBy` pruning, readers see an atomic-per-
+    * partition swap.
+    */
+  def refreshPartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String], compression: String = "zstd"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", compression)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** ORC sink: the other columnar format Spark writes natively — kept at
     * parity with the parquet path (zstd, overwrite) for interop with
     * ORC-based warehouses. Round-trip equality is SinksSpec's.

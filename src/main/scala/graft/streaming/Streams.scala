@@ -160,6 +160,42 @@ object Streams {
       }
   }
 
+  /** Streaming TTL rate limiter — the stream dual of the batch
+    * `Graft.dedupWithinTtl`: per user, emit an event only if ≥
+    * `ttlSeconds` passed since the last EMITTED one; the anchor (last
+    * kept event time, epoch seconds) is the only state, carried across
+    * micro-batches in the state store. Within a batch, rows process in
+    * (ts, event_id) order so a burst arriving together rate-limits
+    * exactly like the batch op; ACROSS batches the decision is
+    * necessarily arrival-order (an out-of-order straggler that would
+    * have pre-empted an already-emitted anchor cannot retract it) —
+    * that is inherent to any online rate limiter, not a bug, and why
+    * the batch dual exists for reprocessing. Production note: pair with
+    * a timeout/TTL on the state once keys churn (same caveat as
+    * [[runningTotals]]).
+    */
+  def ttlDedupEvents(events: Dataset[UserEvent],
+      ttlSeconds: Long): Dataset[UserEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val kept = batch.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .filter { e =>
+              val t = e.ts.getTime / 1000
+              val keep = last == Long.MinValue || t - last >= ttlSeconds
+              if (keep) last = t
+              keep
+            }
+          if (last != Long.MinValue) state.update(last)
+          kept.iterator
+      }
+  }
+
   /** Composite per-key state via the Spark 4 `transformWithState` API
     * ([[SnapshotProcessor]]): per-user running totals (ValueState) plus a
     * bounded most-recent-event-id list (ListState), one snapshot row per

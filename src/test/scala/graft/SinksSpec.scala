@@ -61,6 +61,27 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) > 1)
   }
 
+  test("refreshPartitions overwrites only the partitions present in the frame") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-dynpart").toString
+    val full = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0),
+      (4, "c", 40.0)).toDF("id", "part", "v")
+    Sinks.refreshPartitions(full, out, Seq("part"))
+    def filesIn(p: String) = new java.io.File(s"$out/part=$p")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val bBefore = filesIn("b")
+    // recompute ONLY partition a (one row dropped, one changed)
+    val fixedA = Seq((1, "a", 11.0)).toDF("id", "part", "v")
+    Sinks.refreshPartitions(fixedA, out, Seq("part"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3, "partition a replaced, b and c intact")
+    assert(back.where(col("part") === "a").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq((1, 11.0)))
+    assert(filesIn("b") == bBefore,
+      "untouched partition's files must not be rewritten")
+  }
+
   test("directory partitioning + selective dim join prunes at runtime (DPP)") {
     val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
     Tables(spark, sfDir, "orders")

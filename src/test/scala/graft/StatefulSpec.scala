@@ -64,6 +64,30 @@ class StatefulSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming TTL dedup anchors on kept events across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    // ttl = 30 min
+    val query = Streams.ttlDedupEvents(input.toDS(), 1800L)
+      .writeStream.format("memory").queryName("ttl_golden")
+      .outputMode("append").start()
+    try {
+      // batch 1: minute 0 kept; minute 10 within ttl of 0 -> dropped
+      input.addData(UserEvent(1, 7, ts(0), 0.0), UserEvent(2, 7, ts(10), 0.0))
+      query.processAllAvailable()
+      // batch 2: minute 20 still within ttl of the BATCH-1 anchor ->
+      // dropped (state carried); minute 40 kept; minute 55 within ttl of
+      // 40 -> dropped; other user unaffected
+      input.addData(UserEvent(3, 7, ts(20), 0.0), UserEvent(4, 7, ts(40), 0.0),
+        UserEvent(5, 7, ts(55), 0.0), UserEvent(6, 9, ts(21), 0.0))
+      query.processAllAvailable()
+      val kept = spark.table("ttl_golden")
+        .collect().map(_.getAs[Long]("event_id")).toSet
+      assert(kept == Set(1L, 4L, 6L), s"got: $kept")
+    } finally query.stop()
+  }
+
   test("transformWithState keeps composite per-user state across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
