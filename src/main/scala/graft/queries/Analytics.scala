@@ -1479,6 +1479,104 @@ object Analytics {
              |SELECT d, year(d) AS y, month(d) AS m, dayofmonth(d) AS dom,
              |  isodow(d) AS isodow, weekofyear(d) AS iso_week,
              |  isodow(d) >= 6 AS is_weekend
-             |FROM spine ORDER BY d""".stripMargin))
+             |FROM spine ORDER BY d""".stripMargin)),
+
+    // Q101 — hash-ring negative sampling: each embedding draws k=3
+    // pseudo-random negatives = its successors on an md5 ring — the
+    // contrastive-training pair generator. Deterministic (pure function
+    // of ids, resample-stable), uniform (md5 order is label-independent),
+    // and scale-safe: the ring is PARTITIONED into 16 hash buckets so the
+    // ordering window is keyed, never a global single task; bucket-tail
+    // rows draw fewer negatives by design (documented edge, ~k·16 rows).
+    Q("q101_neg_sample",
+      (s, d) => {
+        val h = md5(col("vec_id").cast("string"))
+        val w = Window.partitionBy(col("__bkt")).orderBy(col("__h"), col("vec_id"))
+        val ring = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), h.as("__h"),
+            substring(h, 1, 1).as("__bkt"))
+        ring
+          .select(col("vec_id") +: (1 to 3).map(i =>
+            lead(col("vec_id"), i).over(w).as(s"__n$i")): _*)
+          .select(col("vec_id"),
+            explode(array((1 to 3).map(i =>
+              struct(lit(i).as("neg_rank"),
+                col(s"__n$i").as("neg_id"))): _*)).as("n"))
+          .select(col("vec_id"), col("n.neg_rank"), col("n.neg_id"))
+          .where(col("neg_id").isNotNull)
+          .orderBy(col("vec_id"), col("neg_rank"))
+      },
+      Some("""WITH ring AS (
+             |  SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
+             |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt
+             |  FROM embeddings),
+             |l AS (
+             |  SELECT vec_id,
+             |    lead(vec_id, 1) OVER w AS n1,
+             |    lead(vec_id, 2) OVER w AS n2,
+             |    lead(vec_id, 3) OVER w AS n3
+             |  FROM ring WINDOW w AS (PARTITION BY bkt ORDER BY h, vec_id))
+             |SELECT vec_id, neg_rank, neg_id FROM (
+             |  SELECT vec_id, 1 AS neg_rank, n1 AS neg_id FROM l
+             |  UNION ALL SELECT vec_id, 2, n2 FROM l
+             |  UNION ALL SELECT vec_id, 3, n3 FROM l)
+             |WHERE neg_id IS NOT NULL
+             |ORDER BY vec_id, neg_rank""".stripMargin)),
+
+    // Q102 — decile gains table: customers ranked into spend deciles by
+    // exact-percentile THRESHOLDS broadcast back (q78's quintile pattern
+    // — a global ntile would funnel every customer through one window
+    // task), then per-decile revenue share and cumulative share over the
+    // 10-row aggregate (broadcast-scale window). The model-eval gains/
+    // lift artifact on exact integer cents.
+    Q("q102_gains",
+      (s, d) => {
+        val per = Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(25, 6))) * 100)
+            .cast(LongType).as("cents"))
+        val thr = per.agg(
+          expr("percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+            .as("__t"))
+        val decile = (lit(1) +
+          aggregate(col("__t"), lit(0),
+            (acc, t) => acc + when(col("cents") > t, 1).otherwise(0)))
+          .as("decile")
+        val agg = per.crossJoin(broadcast(thr))
+          .select(col("cents"), decile)
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents").cast(D0)).as("__rev"))
+        val total = agg.agg(sum(col("__rev")).as("__tot"))
+        val wCum = Window.orderBy(col("decile")) // 10 rows — broadcast scale
+        agg.crossJoin(broadcast(total))
+          .select(col("decile"), col("n_customers"),
+            round(col("__rev").cast(DoubleType) /
+              col("__tot").cast(DoubleType), 6).as("rev_share"),
+            round(sum(col("__rev")).over(wCum).cast(DoubleType) /
+              col("__tot").cast(DoubleType), 6).as("cum_share"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |t AS (SELECT quantile_cont(cents,
+             |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS th FROM per),
+             |dec AS (
+             |  SELECT cents, 1 + len(list_filter(th, x -> cents > x))
+             |    AS decile
+             |  FROM per, t),
+             |a AS (SELECT decile, count(*) AS n_customers,
+             |        sum(CAST(cents AS DECIMAL(38,0))) AS rev
+             |      FROM dec GROUP BY decile),
+             |tot AS (SELECT sum(rev) AS tt FROM a)
+             |SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+             |  round(CAST(rev AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+             |    AS rev_share,
+             |  round(CAST(sum(rev) OVER (ORDER BY decile) AS DOUBLE)
+             |    / CAST(tt AS DOUBLE), 6) AS cum_share
+             |FROM a, tot ORDER BY decile""".stripMargin))
   )
 }
