@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-quality invariants as regression tests: the physical plans that
   * make queries scale must not silently regress. Checks mirror the
   * `.explain` audit: filter pushdown, column pruning, broadcast dims,
@@ -195,6 +197,36 @@ class PlanAuditSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // fixture tables are far below the production size gates — open them
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // a broadcast-able creation side skips the bloom (broadcast already
+      // prunes); production dims at 100 TB are NOT broadcast-able — model
+      // that by disabling size-based broadcast for this plan
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(spark, sfDir, "lineitem")
+      val o = Tables(spark, sfDir, "orders")
+        .where(col("o_totalprice") > 400000) // selective creation side
+      val p = li.join(o.hint("MERGE"), li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("bloom"),
+        "expected a runtime bloom filter on the lineitem scan:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
     }
   }
 

@@ -101,6 +101,42 @@ class SinksSpec extends SparkSpec {
     joined.collect() // and it executes
   }
 
+  test("schema evolution: mergeSchema unifies batches, old rows null-fill") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "x").write.parquet(out + "/b1")
+    Seq((2L, "b", 9.5)).toDF("id", "x", "score").write.parquet(out + "/b2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(out + "/b1", out + "/b2")
+    assert(merged.columns.toSet == Set("id", "x", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")),
+      "pre-evolution rows read the added column as null")
+    assert(rows(1).getAs[Double]("score") == 9.5)
+  }
+
+  test("corrupt JSON quarantines in _corrupt_record; DROPMALFORMED drops") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty")
+    java.nio.file.Files.write(dir.resolve("part.json"), java.util.Arrays.asList(
+      """{"id": 1, "v": 2.5}""",
+      """{"id": oops not json""",
+      """{"id": 3, "v": 9.0}"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema).json(dir.toString).cache()
+    assert(permissive.count() == 3, "PERMISSIVE keeps every line")
+    val bad = permissive.where(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.isNullAt(0),
+      "the malformed line lands whole in _corrupt_record with null fields")
+    permissive.unpersist()
+    val dropped = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.count() == 2, "DROPMALFORMED keeps only clean rows")
+  }
+
   test("csv round-trip preserves values") {
     val df = Tables(spark, sfDir, "nation")
     val out = tmp() + "/nation_csv"
