@@ -2219,4 +2219,31 @@ object Graft {
     }
     acc
   }
+
+  /** 2-D Pareto frontier (skyline): rows not dominated on two maximize
+    * dimensions (q dominates p iff ≥ on both and > on one). The naive
+    * formulation is an O(n²) NOT EXISTS self-join; the scale shape is a
+    * single ordered scan — sort by x desc (y desc tiebreak), and a row is
+    * on the frontier iff its y beats the EXCLUSIVE prefix max (an equal
+    * prefix y implies an equal-y predecessor with strictly larger x ⇒
+    * dominated, so strict > is exactly the dominance test on DISTINCT
+    * pairs). The scan runs as [[prefixMaxExclusive]]'s two-level chunked
+    * window — never a whole-data single task — over the distinct (x,y)
+    * pairs (usually ≪ rows), then an equi-join back keeps every row tied
+    * on a frontier pair. Caller contract: x,y integers ≥ 0 with
+    * x·yBound + y < 2⁶³ and y < yBound (one encoded sort key).
+    */
+  def skyline2D(df: DataFrame, x: Column, y: Column,
+      yBound: Long): DataFrame = {
+    require(yBound > 0, s"yBound must be > 0: $yBound")
+    val pairs = df.select(x.as("__x"), y.as("__y")).distinct()
+      // ascending __ord == (x desc, y desc); negatives floor-chunk fine
+      .withColumn("__ord", -(col("__x") * yBound + col("__y")))
+    val keep = prefixMaxExclusive(pairs, col("__ord"), col("__y"),
+        "__pm", chunkSize = 1L << 20)
+      .where(col("__y") > coalesce(col("__pm"), lit(Long.MinValue)))
+      .select(col("__x"), col("__y"))
+    df.join(keep, x === col("__x") && y === col("__y"))
+      .drop("__x", "__y")
+  }
 }

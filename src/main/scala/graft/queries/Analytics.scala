@@ -1577,6 +1577,60 @@ object Analytics {
              |    AS rev_share,
              |  round(CAST(sum(rev) OVER (ORDER BY decile) AS DOUBLE)
              |    / CAST(tt AS DOUBLE), 6) AS cum_share
-             |FROM a, tot ORDER BY decile""".stripMargin))
+             |FROM a, tot ORDER BY decile""".stripMargin)),
+
+    // Q103 — moving median (lower/discrete): per user, the 7-row trailing
+    // median of value — the robust sibling of q85's EWMA (one wild spike
+    // cannot move it). Neither engine runs percentile as a native window
+    // aggregate; the portable exact form is the sorted bounded-frame list
+    // with the discrete-quantile index (n+1) DIV 2 ≡ quantile_disc(0.5)
+    // — row-local O(h log h) on a 7-element array, one keyed shuffle.
+    Q("q103_moving_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+        val lst = array_sort(collect_list(col("value")).over(w))
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            element_at(lst, ((size(lst) + 1) / 2).cast("int"))
+              .as("med7"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  quantile_disc(value, 0.5) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q104 — Pareto frontier (Graft.skyline2D): customers maximal on
+    // (total spend, order count) — no other customer ≥ on both and > on
+    // one. The oracle is the O(n²) NOT EXISTS dominance definition; the
+    // engine runs the single ordered chunked scan instead, proving the
+    // formulations equivalent.
+    Q("q104_skyline",
+      (s, d) => {
+        val per = Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(25, 6))) * 100)
+            .cast(LongType).as("cents"),
+            count(lit(1)).as("n_orders"))
+        graft.api.Graft.skyline2D(per, col("cents"), col("n_orders"),
+            yBound = 1000L)
+          .select(col("o_custkey"), col("cents"), col("n_orders"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100
+             |      AS BIGINT) AS cents,
+             |    count(*) AS n_orders
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT p.o_custkey, p.cents,
+             |  CAST(p.n_orders AS BIGINT) AS n_orders
+             |FROM per p WHERE NOT EXISTS (
+             |  SELECT 1 FROM per q
+             |  WHERE (q.cents >= p.cents AND q.n_orders > p.n_orders)
+             |     OR (q.cents > p.cents AND q.n_orders >= p.n_orders))
+             |ORDER BY o_custkey""".stripMargin))
   )
 }

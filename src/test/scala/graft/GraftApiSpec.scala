@@ -1033,4 +1033,20 @@ class GraftApiSpec extends SparkSpec {
     val capped = Graft.ancestorClosure(edges, col("c"), col("p"), 1)
     assert(capped.count() == 4) // direct parents only
   }
+
+  test("skyline2D: dominance exact on ties, duplicates of frontier pairs kept") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L, 1L),  // frontier (max x)
+      ("b", 8L, 3L),   // frontier
+      ("c", 8L, 2L),   // dominated by b (same x, higher y)
+      ("d", 5L, 3L),   // dominated by b (same y, higher x)
+      ("e", 4L, 9L),   // frontier (max y)
+      ("f", 4L, 9L),   // tie of e: mutually non-dominating -> kept
+      ("g", 3L, 8L))   // dominated by e
+      .toDF("id", "x", "y")
+    val got = Graft.skyline2D(df, col("x"), col("y"), 100L)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b", "e", "f"), got.toString)
+  }
 }
