@@ -213,4 +213,52 @@ class GeneratedPropertySpec extends SparkSpec {
       assert(got == want, s"cliques $sizes: got $got triangles, want $want")
     }
   }
+
+  private val xyGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n,
+      for (x <- Gen.chooseNum(0L, 9L); y <- Gen.chooseNum(0L, 9L))
+        yield (x, y)))
+
+  test("skyline2D equals brute-force dominance on generated point sets") {
+    import graft.api.Graft
+    import spark.implicits._
+    def dominates(q: (Long, Long), p: (Long, Long)): Boolean =
+      (q._1 >= p._1 && q._2 > p._2) || (q._1 > p._1 && q._2 >= p._2)
+    forAllSampled(xyGen, Gen.const(())) { (pts, _) =>
+      val df = pts.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+      val got = Graft.skyline2D(df, col("x"), col("y"), 100L)
+        .collect().map(_.getLong(0)).toSet
+      val want = pts.zipWithIndex.collect {
+        case ((x, y), i) if !pts.exists(q => dominates(q, (x, y))) => i.toLong
+      }.toSet
+      assert(got == want, s"points $pts: got $got want $want")
+    }
+  }
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50.0, 50.0).suchThat(!_.isNaN)))
+
+  test("ewma stays inside the window envelope and is exact on prefixes") {
+    import graft.api.Graft
+    import spark.implicits._
+    forAllSampled(seriesGen, Gen.const(())) { (xs, _) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (1L, i, v) }
+        .toDF("k", "t", "x")
+      val rows = Graft.ewma(df, col("k"), Seq(col("t")), col("x"), 0.7, 4)
+        .orderBy("t").collect().map(_.getDouble(3))
+      xs.indices.foreach { i =>
+        val window = xs.slice(math.max(0, i - 3), i + 1)
+        assert(rows(i) >= window.min - 1e-6 && rows(i) <= window.max + 1e-6,
+          s"ewma ${rows(i)} outside [${window.min}, ${window.max}] at $i")
+        // driver-side recomputation of the renormalized truncated EWMA
+        val m = window.size
+        val num = window.zipWithIndex
+          .map { case (v, j) => v * math.pow(0.7, m - 1 - j) }.sum
+        val want = num * 0.3 / (1 - math.pow(0.7, m))
+        assert(math.abs(rows(i) - want) < 1e-6, s"at $i: ${rows(i)} vs $want")
+      }
+    }
+  }
 }

@@ -200,6 +200,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q99/q101/q103: keyed windows only — no join, no data-sized global sort") {
+    for (q <- Seq("q99_sessionize", "q101_neg_sample", "q103_moving_median")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      // exactly one hash shuffle (the keyed window); the trailing range
+      // exchange is the declared ORDER BY
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q shuffles more than its window key:\n$p")
+    }
+  }
+
+  test("q104: skyline never becomes the O(n²) dominance self-join") {
+    val p = plan("q104_skyline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     val conf = spark.conf
     val saved = Seq(
