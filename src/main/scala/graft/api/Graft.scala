@@ -2246,4 +2246,36 @@ object Graft {
     df.join(keep, x === col("__x") && y === col("__y"))
       .drop("__x", "__y")
   }
+
+  /** Per-key top-k through the engine's own physical operator
+    * ([[graft.plans.TopKPerKeyExec]]): the k FIRST rows per key under
+    * `order` (name, ascending?) — row_number ≤ k semantics, so give the
+    * order a total tiebreak. Unlike [[topKPerGroup]]'s window
+    * formulation, the custom operator never sorts: one keyed exchange,
+    * then an O(n log k) bounded heap per key — no sort buffer, no spill
+    * pressure when k ≪ group size. Registered by `GraftExtensions`
+    * (injectPlannerStrategy); this entry point also self-installs via
+    * `experimental.extraStrategies` for plain sessions. Output row order
+    * within a key is unspecified (sort after if you need one).
+    */
+  def topKPerKeyFast(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending,
+      SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    }
+    val node = graft.plans.TopKPerKey(k,
+      keys.map(UnresolvedAttribute.quoted),
+      order.map { case (n, asc) =>
+        SortOrder(UnresolvedAttribute.quoted(n),
+          if (asc) Ascending else Descending)
+      },
+      df.queryExecution.logical)
+    org.apache.spark.sql.graftglue.Glue.ofRows(spark, node)
+  }
 }

@@ -1631,6 +1631,27 @@ object Analytics {
              |  SELECT 1 FROM per q
              |  WHERE (q.cents >= p.cents AND q.n_orders > p.n_orders)
              |     OR (q.cents > p.cents AND q.n_orders >= p.n_orders))
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Q105 — per-key top-k through the engine's own physical operator
+    // (Graft.topKPerKeyFast → TopKPerKeyExec, SURVEY §7.4 ladder (c)):
+    // one keyed exchange + O(n log k) bounded heaps, NO sort (plan-
+    // audited in TopKPlanSpec). The oracle runs the row_number window
+    // formulation the operator replaces — value-identical by contract.
+    Q("q105_topk_fast",
+      (s, d) => {
+        graft.api.Graft.topKPerKeyFast(
+            Tables(s, d, "events"), keys = Seq("event_type"),
+            order = Seq(("value", false), ("event_id", true)), k = 3)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("event_type"), col("value").desc, col("event_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id) AS rn
+             |  FROM events)
+             |SELECT event_id, event_type, value FROM r WHERE rn <= 3
+             |ORDER BY event_type, value DESC, event_id""".stripMargin))
   )
 }
