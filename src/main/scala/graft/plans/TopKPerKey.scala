@@ -26,6 +26,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
     child: LogicalPlan) extends UnaryNode {
   require(k >= 1, s"k must be >= 1: $k")
+  require(keys.nonEmpty,
+    "global top-k has no key to cluster on — use ORDER BY ... LIMIT k " +
+      "(TakeOrderedAndProject) instead")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
