@@ -1652,6 +1652,122 @@ object Analytics {
              |      ORDER BY value DESC, event_id) AS rn
              |  FROM events)
              |SELECT event_id, event_type, value FROM r WHERE rn <= 3
-             |ORDER BY event_type, value DESC, event_id""".stripMargin))
+             |ORDER BY event_type, value DESC, event_id""".stripMargin)),
+
+    // Q106 — weekly seasonality index: per (event_type, ISO weekday),
+    // observed events vs the uniform-week expectation n_type·(dow_days/
+    // total_days) — index > 1 = that weekday over-indexes. All inputs are
+    // exact integer counts (the calendar denominators come from the q100
+    // date spine, so a partial final week can't bias the index); one
+    // ratio of exact ints per output row.
+    Q("q106_seasonality",
+      (s, d) => {
+        val e = Tables(s, d, "events").select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          (((dayofweek(to_date(col("ts"))) + 5) % 7) + 1).as("isodow"))
+        val span = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val spine = span
+          .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+          .select((((dayofweek(col("d")) + 5) % 7) + 1).as("isodow"))
+        val dowDays = spine.groupBy(col("isodow"))
+          .agg(count(lit(1)).as("n_days"))
+        val totDays = spine.agg(count(lit(1)).as("n_total"))
+        val obs = e.groupBy(col("event_type"), col("isodow"))
+          .agg(count(lit(1)).as("n"))
+        val perType = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_type"))
+        obs.join(perType, Seq("event_type"))
+          .join(broadcast(dowDays), Seq("isodow"))
+          .crossJoin(broadcast(totDays))
+          .select(col("event_type"), col("isodow"), col("n"),
+            round(col("n").cast(DoubleType) * col("n_total").cast(DoubleType)
+              / (col("n_type").cast(DoubleType) *
+                col("n_days").cast(DoubleType)), 6).as("idx"))
+          .orderBy(col("event_type"), col("isodow"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    isodow(CAST(ts AS DATE)) AS isodow FROM events),
+             |s AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+             |spine AS (SELECT isodow(CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE)) AS isodow FROM s),
+             |dd AS (SELECT isodow, count(*) AS n_days FROM spine
+             |       GROUP BY isodow),
+             |td AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM spine),
+             |obs AS (SELECT event_type, isodow, count(*) AS n FROM e
+             |        GROUP BY 1, 2),
+             |pt AS (SELECT event_type, count(*) AS n_type FROM e
+             |       GROUP BY 1)
+             |SELECT o.event_type, o.isodow, CAST(o.n AS BIGINT) AS n,
+             |  round(CAST(o.n AS DOUBLE) * n_total
+             |    / (CAST(pt.n_type AS DOUBLE) * CAST(dd.n_days AS DOUBLE)),
+             |    6) AS idx
+             |FROM obs o JOIN pt USING (event_type)
+             |  JOIN dd USING (isodow), td
+             |ORDER BY event_type, isodow""".stripMargin)),
+
+    // Q107 — lag-k autocorrelation of daily event volume per type (k=1
+    // and 7): the series-health gate that catches both day-to-day
+    // stickiness and weekly cycles. Daily counts are exact ints; the
+    // centered products run in double over the calendar-sized daily
+    // aggregate (float-sum ordering noise ~1e-12 relative, far under the
+    // 6-dp hash); the lag pairing is an equi-join on (type, day+k) —
+    // keyed everywhere.
+    Q("q107_autocorr",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n")).cache()
+        val mean = daily.groupBy(col("event_type"))
+          .agg((sum(col("n")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mu"),
+            sum(col("n") * col("n")).cast(DoubleType).as("sxx"),
+            sum(col("n")).cast(DoubleType).as("sx"),
+            count(lit(1)).cast(DoubleType).as("cnt"))
+        val ks = Seq(1, 7)
+        val paired = ks.map { k =>
+          daily.select(col("event_type"), col("day"), col("n").as("x"))
+            .join(daily.select(col("event_type"),
+              date_sub(col("day"), k).as("day"), col("n").as("y")),
+              Seq("event_type", "day"))
+            .groupBy(col("event_type"))
+            .agg(sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+              sum(col("x")).cast(DoubleType).as("sxp"),
+              sum(col("y")).cast(DoubleType).as("syp"),
+              count(lit(1)).cast(DoubleType).as("np"))
+            .withColumn("k", lit(k))
+        }.reduce(_.unionByName(_))
+        paired.join(mean, Seq("event_type"))
+          .select(col("event_type"), col("k"),
+            round((col("sxy") - col("mu") * col("sxp")
+                - col("mu") * col("syp") + col("np") * col("mu") * col("mu"))
+              / (col("sxx") - col("cnt") * col("mu") * col("mu")), 6)
+              .as("r"))
+          .orderBy(col("event_type"), col("k"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type,
+             |        CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+             |        CAST(sum(n * n) AS DOUBLE) AS sxx,
+             |        CAST(count(*) AS DOUBLE) AS cnt
+             |      FROM daily GROUP BY 1),
+             |p AS (
+             |  SELECT a.event_type, k.k,
+             |    CAST(sum(a.n * b.n) AS DOUBLE) AS sxy,
+             |    CAST(sum(a.n) AS DOUBLE) AS sxp,
+             |    CAST(sum(b.n) AS DOUBLE) AS syp,
+             |    CAST(count(*) AS DOUBLE) AS np
+             |  FROM daily a
+             |  JOIN (SELECT unnest([1, 7]) AS k) k ON true
+             |  JOIN daily b ON a.event_type = b.event_type
+             |    AND b.day = a.day + to_days(CAST(k.k AS INT))
+             |  GROUP BY 1, 2)
+             |SELECT p.event_type, p.k,
+             |  round((sxy - mu * sxp - mu * syp + np * mu * mu)
+             |    / (sxx - cnt * mu * mu), 6) AS r
+             |FROM p JOIN m USING (event_type)
+             |ORDER BY event_type, k""".stripMargin))
   )
 }
