@@ -1768,6 +1768,80 @@ object Analytics {
              |  round((sxy - mu * sxp - mu * syp + np * mu * mu)
              |    / (sxx - cnt * mu * mu), 6) AS r
              |FROM p JOIN m USING (event_type)
-             |ORDER BY event_type, k""".stripMargin))
+             |ORDER BY event_type, k""".stripMargin)),
+
+    // Q108 — weekday-adjusted volume anomalies: each day's total scored
+    // against ITS weekday's mean/stddev (a quiet Sunday is normal; the
+    // same volume on a Tuesday is the incident) — the q106 seasonality
+    // profile turned into a per-day alert. Exact integer daily counts;
+    // per-dow moments from exact sums (n≤5 per dow cell at fixture
+    // scale); z only for dows with variance.
+    Q("q108_dow_anomaly",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("isodow", ((dayofweek(col("day")) + 5) % 7) + 1)
+        val stats = daily.groupBy(col("isodow")).agg(
+          count(lit(1)).cast(DoubleType).as("cnt"),
+          sum(col("n")).cast(DoubleType).as("sx"),
+          sum(col("n") * col("n")).cast(DoubleType).as("sxx"))
+        daily.join(broadcast(stats), Seq("isodow"))
+          .withColumn("mu", col("sx") / col("cnt"))
+          // sample variance from exact sums: (sxx - cnt·mu²)/(cnt-1)
+          .withColumn("v",
+            (col("sxx") - col("cnt") * col("mu") * col("mu")) /
+              (col("cnt") - 1.0))
+          .where(col("cnt") > 1 && col("v") > 0)
+          .select(col("day"), col("isodow"), col("n"),
+            round((col("n") - col("mu")) / sqrt(col("v")), 6).as("z"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             |    isodow(CAST(ts AS DATE)) AS isodow
+             |  FROM events GROUP BY 1),
+             |st AS (SELECT isodow, CAST(count(*) AS DOUBLE) AS cnt,
+             |         CAST(sum(n) AS DOUBLE) AS sx,
+             |         CAST(sum(n * n) AS DOUBLE) AS sxx
+             |       FROM daily GROUP BY 1)
+             |SELECT day, isodow, CAST(n AS BIGINT) AS n,
+             |  round((n - sx / cnt)
+             |    / sqrt((sxx - cnt * (sx / cnt) * (sx / cnt))
+             |        / (cnt - 1.0)), 6) AS z
+             |FROM daily JOIN st USING (isodow)
+             |WHERE cnt > 1
+             |  AND (sxx - cnt * (sx / cnt) * (sx / cnt)) / (cnt - 1.0) > 0
+             |ORDER BY day""".stripMargin)),
+
+    // Q109 — local peak detection: days whose volume strictly exceeds
+    // both neighbors (lag/lead over the calendar-sized daily aggregate;
+    // series endpoints excluded — a one-sided neighbor is not a peak).
+    Q("q109_peaks",
+      (s, d) => {
+        val w = Window.orderBy(col("day")) // daily aggregate: tiny
+        Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prev", lag(col("n"), 1).over(w))
+          .withColumn("next", lead(col("n"), 1).over(w))
+          .where(col("prev").isNotNull && col("next").isNotNull &&
+            col("n") > col("prev") && col("n") > col("next"))
+          .select(col("day"), col("n"), col("prev"), col("next"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |x AS (SELECT day, n,
+             |        lag(n) OVER (ORDER BY day) AS prev,
+             |        lead(n) OVER (ORDER BY day) AS next
+             |      FROM daily)
+             |SELECT day, CAST(n AS BIGINT) AS n,
+             |  CAST(prev AS BIGINT) AS prev, CAST(next AS BIGINT) AS next
+             |FROM x
+             |WHERE prev IS NOT NULL AND next IS NOT NULL
+             |  AND n > prev AND n > next
+             |ORDER BY day""".stripMargin))
   )
 }
