@@ -2278,4 +2278,130 @@ object Graft {
       df.queryExecution.logical)
     org.apache.spark.sql.graftglue.Glue.ofRows(spark, node)
   }
+
+  /** Largest-remainder (Hamilton) integer allocation: split a per-key
+    * integer `total` across the key's lines proportionally to integer
+    * `weight`, with the rounding remainder distributed one unit at a time
+    * to the lines with the largest fractional share (line order as the
+    * tiebreak). The per-key output sums to `total` EXACTLY — the invariant
+    * float proration can't give — which is what billing/attribution
+    * pipelines actually need.
+    *
+    * Input: one row per line, `total` repeated on each line of its key.
+    * Output: (k, ln, alloc) — key, line, allocated units.
+    *
+    * Preconditions: weights nonnegative with a positive per-key sum
+    * (a zero-sum key would divide by zero → null allocations).
+    *
+    * Scale posture: all integer arithmetic (`t*w` fits long up to
+    * ~3e9·3e9); two window passes over ONE keyed exchange (sum + ranked
+    * remainder share the partition key) — no joins, no driver state.
+    */
+  def allocateLargestRemainder(df: DataFrame, key: Column, line: Column,
+      weight: Column, total: Column): DataFrame = {
+    val base = df.select(key.as("k"), line.as("ln"), weight.as("w"),
+      total.as("t"))
+    val wk = Window.partitionBy(col("k"))
+    val b = base
+      .withColumn("sw", sum(col("w")).over(wk))
+      .withColumn("base", expr("(t * w) div sw"))
+      .withColumn("rem", expr("(t * w) % sw"))
+    b.withColumn("rk",
+        row_number().over(wk.orderBy(col("rem").desc, col("ln"))))
+      .withColumn("leftover", col("t") - sum(col("base")).over(wk))
+      .select(col("k"), col("ln"),
+        (col("base") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /** Spatial neighbor pairs by uniform grid: all unordered pairs of points
+    * within `radius` (integer units, Euclidean), found via a cell
+    * equi-join instead of an all-pairs cross join. Each point lands in one
+    * `radius`-sized cell; candidates are the 3x3 neighborhood, so a pair
+    * within `radius` can never straddle further than adjacent cells —
+    * exact, no recall loss. Output: (id_a, id_b, d2) with id_a < id_b and
+    * d2 the exact squared distance.
+    *
+    * Coordinates must be NONNEGATIVE integers (offset your frame first):
+    * integer `div` truncates toward zero, which is only floor — the cell
+    * contract — for nonnegative operands.
+    *
+    * Scale posture: the 9x candidate explosion feeds a hash equi-join on
+    * (cell_x, cell_y); per-cell fanout is bounded by local point density,
+    * never by n. The classic fixed-radius-near-neighbors shape that
+    * survives a 1000-executor shuffle; pair math is exact long codegen.
+    */
+  def gridNeighborPairs(df: DataFrame, id: Column, x: Column, y: Column,
+      radius: Long): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1: $radius")
+    val pts = df.select(id.as("gid"), x.as("gx"), y.as("gy"))
+      .withColumn("cx", expr(s"gx div ${radius}L"))
+      .withColumn("cy", expr(s"gy div ${radius}L"))
+    val offs = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1) }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val a = pts
+      .withColumn("off", explode(array(offs: _*)))
+      .select(col("gid").as("id_a"), col("gx").as("xa"),
+        col("gy").as("ya"),
+        (col("cx") + col("off.dx")).as("ncx"),
+        (col("cy") + col("off.dy")).as("ncy"))
+    val bSide = pts.select(col("gid").as("id_b"), col("gx").as("xb"),
+      col("gy").as("yb"), col("cx"), col("cy"))
+    a.join(bSide,
+        col("ncx") === col("cx") && col("ncy") === col("cy") &&
+          col("id_a") < col("id_b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= radius * radius)
+      .select(col("id_a"), col("id_b"), col("d2"))
+  }
+
+  /** Sparse cosine-similarity document pairs over raw term frequencies,
+    * restricted to mid-frequency terms (`minDf <= df <= maxDf`). The df
+    * band is the vector space definition AND the scale lever: ubiquitous
+    * terms (df > maxDf) would pair every document with every other, and
+    * hapax terms (df < minDf) can't create a pair at all. All-integer
+    * dot products and norms make the score bit-deterministic across
+    * engines (sqrt/div are IEEE-exact; no transcendentals).
+    *
+    * Output: (doc_a, doc_b, dot, cos) for pairs with cos >= minCos,
+    * doc_a < doc_b.
+    *
+    * Scale posture: candidates come from a term equi-join whose per-term
+    * fanout is capped at maxDf^2 — never all-pairs; the kept posting table
+    * is cached because it feeds both sides of the self-join and the norm
+    * aggregate (Catalyst won't reuse a symmetric self-join exchange).
+    */
+  def cosineSimPairsSparse(df: DataFrame, id: Column, text: Column,
+      minDf: Long, maxDf: Long, minCos: Double): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df band [$minDf,$maxDf]")
+    val perDoc = df
+      .select(id.as("doc"), explode(split(lower(text), " ")).as("term"))
+      .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("tf"))
+    val dfreq = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= minDf && col("dfreq") <= maxDf)
+      .select(col("term"))
+    val kept = perDoc.join(dfreq, Seq("term")).cache()
+    val norms = kept.groupBy(col("doc"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dot = kept.as("a")
+      .join(kept.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dot
+      .join(norms.select(col("doc").as("doc_a"), col("n2").as("n2a")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc").as("doc_b"), col("n2").as("n2b")),
+        Seq("doc_b"))
+      .withColumn("cos",
+        col("dot").cast(DoubleType) /
+          (sqrt(col("n2a").cast(DoubleType)) *
+            sqrt(col("n2b").cast(DoubleType))))
+      .filter(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cos"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType,
+  LongType, MapType, StringType}
 
 /** Composite / SQL-surface coverage pack (q110+): correlated LATERAL
   * subqueries, the map higher-order-function family, and bitwise aggregate
@@ -128,6 +129,139 @@ object Composite {
              |  CAST(sum(bit_count(CAST(flag AS BIGINT))) AS BIGINT)
              |    AS popcount
              |FROM f GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q113 — largest-remainder cent allocation (Graft.allocate
+    // LargestRemainder): each order's total, in exact integer cents,
+    // prorated across its lineitems by extendedprice weight; remainders go
+    // to the largest fractional shares, so the per-order sum equals the
+    // order total EXACTLY (asserted in CompositeSpec). Cents come through
+    // the decimal(25,6)*100 route — bit-exact on both engines, unlike
+    // round(double*100). All integer math; one keyed exchange.
+    Q("q113_alloc",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice").cast(DecimalType(25, 6)) * 100)
+            .cast(LongType).as("w"))
+        val o = Tables(s, d, "orders").select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+            .cast(LongType).as("t"))
+        graft.api.Graft.allocateLargestRemainder(
+            li.join(o, col("l_orderkey") === col("o_orderkey")),
+            key = col("l_orderkey"), line = col("l_linenumber"),
+            weight = col("w"), total = col("t"))
+          .select(col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+            col("alloc").as("alloc_cents"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) AS w
+             |  FROM lineitem),
+             |o AS (
+             |  SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) AS t
+             |  FROM orders),
+             |j AS (
+             |  SELECT li.l_orderkey, li.l_linenumber, li.w, o.t,
+             |    sum(li.w) OVER (PARTITION BY li.l_orderkey) AS sw
+             |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+             |b AS (
+             |  SELECT l_orderkey, l_linenumber, t,
+             |    (t * w) // sw AS base, (t * w) % sw AS rem
+             |  FROM j),
+             |r AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY rem DESC, l_linenumber) AS rk,
+             |    t - sum(base) OVER (PARTITION BY l_orderkey) AS leftover
+             |  FROM b)
+             |SELECT l_orderkey, l_linenumber,
+             |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             |    AS BIGINT) AS alloc_cents
+             |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Q114 — fixed-radius spatial neighbor pairs (Graft.gridNeighborPairs):
+    // customers get deterministic micro-degree coordinates from the
+    // portable md5 hash; the engine finds all pairs within 1 degree via a
+    // 3x3 grid-cell equi-join, while the oracle brute-forces the O(n^2)
+    // cross join — the compare proves the bucketed formulation exact.
+    // Distance = sqrt of an exact integer (IEEE-deterministic both ways).
+    Q("q114_geo_cell",
+      (s, d) => {
+        val pts = Tables(s, d, "customer").select(
+          col("c_custkey").as("cid"),
+          (expr("conv(substring(md5(cast(c_custkey as string)),1,8),16,10)")
+            .cast(LongType) % 1200000L).as("gx"),
+          (expr("conv(substring(md5(concat('x', cast(c_custkey as string)))" +
+            ",1,8),16,10)").cast(LongType) % 3600000L).as("gy"))
+        graft.api.Graft.gridNeighborPairs(pts, id = col("cid"),
+            x = col("gx"), y = col("gy"), radius = 10000L)
+          .select(col("id_a"), col("id_b"),
+            round(sqrt(col("d2").cast(DoubleType)) / 10000, 6).as("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH p AS (
+             |  SELECT c_custkey AS cid,
+             |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),1,8))
+             |      AS BIGINT) % 1200000 AS gx,
+             |    CAST(('0x' || substr(md5('x' ||
+             |      CAST(c_custkey AS VARCHAR)),1,8))
+             |      AS BIGINT) % 3600000 AS gy
+             |  FROM customer)
+             |SELECT a.cid AS id_a, b.cid AS id_b,
+             |  round(sqrt(CAST((a.gx-b.gx)*(a.gx-b.gx) +
+             |    (a.gy-b.gy)*(a.gy-b.gy) AS DOUBLE))/10000, 6) AS dist
+             |FROM p a JOIN p b ON a.cid < b.cid
+             |WHERE (a.gx-b.gx)*(a.gx-b.gx) + (a.gy-b.gy)*(a.gy-b.gy)
+             |  <= 100000000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Q115 — sparse cosine doc-pair similarity (Graft.cosineSimPairsSparse)
+    // over mid-frequency terms (2 <= df <= 25): candidates from a term
+    // equi-join (fanout capped at maxDf^2 per term — never all-pairs),
+    // integer dot products and norms, IEEE-exact score. The oracle runs
+    // the same df-banded formulation as a term self-join in SQL.
+    Q("q115_docsim",
+      (s, d) => {
+        graft.api.Graft.cosineSimPairsSparse(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"),
+            minDf = 2L, maxDf = 25L, minCos = 0.6)
+          .select(col("doc_a"), col("doc_b"), col("dot"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |    unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc, term, count(*) AS tf FROM toks
+             |       GROUP BY doc, term),
+             |dfq AS (SELECT term FROM tf GROUP BY term
+             |        HAVING count(*) BETWEEN 2 AND 25),
+             |kept AS (SELECT tf.doc, tf.term, tf.tf
+             |         FROM tf JOIN dfq USING (term)),
+             |n2 AS (SELECT doc, CAST(sum(tf*tf) AS BIGINT) AS n2
+             |       FROM kept GROUP BY doc),
+             |dots AS (
+             |  SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |    CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+             |  FROM kept a JOIN kept b
+             |    ON a.term = b.term AND a.doc < b.doc
+             |  GROUP BY a.doc, b.doc)
+             |SELECT doc_a, doc_b, dot,
+             |  round(CAST(dot AS DOUBLE) /
+             |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             |    6) AS cos
+             |FROM dots
+             |JOIN n2 na ON doc_a = na.doc
+             |JOIN n2 nb ON doc_b = nb.doc
+             |WHERE CAST(dot AS DOUBLE) /
+             |  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             |  >= 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -76,4 +76,64 @@ class CompositeSpec extends SparkSpec {
       .get.getInt(4) // parity column
     assert(got == expected)
   }
+
+  test("q113 allocation: every order's cents sum EXACTLY to its total") {
+    val alloc = run("q113_alloc")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("alloc_cents")).as("allocated"))
+    val totals = Tables(spark, sfDir, "orders").select(
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(25,6)") * 100).cast("long")
+        .as("t"))
+    val bad = alloc.join(totals,
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("allocated") =!= col("t"))
+    assert(bad.count() == 0)
+    // and no allocation is negative
+    assert(run("q113_alloc").where(col("alloc_cents") < 0).count() == 0)
+  }
+
+  test("q114 grid-cell pairs equal the brute-force cross join") {
+    import graft.api.Graft
+    val pts = Tables(spark, sfDir, "customer").select(
+      col("c_custkey").as("cid"),
+      (expr("conv(substring(md5(cast(c_custkey as string)),1,8),16,10)")
+        .cast("long") % 1200000L).as("gx"),
+      (expr("conv(substring(md5(concat('x', cast(c_custkey as string)))," +
+        "1,8),16,10)").cast("long") % 3600000L).as("gy"))
+    val fast = Graft.gridNeighborPairs(pts, col("cid"), col("gx"),
+        col("gy"), radius = 30000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = pts.select(col("cid").as("cid2"), col("gx").as("gx2"),
+      col("gy").as("gy2"))
+    val brute = pts.crossJoin(p2)
+      .where(col("cid") < col("cid2") &&
+        ((col("gx") - col("gx2")) * (col("gx") - col("gx2")) +
+          (col("gy") - col("gy2")) * (col("gy") - col("gy2")))
+          <= 30000L * 30000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(fast == brute,
+      s"missing=${brute -- fast}\nextra=${fast -- brute}")
+    assert(fast.nonEmpty)
+  }
+
+  test("q115 docsim: scores are in (0,1] and self-similarity of a " +
+      "duplicated doc is 1") {
+    import graft.api.Graft
+    val rows = run("q115_docsim").collect()
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= 0.6 - 1e-9 && c <= 1.0 + 1e-9, r)
+    }
+    // a corpus of two identical docs scores exactly 1.0 on integer math
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta beta gamma x y"),
+      (2L, "alpha beta beta gamma x y")).toDF("doc_id", "text")
+    val out = Graft.cosineSimPairsSparse(two, col("doc_id"), col("text"),
+      minDf = 2L, maxDf = 10L, minCos = 0.0).collect()
+    // sqrt(n)*sqrt(n) may differ from n by 1 ulp — identical on every
+    // IEEE engine, so the oracle's 6dp compare is unaffected
+    assert(out.length == 1 &&
+      math.abs(out.head.getDouble(3) - 1.0) < 1e-12)
+  }
 }
