@@ -262,6 +262,134 @@ object Composite {
              |WHERE CAST(dot AS DOUBLE) /
              |  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
              |  >= 0.6
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Q116 — FIFO lot matching: per part, demand lines ('N') consume
+    // supply lots ('R') in shipdate order, expressed as the classic
+    // cumulative-interval overlap — lot i covers cumulative units
+    // [cum-q, cum-1] (closed, integer), and the matched quantity between a
+    // supply lot and a demand line is interval overlap + 1. Matching runs
+    // through Graft.intervalOverlapJoin's bucketed equi-join (never an
+    // all-pairs theta join); the oracle uses the inequality-join dual.
+    // The per-key FIFO invariant (each side's matched total = its own
+    // quantity when the other side covers it) is asserted in CompositeSpec.
+    // A fully-tied duplicate line (same part/order/line/supplier) shares
+    // its cumulative interval under standard RANGE window-tie semantics —
+    // identically on both engines; a production caller should give lines
+    // a genuinely unique id column instead of this fixture composite.
+    Q("q116_fifo",
+      (s, d) => {
+        def cumIntervals(flag: String) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("pk"))
+            .orderBy(col("l_shipdate"), col("l_orderkey"),
+              col("l_linenumber"), col("l_suppkey"))
+          Tables(s, d, "lineitem")
+            .filter(col("l_returnflag") === flag)
+            .select(col("l_partkey").as("pk"),
+              ((col("l_orderkey") * 10 + col("l_linenumber")) * 100000 +
+                col("l_suppkey")).as("iid"),
+              col("l_quantity").cast(LongType).as("q"),
+              col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+              col("l_suppkey"))
+            .withColumn("cum", sum(col("q")).over(w))
+            .select(col("pk"), col("iid"),
+              (col("cum") - col("q")).as("lo"),
+              (col("cum") - 1).as("hi"))
+        }
+        graft.api.Graft.intervalOverlapJoin(
+            cumIntervals("R"), cumIntervals("N"),
+            key = "pk", id = "iid", start = "lo", end = "hi",
+            bucketSeconds = 256L)
+          .select(col("pk").as("l_partkey"),
+            col("left_id").as("supply_id"), col("right_id").as("demand_id"),
+            (col("overlap_s") + 1).as("qty"))
+          .orderBy(col("l_partkey"), col("supply_id"), col("demand_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT l_partkey AS pk,
+             |    (l_orderkey*10 + l_linenumber)*100000 + l_suppkey AS iid,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER (
+             |      PARTITION BY l_partkey
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+             |        l_suppkey) AS cum
+             |  FROM lineitem WHERE l_returnflag = 'R'),
+             |d AS (
+             |  SELECT l_partkey AS pk,
+             |    (l_orderkey*10 + l_linenumber)*100000 + l_suppkey AS iid,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER (
+             |      PARTITION BY l_partkey
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+             |        l_suppkey) AS cum
+             |  FROM lineitem WHERE l_returnflag = 'N'),
+             |si AS (SELECT pk, iid, cum - q AS lo, cum - 1 AS hi FROM s),
+             |di AS (SELECT pk, iid, cum - q AS lo, cum - 1 AS hi FROM d)
+             |SELECT si.pk AS l_partkey, si.iid AS supply_id,
+             |  di.iid AS demand_id,
+             |  CAST(least(si.hi, di.hi) - greatest(si.lo, di.lo) + 1
+             |    AS BIGINT) AS qty
+             |FROM si JOIN di ON si.pk = di.pk
+             |  AND si.lo <= di.hi AND di.lo <= si.hi
+             |ORDER BY l_partkey, supply_id, demand_id""".stripMargin)),
+
+    // Q117 — ORC sink + source roundtrip: a lineitem projection written as
+    // ORC (Spark's second first-class columnar format), read back, and
+    // aggregated. The oracle computes the same aggregate from the original
+    // parquet — equality proves the roundtrip is lossless INCLUDING the
+    // decimal-exact cents. The eager write inside the builder is the
+    // declared sink surface, same pattern as the catalog queries.
+    Q("q117_orc_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-orc").toString
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            (col("l_extendedprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType).as("cents"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Q118 — last-observation-carried-forward (IGNORE NULLS): sensor-style
+    // gap fill where values below a cutoff are synthetically "missing" and
+    // each gap takes the user's most recent good reading. One keyed window
+    // (user), total order (ts, event_id); rows before a user's first good
+    // reading stay null. The SQL-surface dual of Graft.resampleFfill.
+    Q("q118_locf",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("value") >= 10, col("value")).as("v"))
+          .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"),
+            round(col("filled"), 6).as("filled"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(last_value(CASE WHEN value >= 10 THEN value END
+             |    IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             |    AS filled
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

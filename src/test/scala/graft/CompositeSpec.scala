@@ -136,4 +136,70 @@ class CompositeSpec extends SparkSpec {
     assert(out.length == 1 &&
       math.abs(out.head.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("q116 FIFO conservation: per demand line, matched quantity never " +
+      "exceeds the line's own quantity, and equals it when supply covers " +
+      "the line's interval") {
+    // demand ids repeat across parts (the composite omits partkey by
+    // design — matching is per part), so the invariant joins on BOTH.
+    // The rare fully-tied duplicate row (same part, orderkey, linenumber,
+    // suppkey) shares its cumulative interval under RANGE window
+    // semantics on both engines; exclude those ids from the invariant.
+    val matched = run("q116_fifo")
+      .groupBy(col("l_partkey"), col("demand_id"))
+      .agg(sum(col("qty")).as("got"))
+    val li = Tables(spark, sfDir, "lineitem")
+    val demand = li.where(col("l_returnflag") === "N")
+      .select(col("l_partkey"),
+        ((col("l_orderkey") * 10 + col("l_linenumber")) * 100000 +
+          col("l_suppkey")).as("demand_id"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("demand_id"))
+      .agg(sum(col("q")).as("q"), count(lit(1)).as("nrows"))
+      .where(col("nrows") === 1)
+    val joined = matched.join(demand, Seq("l_partkey", "demand_id"))
+    assert(joined.where(col("got") > col("q")).count() == 0,
+      "matched more than the demand line's quantity")
+    // any match at all implies qty >= 1
+    assert(run("q116_fifo").where(col("qty") < 1).count() == 0)
+    assert(matched.count() > 0)
+  }
+
+  test("q117 ORC roundtrip preserves the parquet-derived aggregate") {
+    val viaOrc = run("q117_orc_roundtrip").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val direct = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(25,6)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaOrc == direct)
+  }
+
+  test("q118 LOCF: non-null inputs keep their value; gaps take the " +
+      "previous good reading; leading gaps stay null") {
+    val events = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getDouble(3)))
+    val filled = run("q118_locf").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // replay per user in (ts, event_id) order
+    events.groupBy(_._2).foreach { case (_, es) =>
+      var lastv: Option[Double] = None
+      es.sortBy(e => (e._3, e._1)).foreach { case (eid, _, _, v) =>
+        if (v >= 10) lastv = Some(math.rint(v * 1e6) / 1e6)
+        assert(filled(eid).map(x => math.rint(x * 1e6) / 1e6) == lastv,
+          s"event $eid: got ${filled(eid)}, want $lastv")
+      }
+    }
+  }
 }
