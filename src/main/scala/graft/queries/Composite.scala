@@ -390,6 +390,136 @@ object Composite {
              |    ORDER BY ts, event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
              |    AS filled
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q119 — weighted median per group: the smallest value whose running
+    // weight reaches half the group total (lower weighted median — exact,
+    // no interpolation). Prices as exact cents, weights as exact long
+    // quantities; ties share a cumulative under RANGE semantics on both
+    // engines, which cannot change the selected value. One keyed window +
+    // one aggregate — no global sort.
+    Q("q119_weighted_median",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            (col("l_extendedprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType).as("cents"),
+            col("l_quantity").cast(LongType).as("q"))
+          .withColumn("cw", sum(col("q")).over(w))
+          .withColumn("tw", sum(col("q")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_returnflag"))))
+          .where(col("cw") * 2 >= col("tw"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("cents")).as("wmedian_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH x AS (
+             |  SELECT l_returnflag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) AS cents,
+             |    CAST(l_quantity AS BIGINT) AS q
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, cents,
+             |    sum(q) OVER (PARTITION BY l_returnflag
+             |      ORDER BY cents) AS cw,
+             |    sum(q) OVER (PARTITION BY l_returnflag) AS tw
+             |  FROM x)
+             |SELECT l_returnflag, min(cents) AS wmedian_cents
+             |FROM c WHERE cw * 2 >= tw
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Q120 — ordered-sequence pattern match (the MATCH_RECOGNIZE workload
+    // Spark has no syntax for): each user's event types concatenated in
+    // exact (ts, event_id) order, then a regex detects the
+    // view -> click -> purchase funnel with arbitrary gaps. The ordered
+    // string is built by sorting the collected (ts, event_id, type)
+    // structs INSIDE the row (array_sort on the struct's natural order) —
+    // deterministic regardless of shuffle arrival order; per-user state is
+    // bounded by the user's own event count (cap upstream at 100 TB).
+    Q("q120_seq_match",
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            array_join(transform(array_sort(collect_list(col("e"))),
+              x => x.getField("event_type")), ",").as("seq"))
+          .select(col("user_id"), col("n_events"),
+            length(col("seq")).as("seq_chars"),
+            col("seq").rlike("view.*click.*purchase").cast(IntegerType)
+              .as("funnel_hit"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(length(string_agg(event_type, ','
+             |    ORDER BY ts, event_id)) AS INT) AS seq_chars,
+             |  CAST(CASE WHEN regexp_matches(
+             |    string_agg(event_type, ',' ORDER BY ts, event_id),
+             |    'view.*click.*purchase') THEN 1 ELSE 0 END AS INT)
+             |    AS funnel_hit
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q121 — CUSUM change detection: per event type, the running sum of
+    // (daily count - overall daily mean) in date order, flagged where the
+    // excursion exceeds 2 sigma of the daily counts. Counts and moments
+    // are exact integers; mean/sigma/cusum are computed in double in a
+    // fixed sequential order, so every engine produces the identical
+    // bits. Calendar-sized intermediate (days x types), one keyed window.
+    Q("q121_cusum",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("days"), sum(col("n")).as("tot"),
+            sum(col("n") * col("n")).as("tot2"))
+          .select(col("event_type"),
+            (col("tot").cast(DoubleType) / col("days").cast(DoubleType))
+              .as("mu"),
+            sqrt(
+              (col("tot2").cast(DoubleType) / col("days").cast(DoubleType))
+                - (col("tot").cast(DoubleType) / col("days")
+                    .cast(DoubleType)) *
+                  (col("tot").cast(DoubleType) / col("days")
+                    .cast(DoubleType))).as("sigma"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))
+        daily.join(broadcast(stats), Seq("event_type"))
+          .withColumn("cusum",
+            sum(col("n").cast(DoubleType) - col("mu")).over(w))
+          .select(col("event_type"), col("day"),
+            col("n"), round(col("cusum"), 6).as("cusum"),
+            (abs(col("cusum")) > lit(2d) * col("sigma"))
+              .cast(IntegerType).as("alarm"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+             |st AS (
+             |  SELECT event_type,
+             |    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+             |    sqrt(CAST(sum(n*n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |      - (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)) *
+             |        (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+             |      AS sigma
+             |  FROM daily GROUP BY event_type),
+             |c AS (
+             |  SELECT d.event_type, d.day, d.n,
+             |    sum(CAST(d.n AS DOUBLE) - st.mu) OVER (
+             |      PARTITION BY d.event_type ORDER BY d.day) AS cusum,
+             |    st.sigma
+             |  FROM daily d JOIN st USING (event_type))
+             |SELECT event_type, day, n, round(cusum, 6) AS cusum,
+             |  CAST(CASE WHEN abs(cusum) > 2 * sigma THEN 1 ELSE 0 END
+             |    AS INT) AS alarm
+             |FROM c ORDER BY event_type, day""".stripMargin))
   )
 }

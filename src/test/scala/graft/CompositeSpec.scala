@@ -202,4 +202,53 @@ class CompositeSpec extends SparkSpec {
       }
     }
   }
+
+  test("q119 weighted median: at least half the weight sits on each side") {
+    val med = run("q119_weighted_median").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(med.size == 3)
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(25,6)") * 100).cast("long")
+          .as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    med.foreach { case (flag, m) =>
+      val grp = rows.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum
+      val below = grp.filter(_._2 <= m).map(_._3).sum
+      val above = grp.filter(_._2 >= m).map(_._3).sum
+      assert(below * 2 >= tot, s"$flag: below=$below tot=$tot")
+      assert(above * 2 >= tot, s"$flag: above=$above tot=$tot")
+    }
+  }
+
+  test("q120 sequence match agrees with a driver-side replay") {
+    val got = run("q120_seq_match").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3)))).toMap
+    val events = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    events.groupBy(_._1).foreach { case (uid, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4).mkString(",")
+      val hit = if (seq.matches(".*view.*click.*purchase.*")) 1 else 0
+      assert(got(uid) == ((es.size.toLong, hit)), s"user $uid")
+    }
+  }
+
+  test("q121 CUSUM: final cumulative deviation is ~0 and alarms only " +
+      "where |cusum| exceeds 2 sigma") {
+    val rows = run("q121_cusum").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    // the last cusum per type must return to ~0 (sum of deviations)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val last = rs.maxBy(_._2)._4
+      assert(math.abs(last) < 1e-3, s"$t last cusum $last")
+    }
+    assert(rows.exists(_._5 == 0))
+  }
 }
