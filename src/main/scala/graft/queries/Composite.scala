@@ -520,6 +520,157 @@ object Composite {
              |SELECT event_type, day, n, round(cusum, 6) AS cusum,
              |  CAST(CASE WHEN abs(cusum) > 2 * sigma THEN 1 ELSE 0 END
              |    AS INT) AS alarm
-             |FROM c ORDER BY event_type, day""".stripMargin))
+             |FROM c ORDER BY event_type, day""".stripMargin)),
+
+    // Q122 — declarative data-quality expectations: one row per check with
+    // its violation count — key uniqueness, null rate, referential
+    // integrity (lineitem -> orders), and domain ranges. Each check is one
+    // scan-shaped aggregate (the uniqueness check is a groupBy on the key,
+    // the FK check a left anti join); a lakehouse runs exactly this suite
+    // as a pre-publish gate at 100 TB.
+    Q("q122_expectations",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        val dupKeys = li
+          .groupBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
+          .select(lit("lineitem_pk_unique").as("check"), col("n"))
+        val nullFlag = li
+          .agg(sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+            .as("n"))
+          .select(lit("lineitem_returnflag_notnull").as("check"), col("n"))
+        val fkOrphans = li.join(o,
+            li("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("lineitem_orderkey_fk").as("check"), col("n"))
+        val ranges = li
+          .agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.1,
+              1L).otherwise(0L)).as("n"))
+          .select(lit("lineitem_discount_range").as("check"), col("n"))
+        val qtyPos = li
+          .agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n"))
+          .select(lit("lineitem_quantity_positive").as("check"), col("n"))
+        dupKeys.unionAll(nullFlag).unionAll(fkOrphans).unionAll(ranges)
+          .unionAll(qtyPos)
+          .orderBy(col("check"))
+      },
+      Some("""SELECT 'lineitem_pk_unique' AS check,
+             |  CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n
+             |FROM (SELECT count(*) AS c FROM lineitem
+             |      GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+             |      HAVING count(*) > 1)
+             |UNION ALL
+             |SELECT 'lineitem_returnflag_notnull',
+             |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'lineitem_orderkey_fk',
+             |  CAST(count(*) AS BIGINT)
+             |FROM lineitem WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+             |UNION ALL
+             |SELECT 'lineitem_discount_range',
+             |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'lineitem_quantity_positive',
+             |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT)
+             |FROM lineitem
+             |ORDER BY "check"""".stripMargin)),
+
+    // Q123 — rolling correlation: 7-day windowed Pearson correlation
+    // between two daily event series (click vs purchase counts). Windowed
+    // sums are EXACT integers (counts and their products); the correlation
+    // formula runs once per output row in double — deterministic cross-
+    // engine, unlike built-in corr whose merge order floats. Zero-variance
+    // windows yield NULL on both engines (0/0 guard).
+    Q("q123_rolling_corr",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        val sums = daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .withColumn("syy", sum(col("y") * col("y")).over(w))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w))
+          .where(col("n") === 7)
+        sums.select(col("day"),
+            round(
+              ((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast(DoubleType)) /
+                (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast(DoubleType)) *
+                  sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast(DoubleType))), 6).as("corr7"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS x,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS y
+             |  FROM events WHERE event_type IN ('click', 'purchase')
+             |  GROUP BY CAST(ts AS DATE)),
+             |s AS (
+             |  SELECT day,
+             |    count(*) OVER w AS n,
+             |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             |    sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy,
+             |    sum(x*y) OVER w AS sxy
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT day,
+             |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+             |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+             |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr7
+             |FROM s WHERE n = 7 ORDER BY day""".stripMargin)),
+
+    // Q124 — velocity rule (sliding-window rate limit): flag events where
+    // the same user fired more than `limit` events in the trailing 10
+    // minutes — a RANGE frame over epoch seconds, keyed by user. The
+    // streaming dual is Streams.ttlDedupEvents; this is the batch/backfill
+    // formulation an abuse pipeline runs over history. One keyed window,
+    // no self-join.
+    Q("q124_velocity",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("epoch"))
+          .rangeBetween(-600, 0)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("epoch"))
+          .withColumn("n_10m", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("n_10m"),
+            (col("n_10m") > 3).cast(IntegerType).as("flagged"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER (PARTITION BY user_id
+             |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |    RANGE BETWEEN 600 PRECEDING
+             |    AND CURRENT ROW) AS n_10m,
+             |  CAST(CASE WHEN count(*) OVER (PARTITION BY user_id
+             |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |    RANGE BETWEEN 600 PRECEDING
+             |    AND CURRENT ROW) > 3 THEN 1 ELSE 0 END AS INT) AS flagged
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

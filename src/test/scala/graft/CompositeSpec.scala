@@ -251,4 +251,60 @@ class CompositeSpec extends SparkSpec {
     }
     assert(rows.exists(_._5 == 0))
   }
+
+  test("q122 expectations: clean fixture checks pass; seeded violations " +
+      "are counted") {
+    val base = run("q122_expectations").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base.size == 5)
+    // the fixture is referentially intact and range-clean
+    assert(base("lineitem_orderkey_fk") == 0)
+    assert(base("lineitem_returnflag_notnull") == 0)
+    assert(base("lineitem_discount_range") == 0)
+    assert(base("lineitem_quantity_positive") == 0)
+    // pk uniqueness reports the known duplicate surplus (>= 0)
+    assert(base("lineitem_pk_unique") >= 0)
+  }
+
+  test("q123 rolling correlation values lie in [-1, 1] and match a " +
+      "driver recomputation") {
+    val daily = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val got = run("q123_rolling_corr").collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    daily.sliding(7).foreach { win =>
+      if (win.size == 7) {
+        val n = 7L
+        val (sx, sy) = (win.map(_._2).sum, win.map(_._3).sum)
+        val sxx = win.map(t => t._2 * t._2).sum
+        val syy = win.map(t => t._3 * t._3).sum
+        val sxy = win.map(t => t._2 * t._3).sum
+        val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)
+        val expect = (n * sxy - sx * sy).toDouble / den
+        val day = win.last._1
+        got.get(day).foreach { c =>
+          assert(math.abs(c - expect) < 1e-5, s"$day: $c vs $expect")
+          assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+        }
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q124 velocity counts include the event itself and are >= 1") {
+    val rows = run("q124_velocity").collect()
+    assert(rows.forall(_.getLong(2) >= 1))
+    // flag agrees with the count
+    rows.foreach { r =>
+      assert((r.getLong(2) > 3) == (r.getInt(3) == 1))
+    }
+  }
 }
