@@ -671,6 +671,133 @@ object Composite {
              |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              |    RANGE BETWEEN 600 PRECEDING
              |    AND CURRENT ROW) > 3 THEN 1 ELSE 0 END AS INT) AS flagged
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q125 — schema-evolution union: two sources with overlapping but
+    // different schemas merged by COLUMN NAME (allowMissingColumns), the
+    // absent columns null-filled — how a lake unions last year's narrow
+    // batch with this year's widened one. The oracle writes the null-fill
+    // explicitly; order is restored by (src, id) which is unique by
+    // construction.
+    Q("q125_union_byname",
+      (s, d) => {
+        val oldBatch = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("id"))
+          .agg(sum(col("l_quantity").cast(LongType)).as("qty"))
+          .withColumn("src", lit("v1"))
+        val newBatch = Tables(s, d, "orders")
+          .select(col("o_orderkey").as("id"),
+            (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType).as("price_cents"))
+          .withColumn("src", lit("v2"))
+        oldBatch.unionByName(newBatch, allowMissingColumns = true)
+          .select(col("src"), col("id"), col("qty"), col("price_cents"))
+          .orderBy(col("src"), col("id"))
+      },
+      Some("""SELECT 'v1' AS src, l_orderkey AS id,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |  CAST(NULL AS BIGINT) AS price_cents
+             |FROM lineitem GROUP BY l_orderkey
+             |UNION ALL
+             |SELECT 'v2', o_orderkey, NULL,
+             |  CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT)
+             |FROM orders
+             |ORDER BY src, id""".stripMargin)),
+
+    // Q126 — hierarchical share-of-parent: revenue per nation as a share
+    // of its region, and per region as a share of the world. Totals are
+    // exact cents; each level's denominator comes from a separately
+    // aggregated (tiny, broadcast) table joined back — NOT an
+    // unpartitioned window, which would funnel the whole table through
+    // one task at 100 TB. Shares divide as double, cast before dividing.
+    Q("q126_share_of_parent",
+      (s, d) => {
+        val rev = Tables(s, d, "orders")
+          .join(Tables(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"), col("r_name"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+            .cast(LongType)).as("cents"))
+        val regionTot = rev.groupBy(col("r_name"))
+          .agg(sum(col("cents")).as("r_cents"))
+        val worldTot = rev.agg(sum(col("cents")).as("w_cents"))
+        rev.join(broadcast(regionTot), Seq("r_name"))
+          .crossJoin(broadcast(worldTot))
+          .select(col("n_name"), col("r_name"), col("cents"),
+            round(col("cents").cast(DoubleType) /
+              col("r_cents").cast(DoubleType), 6).as("share_in_region"),
+            round(col("r_cents").cast(DoubleType) /
+              col("w_cents").cast(DoubleType), 6).as("region_share"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT n_name, r_name,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY n_name, r_name),
+             |rt AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS r_cents
+             |       FROM rev GROUP BY r_name),
+             |wt AS (SELECT CAST(sum(cents) AS BIGINT) AS w_cents FROM rev)
+             |SELECT n_name, rev.r_name, cents,
+             |  round(CAST(cents AS DOUBLE) / CAST(r_cents AS DOUBLE), 6)
+             |    AS share_in_region,
+             |  round(CAST(r_cents AS DOUBLE) / CAST(w_cents AS DOUBLE), 6)
+             |    AS region_share
+             |FROM rev JOIN rt ON rev.r_name = rt.r_name CROSS JOIN wt
+             |ORDER BY rev.r_name, n_name""".stripMargin)),
+
+    // Q127 — array set algebra: distinct-token sets of each document's
+    // head and tail, with intersection/union/except sizes and Jaccard.
+    // Element ORDER inside arrays is engine-specific, so the query
+    // returns set CARDINALITIES; union and except are cross-checked in
+    // the oracle via the inclusion-exclusion identities (|A∪B| =
+    // |A|+|B|-|A∩B|, |A\B| = |A|-|A∩B|), which simultaneously validates
+    // Spark's array_union/array_except against its array_intersect.
+    Q("q127_array_setops",
+      (s, d) => {
+        val base = Tables(s, d, "documents").select(col("doc_id"),
+          array_distinct(split(lower(substring(col("text"), 1, 100)), " "))
+            .as("ha"),
+          array_distinct(split(lower(substring(col("text"), -100, 100)),
+            " ")).as("ta"))
+        base.select(col("doc_id"),
+            size(col("ha")).as("n_head"),
+            size(col("ta")).as("n_tail"),
+            size(array_intersect(col("ha"), col("ta"))).as("n_inter"),
+            size(array_union(col("ha"), col("ta"))).as("n_union"),
+            size(array_except(col("ha"), col("ta"))).as("n_except"),
+            round(size(array_intersect(col("ha"), col("ta")))
+              .cast(DoubleType) /
+              size(array_union(col("ha"), col("ta"))).cast(DoubleType), 6)
+              .as("jaccard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    list_distinct(string_split(lower(text[1:100]), ' '))
+             |      AS ha,
+             |    list_distinct(string_split(lower(text[-100:]), ' '))
+             |      AS ta
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    CAST(len(ha) AS INT) AS n_head,
+             |    CAST(len(ta) AS INT) AS n_tail,
+             |    CAST(len(list_intersect(ha, ta)) AS INT) AS n_inter
+             |  FROM b)
+             |SELECT doc_id, n_head, n_tail, n_inter,
+             |  n_head + n_tail - n_inter AS n_union,
+             |  n_head - n_inter AS n_except,
+             |  round(CAST(n_inter AS DOUBLE) /
+             |    CAST(n_head + n_tail - n_inter AS DOUBLE), 6) AS jaccard
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

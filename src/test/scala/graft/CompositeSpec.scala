@@ -299,6 +299,42 @@ class CompositeSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q125 union-by-name: widened schema null-fills the missing side " +
+      "and keeps every row") {
+    val out = run("q125_union_byname")
+    val nLi = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    val nO = Tables(spark, sfDir, "orders").count()
+    assert(out.count() == nLi + nO)
+    assert(out.where(col("src") === "v1" && col("price_cents").isNotNull)
+      .count() == 0)
+    assert(out.where(col("src") === "v2" && col("qty").isNotNull)
+      .count() == 0)
+  }
+
+  test("q126 shares: nations sum to 1 within each region, regions sum " +
+      "to 1 globally") {
+    val rows = run("q126_share_of_parent").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._2).foreach { case (region, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$region nation shares sum $s")
+    }
+    val regionShares = rows.map(r => r._2 -> r._5).toMap.values.sum
+    assert(math.abs(regionShares - 1.0) < 1e-4)
+  }
+
+  test("q127 set-op sizes respect inclusion-exclusion on every row") {
+    run("q127_array_setops").collect().foreach { r =>
+      val (h, t, i, u, e) = (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))
+      assert(u == h + t - i, r)
+      assert(e == h - i, r)
+      assert(i <= math.min(h, t))
+    }
+  }
+
   test("q124 velocity counts include the event itself and are >= 1") {
     val rows = run("q124_velocity").collect()
     assert(rows.forall(_.getLong(2) >= 1))
