@@ -798,6 +798,129 @@ object Composite {
              |  n_head - n_inter AS n_except,
              |  round(CAST(n_inter AS DOUBLE) /
              |    CAST(n_head + n_tail - n_inter AS DOUBLE), 6) AS jaccard
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Q128 — A/B experiment readout: users deterministically hash-split
+    // into arms (portable md5 route — resample-stable, the q30_sample
+    // property), per-event-type conversion rate per arm, lift, and the
+    // two-proportion z-score. All counts exact; the z formula runs once
+    // per row in double. This is the experimentation dual of the
+    // sampling operators: assignment is a pure function of user_id, so
+    // arms are reproducible anywhere, at any scale, in any engine.
+    Q("q128_ab_lift",
+      (s, d) => {
+        val armed = Tables(s, d, "events").select(col("event_type"),
+          (expr("conv(substring(md5(concat('ab', cast(user_id as string)))" +
+            ",1,8),16,10)").cast(LongType) % 2).as("arm"))
+        val per = armed.groupBy(col("event_type"))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+        val tot = armed.groupBy()
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ta"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("tb"))
+        per.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("na"), col("nb"),
+            round(col("na").cast(DoubleType) / col("ta").cast(DoubleType),
+              6).as("rate_a"),
+            round(col("nb").cast(DoubleType) / col("tb").cast(DoubleType),
+              6).as("rate_b"),
+            round(
+              (col("nb").cast(DoubleType) / col("tb").cast(DoubleType)) -
+                (col("na").cast(DoubleType) / col("ta").cast(DoubleType)),
+              6).as("lift"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH armed AS (
+             |  SELECT event_type,
+             |    CAST(('0x' || substr(md5('ab' ||
+             |      CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) % 2 AS arm
+             |  FROM events),
+             |per AS (
+             |  SELECT event_type,
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS na,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nb
+             |  FROM armed GROUP BY event_type),
+             |tot AS (
+             |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ta,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS tb
+             |  FROM armed)
+             |SELECT event_type, na, nb,
+             |  round(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), 6)
+             |    AS rate_a,
+             |  round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE), 6)
+             |    AS rate_b,
+             |  round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) -
+             |        CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS lift
+             |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin)),
+
+    // Q129 — stratified k-fold assignment: within each stratum (language),
+    // documents take folds round-robin in doc_id order, so every
+    // (stratum, fold) cell differs by at most one document — the balanced
+    // eval-split a training pipeline needs, as a pure function of the
+    // sorted position (reproducible; new docs shift folds only within
+    // their stratum). One keyed window; the balance invariant is asserted
+    // in CompositeSpec.
+    Q("q129_kfold",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("fold", ((row_number().over(w) - 1) % 5)
+            .cast(IntegerType))
+          .groupBy(col("lang"), col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"), col("fold"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang,
+             |    CAST((row_number() OVER (PARTITION BY lang
+             |      ORDER BY doc_id) - 1) % 5 AS INT) AS fold
+             |  FROM documents)
+             |SELECT lang, fold, count(*) AS n_docs,
+             |  min(doc_id) AS first_doc
+             |FROM f GROUP BY lang, fold
+             |ORDER BY lang, fold""".stripMargin)),
+
+    // Q130 — CSV sink + schema'd source roundtrip: an events projection
+    // (timestamps as epoch-second longs — CSV's portable timestamp
+    // carrier) written with header, read back under an EXPLICIT schema
+    // (no inference — inference samples the data and can drift), then
+    // aggregated. Oracle computes the same aggregate from the original
+    // parquet; equality proves header/quoting/type fidelity end to end.
+    Q("q130_csv_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-csv").toString
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("epoch_s"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", LongType),
+          org.apache.spark.sql.types.StructField("user_id", LongType),
+          org.apache.spark.sql.types.StructField("event_type", StringType),
+          org.apache.spark.sql.types.StructField("epoch_s", LongType)))
+        s.read.schema(schema).option("header", "true").csv(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("epoch_s")).as("sum_epoch"),
+            min(col("event_id")).as("min_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+             |    AS sum_epoch,
+             |  min(event_id) AS min_id
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

@@ -335,6 +335,44 @@ class CompositeSpec extends SparkSpec {
     }
   }
 
+  test("q128 A/B arms partition the traffic and rates subtract to lift") {
+    val rows = run("q128_ab_lift").collect()
+    val (na, nb) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(na + nb == Tables(spark, sfDir, "events").count())
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5) -
+        (math.rint((r.getDouble(4) - r.getDouble(3)) * 1e6) / 1e6))
+        < 2e-6, r)
+    }
+  }
+
+  test("q129 k-fold: cells within a stratum differ by at most one doc " +
+      "and cover the stratum") {
+    val rows = run("q129_kfold").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val counts = rs.map(_._3)
+      assert(counts.max - counts.min <= 1, s"$lang folds $counts")
+      val total = Tables(spark, sfDir, "documents")
+        .where(col("lang") === lang).count()
+      assert(counts.sum == total)
+    }
+  }
+
+  test("q130 CSV roundtrip preserves the parquet-derived aggregate") {
+    val viaCsv = run("q130_csv_roundtrip").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val direct = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")),
+        sum(unix_timestamp(col("ts"))), min(col("event_id")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(viaCsv == direct)
+  }
+
   test("q124 velocity counts include the event itself and are >= 1") {
     val rows = run("q124_velocity").collect()
     assert(rows.forall(_.getLong(2) >= 1))
