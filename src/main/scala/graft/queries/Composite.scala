@@ -921,6 +921,178 @@ object Composite {
              |    AS sum_epoch,
              |  min(event_id) AS min_id
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Q131 — time-to-event hazard table: per user, days from first signup
+    // to first subsequent purchase (censored users never enter the event
+    // count); per day t, the risk set (users whose observed time >= t)
+    // and discrete hazard d/n. Survival analysis from exact integer
+    // counts — the conversion-latency readout a growth pipeline runs.
+    // Two small aggregates + one self-aggregated risk-set join, all
+    // calendar-sized.
+    Q("q131_survival",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val firstPurch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        val joined = signup.join(firstPurch, Seq("user_id"), "left")
+          .where(col("ts").isNull || col("ts") >= col("t0"))
+          .groupBy(col("user_id"), col("t0"))
+          .agg(min(col("ts")).as("tp"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("hend"))
+        val times = joined.crossJoin(broadcast(horizon))
+          .select(col("user_id"),
+            when(col("tp").isNotNull,
+              datediff(to_date(col("tp")), to_date(col("t0"))))
+              .otherwise(datediff(col("hend"), to_date(col("t0"))))
+              .as("t"),
+            col("tp").isNotNull.cast(IntegerType).as("converted"))
+        val byDay = times.groupBy(col("t"))
+          .agg(sum(col("converted").cast(LongType)).as("d"),
+            count(lit(1)).as("ended"))
+        // risk set at t = users with observed time >= t: suffix sum of
+        // `ended` in descending-t order — one window, calendar-sized
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("t").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        byDay.withColumn("n_risk", sum(col("ended")).over(w))
+          .where(col("d") > 0)
+          .select(col("t"), col("n_risk"), col("d"),
+            round(col("d").cast(DoubleType) /
+              col("n_risk").cast(DoubleType), 6).as("hazard"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH signup AS (
+             |  SELECT user_id, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |fp AS (
+             |  SELECT s.user_id, s.t0, min(e.ts) AS tp
+             |  FROM signup s LEFT JOIN events e
+             |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             |      AND e.ts >= s.t0
+             |  GROUP BY s.user_id, s.t0),
+             |hz AS (SELECT max(CAST(ts AS DATE)) AS hend FROM events),
+             |times AS (
+             |  SELECT user_id,
+             |    CASE WHEN tp IS NOT NULL
+             |      THEN datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+             |      ELSE datediff('day', CAST(t0 AS DATE), hend) END AS t,
+             |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS converted
+             |  FROM fp CROSS JOIN hz),
+             |byday AS (
+             |  SELECT t, CAST(sum(converted) AS BIGINT) AS d,
+             |    count(*) AS ended
+             |  FROM times GROUP BY t),
+             |r AS (
+             |  SELECT t, d, sum(ended) OVER (ORDER BY t DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS n_risk
+             |  FROM byday)
+             |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d,
+             |  round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+             |    AS hazard
+             |FROM r WHERE d > 0 ORDER BY t""".stripMargin)),
+
+    // Q132 — reconciliation report: does each order's stated total match
+    // the sum of its lineitems' extended prices? Exact-cent comparison
+    // with a tolerance band, one row per discrepancy bucket — the
+    // close-of-books audit every billing pipeline runs. One keyed
+    // aggregate + a broadcast-sized summary.
+    Q("q132_reconcile",
+      (s, d) => {
+        val liSum = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum((col("l_extendedprice").cast(DecimalType(25, 6)) * 100)
+            .cast(LongType)).as("li_cents"))
+        val o = Tables(s, d, "orders").select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+            .cast(LongType).as("o_cents"))
+        o.join(liSum, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            (coalesce(col("li_cents"), lit(0L)) - col("o_cents"))
+              .as("diff_cents"))
+          .select(
+            when(col("diff_cents") === 0, "exact")
+              .when(abs(col("diff_cents")) <= 100, "within_1_dollar")
+              .otherwise("discrepant").as("bucket"),
+            col("diff_cents"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(abs(col("diff_cents"))).as("abs_drift_cents"),
+            max(abs(col("diff_cents"))).as("worst_cents"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH ls AS (
+             |  SELECT l_orderkey,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) *
+             |      100 AS BIGINT)) AS BIGINT) AS li_cents
+             |  FROM lineitem GROUP BY l_orderkey),
+             |j AS (
+             |  SELECT o_orderkey,
+             |    coalesce(li_cents, 0) -
+             |      CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |        AS BIGINT) AS diff_cents
+             |  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey)
+             |SELECT CASE WHEN diff_cents = 0 THEN 'exact'
+             |  WHEN abs(diff_cents) <= 100 THEN 'within_1_dollar'
+             |  ELSE 'discrepant' END AS bucket,
+             |  count(*) AS n_orders,
+             |  CAST(sum(abs(diff_cents)) AS BIGINT) AS abs_drift_cents,
+             |  CAST(max(abs(diff_cents)) AS BIGINT) AS worst_cents
+             |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Q133 — clamped running inventory: per part, daily net flow (supply
+    // 'R' minus demand 'N') accumulated in date order but never below
+    // zero — unmet demand is lost, not borrowed. Clamping is NOT a plain
+    // window aggregate; it uses the prefix identity
+    //   position_t = S_t - min(0, min_{i<=t} S_i)
+    // (deficits forgiven at the moment they occur), turning a stateful
+    // scan into two windows over ONE keyed exchange. Exact longs; the
+    // identity itself is re-proven against a sequential replay in
+    // CompositeSpec.
+    Q("q133_stock_clamp",
+      (s, d) => {
+        val daily = Tables(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("R", "N"))
+          .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+          .agg(sum(when(col("l_returnflag") === "R",
+              col("l_quantity").cast(LongType))
+            .otherwise(-col("l_quantity").cast(LongType))).as("net"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey")).orderBy(col("day"))
+        val s1 = daily.withColumn("s", sum(col("net")).over(wc))
+          .withColumn("smin", min(col("s")).over(wc))
+        s1.select(col("l_partkey"), col("day"), col("net"),
+            (col("s") - least(col("smin"), lit(0L))).as("on_hand"))
+          .where(col("l_partkey") <= 200)
+          .orderBy(col("l_partkey"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R'
+             |      THEN CAST(l_quantity AS BIGINT)
+             |      ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+             |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+             |  GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+             |c AS (
+             |  SELECT l_partkey, day, net,
+             |    sum(net) OVER (PARTITION BY l_partkey ORDER BY day) AS s
+             |  FROM daily),
+             |m AS (
+             |  SELECT l_partkey, day, net, s,
+             |    min(s) OVER (PARTITION BY l_partkey ORDER BY day) AS smin
+             |  FROM c),
+             |f AS (
+             |  SELECT l_partkey, day, net,
+             |    s - least(smin, 0) AS on_hand
+             |  FROM m)
+             |SELECT l_partkey, day, net, CAST(on_hand AS BIGINT)
+             |  AS on_hand
+             |FROM f WHERE l_partkey <= 200
+             |ORDER BY l_partkey, day""".stripMargin))
   )
 }

@@ -373,6 +373,44 @@ class CompositeSpec extends SparkSpec {
     assert(viaCsv == direct)
   }
 
+  test("q131 survival: risk set shrinks over time and hazard is in (0,1]") {
+    val rows = run("q131_survival").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2,
+        s"risk set grew: $a -> $b")
+      case _ =>
+    }
+    rows.foreach { case (_, n, dd, h) =>
+      assert(dd >= 1 && dd <= n)
+      assert(h > 0 && h <= 1)
+    }
+  }
+
+  test("q132 reconcile buckets cover every order exactly once") {
+    val rows = run("q132_reconcile").collect()
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == Tables(spark, sfDir, "orders").count())
+    rows.foreach { r =>
+      if (r.getString(0) == "exact") assert(r.getLong(2) == 0)
+    }
+  }
+
+  test("q133 clamped inventory equals a sequential replay and is " +
+      "never negative") {
+    val rows = run("q133_stock_clamp").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3)))
+    assert(rows.forall(_._4 >= 0))
+    rows.groupBy(_._1).foreach { case (pk, rs) =>
+      var pos = 0L
+      rs.sortBy(_._2).foreach { case (_, day, net, onHand) =>
+        pos = math.max(0L, pos + net)
+        assert(onHand == pos, s"part $pk day $day: $onHand != $pos")
+      }
+    }
+  }
+
   test("q124 velocity counts include the event itself and are >= 1") {
     val rows = run("q124_velocity").collect()
     assert(rows.forall(_.getLong(2) >= 1))
