@@ -258,4 +258,33 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sm.contains("SortMergeJoin"), sm)
   }
+
+  test("q114/q115/q116: bucketed pair generators stay equi-joins — " +
+      "no cartesian, no nested loop") {
+    Seq("q114_geo_cell", "q115_docsim", "q116_fifo").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join:\n$p")
+    }
+  }
+
+  test("q113: both allocation windows share ONE keyed exchange") {
+    val p = plan("q113_alloc")
+    // join shuffles both inputs; the two window passes add exactly one
+    // more hash exchange on the order key (they share partitioning)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"expected join(2) + shared window(1) exchanges, " +
+      s"got $n:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q119/q133: window-identity queries never single-partition the " +
+      "table (every window is keyed)") {
+    Seq("q119_weighted_median", "q133_stock_clamp").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q moved the table through one task:\n$p")
+    }
+  }
 }
