@@ -1093,6 +1093,151 @@ object Composite {
              |SELECT l_partkey, day, net, CAST(on_hand AS BIGINT)
              |  AS on_hand
              |FROM f WHERE l_partkey <= 200
-             |ORDER BY l_partkey, day""".stripMargin))
+             |ORDER BY l_partkey, day""".stripMargin)),
+
+    // Q134 — multi-aggregate pivot: two measures (revenue cents + count)
+    // per pivoted market segment in one pass. Spark's pivot with a
+    // seeded value list is a single hash aggregate (no second scan to
+    // discover values — at 100 TB the value list should always be
+    // declared); the oracle is the explicit CASE formulation.
+    Q("q134_multi_pivot",
+      (s, d) => {
+        val base = Tables(s, d, "customer")
+          .join(Tables(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables(s, d, "orders"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("n_name"), col("c_mktsegment"),
+            (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType).as("cents"))
+        base.groupBy(col("n_name"))
+          .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING"))
+          .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+          .select(col("n_name"),
+            col("AUTOMOBILE_cents").as("auto_cents"),
+            col("AUTOMOBILE_n").as("auto_n"),
+            col("BUILDING_cents").as("bld_cents"),
+            col("BUILDING_n").as("bld_n"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+             |    THEN CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) END) AS BIGINT) AS auto_cents,
+             |  CAST(count(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+             |    THEN 1 END) AS BIGINT) AS auto_n,
+             |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+             |    THEN CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) END) AS BIGINT) AS bld_cents,
+             |  CAST(count(CASE WHEN c_mktsegment = 'BUILDING'
+             |    THEN 1 END) AS BIGINT) AS bld_n
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN orders ON o_custkey = c_custkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Q135 — period-over-period change: monthly order volume and revenue
+    // with percent change vs the prior month via lag. The monthly rollup
+    // is calendar-sized, so the unpartitioned lag window is bounded by
+    // the calendar, never by the data (the q106/q121 pattern); the heavy
+    // aggregation below it is fully keyed.
+    Q("q135_mom_change",
+      (s, d) => {
+        val monthly = Tables(s, d, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType)).as("cents"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+        monthly
+          .withColumn("prev", lag(col("cents"), 1).over(w))
+          .select(to_date(col("month")).as("month"), col("n"), col("cents"),
+            round((col("cents") - col("prev")).cast(DoubleType) /
+              col("prev").cast(DoubleType), 6).as("mom_change"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH m AS (
+             |  SELECT date_trunc('month', o_orderdate) AS month,
+             |    count(*) AS n,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1)
+             |SELECT CAST(month AS DATE) AS month, n, cents,
+             |  round(CAST(cents - lag(cents, 1) OVER (ORDER BY month)
+             |      AS DOUBLE) /
+             |    CAST(lag(cents, 1) OVER (ORDER BY month) AS DOUBLE), 6)
+             |    AS mom_change
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // Q136 — leave-one-out target encoding: each customer's segment mean
+    // account balance EXCLUDING the customer itself — the standard
+    // leakage-free categorical encoding for model training. Exact cents;
+    // (sum - x) / (n - 1) from one broadcast-sized group aggregate joined
+    // back — no window, no self-join; singleton groups encode NULL.
+    Q("q136_target_encoding",
+      (s, d) => {
+        val cust = Tables(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment"),
+          (col("c_acctbal").cast(DecimalType(25, 6)) * 100)
+            .cast(LongType).as("cents"))
+        val seg = cust.groupBy(col("c_mktsegment"))
+          .agg(sum(col("cents")).as("seg_sum"),
+            count(lit(1)).as("seg_n"))
+        cust.join(broadcast(seg), Seq("c_mktsegment"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round((col("seg_sum") - col("cents")).cast(DoubleType) /
+              nullif(col("seg_n") - 1, lit(0)).cast(DoubleType), 6)
+              .as("loo_mean_cents"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(CAST(c_acctbal AS DECIMAL(25,6)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM customer),
+             |seg AS (
+             |  SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS seg_sum,
+             |    count(*) AS seg_n
+             |  FROM c GROUP BY c_mktsegment)
+             |SELECT c_custkey, c.c_mktsegment,
+             |  round(CAST(seg_sum - cents AS DOUBLE) /
+             |    CAST(nullif(seg_n - 1, 0) AS DOUBLE), 6)
+             |    AS loo_mean_cents
+             |FROM c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Q137 — OUTER generator semantics: explode_outer keeps a parent row
+    // (with a NULL element) when its array is empty — the contract that
+    // preserves row provenance through tokenize/flatten stages. The
+    // filter keeps only rare long tokens so most docs have an empty
+    // array; the oracle emulates outer-explode by unnesting
+    // CASE WHEN empty THEN [NULL] END.
+    Q("q137_explode_outer",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "),
+              t => length(t) >= 12).as("longtoks"))
+          .select(col("doc_id"),
+            explode_outer(col("longtoks")).as("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("tok")).as("n_toks"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '),
+             |      t -> length(t) >= 12) AS longtoks
+             |  FROM documents),
+             |x AS (
+             |  SELECT doc_id,
+             |    unnest(CASE WHEN len(longtoks) = 0
+             |      THEN [CAST(NULL AS VARCHAR)]
+             |      ELSE longtoks END) AS tok
+             |  FROM b)
+             |SELECT doc_id, count(*) AS n_rows,
+             |  CAST(count(tok) AS BIGINT) AS n_toks
+             |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
