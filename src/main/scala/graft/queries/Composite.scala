@@ -1238,6 +1238,244 @@ object Composite {
              |  FROM b)
              |SELECT doc_id, count(*) AS n_rows,
              |  CAST(count(tok) AS BIGINT) AS n_toks
-             |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q138 — nested materialization: denormalize lineitems into an
+    // array<struct> per order (the document-model reshaping a lakehouse
+    // does before JSON/protobuf export), then compute inside the nested
+    // value with array HOFs. The per-order array is bounded by order
+    // size (≤7 lineitems in TPC-H), so collect_list never skews; the
+    // oracle recomputes both measures from the flat relation, proving
+    // the nested compute path equals the relational one.
+    Q("q138_nested_orders",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            (col("l_extendedprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType).as("cents"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("cents"),
+            col("l_returnflag").as("flag"))).as("items"))
+          .select(col("l_orderkey"),
+            size(col("items")).cast(LongType).as("n_items"),
+            aggregate(filter(col("items"), x => x("flag") === "N"),
+              lit(0L), (acc, x) => acc + x("cents")).as("n_flag_cents"),
+            aggregate(col("items"), lit(0L),
+              (acc, x) => acc + x("cents")).as("total_cents"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH f AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) AS cents
+             |  FROM lineitem)
+             |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+             |    THEN cents END), 0) AS BIGINT) AS n_flag_cents,
+             |  CAST(sum(cents) AS BIGINT) AS total_cents
+             |FROM f GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // Q139 — schema'd JSON parsing: a deterministic JSON document built
+    // per order (identical concat on both engines), parsed back with an
+    // EXPLICIT from_json schema — no inference pass, which at 100 TB
+    // would cost a full extra scan. Scalar and array fields extracted;
+    // the oracle walks the same documents with JSONPath.
+    Q("q139_json_parse",
+      (s, d) => {
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+          .cast(LongType)
+        val j = concat(lit("{\"id\":"), col("o_orderkey"),
+          lit(",\"cents\":"), cents,
+          lit(",\"tags\":[\""), col("o_orderpriority"),
+          lit("\",\""), col("o_orderstatus"), lit("\"]}"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, cents BIGINT, tags ARRAY<STRING>")
+        Tables(s, d, "orders")
+          .select(from_json(j, schema).as("p"))
+          .select(col("p.id").as("jid"), col("p.cents").as("jcents"),
+            size(col("p.tags")).cast(LongType).as("n_tags"),
+            element_at(col("p.tags"), 1).as("tag0"),
+            element_at(col("p.tags"), 2).as("tag1"))
+          .orderBy(col("jid"))
+      },
+      Some("""WITH b AS (
+             |  SELECT '{"id":' || o_orderkey || ',"cents":' ||
+             |    CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT)
+             |    || ',"tags":["' || o_orderpriority || '","' ||
+             |    o_orderstatus || '"]}' AS j
+             |  FROM orders)
+             |SELECT CAST(j->>'$.id' AS BIGINT) AS jid,
+             |  CAST(j->>'$.cents' AS BIGINT) AS jcents,
+             |  CAST(json_array_length(j, '$.tags') AS BIGINT) AS n_tags,
+             |  j->>'$.tags[0]' AS tag0,
+             |  j->>'$.tags[1]' AS tag1
+             |FROM b ORDER BY jid""".stripMargin)),
+
+    // Q140 — k-anonymity audit: group sizes over quasi-identifiers
+    // (nation, segment, coarse balance band) with at-risk flagging of
+    // groups smaller than k=5 — the privacy gate a dataset passes before
+    // release. One scan-shaped aggregate; the band uses floor over an
+    // exact-cents double (identical floor semantics on both engines,
+    // unlike integer division of negatives).
+    Q("q140_k_anonymity",
+      (s, d) => {
+        val cents = (col("c_acctbal").cast(DecimalType(25, 6)) * 100)
+          .cast(LongType)
+        Tables(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(cents.cast(DoubleType) / lit(100000.0)).as("bal_band"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            col("bal_band"))
+          .agg(count(lit(1)).as("k"))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+            col("k"),
+            when(col("k") < 5, 1L).otherwise(0L).as("at_risk"))
+          .orderBy(col("c_nationkey"), col("c_mktsegment"),
+            col("bal_band"))
+      },
+      Some("""WITH b AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(25,6))
+             |      * 100 AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT)
+             |      AS bal_band
+             |  FROM customer)
+             |SELECT c_nationkey, c_mktsegment, bal_band,
+             |  CAST(count(*) AS BIGINT) AS k,
+             |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS at_risk
+             |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q141 — inter-annotator agreement (Cohen's kappa) between two
+    // deterministic labelers (char-length rule vs token-count rule) per
+    // language — the label-quality readout an annotation pipeline runs.
+    // All counts exact longs; po and pe each come from ONE division of
+    // exact integer products, so the doubles are bit-identical across
+    // engines; degenerate pe=1 groups NULL via nullif.
+    Q("q141_kappa",
+      (s, d) => {
+        val a = (length(col("text")) >= 500).cast(LongType)
+        val b = (size(split(col("text"), " ")) >= 90).cast(LongType)
+        Tables(s, d, "documents")
+          .select(col("lang"), a.as("a"), b.as("b"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+            sum(col("b")).as("sb"),
+            sum(col("a") * col("b")).as("n11"),
+            sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+          .select(col("lang"), col("n"), col("sa"), col("sb"),
+            round((col("n11") + col("n00")).cast(DoubleType) /
+              col("n").cast(DoubleType), 6).as("po"),
+            round((col("sa") * col("sb") +
+              (col("n") - col("sa")) * (col("n") - col("sb")))
+              .cast(DoubleType) /
+              (col("n") * col("n")).cast(DoubleType), 6).as("pe"),
+            round(((col("n11") + col("n00")).cast(DoubleType) /
+              col("n").cast(DoubleType) -
+              (col("sa") * col("sb") +
+                (col("n") - col("sa")) * (col("n") - col("sb")))
+                .cast(DoubleType) /
+                (col("n") * col("n")).cast(DoubleType)) /
+              nullif(lit(1.0) -
+                (col("sa") * col("sb") +
+                  (col("n") - col("sa")) * (col("n") - col("sb")))
+                  .cast(DoubleType) /
+                  (col("n") * col("n")).cast(DoubleType), lit(0.0)), 6)
+              .as("kappa"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH l AS (
+             |  SELECT lang,
+             |    CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END AS a,
+             |    CASE WHEN len(string_split(text, ' ')) >= 90
+             |      THEN 1 ELSE 0 END AS b
+             |  FROM documents),
+             |g AS (
+             |  SELECT lang, count(*) AS n,
+             |    CAST(sum(a) AS BIGINT) AS sa,
+             |    CAST(sum(b) AS BIGINT) AS sb,
+             |    CAST(sum(a * b) AS BIGINT) AS n11,
+             |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+             |  FROM l GROUP BY lang)
+             |SELECT lang, n, sa, sb,
+             |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             |    AS po,
+             |  round(CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) /
+             |    CAST(n * n AS DOUBLE), 6) AS pe,
+             |  round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) -
+             |    CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) /
+             |      CAST(n * n AS DOUBLE)) /
+             |    nullif(1.0 - CAST(sa * sb + (n - sa) * (n - sb)
+             |      AS DOUBLE) / CAST(n * n AS DOUBLE), 0.0), 6) AS kappa
+             |FROM g ORDER BY lang""".stripMargin)),
+
+    // Q142 — robust feature scaling: per-language median/IQR of document
+    // length, each document scaled to (len - median) / IQR — the
+    // outlier-resistant normalization feature pipelines prefer over
+    // z-scores. Per-group quantiles are a tiny broadcast aggregate
+    // joined back (NOT a window — an unpartitioned quantile window
+    // would funnel 100 TB through single tasks); percentile ≡
+    // quantile_cont interpolation on both engines.
+    Q("q142_robust_scale",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast(LongType).as("len"))
+        val stats = docs.groupBy(col("lang"))
+          .agg(percentile(col("len"), lit(0.5)).as("med"),
+            (percentile(col("len"), lit(0.75)) -
+              percentile(col("len"), lit(0.25))).as("iqr"))
+        docs.join(broadcast(stats), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("len"),
+            round((col("len").cast(DoubleType) - col("med")) /
+              nullif(col("iqr"), lit(0.0)), 6).as("robust"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+             |  FROM documents),
+             |st AS (
+             |  SELECT lang, quantile_cont(len, 0.5) AS med,
+             |    quantile_cont(len, 0.75) - quantile_cont(len, 0.25)
+             |      AS iqr
+             |  FROM d GROUP BY lang)
+             |SELECT doc_id, d.lang, len,
+             |  round((CAST(len AS DOUBLE) - med) / nullif(iqr, 0.0), 6)
+             |    AS robust
+             |FROM d JOIN st ON d.lang = st.lang
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q143 — JSON-lines sink + schema'd source roundtrip: events written
+    // as JSONL (the interchange format of every labeling/ingest vendor),
+    // read back under an EXPLICIT schema (inference at 100 TB = an extra
+    // full scan), aggregated per user bucket — equality against the
+    // parquet oracle proves field/type fidelity through the text format.
+    Q("q143_jsonl_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-jsonl").toString
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("epoch_s"))
+          .write.mode("overwrite").json(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", LongType),
+          org.apache.spark.sql.types.StructField("user_id", LongType),
+          org.apache.spark.sql.types.StructField("event_type", StringType),
+          org.apache.spark.sql.types.StructField("epoch_s", LongType)))
+        s.read.schema(schema).json(dir)
+          .groupBy((col("user_id") % 100).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_type")).as("n_types"),
+            sum(col("epoch_s")).as("sum_epoch"),
+            max(col("event_id")).as("max_id"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT user_id % 100 AS bucket, count(*) AS n,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             |  CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+             |    AS sum_epoch,
+             |  max(event_id) AS max_id
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -411,6 +411,55 @@ class CompositeSpec extends SparkSpec {
     }
   }
 
+  test("q138 nested totals equal the flat relational aggregation") {
+    val nested = run("q138_nested_orders").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val flat = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(25,6)") * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("l_returnflag") === "N", col("cents"))),
+          lit(0L)).as("nf"),
+        sum(col("cents")).as("tot"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(nested == flat)
+    assert(nested.nonEmpty)
+  }
+
+  test("q141 kappa is bounded and po/pe are probabilities") {
+    val rows = run("q141_kappa").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (po, pe) = (r.getDouble(4), r.getDouble(5))
+      assert(po >= 0 && po <= 1, s"po=$po")
+      assert(pe > 0 && pe < 1, s"pe=$pe")
+      if (!r.isNullAt(6)) {
+        val k = r.getDouble(6)
+        assert(k >= -1.000001 && k <= 1.000001, s"kappa=$k")
+      }
+    }
+  }
+
+  test("q142 robust scaling: each language has medians centred at 0") {
+    val rows = run("q142_robust_scale").collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // about half of each language's docs scale below 0, half above
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val finite = rs.filter(t => !t._3.isNaN)
+      if (finite.length >= 10) {
+        val neg = finite.count(_._3 < 0).toDouble / finite.length
+        assert(neg > 0.2 && neg < 0.8, s"$lang: neg share $neg")
+      }
+    }
+  }
+
   test("q124 velocity counts include the event itself and are >= 1") {
     val rows = run("q124_velocity").collect()
     assert(rows.forall(_.getLong(2) >= 1))
