@@ -1448,9 +1448,10 @@ object Analytics {
              |      AS gap,
              |    ts FROM events)
              |SELECT event_id, user_id,
-             |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800
+             |             THEN 1 ELSE 0 END)
              |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |    AS session_id
+             |    AS BIGINT) AS session_id
              |FROM g ORDER BY event_id""".stripMargin)),
 
     // Q100 — calendar dimension build: one row per day of the observed

@@ -467,10 +467,13 @@ object Composite {
 
     // Q121 — CUSUM change detection: per event type, the running sum of
     // (daily count - overall daily mean) in date order, flagged where the
-    // excursion exceeds 2 sigma of the daily counts. Counts and moments
-    // are exact integers; mean/sigma/cusum are computed in double in a
-    // fixed sequential order, so every engine produces the identical
-    // bits. Calendar-sized intermediate (days x types), one keyed window.
+    // excursion exceeds 2 sigma of the daily counts. Cross-engine
+    // bit-parity by construction: the running part is an EXACT integer
+    // window (sum(n), row_number), and the only floating-point work is a
+    // single per-row expression rs - rn*mu — no double ACCUMULATION, so
+    // no dependence on the engine's window-aggregation order (DuckDB's
+    // segment tree vs Spark's streaming frame). Calendar-sized
+    // intermediate (days x types), one keyed window.
     Q("q121_cusum",
       (s, d) => {
         val daily = Tables(s, d, "events")
@@ -492,7 +495,8 @@ object Composite {
           .partitionBy(col("event_type")).orderBy(col("day"))
         daily.join(broadcast(stats), Seq("event_type"))
           .withColumn("cusum",
-            sum(col("n").cast(DoubleType) - col("mu")).over(w))
+            sum(col("n")).over(w).cast(DoubleType) -
+              row_number().over(w).cast(DoubleType) * col("mu"))
           .select(col("event_type"), col("day"),
             col("n"), round(col("cusum"), 6).as("cusum"),
             (abs(col("cusum")) > lit(2d) * col("sigma"))
@@ -513,8 +517,12 @@ object Composite {
              |  FROM daily GROUP BY event_type),
              |c AS (
              |  SELECT d.event_type, d.day, d.n,
-             |    sum(CAST(d.n AS DOUBLE) - st.mu) OVER (
-             |      PARTITION BY d.event_type ORDER BY d.day) AS cusum,
+             |    CAST(CAST(sum(d.n) OVER (
+             |        PARTITION BY d.event_type ORDER BY d.day)
+             |      AS BIGINT) AS DOUBLE)
+             |    - CAST(row_number() OVER (
+             |        PARTITION BY d.event_type ORDER BY d.day)
+             |      AS DOUBLE) * st.mu AS cusum,
              |    st.sigma
              |  FROM daily d JOIN st USING (event_type))
              |SELECT event_type, day, n, round(cusum, 6) AS cusum,
