@@ -2,8 +2,8 @@ package graft.plans
 
 import graft.functions.JaroWinkler
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression,
-  GreaterThan, GreaterThanOrEqual, Greatest, Least, Literal, Multiply,
-  OctetLength}
+  GreaterThan, GreaterThanOrEqual, Greatest, Least, Length, Literal,
+  Multiply}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -18,10 +18,15 @@ import org.apache.spark.sql.types.DoubleType
   * boost (prefix ≤ 4, weight 0.1) gives jw ≤ 0.6·jaro + 0.4. Hence
   * jw ≥ t forces min/max ≥ 5t − 4 — a bound that only bites for
   * t > 0.8, which is exactly the high-precision linkage regime where the
-  * blocked candidate join is large. The injected conjunct
-  * `3·octet_length(min) ≥ (5t−4)·octet_length(max)` is codegen'd integer/
-  * double arithmetic evaluated before the kernel (And short-circuits),
-  * and — like every sound pushed predicate — never changes the result.
+  * blocked candidate join is large. The lengths here are CHARACTER
+  * lengths (`length`, a linear numChars scan — cheap next to the
+  * O(|a|·|b|) kernel), the exact quantity the derivation is stated in, so
+  * the injected conjunct `length(min) ≥ (5t−4)·length(max)` is tight AND
+  * sound for any UTF-8 input (an octet-length variant would need a 4×
+  * slack for 4-byte code points, forfeiting most of the pruning at
+  * t≈0.9). It is codegen'd arithmetic evaluated before the kernel (And
+  * short-circuits), and — like every sound pushed predicate — never
+  * changes the result.
   *
   * Registered by `GraftExtensions` (injectOptimizerRule); runs in the
   * operator-optimization fixpoint batch, so the rewrite is idempotent: a
@@ -31,25 +36,38 @@ import org.apache.spark.sql.types.DoubleType
 object JaroWinklerPrefilter extends Rule[LogicalPlan] {
 
   private def bound(a: Expression, b: Expression, t: Double): Expression = {
-    val la = Cast(OctetLength(a), DoubleType)
-    val lb = Cast(OctetLength(b), DoubleType)
+    val la = Cast(Length(a), DoubleType)
+    val lb = Cast(Length(b), DoubleType)
     GreaterThanOrEqual(
-      Multiply(Least(Seq(la, lb)), Literal(3.0)),
+      Least(Seq(la, lb)),
       Multiply(Greatest(Seq(la, lb)), Literal(5.0 * t - 4.0)))
   }
 
+  /** A bound for threshold `t` is already present if any conjunct keeps
+    * the GTE(Least(…), Greatest(…)·(5t−4)) skeleton. Matching the SHAPE —
+    * not `semanticEquals` on the freshly-built bound — keeps the rule
+    * idempotent across the fixpoint batch even after ConstantFolding
+    * rewrites a literal argument's `length(…)` into a number (which a
+    * semantic-equality guard would no longer recognize, re-injecting the
+    * bound every iteration).
+    */
+  private def hasBound(cond: Expression, t: Double): Boolean = cond.exists {
+    case GreaterThanOrEqual(Least(_),
+        Multiply(Greatest(_), Literal(v: Double, DoubleType), _)) =>
+      v == 5.0 * t - 4.0
+    case _ => false
+  }
+
   /** Add the bound in front of every qualifying comparison inside `cond`
-    * (idempotent: a condition that already carries the semantically-equal
-    * bound — this batch runs to fixpoint — is returned unchanged).
+    * (idempotent: a condition that already carries the bound — this
+    * batch runs to fixpoint — is returned unchanged).
     */
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case ge @ GreaterThanOrEqual(jw: JaroWinkler, Literal(t: Double, DoubleType))
-        if t > 0.8 &&
-          !cond.exists(_.semanticEquals(bound(jw.left, jw.right, t))) =>
+        if t > 0.8 && !hasBound(cond, t) =>
       And(bound(jw.left, jw.right, t), ge)
     case gt @ GreaterThan(jw: JaroWinkler, Literal(t: Double, DoubleType))
-        if t > 0.8 &&
-          !cond.exists(_.semanticEquals(bound(jw.left, jw.right, t))) =>
+        if t > 0.8 && !hasBound(cond, t) =>
       And(bound(jw.left, jw.right, t), gt)
   }
 

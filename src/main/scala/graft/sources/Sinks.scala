@@ -104,9 +104,22 @@ object Sinks {
     require(targetFileBytes > 0)
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(hPath).filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // RECURSIVE listing: a hive-partitioned layout keeps its data files in
+    // key=value subdirectories, so a flat listStatus would size it as 0
+    // bytes and collapse any input — 100 TB included — into ONE output
+    // file/task. listFiles(recursive = true) walks the tree; still a
+    // driver-side metadata call, no data read.
+    val it = fs.listFiles(hPath, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // NOTE: the rewrite produces a FLAT layout (partition columns survive
+    // as data columns via discovery, the directory structure does not);
+    // compact per-partition with refreshPartitions when the layout must
+    // be preserved.
     spark.read.parquet(inPath).repartition(n)
       .write.mode(SaveMode.Overwrite)
       .option("compression", compression)

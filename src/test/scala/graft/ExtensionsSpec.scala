@@ -49,8 +49,12 @@ class ExtensionsSpec extends AnyFunSuite {
           |               FROM range(5))
           |WHERE jaro_winkler(a, b) >= 0.9""".stripMargin)
         .queryExecution.optimizedPlan.toString
-      assert(opt.contains("octet_length"),
+      assert(opt.contains("length("),
         "expected the length prefilter in:\n" + opt)
+      // idempotent even when folding rewrites the literal side's bound:
+      // the shape guard must keep the fixpoint batch at ONE copy
+      assert("least\\(".r.findAllIn(opt).size == 1,
+        "bound injected more than once:\n" + opt)
     } finally spark.stop()
   }
 }

@@ -5,8 +5,10 @@ import graft.plans.JaroWinklerPrefilter
 import org.apache.spark.sql.functions._
 
 /** The Jaro-Winkler length-prefilter rule: high-threshold predicates gain
-  * a byte-length bound ahead of the O(l²) kernel; results never change;
-  * low thresholds (where the bound is vacuous) are left alone.
+  * a character-length bound ahead of the O(l²) kernel; results never
+  * change; low thresholds (where the bound is vacuous) are left alone;
+  * and the tight bound prunes strictly more candidates than the old
+  * 3×-slack octet formulation did.
   */
 class PrefilterRuleSpec extends SparkSpec {
 
@@ -17,7 +19,7 @@ class PrefilterRuleSpec extends SparkSpec {
     names.crossJoin(names.toDF("n2"))
   }
 
-  test("jaro_winkler >= t>0.8 gains a byte-length prefilter, same rows") {
+  test("jaro_winkler >= t>0.8 gains a char-length prefilter, same rows") {
     GraftFunctions.ensureRegistered(spark)
     val jw = call_function("jaro_winkler", col("n1"), col("n2"))
     val before = pairs().where(jw >= 0.9).collect().toSet // rule absent
@@ -25,17 +27,17 @@ class PrefilterRuleSpec extends SparkSpec {
     try {
       val q = pairs().where(jw >= 0.9)
       val opt = q.queryExecution.optimizedPlan.toString
-      assert(opt.contains("octet_length"), "bound not injected:\n" + opt)
+      assert(opt.contains("length"), "bound not injected:\n" + opt)
       assert(q.collect().toSet == before, "prefilter changed the result")
       // strict > works too; idempotent under the fixpoint batch (one copy)
       val strict = pairs().where(jw > 0.9)
       val sopt = strict.queryExecution.optimizedPlan.toString
-      assert("octet_length".r.findAllIn(sopt).size <= 4, sopt)
-      assert(sopt.contains("octet_length"), sopt)
+      assert("length\\(".r.findAllIn(sopt).size <= 4, sopt)
+      assert(sopt.contains("length("), sopt)
       // t <= 0.8: min/max >= 5t-4 is vacuous — no rewrite
       val low = pairs().where(jw >= 0.5)
       assert(!low.queryExecution.optimizedPlan.toString
-        .contains("octet_length"))
+        .contains("length("))
     } finally spark.experimental.extraOptimizations = Nil
   }
 
@@ -44,5 +46,26 @@ class PrefilterRuleSpec extends SparkSpec {
     // min/max = 1/9 < 5*0.9-4 = 0.5 -> prefilter drops it; kernel agrees
     val r = spark.sql("SELECT jaro_winkler('x', 'abcdefghi') AS s").head()
     assert(r.getDouble(0) < 0.9)
+  }
+
+  test("tight bound prunes strictly more pairs than the old 3x slack") {
+    // t = 0.9 -> k = 5t-4 = 0.5. Tight: min >= k*max. Old: 3*min >= k*max
+    // (admits length ratios down to ~1/6). On the linkage fixture the
+    // tight bound must keep every true match (soundness, shown above) AND
+    // survive on strictly fewer candidate pairs — i.e. the pruning the
+    // derivation promises actually happens.
+    val k = 5.0 * 0.9 - 4.0
+    val lo = least(length(col("n1")), length(col("n2"))).cast("double")
+    val hi = greatest(length(col("n1")), length(col("n2"))).cast("double")
+    val tight = pairs().where(lo >= hi * k).count()
+    val loose = pairs().where(lo * 3.0 >= hi * k).count()
+    assert(tight < loose,
+      s"tight bound kept $tight pairs, old slack bound kept $loose")
+    // and the tight bound still admits every pair the kernel accepts
+    GraftFunctions.ensureRegistered(spark)
+    val jw = call_function("jaro_winkler", col("n1"), col("n2"))
+    val accepted = pairs().where(jw >= 0.9)
+    assert(accepted.where(lo < hi * k).count() == 0,
+      "tight bound dropped a true match")
   }
 }

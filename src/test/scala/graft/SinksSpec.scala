@@ -208,4 +208,25 @@ class SinksSpec extends SparkSpec {
       back.agg(sum(col("v"))).head.getLong(0) ==
         df.agg(sum(col("v"))).head.getLong(0))
   }
+
+  test("compactParquet sizes a hive-partitioned input recursively") {
+    // data files live under k=0/…k=3/ subdirectories: a flat listing sees
+    // 0 bytes -> n=1 -> single-file rewrite regardless of target. The
+    // recursive sizing must produce >1 file at a small target.
+    val in = tmp() + "/partitioned"
+    spark.range(20000)
+      .withColumn("k", (col("id") % 4).cast("int"))
+      .withColumn("payload", md5(col("id").cast("string")))
+      .write.partitionBy("k").parquet(in)
+    val out = tmp() + "/compacted_part"
+    val n = Sinks.compactParquet(spark, in, out, targetFileBytes = 64L << 10)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n > 1, s"partitioned input sized to $n file(s) — flat listing?")
+    assert(files(out) == n, s"expected $n output files")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20000)
+    // the partition column survives as a data column via discovery
+    assert(back.columns.contains("k"))
+  }
 }

@@ -47,4 +47,32 @@ class TopKPlanSpec extends SparkSpec {
       Seq(("n_nationkey", true)), k = 1000)
     assert(out.count() == e.count())
   }
+
+  test("spill fallback above the resident-key bound matches the window dual") {
+    // 7919 distinct keys against a 257-key residency bound forces ~30
+    // heap flushes per task; the sorted-run merge must reproduce the
+    // window formulation exactly.
+    val df = spark.range(60000).select(
+      col("id").as("event_id"),
+      (col("id") % 7919).as("g"),
+      ((col("id") * 2654435761L) % 100000).as("value"))
+    spark.conf.set("spark.graft.topk.maxResidentKeys", "257")
+    try {
+      val fast = Graft.topKPerKeyFast(df, Seq("g"),
+          Seq(("value", false), ("event_id", true)), k = 3)
+        .select("event_id", "g", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("value").desc, col("event_id"))
+      val ref = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("event_id", "g", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(fast == ref, s"fast=${fast.size} ref=${ref.size}\n" +
+        s"missing=${(ref -- fast).take(5)}\nextra=${(fast -- ref).take(5)}")
+      assert(fast.size == 7919 * 3)
+    } finally spark.conf.unset("spark.graft.topk.maxResidentKeys")
+  }
 }
