@@ -724,6 +724,56 @@ object Graft {
       pmod(phash32(id.cast(StringType)), lit(numShards)).cast("int"))
   }
 
+  /** Result of [[iterateUntilFixpoint]]: the final state frame, how many
+    * rounds ran, and whether `halt` fired (vs the `maxIter` cap). Callers
+    * that REQUIRE convergence assert on `converged` (see [[dupClusters]]);
+    * fixed-iteration callers ([[pageRank]]) ignore it.
+    */
+  final case class Fixpoint(state: DataFrame, rounds: Int, converged: Boolean)
+
+  /** Generic synchronous fixpoint iteration — the driver loop shared by
+    * every iterative-dataflow operator in the engine ([[dupClusters]],
+    * [[pageRank]], [[ancestorClosure]]): repeatedly apply `step` to a
+    * state DataFrame until `halt` says stop or `maxIter` rounds have run.
+    *
+    * The loop owns the two things every hand-rolled Spark iteration gets
+    * wrong sooner or later:
+    *
+    *  - **Lineage truncation.** Each round's plan embeds the previous
+    *    round's (twice, for self-join steps), so the LOGICAL plan doubles
+    *    per round and planning itself OOMs after ~7 rounds. The loop
+    *    eagerly `localCheckpoint`s the state every `checkpointEvery`
+    *    rounds (default: every round), keeping each round's plan flat
+    *    while staying off the (slow, HDFS-backed) reliable checkpoint
+    *    path. At 1000 executors the materialized state is a keyed
+    *    in-memory table per round — the classic Pregel superstep shape.
+    *  - **Convergence actions.** `halt` runs AFTER the checkpoint, so the
+    *    count/isEmpty action it almost always needs reads the
+    *    materialized state instead of recomputing the round.
+    *
+    * `step` receives (state, 0-based round index); `halt` receives
+    * (state, rounds completed). Rounds where `i % checkpointEvery != 0`
+    * skip the checkpoint — only worth it when `halt` is also cheap there.
+    */
+  def iterateUntilFixpoint(init: DataFrame, maxIter: Int,
+      checkpointEvery: Int = 1)(step: (DataFrame, Int) => DataFrame)(
+      halt: (DataFrame, Int) => Boolean): Fixpoint = {
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1: $checkpointEvery")
+    var state = init
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val next = step(state, i)
+      i += 1
+      state =
+        if (i % checkpointEvery == 0) next.localCheckpoint(true) else next
+      done = halt(state, i)
+    }
+    Fixpoint(state, i, done)
+  }
+
   /** Resolve duplicate PAIRS into CLUSTERS: connected components by
     * min-label propagation with pointer jumping to a fixed point. Input:
     * (id_a, id_b) edges; output: (id, cluster) where cluster = the
@@ -731,51 +781,44 @@ object Graft {
     *
     * Each round does (1) a one-hop neighbor-min step and (2) a pointer
     * jump (relabel through the label's own label), so convergence is
-    * O(log diameter) rounds of bounded shuffle joins. Throws if the fixed
-    * point is not reached within maxIter — a silent early exit would
-    * return a component split into several clusters.
+    * O(log diameter) rounds of bounded shuffle joins, driven by
+    * [[iterateUntilFixpoint]] (which owns the per-round lineage
+    * truncation). Throws if the fixed point is not reached within
+    * maxIter — a silent early exit would return a component split into
+    * several clusters.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
-    var labels = edges.select(col("u").as("id")).distinct()
+    val init = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
+    val fp = iterateUntilFixpoint(init, maxIter) { (labels, _) =>
       // (1) candidate = min(current, min over neighbors' labels)
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster")).as("nb_min"))
       // the round's INPUT label rides along as __old so convergence is a
-      // cheap filter-count over the checkpointed output — the previous
-      // formulation paid an extra shuffle join (next vs labels) per round
-      val hopped = labels.join(viaNeighbor, Seq("id"), "left")
+      // cheap filter-count over the checkpointed output — an extra
+      // shuffle join (next vs labels) per round otherwise
+      val hopped = labels.drop("__old").join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
             .as("cluster"))
       // (2) pointer jump: cluster := label(cluster), halving chain depth
-      // localCheckpoint (eager), NOT cache: each round's plan embeds two
-      // copies of the previous round's (self-join), so without truncating
-      // the LOGICAL lineage the plan doubles per round and planning itself
-      // OOMs after ~7 rounds. Checkpointing keeps every round's plan flat.
-      val next = hopped.as("a")
+      hopped.as("a")
         .join(hopped.select(col("id").as("cluster"),
           col("cluster").as("jump")).as("b"), Seq("cluster"), "left")
         .select(col("id"), col("__old"),
           least(col("cluster"), coalesce(col("jump"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("cluster") =!= col("__old")).count()
-      labels = next.drop("__old")
-      converged = changed == 0
-      i += 1
+    } { (next, _) =>
+      next.filter(col("cluster") =!= col("__old")).count() == 0
     }
-    require(converged,
+    require(fp.converged,
       s"dupClusters did not converge within $maxIter rounds")
-    labels
+    fp.state.drop("__old")
   }
 
   /** PageRank over a duplicate-pair graph: `iters` synchronous power
@@ -787,10 +830,10 @@ object Graft {
     * Scale shape per iteration: one equi-join of edges against the rank
     * table (both hash-partitioned on the source vertex — the classic
     * Pregel message join) and one partial-aggregated groupBy on the
-    * destination. Lineage is truncated per round with an eager
-    * localCheckpoint (same rationale as [[dupClusters]]: the plan would
-    * otherwise double per iteration). Every node of an undirected edge
-    * list has degree >= 1, so there are no dangling-mass corrections.
+    * destination, driven by [[iterateUntilFixpoint]] as a fixed-round
+    * iteration (halt never fires; the per-round eager localCheckpoint is
+    * the combinator's). Every node of an undirected edge list has degree
+    * >= 1, so there are no dangling-mass corrections.
     */
   def pageRank(pairs: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
@@ -803,20 +846,16 @@ object Graft {
     val n = nodes.count().toDouble
     val deg = edges.groupBy(col("u"))
       .agg(count(lit(1)).cast(DoubleType).as("d"))
-    var pr = nodes.withColumn("pr", lit(1.0) / lit(n))
-    var it = 0
-    while (it < iters) {
-      pr = edges
+    val init = nodes.withColumn("pr", lit(1.0) / lit(n))
+    iterateUntilFixpoint(init, iters) { (pr, _) =>
+      edges
         .join(pr.withColumnRenamed("id", "u"), Seq("u"))
         .join(deg, Seq("u"))
         .groupBy(col("v"))
         .agg((lit(1.0 - damping) / lit(n) +
           lit(damping) * sum(col("pr") / col("d"))).as("pr"))
         .select(col("v").as("id"), col("pr"))
-        .localCheckpoint(true)
-      it += 1
-    }
-    pr
+    } { (_, _) => false }.state
   }
 
   // --------------------------------------------------------- data profiling
@@ -2195,29 +2234,58 @@ object Graft {
 
   /** Transitive ancestor closure of a parent-pointer hierarchy (org
     * charts, category trees, BOMs) to `maxDepth` levels — the recursive-
-    * CTE workload Spark SQL has no syntax for, expressed as a statically
-    * unrolled iterated equi-join: frontier(depth d) ⋈ edges → depth d+1,
-    * all levels unioned. Each step is one keyed shuffle on the ancestor
-    * column and the frontier shrinks as chains terminate (a join miss IS
-    * the stop condition — no driver-side convergence check needed when
-    * the caller bounds depth). For depth beyond ~10 on 100 TB graphs,
-    * localCheckpoint the frontier per round (the [[dupClusters]]
-    * pattern) to keep lineage flat. Emits (node, anc, depth ≥ 1).
+    * CTE workload Spark SQL has no syntax for, expressed as an iterated
+    * equi-join driven by [[iterateUntilFixpoint]]: frontier(depth d) ⋈
+    * edges → depth d+1, all levels unioned. Each step is one keyed
+    * shuffle on the ancestor column; the combinator checkpoints the
+    * accumulated closure per round (flat lineage at any depth) and stops
+    * EARLY when a round's frontier comes back empty — a join miss IS the
+    * stop condition, `maxDepth` only caps it. Emits (node, anc,
+    * depth ≥ 1).
     */
   def ancestorClosure(edges: DataFrame, child: Column, parent: Column,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    closureLoop(edges, child, parent, maxDepth).state
+  }
+
+  /** Dynamic-depth [[ancestorClosure]]: the recursion depth is DISCOVERED
+    * (iterate until the frontier is empty), not declared — the exact dual
+    * of an unbounded recursive CTE. `depthCap` is cycle insurance, not a
+    * semantic bound: a parent-pointer cycle would otherwise iterate (and
+    * grow) forever, so hitting the cap throws instead of silently
+    * truncating the closure.
+    */
+  def ancestorClosureDyn(edges: DataFrame, child: Column, parent: Column,
+      depthCap: Int = 64): DataFrame = {
+    require(depthCap >= 1, s"depthCap must be >= 1: $depthCap")
+    val fp = closureLoop(edges, child, parent, depthCap)
+    require(fp.converged, s"ancestorClosureDyn: frontier still non-empty " +
+      s"at depth cap $depthCap — cycle, or raise depthCap")
+    fp.state
+  }
+
+  /** Shared loop of [[ancestorClosure]]/[[ancestorClosureDyn]]: state =
+    * the closure accumulated so far; each round extends the newest level
+    * (depth == rounds+1) one hop; halt when that level produced nothing.
+    * `converged` in the result = the frontier emptied before the cap.
+    */
+  private def closureLoop(edges: DataFrame, child: Column, parent: Column,
+      maxDepth: Int): Fixpoint = {
     val e = edges.select(child.as("__c"), parent.as("__p")).cache()
-    var frontier = e.select(col("__c").as("node"), col("__p").as("anc"),
+    val init = e.select(col("__c").as("node"), col("__p").as("anc"),
       lit(1).as("depth"))
-    var acc = frontier
-    for (_ <- 2 to maxDepth) {
-      frontier = frontier.join(e, col("anc") === col("__c"))
-        .select(col("node"), col("__p").as("anc"),
-          (col("depth") + 1).as("depth"))
-      acc = acc.unionAll(frontier)
+    if (maxDepth == 1) {
+      val state = init.localCheckpoint(true)
+      return Fixpoint(state, 1, state.where(col("depth") === 1).isEmpty)
     }
-    acc
+    iterateUntilFixpoint(init, maxDepth - 1) { (acc, i) =>
+      val frontier = acc.where(col("depth") === i + 1)
+      acc.unionAll(
+        frontier.join(e, col("anc") === col("__c"))
+          .select(col("node"), col("__p").as("anc"),
+            (col("depth") + 1).as("depth")))
+    } { (acc, rounds) => acc.where(col("depth") === rounds + 1).isEmpty }
   }
 
   /** 2-D Pareto frontier (skyline): rows not dominated on two maximize

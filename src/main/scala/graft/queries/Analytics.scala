@@ -1421,6 +1421,34 @@ object Analytics {
              |SELECT node, anc, depth FROM anc
              |ORDER BY node, depth""".stripMargin)),
 
+    // Q98b — DYNAMIC-depth hierarchy expansion (Graft.ancestorClosureDyn
+    // on Graft.iterateUntilFixpoint): same customer tree, but the
+    // recursion depth is DISCOVERED (iterate until the frontier joins to
+    // nothing), not declared — the exact dual of an unbounded recursive
+    // CTE, which is what the oracle runs (no depth predicate; DuckDB's
+    // recursion and the engine's fixpoint loop must terminate at the
+    // same depth to produce identical rows).
+    Q("q98_hierarchy_dyn",
+      (s, d) => {
+        val edges = Tables(s, d, "customer")
+          .where(col("c_custkey") >= 1)
+          .select(col("c_custkey").as("child"),
+            expr("c_custkey DIV 10").as("parent"))
+        graft.api.Graft.ancestorClosureDyn(edges,
+            col("child"), col("parent"))
+          .orderBy(col("node"), col("depth"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT c_custkey AS child, c_custkey // 10 AS parent
+             |  FROM customer WHERE c_custkey >= 1),
+             |anc AS (
+             |  SELECT child AS node, parent AS anc, 1 AS depth FROM e
+             |  UNION ALL
+             |  SELECT a.node, e.parent, a.depth + 1
+             |  FROM anc a JOIN e ON a.anc = e.child)
+             |SELECT node, anc, depth FROM anc
+             |ORDER BY node, depth""".stripMargin)),
+
     // Q99 — per-event sessionization: session_id = running count of
     // gap>30min session breaks per user (fully tiebroken order, so the
     // default RANGE frame ≡ ROWS on both engines) — the label-per-EVENT

@@ -1034,6 +1034,47 @@ class GraftApiSpec extends SparkSpec {
     assert(capped.count() == 4) // direct parents only
   }
 
+  test("ancestorClosureDyn discovers depth; throws on a cycle at the cap") {
+    import spark.implicits._
+    val edges = Seq((4L, 3L), (5L, 3L), (3L, 1L), (2L, 1L))
+      .toDF("c", "p")
+    // discovered depth (2) must equal the declared-depth closure
+    val dyn = Graft.ancestorClosureDyn(edges, col("c"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val static = Graft.ancestorClosure(edges, col("c"), col("p"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dyn == static, s"dyn $dyn != static $static")
+    // a parent-pointer cycle must throw at the cap, not loop or truncate
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("c", "p")
+    val e = intercept[IllegalArgumentException] {
+      Graft.ancestorClosureDyn(cyc, col("c"), col("p"), depthCap = 5)
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
+  test("iterateUntilFixpoint: rounds counted, halt respected, cap reported") {
+    import spark.implicits._
+    // state = one row holding n; step halves it; halt at n == 0
+    val init = Seq(8L).toDF("n")
+    val fp = Graft.iterateUntilFixpoint(init, maxIter = 10) { (st, _) =>
+      st.select((col("n") / 2).cast("long").as("n"))
+    } { (st, _) => st.head().getLong(0) == 0L }
+    assert(fp.converged && fp.rounds == 4) // 8 -> 4 -> 2 -> 1 -> 0
+    assert(fp.state.head().getLong(0) == 0L)
+    // hitting maxIter without halting reports converged = false
+    val capped = Graft.iterateUntilFixpoint(init, maxIter = 2) { (st, _) =>
+      st.select((col("n") / 2).cast("long").as("n"))
+    } { (st, _) => st.head().getLong(0) == 0L }
+    assert(!capped.converged && capped.rounds == 2)
+    assert(capped.state.head().getLong(0) == 2L)
+    // the step receives the 0-based round index
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Graft.iterateUntilFixpoint(init, maxIter = 3) { (st, i) =>
+      seen += i; st
+    } { (_, _) => false }
+    assert(seen.toSeq == Seq(0, 1, 2))
+  }
+
   test("skyline2D: dominance exact on ties, duplicates of frontier pairs kept") {
     import spark.implicits._
     val df = Seq(
