@@ -1484,6 +1484,55 @@ object Composite {
              |  CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
              |    AS sum_epoch,
              |  max(event_id) AS max_id
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q144 — versioned-snapshot time travel + version diff
+    // (sources.VersionedTable, the atomic-manifest transaction layer):
+    // two customer snapshots COMMIT through the real sink protocol
+    // (write data dir, then put-if-absent manifest), are read back BY
+    // VERSION, and diffed into (key, added|removed|changed). The oracle
+    // computes the same classification as explicit anti-joins + a
+    // changed-columns join over the underlying predicates — proving the
+    // manifest/commit/time-travel plumbing value-transparent end to end.
+    Q("q144_version_diff",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-vtable").toString
+        val cust = Tables(s, d, "customer")
+        val v1 = cust.where(col("c_custkey") <= 1200)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal"))
+        val v2 = cust.where(col("c_custkey") >= 100)
+          .select(col("c_custkey"), col("c_name"),
+            when(col("c_custkey") % 10 === 0, lit("ALTERED"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+            col("c_acctbal"))
+        graft.sources.VersionedTable.commit(s, v1, dir)
+        graft.sources.VersionedTable.commit(s, v2, dir)
+        graft.sources.VersionedTable.diffVersions(s, dir, 1L, 2L,
+            "c_custkey", Seq("c_name", "c_mktsegment", "c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey <= 1200),
+             |v2 AS (
+             |  SELECT c_custkey, c_name,
+             |    CASE WHEN c_custkey % 10 = 0 THEN 'ALTERED'
+             |         ELSE c_mktsegment END AS c_mktsegment,
+             |    c_acctbal
+             |  FROM customer WHERE c_custkey >= 100)
+             |SELECT c_custkey, 'added' AS change FROM v2
+             |WHERE c_custkey NOT IN (SELECT c_custkey FROM v1)
+             |UNION ALL
+             |SELECT c_custkey, 'removed' AS change FROM v1
+             |WHERE c_custkey NOT IN (SELECT c_custkey FROM v2)
+             |UNION ALL
+             |SELECT v1.c_custkey, 'changed' AS change
+             |FROM v1 JOIN v2 USING (c_custkey)
+             |WHERE v1.c_name IS DISTINCT FROM v2.c_name
+             |   OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+             |   OR v1.c_acctbal IS DISTINCT FROM v2.c_acctbal
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -209,6 +209,75 @@ class SinksSpec extends SparkSpec {
         df.agg(sum(col("v"))).head.getLong(0))
   }
 
+  test("VersionedTable: atomic commit, time travel, crash + conflict safety") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable"
+    // no versions yet
+    assert(VersionedTable.latestVersion(spark, t).isEmpty)
+    intercept[IllegalArgumentException](VersionedTable.readLatest(spark, t))
+
+    val v1 = VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val v2 = VersionedTable.commit(spark,
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), t)
+    assert((v1, v2) == (1L, 2L))
+
+    // time travel: v1 exactly as committed, latest = v2
+    assert(VersionedTable.readVersion(spark, t, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(VersionedTable.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a2"), (3L, "c")))
+
+    // CRASHED writer: data directory without a manifest is INVISIBLE
+    Seq((9L, "ghost")).toDF("k", "v")
+      .write.parquet(t + "/data/v=3")
+    assert(VersionedTable.latestVersion(spark, t).contains(2L))
+    intercept[IllegalArgumentException](
+      VersionedTable.readVersion(spark, t, 3L))
+
+    // diff composes snapshotDiff over committed versions
+    val d = VersionedTable.diffVersions(spark, t, 1L, 2L, "k", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((1L, "changed"), (2L, "removed"), (3L, "added")), d)
+
+    // put-if-absent publish: a racing writer landing the SAME version
+    // first makes the loser's publish throw — nothing half-visible
+    val conflict = new java.io.File(t + "/_manifests/v00000003.json")
+    assert(conflict.createNewFile())
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.publish(spark, t, 3L)
+    }
+    assert(VersionedTable.versions(spark, t) == Seq(1L, 2L, 3L))
+    // and a full commit after the stray manifest simply takes the next
+    // free version — optimistic max+1, no lost update
+    assert(VersionedTable.commit(spark,
+      Seq((4L, "d")).toDF("k", "v"), t) == 4L)
+  }
+
+  test("VersionedTable.commitMerge applies CDC atomically as a new version") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable_merge"
+    VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    // upsert k=1, delete k=2, insert k=4; highest change version wins
+    val changes = Seq(
+      (1L, "a9", 10L, "u"), (1L, "a5", 5L, "u"),
+      (2L, "b", 7L, "d"), (4L, "d", 1L, "u"))
+      .toDF("k", "v", "ver", "op")
+    val v = VersionedTable.commitMerge(spark, t, changes,
+      key = "k", version = "ver", op = "op")
+    assert(v == 2L)
+    assert(VersionedTable.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a9"), (3L, "c"), (4L, "d")))
+    // pre-merge snapshot still readable, untouched (isolation)
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 3)
+  }
+
   test("compactParquet sizes a hive-partitioned input recursively") {
     // data files live under k=0/…k=3/ subdirectories: a flat listing sees
     // 0 bytes -> n=1 -> single-file rewrite regardless of target. The
