@@ -196,6 +196,57 @@ object Streams {
       }
   }
 
+  /** Streaming velocity rule — the stream dual of the batch q124_velocity
+    * RANGE-frame window: per user, count events in the trailing
+    * `windowSeconds` (inclusive of the t−window boundary, matching the
+    * batch `RANGE BETWEEN 600 PRECEDING AND CURRENT ROW`) and flag when
+    * the count exceeds `limit`. Implemented on `transformWithState` with a
+    * single ListState of recent event epochs, trimmed inside the processor
+    * on every row — per-key state is O(events within the window), i.e.
+    * bounded by rate×window, never O(stream history). Same cross-batch
+    * caveat as [[ttlDedupEvents]]: within a batch rows process in
+    * (ts, event_id) order, across batches the rule is necessarily
+    * arrival-order (the batch dual exists for exact backfill).
+    * Requires the RocksDB state store provider (see [[userSnapshots]]).
+    */
+  def velocityFlags(events: Dataset[UserEvent], windowSeconds: Long = 600L,
+      limit: Int = 3): Dataset[VelocityFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new VelocityProcessor(windowSeconds, limit),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming clamped inventory — the stream dual of the batch
+    * q133_stock_clamp two-window prefix identity: per part, accumulate net
+    * flow in day order but never below zero (unmet demand is lost, not
+    * borrowed). The stream replays the recurrence directly —
+    * on_hand' = max(0, on_hand + net) — with ONE long of state per key,
+    * carried across micro-batches; the batch dual's identity
+    * position_t = S_t − min(0, min_{i≤t} S_i) re-derives exactly this
+    * sequential replay (proven in CompositeSpec), so the two agree on
+    * any in-order prefix of the flows. Within a batch rows process in
+    * (day, net) order; across batches arrival-order, as any online
+    * accumulator must.
+    */
+  def clampedInventory(flows: Dataset[StockFlow]): Dataset[StockLevel] = {
+    import flows.sparkSession.implicits._
+    flows
+      .groupByKey(_.part)
+      .flatMapGroupsWithState[Long, StockLevel](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (part: Long, batch: Iterator[StockFlow], state: GroupState[Long]) =>
+          var onHand = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(f => (f.day.getTime, f.net)).map { f =>
+            onHand = math.max(0L, onHand + f.net)
+            StockLevel(part, f.day, f.net, onHand)
+          }
+          state.update(onHand)
+          out.iterator
+      }
+  }
+
   /** Composite per-key state via the Spark 4 `transformWithState` API
     * ([[SnapshotProcessor]]): per-user running totals (ValueState) plus a
     * bounded most-recent-event-id list (ListState), one snapshot row per
@@ -255,6 +306,51 @@ class SnapshotProcessor(recentN: Int)
     Iterator.single(UserSnapshot(key, n, sum, ids.mkString(",")))
   }
 }
+
+/** Per-event verdict from [[Streams.velocityFlags]]: `n_win` = events by
+  * this user in the trailing window (inclusive), `flagged` = 1 when the
+  * count exceeds the limit (0/1 int to mirror the batch q124 schema).
+  */
+case class VelocityFlag(event_id: Long, user_id: Long, n_win: Long,
+    flagged: Int)
+
+/** StatefulProcessor for [[Streams.velocityFlags]]: one ListState holding
+  * the epochs (seconds) of this user's events inside the trailing window.
+  * The list is re-trimmed on every row, so state never exceeds the events
+  * that fit in one window span. Batch rows process in (ts, event_id)
+  * order for deterministic output under shuffle.
+  */
+class VelocityProcessor(windowSeconds: Long, limit: Int)
+    extends StatefulProcessor[Long, UserEvent, VelocityFlag] {
+  require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Long]("recent_epochs",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timers: TimerValues): Iterator[VelocityFlag] = {
+    var window = recent.get().toVector
+    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      val t = e.ts.getTime / 1000
+      window = (window :+ t).filter(_ >= t - windowSeconds)
+      VelocityFlag(e.event_id, key, window.size.toLong,
+        if (window.size > limit) 1 else 0)
+    }
+    recent.put(window.toArray)
+    out.iterator
+  }
+}
+
+/** One net inventory movement for [[Streams.clampedInventory]] (positive =
+  * supply, negative = demand), keyed by part.
+  */
+case class StockFlow(part: Long, day: java.sql.Date, net: Long)
+
+/** Clamped running position emitted by [[Streams.clampedInventory]]. */
+case class StockLevel(part: Long, day: java.sql.Date, net: Long,
+    on_hand: Long)
 
 case class UserEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     value: Double)

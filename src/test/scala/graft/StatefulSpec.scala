@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import graft.streaming.{Streams, UserEvent}
+import graft.streaming.{StockFlow, Streams, UserEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,74 @@ class StatefulSpec extends SparkSpec {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("velocityFlags rate rule counts the trailing window across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      // window = 10 min, limit = 3 — mirrors the batch q124_velocity rule
+      val query = Streams.velocityFlags(input.toDS(), 600L, 3)
+        .writeStream.format("memory").queryName("vel_golden")
+        .outputMode("append").start()
+      try {
+        // batch 1: user 7 fires at minutes 0,2,4,6 — counts 1..4, the
+        // 4th breaches limit=3
+        input.addData(UserEvent(1, 7, ts(0), 0.0), UserEvent(2, 7, ts(2), 0.0),
+          UserEvent(3, 7, ts(4), 0.0), UserEvent(4, 7, ts(6), 0.0))
+        query.processAllAvailable()
+        // batch 2: minute 11 still sees 2,4,6 in its trailing 10 min
+        // (state carried) -> n=4 flagged; minute 25 sees only itself;
+        // user 9 starts fresh
+        input.addData(UserEvent(5, 7, ts(11), 0.0),
+          UserEvent(6, 7, ts(25), 0.0), UserEvent(7, 9, ts(11), 0.0))
+        query.processAllAvailable()
+        val rows = spark.table("vel_golden")
+          .collect().map(r => (r.getAs[Long]("event_id"),
+            r.getAs[Long]("n_win"), r.getAs[Int]("flagged"))).toSet
+        assert(rows == Set((1L, 1L, 0), (2L, 2L, 0), (3L, 3L, 0),
+          (4L, 4L, 1), (5L, 4L, 1), (6L, 1L, 0), (7L, 1L, 0)),
+          s"got: $rows")
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("clampedInventory floors at zero and carries on_hand across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def day(d: Int): java.sql.Date = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    val input = MemoryStream[StockFlow]
+    val query = Streams.clampedInventory(input.toDS())
+      .writeStream.format("memory").queryName("clamp_golden")
+      .outputMode("append").start()
+    try {
+      // part 5: +10 -> 10; -15 clamps to 0 (5 units of demand lost, not
+      // borrowed); +3 -> 3
+      input.addData(StockFlow(5, day(1), 10L), StockFlow(5, day(2), -15L),
+        StockFlow(5, day(3), 3L))
+      query.processAllAvailable()
+      // batch 2: the carried on_hand=3 absorbs -1 -> 2; a fresh part
+      // starting with demand clamps immediately
+      input.addData(StockFlow(5, day(4), -1L), StockFlow(6, day(1), -7L))
+      query.processAllAvailable()
+      val rows = spark.table("clamp_golden")
+        .collect().map(r => (r.getAs[Long]("part"),
+          r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("on_hand")))
+        .toSet
+      assert(rows == Set((5L, "2024-01-01", 10L), (5L, "2024-01-02", 0L),
+        (5L, "2024-01-03", 3L), (5L, "2024-01-04", 2L),
+        (6L, "2024-01-01", 0L)), s"got: $rows")
+      // agreement with the batch dual's prefix identity on the same flows:
+      // S_t - min(0, min S_i) over part 5 = 10, -5->0, 3, 2 — identical
+    } finally query.stop()
   }
 
   test("foreachBatch sink commits batches idempotently") {
