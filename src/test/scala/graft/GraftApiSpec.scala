@@ -403,6 +403,53 @@ class GraftApiSpec extends SparkSpec {
     assert(out("c") == ((1L, 1L, "2:1")), s"got ${out("c")}")
   }
 
+  test("bm25Scores: hand-checked Okapi scores, non-matching docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "window slow"),
+      (3L, "other words here")
+    ).toDF("k", "body")
+    val out = Graft.bm25Scores(docs, id = col("k"), text = col("body"),
+        queryTerms = Seq("spark", "window"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=8/3, df=1 for both terms -> idf = ln(1 + 2.5/1.5)
+    val idf = math.log(8.0 / 3.0)
+    val s1 = idf * (2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / (8.0 / 3))))
+    val s2 = idf * (1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / (8.0 / 3))))
+    assert(out.keySet == Set(1L, 2L), s"got ${out.keySet}")
+    assert(math.abs(out(1L) - s1) < 1e-6, s"doc1: ${out(1L)} vs $s1")
+    assert(math.abs(out(2L) - s2) < 1e-6, s"doc2: ${out(2L)} vs $s2")
+  }
+
+  test("rrfFuse: outer-join union, missing list contributes zero") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val out = Graft.rrfFuse(a, b).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(out(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0 / 62) < 1e-12)
+    // both-list id ranks survive the join intact
+    val r2 = Graft.rrfFuse(a, b).where(col("id") === 2L).collect().head
+    assert(r2.getInt(1) == 2 && r2.getInt(2) == 1)
+  }
+
+  test("dupClustersFx: path graph converges in ~log2(diameter) rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-8: one component, min label 0, diameter 8
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fp = Graft.dupClustersFx(pairs)
+    assert(fp.converged)
+    // pointer jumping halves chain depth per round: well under diameter
+    assert(fp.rounds <= 6, s"rounds=${fp.rounds}")
+    val labels = fp.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(0L), s"got $labels")
+    assert(labels.keySet == (0L to 8L).toSet)
+  }
+
   test("annSrpCodes: one coded row per vector, bucket = sign pattern, dups collide") {
     import spark.implicits._
     val vecs = Seq(
