@@ -287,4 +287,24 @@ class PlanAuditSpec extends SparkSpec {
         s"$q moved the table through one task:\n$p")
     }
   }
+
+  test("q145: BM25 corpus stats broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q145_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-20 must not be a full sort:\n$p")
+    // the 1-row (N, avgdl) stats and the |queryTerms|-row df table join
+    // as broadcasts — the corpus-sized side must never shuffle for them
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q146: RRF fuses bounded lists — no unbounded global window") {
+    val p = plan("q146_rrf")
+    // the only single-partition stages sit above the 100-row limits
+    // (dense rank over a candidate list), never over the corpus: the
+    // corpus-sized aggregations below remain hash-partitioned
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty, p)
+  }
 }
