@@ -1564,10 +1564,13 @@ object Graft {
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // tokens are lowercased — terms must match that normalization, or an
+    // uppercase query term would silently match nothing
+    val terms = queryTerms.map(_.toLowerCase)
     val toks = df.select(id.as("id"),
       explode(split(lower(text), " ")).as("tok"))
     val dlen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+    val tf = toks.filter(col("tok").isin(terms: _*))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"),
@@ -2327,15 +2330,22 @@ object Graft {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     // cache: the edge projection feeds every one of the maxDepth joins
     val e = edges.select(child.as("__c"), parent.as("__p")).cache()
-    val l1 = e.select(col("__c").as("node"), col("__p").as("anc"),
-      lit(1).as("depth"))
-    val levels = Iterator.iterate(l1) { frontier =>
-      frontier.join(e, col("anc") === col("__c"))
-        .select(col("node"), col("__p").as("anc"),
-          (col("depth") + 1).as("depth"))
-    }.take(maxDepth).toSeq
-    levels.reduce(_ unionAll _)
+    Iterator.iterate(closureLevel1(e))(closureStep(e, _))
+      .take(maxDepth).reduce(_ unionAll _)
   }
+
+  /** One closure level up: frontier(depth d) ⋈ edges → depth d+1. Shared
+    * by the unrolled [[ancestorClosure]] and [[closureLoop]] so the join
+    * semantics can never drift between the static and dynamic paths.
+    */
+  private def closureStep(e: DataFrame, frontier: DataFrame): DataFrame =
+    frontier.join(e, col("anc") === col("__c"))
+      .select(col("node"), col("__p").as("anc"),
+        (col("depth") + 1).as("depth"))
+
+  private def closureLevel1(e: DataFrame): DataFrame =
+    e.select(col("__c").as("node"), col("__p").as("anc"),
+      lit(1).as("depth"))
 
   /** Dynamic-depth [[ancestorClosure]]: the recursion depth is DISCOVERED
     * (iterate until the frontier is empty), not declared — the exact dual
@@ -2353,24 +2363,22 @@ object Graft {
     fp.state
   }
 
-  /** Shared loop of [[ancestorClosure]]/[[ancestorClosureDyn]]: the
-    * iterated state is ONLY the current frontier (depth == rounds+1);
-    * each completed level is collected once (already checkpointed by the
-    * combinator) and the result is one flat union of levels. Halt = the
-    * next frontier came back empty; `converged` = that happened before
-    * the cap.
+  /** The DYNAMIC-depth loop behind [[ancestorClosureDyn]] (the static
+    * [[ancestorClosure]] unrolls [[closureStep]] lazily instead — no
+    * per-round actions): the iterated state is ONLY the current frontier
+    * (depth == rounds+1); each completed level is collected once
+    * (already checkpointed by the combinator) and the result is one flat
+    * union of levels. Halt = the next frontier came back empty;
+    * `converged` = that happened before the cap.
     */
   private def closureLoop(edges: DataFrame, child: Column, parent: Column,
       maxDepth: Int): Fixpoint = {
     val e = edges.select(child.as("__c"), parent.as("__p")).cache()
-    val l1 = e.select(col("__c").as("node"), col("__p").as("anc"),
-      lit(1).as("depth")).localCheckpoint(true)
+    val l1 = closureLevel1(e).localCheckpoint(true)
     if (maxDepth == 1) return Fixpoint(l1, 1, l1.isEmpty)
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l1)
-    val fp = iterateUntilFixpoint(l1, maxDepth - 1) { (frontier, _) =>
-      frontier.join(e, col("anc") === col("__c"))
-        .select(col("node"), col("__p").as("anc"),
-          (col("depth") + 1).as("depth"))
+    val fp = iterateUntilFixpoint(l1, maxDepth - 1) {
+      (frontier, _) => closureStep(e, frontier)
     } { (next, _) =>
       val empty = next.isEmpty
       if (!empty) levels += next

@@ -43,18 +43,36 @@ object JaroWinklerPrefilter extends Rule[LogicalPlan] {
       Multiply(Greatest(Seq(la, lb)), Literal(5.0 * t - 4.0)))
   }
 
-  /** A bound for threshold `t` is already present if any conjunct keeps
-    * the GTE(Least(…), Greatest(…)·(5t−4)) skeleton. Matching the SHAPE —
-    * not `semanticEquals` on the freshly-built bound — keeps the rule
-    * idempotent across the fixpoint batch even after ConstantFolding
-    * rewrites a literal argument's `length(…)` into a number (which a
-    * semantic-equality guard would no longer recognize, re-injecting the
-    * bound every iteration).
+  /** Is `e` the (possibly optimized) length of `x`? Covers the bound as
+    * injected (`Cast(Length(x), Double)`), a bare `Length(x)`, and the
+    * ConstantFolding result when `x` is a literal string (the whole
+    * length collapses to a number — recognized only when `x` is in fact
+    * foldable, so a folded literal never masks a DIFFERENT column pair's
+    * missing bound).
     */
-  private def hasBound(cond: Expression, t: Double): Boolean = cond.exists {
-    case GreaterThanOrEqual(Least(_),
-        Multiply(Greatest(_), Literal(v: Double, DoubleType), _)) =>
-      v == 5.0 * t - 4.0
+  private def isLenOf(e: Expression, x: Expression): Boolean = e match {
+    case Cast(Length(y), DoubleType, _, _) => y.semanticEquals(x)
+    case Length(y) => y.semanticEquals(x)
+    case Literal(_, _) => x.foldable
+    case _ => false
+  }
+
+  /** A bound for threshold `t` ON THIS ARGUMENT PAIR is already present
+    * if a conjunct keeps the GTE(Least(…), Greatest(…)·(5t−4)) skeleton
+    * AND every length argument inside it is a/b's length. Matching the
+    * shape — not `semanticEquals` on the freshly-built bound — keeps the
+    * rule idempotent across the fixpoint batch even after ConstantFolding
+    * rewrites a literal argument's `length(…)` into a number; matching
+    * the ARGUMENTS keeps a second `jaro_winkler(c,d) >= t` predicate at
+    * the same threshold from being silently left unprefiltered because
+    * the (a,b) bound already matched the shape.
+    */
+  private def hasBound(cond: Expression, t: Double, a: Expression,
+      b: Expression): Boolean = cond.exists {
+    case GreaterThanOrEqual(Least(ls),
+        Multiply(Greatest(gs), Literal(v: Double, DoubleType), _)) =>
+      v == 5.0 * t - 4.0 &&
+        (ls ++ gs).forall(e => isLenOf(e, a) || isLenOf(e, b))
     case _ => false
   }
 
@@ -64,10 +82,10 @@ object JaroWinklerPrefilter extends Rule[LogicalPlan] {
     */
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case ge @ GreaterThanOrEqual(jw: JaroWinkler, Literal(t: Double, DoubleType))
-        if t > 0.8 && !hasBound(cond, t) =>
+        if t > 0.8 && !hasBound(cond, t, jw.left, jw.right) =>
       And(bound(jw.left, jw.right, t), ge)
     case gt @ GreaterThan(jw: JaroWinkler, Literal(t: Double, DoubleType))
-        if t > 0.8 && !hasBound(cond, t) =>
+        if t > 0.8 && !hasBound(cond, t, jw.left, jw.right) =>
       And(bound(jw.left, jw.right, t), gt)
   }
 

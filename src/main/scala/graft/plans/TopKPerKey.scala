@@ -100,8 +100,15 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
       val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+      val openStreams =
+        scala.collection.mutable.ArrayBuffer.empty[DataInputStream]
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
-        _ => spills.foreach(f => if (f.exists()) f.delete())
+        _ =>
+          // close before delete: an early-terminated consumer (LIMIT
+          // upstream) abandons the merge mid-stream, leaving readers
+          // that never reached their EOF-close
+          openStreams.foreach(s => try s.close() catch { case _: Exception => () })
+          spills.foreach(f => if (f.exists()) f.delete())
       })
 
       import scala.jdk.CollectionConverters._
@@ -131,6 +138,7 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
         new Iterator[InternalRow] {
           private val in = new DataInputStream(
             new BufferedInputStream(new FileInputStream(f), 1 << 16))
+          openStreams += in
           private var nextRow: UnsafeRow = advance()
           private def advance(): UnsafeRow =
             try {

@@ -16,28 +16,36 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Layout under `table/`:
   * {{{
-  *   data/v=<n>/  (parquet)      immutable snapshot bodies, one dir per version
+  *   data/<uuid>/  (parquet)     immutable snapshot bodies, one
+  *                               WRITER-UNIQUE dir per commit attempt
   *   _manifests/v<%08d n>.json   the COMMIT RECORD — a version exists iff
-  *                               its manifest file exists
-  *   _tmp/                       writer scratch, never read
+  *                               its manifest file exists; its body names
+  *                               the data dir the version points at
   * }}}
   *
   * Commit protocol (optimistic, lock-free):
   *  1. next = latest committed version + 1;
-  *  2. write the snapshot to `data/v=next/` — crash here leaves orphan
-  *     data files that NO reader will ever see (no manifest);
-  *  3. publish by creating `_manifests/v<next>.json` with
-  *     create(overwrite = false) — HDFS's atomic put-if-absent. Two racing
-  *     writers picked the same `next`; exactly one create succeeds, the
-  *     loser gets a conflict exception and retries from step 1. Version
-  *     DISCOVERY needs only the manifest file's NAME, so a reader racing
-  *     the content write is harmless.
+  *  2. write the snapshot to `data/<fresh uuid>/` — the dir name is
+  *     writer-unique, so NO commit attempt can ever touch another
+  *     attempt's files (a shared `data/v=next` dir would let the LOSING
+  *     racer clobber the winner's already-committed bytes before its own
+  *     publish fails). A crash here leaves an orphan dir no reader will
+  *     ever see (no manifest names it) — garbage, reclaimable by listing
+  *     dirs not referenced from any manifest;
+  *  3. publish by creating `_manifests/v<next>.json` (body: the data-dir
+  *     name) with create(overwrite = false) — HDFS's atomic
+  *     put-if-absent. Two racing writers picked the same `next`; exactly
+  *     one create succeeds, and the loser — whose data sits in its own
+  *     orphaned dir — gets [[CommitConflictException]] and retries from
+  *     step 1. Version DISCOVERY needs only the manifest file's NAME;
+  *     only `readVersion` reads the body.
   *
   * Readers resolve versions from the manifest listing alone — a
   * kilobyte-scale metadata op no matter how many terabytes the snapshots
-  * hold. Snapshot bodies are immutable once committed, so `readVersion`
-  * is reproducible forever (time travel) and concurrent readers never see
-  * a partial overwrite — the isolation property Overwrite-in-place lacks.
+  * hold. Snapshot bodies are immutable once committed and no writer can
+  * ever address a committed dir again, so `readVersion` is reproducible
+  * forever (time travel) and concurrent readers never see a partial
+  * overwrite — the isolation property Overwrite-in-place lacks.
   *
   * Object-store caveat: the protocol's atomicity is HDFS
   * create-no-overwrite. S3 needs a DynamoDB-style put-if-absent shim
@@ -59,8 +67,6 @@ object VersionedTable {
 
   private def manifestName(v: Long) = f"v$v%08d.json"
 
-  private def dataDir(table: Path, v: Long) = new Path(table, s"data/v=$v")
-
   /** Committed versions, ascending — from the manifest listing only. */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val (hfs, root) = fs(spark, table)
@@ -79,54 +85,74 @@ object VersionedTable {
   /** Commit `df` as the table's next full snapshot; returns the new
     * version. Atomic: the snapshot is invisible until the manifest
     * create succeeds; a concurrent commit of the same version throws
-    * [[CommitConflictException]] and changes nothing visible.
+    * [[CommitConflictException]], changes nothing visible, and — because
+    * the loser wrote only its own uuid dir — cannot disturb the winning
+    * snapshot's bytes.
     */
   def commit(spark: SparkSession, df: DataFrame, table: String,
       maxRecordsPerFile: Long = 5000000L): Long = {
-    val (hfs, root) = fs(spark, table)
+    val (_, root) = fs(spark, table)
     val next = latestVersion(spark, table).getOrElse(0L) + 1L
-    df.write.mode(SaveMode.Overwrite)
+    val dirName = s"data/${UUID.randomUUID}"
+    // ErrorIfExists: the uuid dir is fresh by construction — Overwrite
+    // would mask a (cosmically unlikely) collision instead of failing it
+    df.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "zstd")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(dataDir(root, next).toString)
-    publish(spark, table, next)
+      .parquet(new Path(root, dirName).toString)
+    publish(spark, table, next, dirName)
     next
   }
 
   /** The put-if-absent publish step of [[commit]]: create the version's
-    * manifest with overwrite = false — atomic on HDFS. Throws
-    * [[CommitConflictException]] when a racing writer's manifest for the
-    * SAME version already landed (the window between version selection
-    * and publish). Package-visible so the conflict path is testable
-    * without a real race.
+    * manifest (body names `dataDirName`) with overwrite = false — atomic
+    * on HDFS. Throws [[CommitConflictException]] only when a racing
+    * writer's manifest for the SAME version actually landed (the window
+    * between version selection and publish); any other create failure
+    * (permissions, quota, network) propagates as itself — misreporting
+    * those as "retry" would loop a doomed writer forever. Package-visible
+    * so the conflict path is testable without a real race.
     */
   private[graft] def publish(spark: SparkSession, table: String,
-      version: Long): Unit = {
+      version: Long, dataDirName: String): Unit = {
     val (hfs, root) = fs(spark, table)
     val manifest = new Path(root, s"_manifests/${manifestName(version)}")
     hfs.mkdirs(manifest.getParent)
-    // manifest body is informational only (version discovery needs just
-    // the file NAME) — deliberately no row count: that would re-scan the
-    // snapshot just written
-    val body = s"""{"version":$version,"writer":"${UUID.randomUUID}"}"""
+    val body = s"""{"version":$version,"dir":"$dataDirName",""" +
+      s""""writer":"${UUID.randomUUID}"}"""
     val out =
       try hfs.create(manifest, /* overwrite = */ false)
       catch { case e: java.io.IOException =>
-        throw new CommitConflictException(version, e)
+        // conflict iff the manifest is actually there — filesystem-
+        // agnostic (HDFS throws FileAlreadyExistsException, local FS a
+        // bare IOException; an exists() probe classifies both)
+        if (hfs.exists(manifest)) throw new CommitConflictException(version, e)
+        else throw e
       }
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Time-travel read: snapshot `version` exactly as committed. Throws if
-    * the version was never COMMITTED — data files without a manifest (a
-    * crashed writer) do not exist as far as readers are concerned.
+  private val dirField = """"dir"\s*:\s*"([^"]+)"""".r
+
+  /** Time-travel read: snapshot `version` exactly as committed — the data
+    * dir is resolved from the manifest body. Throws if the version was
+    * never COMMITTED — data files without a manifest (a crashed writer)
+    * do not exist as far as readers are concerned.
     */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val (hfs, root) = fs(spark, table)
     val manifest = new Path(root, s"_manifests/${manifestName(version)}")
     require(hfs.exists(manifest),
       s"version $version of $table was never committed")
-    spark.read.parquet(dataDir(root, version).toString)
+    val in = hfs.open(manifest)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val dir = dirField.findFirstMatchIn(body).map(_.group(1))
+      // manifests predating the writer-unique layout name no dir: they
+      // committed to the versioned path
+      .getOrElse(s"data/v=$version")
+    spark.read.parquet(new Path(root, dir).toString)
   }
 
   def readLatest(spark: SparkSession, table: String): DataFrame = {

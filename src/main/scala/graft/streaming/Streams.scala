@@ -201,10 +201,13 @@ object Streams {
     * `windowSeconds` (inclusive of the t−window boundary, matching the
     * batch `RANGE BETWEEN 600 PRECEDING AND CURRENT ROW`) and flag when
     * the count exceeds `limit`. Implemented on `transformWithState` with a
-    * single ListState of recent event epochs, trimmed inside the processor
-    * on every row — per-key state is O(events within the window), i.e.
-    * bounded by rate×window, never O(stream history). Same cross-batch
-    * caveat as [[ttlDedupEvents]]: within a batch rows process in
+    * single ListState of recent event epochs, trimmed against the NEWEST
+    * epoch seen on every row — per-key state is O(events within one
+    * window span), i.e. bounded by rate×window, never O(stream history).
+    * A late arrival counts its own two-sided window [t−w, t] over the
+    * retained epochs (epochs later than the event never count — the
+    * batch dual's RANGE frame ends at CURRENT ROW), though epochs already
+    * trimmed by newer events are gone: within a batch rows process in
     * (ts, event_id) order, across batches the rule is necessarily
     * arrival-order (the batch dual exists for exact backfill).
     * Requires the RocksDB state store provider (see [[userSnapshots]]).
@@ -331,14 +334,20 @@ class VelocityProcessor(windowSeconds: Long, limit: Int)
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timers: TimerValues): Iterator[VelocityFlag] = {
-    var window = recent.get().toVector
+    var epochs = recent.get().toVector
+    var maxSeen = if (epochs.isEmpty) Long.MinValue else epochs.max
     val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
       val t = e.ts.getTime / 1000
-      window = (window :+ t).filter(_ >= t - windowSeconds)
-      VelocityFlag(e.event_id, key, window.size.toLong,
-        if (window.size > limit) 1 else 0)
+      maxSeen = math.max(maxSeen, t)
+      // state trims against the NEWEST epoch seen (late arrivals must not
+      // un-trim it); each event counts its OWN two-sided trailing window
+      // [t - windowSeconds, t] — a late event must not count epochs later
+      // than itself (the batch dual's RANGE frame ends at CURRENT ROW)
+      epochs = (epochs :+ t).filter(_ >= maxSeen - windowSeconds)
+      val n = epochs.count(x => x >= t - windowSeconds && x <= t)
+      VelocityFlag(e.event_id, key, n.toLong, if (n > limit) 1 else 0)
     }
-    recent.put(window.toArray)
+    recent.put(epochs.toArray)
     out.iterator
   }
 }

@@ -68,4 +68,24 @@ class PrefilterRuleSpec extends SparkSpec {
     assert(accepted.where(lo < hi * k).count() == 0,
       "tight bound dropped a true match")
   }
+
+  test("two same-threshold predicates BOTH get bounds (per-pair guard)") {
+    GraftFunctions.ensureRegistered(spark)
+    // non-foldable columns: a literal relation would be constant-folded
+    // away before the rule could prove anything
+    val df = spark.range(5).selectExpr(
+      "concat('alpha', id) AS a", "concat('alphabet', id) AS b",
+      "concat('alpine', id) AS c", "concat('alphons', id) AS d")
+    val jw1 = call_function("jaro_winkler", col("a"), col("b"))
+    val jw2 = call_function("jaro_winkler", col("c"), col("d"))
+    spark.experimental.extraOptimizations = Seq(JaroWinklerPrefilter)
+    try {
+      // a shape-only already-present guard would let the (a,b) bound
+      // suppress injection for (c,d), leaving the second kernel unguarded
+      val opt = (df.where(jw1 >= 0.9 && jw2 >= 0.9))
+        .queryExecution.optimizedPlan.toString
+      val n = "least\\(".r.findAllIn(opt.toLowerCase).size
+      assert(n >= 2, s"expected a length bound per predicate, got $n:\n$opt")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }

@@ -248,13 +248,35 @@ class SinksSpec extends SparkSpec {
     val conflict = new java.io.File(t + "/_manifests/v00000003.json")
     assert(conflict.createNewFile())
     intercept[VersionedTable.CommitConflictException] {
-      VersionedTable.publish(spark, t, 3L)
+      VersionedTable.publish(spark, t, 3L, "data/loser-dir")
     }
     assert(VersionedTable.versions(spark, t) == Seq(1L, 2L, 3L))
     // and a full commit after the stray manifest simply takes the next
     // free version — optimistic max+1, no lost update
     assert(VersionedTable.commit(spark,
       Seq((4L, "d")).toDF("k", "v"), t) == 4L)
+  }
+
+  test("VersionedTable: losing racer cannot clobber the winning snapshot") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable_race"
+    VersionedTable.commit(spark, Seq((1L, "base")).toDF("k", "v"), t)
+    // both racers observed latest=1 and target version 2; each writes its
+    // OWN uuid data dir (exactly what commit does), then publishes
+    val winner = t + "/data/winner-uuid"
+    val loser = t + "/data/loser-uuid"
+    Seq((2L, "winner")).toDF("k", "v").write.parquet(winner)
+    Seq((2L, "LOSER")).toDF("k", "v").write.parquet(loser)
+    VersionedTable.publish(spark, t, 2L, "data/winner-uuid")
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.publish(spark, t, 2L, "data/loser-uuid")
+    }
+    // the committed version still reads the WINNER's bytes — the loser's
+    // write went to its own orphaned dir, not the winner's
+    assert(VersionedTable.readVersion(spark, t, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "winner")))
   }
 
   test("VersionedTable.commitMerge applies CDC atomically as a new version") {

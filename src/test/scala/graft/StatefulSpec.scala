@@ -145,17 +145,23 @@ class StatefulSpec extends SparkSpec {
           UserEvent(3, 7, ts(4), 0.0), UserEvent(4, 7, ts(6), 0.0))
         query.processAllAvailable()
         // batch 2: minute 11 still sees 2,4,6 in its trailing 10 min
-        // (state carried) -> n=4 flagged; minute 25 sees only itself;
-        // user 9 starts fresh
+        // (state carried) -> n=4 flagged; user 9 starts fresh
         input.addData(UserEvent(5, 7, ts(11), 0.0),
-          UserEvent(6, 7, ts(25), 0.0), UserEvent(7, 9, ts(11), 0.0))
+          UserEvent(6, 9, ts(11), 0.0))
+        query.processAllAvailable()
+        // batch 3: a LATE event at minute 5 counts only [min -5, min 5]
+        // = {2, 4, itself} -> n=3 unflagged (epochs LATER than the event
+        // — 6, 11 — must not count: the batch RANGE frame ends at
+        // CURRENT ROW); then minute 25 trims state to itself -> n=1
+        input.addData(UserEvent(7, 7, ts(5), 0.0),
+          UserEvent(8, 7, ts(25), 0.0))
         query.processAllAvailable()
         val rows = spark.table("vel_golden")
           .collect().map(r => (r.getAs[Long]("event_id"),
             r.getAs[Long]("n_win"), r.getAs[Int]("flagged"))).toSet
         assert(rows == Set((1L, 1L, 0), (2L, 2L, 0), (3L, 3L, 0),
-          (4L, 4L, 1), (5L, 4L, 1), (6L, 1L, 0), (7L, 1L, 0)),
-          s"got: $rows")
+          (4L, 4L, 1), (5L, 4L, 1), (6L, 1L, 0), (7L, 3L, 0),
+          (8L, 1L, 0)), s"got: $rows")
       } finally query.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
