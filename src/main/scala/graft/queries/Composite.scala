@@ -498,7 +498,10 @@ object Composite {
             sum(col("n")).over(w).cast(DoubleType) -
               row_number().over(w).cast(DoubleType) * col("mu"))
           .select(col("event_type"), col("day"),
-            col("n"), round(col("cusum"), 6).as("cusum"),
+            // + 0.0 normalizes IEEE negative zero: round() can emit -0.0
+            // on one engine and 0.0 on the other for the same value, and
+            // the two differ at the bit level under a hash compare.
+            col("n"), (round(col("cusum"), 6) + lit(0d)).as("cusum"),
             (abs(col("cusum")) > lit(2d) * col("sigma"))
               .cast(IntegerType).as("alarm"))
           .orderBy(col("event_type"), col("day"))
@@ -525,7 +528,7 @@ object Composite {
              |      AS DOUBLE) * st.mu AS cusum,
              |    st.sigma
              |  FROM daily d JOIN st USING (event_type))
-             |SELECT event_type, day, n, round(cusum, 6) AS cusum,
+             |SELECT event_type, day, n, round(cusum, 6) + 0.0 AS cusum,
              |  CAST(CASE WHEN abs(cusum) > 2 * sigma THEN 1 ELSE 0 END
              |    AS INT) AS alarm
              |FROM c ORDER BY event_type, day""".stripMargin)),
