@@ -36,4 +36,17 @@ object Exact {
   /** DuckDB oracle fragment mirroring [[davg]]. */
   def sqlAvg(e: String): String =
     s"(CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE) / COUNT($e))"
+
+  /** 6-dp rounding with IEEE negative zero normalized away. `round(x, 6)`
+    * of a tiny negative value (or of -0.0 itself) can emit -0.0 on one
+    * engine and 0.0 on the other; the two are `==`-equal but differ at
+    * the bit level, so a hash compare sees different rows. `+ 0.0` maps
+    * -0.0 → 0.0 and is the identity on every other double. Use this (with
+    * [[sqlRound6]] on the oracle side) for ANY rounded column whose value
+    * can reach zero from below.
+    */
+  def round6(c: Column): Column = round(c, 6) + lit(0d)
+
+  /** DuckDB oracle fragment mirroring [[round6]]. */
+  def sqlRound6(e: String): String = s"round($e, 6) + 0.0"
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Fixture-table registry (TESTDATA.md / FIXTURES.md).
   *
@@ -10,13 +10,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   * Spark's vectorized Parquet scan, so column pruning + predicate pushdown
   * are applied automatically for any downstream `select`/`filter`.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
-  * its µs TimestampType. We read it as raw nanos (explicit LongType read
-  * schema — no session conf needed) and convert
-  * with integer division — lossless here (the fixture has no sub-µs
-  * components; DuckDB's reader does the same ns→µs cast on the oracle side).
-  * Trade-off noted for scale: predicates on the converted `ts` don't push
-  * into the Parquet scan; a production layout would store µs timestamps.
+  * `events.ts` has shipped in two physical flavors across fixture
+  * generations, so the reader branches on the parquet footer's declared type:
+  *
+  *  - TIMESTAMP(MICROS) (current fixtures): plain `spark.read.parquet` —
+  *    Spark 4 maps µs natively, and predicates on `ts` push into the scan.
+  *  - TIMESTAMP(NANOS) (older fixtures): Spark 4 refuses to map nanos to its
+  *    µs TimestampType, and footer inference throws. We fall back to reading
+  *    `ts` as raw nanos (explicit LongType read schema — no session conf
+  *    needed) and convert with `timestamp_micros(ts DIV 1000)` — lossless
+  *    (those fixtures had no sub-µs components; DuckDB does the same ns→µs
+  *    cast on the oracle side). On that path predicates on the converted
+  *    `ts` don't push into the scan; acceptable for a legacy-compat branch.
+  *
+  * Silently applying the ns path to µs data compresses the event stream
+  * 1000× (30 days → ~43 min in 1970) — SmokeSpec carries a tripwire
+  * asserting the fixture's time span so dtype drift fails loudly.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -36,9 +45,37 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Read schema for the current µs fixtures: identical, but `ts` requested
+    * directly as the engine's TimestampType (µs, UTC session).
+    */
+  private[graft] val eventsMicrosSchema = StructType(
+    eventsRawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
+  /** Footer probe for the events fixture: true when `ts` is declared as
+    * parquet µs — inferred as TimestampType, or TimestampNTZType when the
+    * footer says isAdjustedToUTC=false. NANOS footers make Spark 4's
+    * inference throw (illegal parquet type) → false. Footer-only — no data
+    * is scanned. Shared with the Hive-catalog registration path so both
+    * catalogs branch identically.
+    */
+  private[graft] def eventsTsIsNativeMicros(spark: SparkSession,
+      dir: String): Boolean =
+    try spark.read.parquet(s"$dir/events.parquet").schema.exists(f =>
+      f.name == "ts" &&
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+    catch { case _: Exception => false }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
+      val path = s"$dir/$name.parquet"
+      if (eventsTsIsNativeMicros(spark, dir))
+        // User-supplied read schema (not a session conf): request `ts` as
+        // TimestampType so µs-NTZ footers map straight to the engine's LTZ
+        // type. Session TZ is UTC everywhere in this engine, so the instant
+        // is identical and predicate pushdown on `ts` is kept.
+        spark.read.schema(eventsMicrosSchema).parquet(path)
+      else spark.read.schema(eventsRawSchema).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

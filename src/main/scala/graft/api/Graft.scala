@@ -1554,8 +1554,9 @@ object Graft {
     *
     * Scale posture: tokens are filtered to the query terms BEFORE the
     * (doc, term) partial aggregation, so only query-term hits shuffle —
-    * corpus volume rides through the doc-length agg, which is a keyed
-    * partial-agg scan. The (N, avgdl) corpus stats are a 1-row broadcast.
+    * and doc length is computed row-locally (`size(split(...))`), so the
+    * corpus never shuffles at all for it. The (N, avgdl) corpus stats
+    * are a 1-row broadcast.
     * Per-doc summation uses [[Exact.dsum]] (decimal-exact, order-free) so
     * the score survives cross-engine hashing; the double math inside each
     * term contribution is per-row scalar, identical on IEEE engines.
@@ -1567,10 +1568,17 @@ object Graft {
     // tokens are lowercased — terms must match that normalization, or an
     // uppercase query term would silently match nothing
     val terms = queryTerms.map(_.toLowerCase)
-    val toks = df.select(id.as("id"),
-      explode(split(lower(text), " ")).as("tok"))
-    val dlen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("tok").isin(terms: _*))
+    // doc length is row-local — size(split(...)) — NOT an explode +
+    // re-aggregate of the whole corpus (that shape shuffles every token
+    // of every document just to count them; this one shuffles nothing).
+    // The null-text filter mirrors what the explode formulation did
+    // implicitly: a null text generates no token rows, so such docs never
+    // entered dlen or the corpus stats.
+    val dlen = df.where(text.isNotNull).select(id.as("id"),
+      size(split(lower(text), " ")).cast("long").as("dl"))
+    val tf = df.select(id.as("id"),
+        explode(split(lower(text), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"),
@@ -1848,9 +1856,30 @@ object Graft {
     * table linear-ish on skewed graphs — the naive a<b<c orientation
     * explodes on hub nodes. All three shuffles are keyed equi-joins.
     * Output: one row per triangle, corners sorted ascending.
+    *
+    * `maxDegree`: mega-clique guard. A k-clique contributes C(k,3)
+    * triangles — output volume, not plan shape, is what blows up on a
+    * pathological component (a 248-member exact-dup clique alone is
+    * ~2.5M rows; at corpus scale a mega-clique would OOM any lister).
+    * With the cap set, nodes whose degree exceeds it are excluded from
+    * enumeration entirely (their edges are dropped BEFORE orientation,
+    * so surviving-node degrees and the O(√|E|) bound are computed on
+    * the pruned graph). The excluded nodes are not silent: list them
+    * with [[highDegreeNodes]] — for an exact-dup signature clique the
+    * closed form C(k,3) recovers the skipped count without enumeration.
     */
-  def triangles(pairs: DataFrame): DataFrame = {
-    val e = pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
+  def triangles(pairs: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
+    val e0 = pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
+    val e = maxDegree match {
+      case None => e0
+      case Some(cap) =>
+        val keep = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .where(col("d") <= cap).select(col("n"))
+        e0.join(keep.withColumnRenamed("n", "a"), Seq("a"), "semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "semi")
+          .select(col("a"), col("b"))
+    }
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // orient by (degree, id): src = smaller endpoint under that total
@@ -1882,6 +1911,20 @@ object Graft {
       least(col("apex"), col("u"), col("v")).as("x"),
       array_sort(array(col("apex"), col("u"), col("v"))).getItem(1).as("y"),
       greatest(col("apex"), col("u"), col("v")).as("z"))
+  }
+
+  /** The skip list for [[triangles]]' `maxDegree` guard: every node whose
+    * degree in the (deduplicated, undirected) pair graph exceeds the cap,
+    * with its degree — the audit record of what enumeration excluded. One
+    * keyed agg; join it back to a signature/cluster table to recover
+    * closed-form triangle counts (C(k,3) per k-clique) for the skipped
+    * components without ever enumerating them.
+    */
+  def highDegreeNodes(pairs: DataFrame, maxDegree: Long): DataFrame = {
+    val e = pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .where(col("d") > maxDegree)
   }
 
   /** Cluster collapse / survivorship: the step that USES a dup graph —
@@ -2128,7 +2171,9 @@ object Graft {
     val pc = (col("n_cur") + 0.5) / (col("__tc") + lit(0.5) * col("__nb"))
     bins.crossJoin(broadcast(totals))
       .select(col("bin"), col("n_base"), col("n_cur"),
-        round((pc - pb) * log(pc / pb), 6).as("psi_contrib"))
+        // Exact.round6, not round(_, 6): a contribution can round to -0.0
+        // (tiny negative drift), which hash-differs from the oracle's 0.0
+        graft.Exact.round6((pc - pb) * log(pc / pb)).as("psi_contrib"))
   }
 
   /** Blocked fuzzy record linkage: distinct names, self-joined within a
@@ -2237,7 +2282,10 @@ object Graft {
     val den = col("n") * col("sxx") - col("sx") * col("sx")
     a.where(col("n") >= minPoints && den =!= 0)
       .select(col("k"), col("n"),
-        round(num.cast(DoubleType) / den.cast(DoubleType), 6).as("slope"))
+        // Exact.round6: a slightly-negative slope can round to -0.0,
+        // which hash-differs from the oracle's 0.0
+        graft.Exact.round6(num.cast(DoubleType) / den.cast(DoubleType))
+          .as("slope"))
   }
 
   /** TTL dedup (rate limiting): per key, keep a row only if ≥ `ttlSeconds`

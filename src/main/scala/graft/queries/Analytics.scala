@@ -1081,7 +1081,8 @@ object Analytics {
              |  round(((n_cur + 0.5) / (tc + 0.5 * nb)
              |      - (n_base + 0.5) / (tb + 0.5 * nb))
              |    * ln(((n_cur + 0.5) / (tc + 0.5 * nb))
-             |      / ((n_base + 0.5) / (tb + 0.5 * nb))), 6) AS psi_contrib
+             |      / ((n_base + 0.5) / (tb + 0.5 * nb))), 6) + 0.0
+             |    AS psi_contrib
              |FROM a, tt ORDER BY bin""".stripMargin)),
 
     // Q87 — fuzzy record linkage (Graft.linkRecords): distinct part names
@@ -1194,7 +1195,7 @@ object Analytics {
              |      FROM o GROUP BY k)
              |SELECT k AS o_custkey, CAST(n AS BIGINT) AS n_orders,
              |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-             |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+             |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS slope
              |FROM a WHERE n >= 3 AND n * sxx - sx * sx <> 0
              |ORDER BY o_custkey""".stripMargin)),
 
@@ -1823,7 +1824,9 @@ object Analytics {
               (col("cnt") - 1.0))
           .where(col("cnt") > 1 && col("v") > 0)
           .select(col("day"), col("isodow"), col("n"),
-            round((col("n") - col("mu")) / sqrt(col("v")), 6).as("z"))
+            // Exact.round6: a just-below-mean day rounds to -0.0
+            graft.Exact.round6((col("n") - col("mu")) / sqrt(col("v")))
+              .as("z"))
           .orderBy(col("day"))
       },
       Some("""WITH daily AS (
@@ -1837,7 +1840,7 @@ object Analytics {
              |SELECT day, isodow, CAST(n AS BIGINT) AS n,
              |  round((n - sx / cnt)
              |    / sqrt((sxx - cnt * (sx / cnt) * (sx / cnt))
-             |        / (cnt - 1.0)), 6) AS z
+             |        / (cnt - 1.0)), 6) + 0.0 AS z
              |FROM daily JOIN st USING (isodow)
              |WHERE cnt > 1
              |  AND (sxx - cnt * (sx / cnt) * (sx / cnt)) / (cnt - 1.0) > 0

@@ -498,10 +498,10 @@ object Composite {
             sum(col("n")).over(w).cast(DoubleType) -
               row_number().over(w).cast(DoubleType) * col("mu"))
           .select(col("event_type"), col("day"),
-            // + 0.0 normalizes IEEE negative zero: round() can emit -0.0
-            // on one engine and 0.0 on the other for the same value, and
-            // the two differ at the bit level under a hash compare.
-            col("n"), (round(col("cusum"), 6) + lit(0d)).as("cusum"),
+            // Exact.round6 normalizes IEEE negative zero: round() can
+            // emit -0.0 on one engine and 0.0 on the other for the same
+            // value, and the two differ under a hash compare.
+            col("n"), graft.Exact.round6(col("cusum")).as("cusum"),
             (abs(col("cusum")) > lit(2d) * col("sigma"))
               .cast(IntegerType).as("alarm"))
           .orderBy(col("event_type"), col("day"))
@@ -622,13 +622,14 @@ object Composite {
           .withColumn("sxy", sum(col("x") * col("y")).over(w))
           .where(col("n") === 7)
         sums.select(col("day"),
-            round(
+            // Exact.round6: an anticorrelated week can round to -0.0
+            graft.Exact.round6(
               ((col("n") * col("sxy") - col("sx") * col("sy"))
                 .cast(DoubleType)) /
                 (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
                   .cast(DoubleType)) *
                   sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                    .cast(DoubleType))), 6).as("corr7"))
+                    .cast(DoubleType)))).as("corr7"))
           .orderBy(col("day"))
       },
       Some("""WITH daily AS (
@@ -651,7 +652,7 @@ object Composite {
              |SELECT day,
              |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
              |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
-             |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr7
+             |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) + 0.0 AS corr7
              |FROM s WHERE n = 7 ORDER BY day""".stripMargin)),
 
     // Q124 — velocity rule (sliding-window rate limit): flag events where
@@ -1438,8 +1439,9 @@ object Composite {
               percentile(col("len"), lit(0.25))).as("iqr"))
         docs.join(broadcast(stats), Seq("lang"))
           .select(col("doc_id"), col("lang"), col("len"),
-            round((col("len").cast(DoubleType) - col("med")) /
-              nullif(col("iqr"), lit(0.0)), 6).as("robust"))
+            // Exact.round6: a just-under-median length rounds to -0.0
+            graft.Exact.round6((col("len").cast(DoubleType) - col("med")) /
+              nullif(col("iqr"), lit(0.0))).as("robust"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (
@@ -1452,7 +1454,7 @@ object Composite {
              |  FROM d GROUP BY lang)
              |SELECT doc_id, d.lang, len,
              |  round((CAST(len AS DOUBLE) - med) / nullif(iqr, 0.0), 6)
-             |    AS robust
+             |    + 0.0 AS robust
              |FROM d JOIN st ON d.lang = st.lang
              |ORDER BY doc_id""".stripMargin)),
 

@@ -1002,22 +1002,31 @@ object LlmOps {
     // orientation explodes on hubs); all shuffles are keyed equi-joins.
     // The oracle needs no graph code: exact-dup edges are signature
     // cliques, so triangles are exactly the 3-subsets per signature.
+    // maxDegree=100 is the mega-clique guard: a k-clique yields C(k,3)
+    // output rows (a 248-dup page alone would be ~2.5M triangles), so
+    // nodes over the cap are excluded — enumerate the normal dup graph,
+    // count the pathological one in closed form (Graft.highDegreeNodes).
+    // In the signature-clique graph degree = k-1, so the oracle mirrors
+    // the guard as sig-group size <= 101.
     Q("q66_triangles",
       (s, d) => {
         val pairs = Graft.exactDupPairs(Tables(s, d, "documents"),
           id = col("doc_id"), text = col("text"))
-        Graft.triangles(pairs)
+        Graft.triangles(pairs, maxDegree = Some(100L))
           .orderBy(col("x"), col("y"), col("z"))
       },
       Some("""WITH sigs AS (
              |  SELECT doc_id,
              |    md5(array_to_string(list_sort(list_distinct(
              |      string_split(text, ' '))), ' ')) AS sig
-             |  FROM documents)
+             |  FROM documents),
+             |small AS (
+             |  SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= 101),
+             |s2 AS (SELECT sigs.* FROM sigs JOIN small USING (sig))
              |SELECT a.doc_id AS x, b.doc_id AS y, c.doc_id AS z
-             |FROM sigs a JOIN sigs b
+             |FROM s2 a JOIN s2 b
              |  ON a.sig = b.sig AND a.doc_id < b.doc_id
-             |JOIN sigs c ON b.sig = c.sig AND b.doc_id < c.doc_id
+             |JOIN s2 c ON b.sig = c.sig AND b.doc_id < c.doc_id
              |ORDER BY x, y, z""".stripMargin)),
 
     // Q68 — exact grouped k-NN (Graft.knnWithinGroups): every vector's 3

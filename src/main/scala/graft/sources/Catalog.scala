@@ -42,29 +42,35 @@ object Catalog {
         if (kind == "VIEW") spark.sql(s"DROP VIEW $qualified")
         else spark.sql(s"DROP TABLE $qualified")
       }
+    // events has shipped as both parquet TIMESTAMP(MICROS) and
+    // TIMESTAMP(NANOS) across fixture generations; branch on the footer
+    // exactly like Tables.apply so both catalogs expose identical schema
+    // AND values (CatalogSpec asserts parity).
+    val eventsMicros = Tables.eventsTsIsNativeMicros(spark, dir)
     Tables.names.foreach { n =>
-      // events carries parquet TIMESTAMP(NANOS) read as raw longs
-      // (nanosAsLong): exposing that directly would hand metastore users a
-      // BIGINT ts with silently different values than the view path. The
-      // raw table goes to events_raw; `events` is a persistent VIEW
-      // applying the same ns→µs conversion as Tables.apply, so both
-      // catalogs expose identical schema AND values (CatalogSpec asserts).
-      val tbl = if (n == "events") "events_raw" else n
+      val tbl = if (n == "events" && !eventsMicros) "events_raw" else n
       dropAny(s"$database.$n")
       if (tbl != n) dropAny(s"$database.$tbl")
-      // USING parquet + explicit path = external. events_raw declares its
-      // schema explicitly (ts BIGINT nanos, mirroring Tables.eventsRawSchema)
-      // instead of inferring from the footer: footer inference of the
-      // TIMESTAMP(NANOS) column fails on any session without the legacy
-      // nanosAsLong conf, and registration should need no session conf —
-      // same posture as the view path.
+      if (n == "events") dropAny(s"$database.events_raw")
+      // USING parquet + explicit path = external. events declares its
+      // schema explicitly instead of inferring from the footer:
+      //  - µs fixtures: ts TIMESTAMP (the footer's isAdjustedToUTC=false
+      //    would otherwise infer TIMESTAMP_NTZ and diverge from the view
+      //    path; session TZ is UTC, so the instant is identical);
+      //  - ns fixtures: ts BIGINT raw nanos to events_raw (footer
+      //    inference of TIMESTAMP(NANOS) fails on any session without the
+      //    legacy nanosAsLong conf), with `events` a persistent VIEW
+      //    applying the same ns→µs conversion as Tables.apply.
       val cols =
-        if (n == "events") s" (${Tables.eventsRawSchema.toDDL})" else ""
+        if (n == "events" && eventsMicros)
+          s" (${Tables.eventsMicrosSchema.toDDL})"
+        else if (n == "events") s" (${Tables.eventsRawSchema.toDDL})"
+        else ""
       spark.sql(
         s"""CREATE TABLE $database.$tbl$cols
            |USING parquet
            |OPTIONS (path '$dir/$n.parquet')""".stripMargin)
-      if (n == "events")
+      if (tbl != n)
         spark.sql(
           s"""CREATE VIEW $database.events AS
              |SELECT event_id, timestamp_micros(ts DIV 1000) AS ts,

@@ -178,11 +178,64 @@ object VersionedTable {
     * key). The atomic-commit protocol makes the merge transactional: a
     * reader sees the pre-merge or post-merge snapshot, never a partial
     * merge — the STM property, at file granularity.
+    *
+    * Schema evolution (additive only, the q125_union_byname contract):
+    * data columns present in `changes` but not in the current snapshot
+    * WIDEN the table — pre-merge rows take null for the new columns, and
+    * the committed snapshot carries them from this version on. A change
+    * batch MISSING columns the snapshot has fails typed instead — a
+    * change row must describe its full row, or an upsert would silently
+    * null out surviving columns.
     */
   def commitMerge(spark: SparkSession, table: String, changes: DataFrame,
       key: String, version: String, op: String): Long = {
+    val base = readLatest(spark, table)
+    val changeDataCols = changes.columns.filterNot(c => c == version || c == op)
+    val missing = base.columns.diff(changeDataCols)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"change batch is missing snapshot columns ${missing.mkString(", ")} " +
+        "— narrowing merges are not supported (a change row must carry the " +
+        "full row); drop the columns from the table first if intended")
+    val added = changeDataCols.diff(base.columns)
+    val widened = added.foldLeft(base)((b, c) =>
+      b.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(changes.schema(c).dataType)))
     val merged = graft.api.Graft.applyChanges(
-      readLatest(spark, table), changes, key, version, op)
+      widened, changes, key, version, op)
     commit(spark, merged, table)
+  }
+
+  /** Reclaim storage from data dirs no manifest references — the orphans
+    * the commit protocol deliberately leaves behind (crashed writers,
+    * losing racers; see step 2 of the protocol above). Safe by the same
+    * invariant that makes commits atomic: a version exists iff its
+    * manifest exists, and manifests only ever name writer-unique dirs —
+    * so an unreferenced dir can never BECOME referenced later, and no
+    * reader can be inside one... except a writer between its data write
+    * and its publish. `graceMs` covers exactly that window: only orphans
+    * whose dir mtime is older than the grace survive deletion — set it
+    * comfortably above the longest snapshot write (Delta's default
+    * retention is 7 days for the same reason). Returns the deleted dir
+    * names (relative, `data/<uuid>`) for the audit log. Metadata-only
+    * except the deletes themselves: one manifest listing + one body read
+    * per version + one `data/` listing.
+    */
+  def vacuum(spark: SparkSession, table: String, graceMs: Long): Seq[String] = {
+    val (hfs, root) = fs(spark, table)
+    val referenced: Set[String] = versions(spark, table).map { v =>
+      val in = hfs.open(new Path(root, s"_manifests/${manifestName(v)}"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      dirField.findFirstMatchIn(body).map(_.group(1)).getOrElse(s"data/v=$v")
+    }.toSet
+    val dataDir = new Path(root, "data")
+    if (!hfs.exists(dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
+    hfs.listStatus(dataDir).iterator
+      .filter(_.isDirectory)
+      .filter(st => !referenced.contains(s"data/${st.getPath.getName}"))
+      .filter(_.getModificationTime < cutoff)
+      .map { st => hfs.delete(st.getPath, true); s"data/${st.getPath.getName}" }
+      .toSeq.sorted
   }
 }

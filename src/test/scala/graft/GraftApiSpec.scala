@@ -964,6 +964,27 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.triangles(star).count() == 0)
   }
 
+  test("triangles maxDegree guard: 50-clique excised, small components kept") {
+    import spark.implicits._
+    // a 50-clique (every node degree 49) plus a disjoint triangle
+    // (degrees 2) — the mega-clique guard must drop exactly the former
+    val clique = for {a <- 1L to 50L; b <- (a + 1) to 50L} yield (a, b)
+    val tri = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+    val pairs = (clique ++ tri).toDF("p", "q")
+    // uncapped: C(50,3) + 1
+    assert(Graft.triangles(pairs).count() == 19600L + 1L)
+    // capped below 49: only the small triangle survives
+    val capped = Graft.triangles(pairs, maxDegree = Some(10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((100L, 101L, 102L)))
+    // cap at exactly 49 binds nothing
+    assert(Graft.triangles(pairs, maxDegree = Some(49L)).count() == 19601L)
+    // skip list reports exactly the clique members with their degrees
+    val skipped = Graft.highDegreeNodes(pairs, maxDegree = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(skipped.keySet == (1L to 50L).toSet && skipped.values.forall(_ == 49L))
+  }
+
   test("ewma: horizon 1 is identity, constants are fixed points, exact 2-row") {
     import spark.implicits._
     val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (2L, 1, 7.0), (2L, 2, 7.0))

@@ -300,6 +300,58 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t, 1L).count() == 3)
   }
 
+  test("VersionedTable.commitMerge: widened batch null-fills, narrowing fails") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable_evolve"
+    VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    // widened change batch: new data column `score` evolves the table;
+    // untouched pre-merge rows take null for it (union-byname contract)
+    val widened = Seq((2L, "b2", Some(0.5), 1L, "u"),
+      (3L, "c", None: Option[Double], 1L, "u"))
+      .toDF("k", "v", "score", "ver", "op")
+    val v = VersionedTable.commitMerge(spark, t, widened,
+      key = "k", version = "ver", op = "op")
+    val got = VersionedTable.readVersion(spark, t, v).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b2", Some(0.5)), (3L, "c", None)))
+    // a batch MISSING a snapshot column fails typed — never silently
+    // nulls out surviving data
+    val narrowing = Seq((1L, 2L, "u")).toDF("k", "ver", "op")
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.commitMerge(spark, t, narrowing,
+        key = "k", version = "ver", op = "op")
+    }
+    assert(err.getMessage.contains("missing snapshot columns"), err.getMessage)
+  }
+
+  test("VersionedTable.vacuum reclaims out-of-grace orphans only") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable_vacuum"
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    VersionedTable.commit(spark, Seq((1L, "a2")).toDF("k", "v"), t)
+    // two orphans: a crashed writer (no manifest names these dirs)
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(t + "/data/crash-orphan")
+    Seq((8L, "race")).toDF("k", "v").write.parquet(t + "/data/loser-orphan")
+    // generous grace: NOTHING is old enough — orphans survive (this is
+    // the in-flight-writer protection window)
+    assert(VersionedTable.vacuum(spark, t, graceMs = 3600L * 1000).isEmpty)
+    // zero grace: exactly the two orphans go; committed dirs survive
+    val deleted = VersionedTable.vacuum(spark, t, graceMs = -1L)
+    assert(deleted == Seq("data/crash-orphan", "data/loser-orphan"), deleted)
+    assert(!new java.io.File(t + "/data/crash-orphan").exists)
+    // both committed versions still read back exactly
+    assert(VersionedTable.readVersion(spark, t, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a")))
+    assert(VersionedTable.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2")))
+    // idempotent: a second vacuum finds nothing
+    assert(VersionedTable.vacuum(spark, t, graceMs = -1L).isEmpty)
+  }
+
   test("compactParquet sizes a hive-partitioned input recursively") {
     // data files live under k=0/…k=3/ subdirectories: a flat listing sees
     // 0 bytes -> n=1 -> single-file rewrite regardless of target. The

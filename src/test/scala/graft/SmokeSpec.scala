@@ -16,6 +16,23 @@ class SmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Fixture-drift tripwire: the r9 fixtures silently changed events.ts from
+  // TIMESTAMP(NANOS) to TIMESTAMP(MICROS); the stale ns→µs conversion then
+  // compressed 30 days of events into ~43 minutes on 1970-01-20 and took out
+  // every events-reading query. Pin the fixture's physical shape here so any
+  // future dtype drift fails loudly in-repo instead of only at the oracle.
+  test("events fixture tripwire: ts spans > 25 days and starts in 2024") {
+    import org.apache.spark.sql.functions.{max, min, year}
+    val ev = Tables(spark, sfDir, "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "events.ts must read as TimestampType")
+    val r = ev.agg(min("ts").as("lo"), max("ts").as("hi"),
+      year(min("ts")).as("y")).head()
+    val spanDays = (r.getTimestamp(1).getTime - r.getTimestamp(0).getTime) / 86400000.0
+    assert(spanDays > 25.0, f"events.ts span is $spanDays%.2f days — fixture dtype drift?")
+    assert(r.getInt(2) == 2024, s"events.ts min year is ${r.getInt(2)}, expected 2024")
+  }
+
   SparkEntry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.fn(spark, sfDir)
