@@ -205,6 +205,36 @@ object VersionedTable {
     commit(spark, merged, table)
   }
 
+  /** MERGE-INTO-shaped entry over [[commitMerge]] — the verb a lakehouse
+    * user actually types, without hand-building a CDC batch:
+    *
+    *  - source rows matching `deleteWhen` DELETE their key (a delete of
+    *    an absent key is a no-op, as in SQL MERGE);
+    *  - every other source row UPSERTS: replaces the matched key's row
+    *    wholesale, inserts unmatched keys.
+    *
+    * Precondition (same as SQL MERGE, where multiple matches are a
+    * runtime error): at most one source row per key — duplicates make
+    * the surviving row arbitrary. Column-level `SET x = expr` reduces to
+    * the caller pre-computing the source frame (full-row semantics);
+    * additive schema evolution per [[commitMerge]] (new source columns
+    * widen the table, missing ones fail typed). Compiles to the same
+    * union + one keyed window as every other merge — one hash shuffle
+    * on the key at any scale.
+    */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      key: String,
+      deleteWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(false)): Long = {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(!source.columns.contains("__ver") && !source.columns.contains("__op"),
+      "source must not carry reserved columns __ver/__op")
+    val changes = source
+      .withColumn("__op", when(deleteWhen, "d").otherwise("u"))
+      .withColumn("__ver", lit(1L))
+    commitMerge(spark, table, changes, key, version = "__ver", op = "__op")
+  }
+
   /** Reclaim storage from data dirs no manifest references — the orphans
     * the commit protocol deliberately leaves behind (crashed writers,
     * losing racers; see step 2 of the protocol above). Safe by the same

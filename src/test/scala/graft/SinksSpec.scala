@@ -327,6 +327,30 @@ class SinksSpec extends SparkSpec {
     assert(err.getMessage.contains("missing snapshot columns"), err.getMessage)
   }
 
+  test("VersionedTable.mergeInto: upsert + conditional delete in one commit") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = tmp() + "/vtable_mergeinto"
+    VersionedTable.commit(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "qty"), t)
+    // qty = 0 rows are deletes; others upsert (replace 1, insert 4);
+    // deleting the absent key 9 is a no-op
+    val source = Seq((1L, "a2", 11), (2L, "b", 0), (4L, "d", 40),
+      (9L, "x", 0)).toDF("k", "v", "qty")
+    val v = VersionedTable.mergeInto(spark, t, source,
+      key = "k", deleteWhen = col("qty") === 0)
+    assert(v == 2L)
+    assert(VersionedTable.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+      Set((1L, "a2", 11), (3L, "c", 30), (4L, "d", 40)))
+    // reserved-column collision fails fast
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, t,
+        source.withColumnRenamed("qty", "__op"), key = "k")
+    }
+  }
+
   test("VersionedTable.vacuum reclaims out-of-grace orphans only") {
     import graft.sources.VersionedTable
     import spark.implicits._
