@@ -24,6 +24,21 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("l_comment"))
   }
 
+  test("events: ts predicates push into the parquet scan") {
+    // The µs-native read path maps events.ts straight to TimestampType
+    // with no conversion expression in front of it, so a time-range
+    // predicate prunes row groups AT THE SCAN — the property the legacy
+    // raw-long DIV-1000 path (ns-era fixtures) had to give up. At 100 TB
+    // this is the difference between reading a day and reading a month.
+    val p = Tables(spark, sfDir, "events")
+      .filter(col("ts") >= "2024-01-10" && col("event_type") === "click")
+      .select(col("event_id"), col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts.*"),
+      s"ts predicate not pushed:\n$p")
+  }
+
   test("q04: dimension joins broadcast, never shuffle the fact side") {
     val p = plan("q04_join_broadcast")
     assert(p.contains("BroadcastHashJoin"))
