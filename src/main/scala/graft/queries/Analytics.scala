@@ -823,9 +823,13 @@ object Analytics {
           .agg((sum(col("l_extendedprice").cast(DecimalType(25, 6))) * 100)
             .cast(LongType).as("cents"))
         val tot = per.agg(sum(col("cents")).as("total"))
+        // __ord encodes (cents DESC, l_partkey ASC) as one ascending long —
+        // the +partkey term must NOT sit inside the negation, or tied
+        // revenues order by partkey DESC and diverge from the oracle's
+        // tiebreak (surfaced at sf0.1, where two parts tie to the cent)
         val pre = graft.api.Graft.prefixSumExclusive(
           per.withColumn("__ord",
-            -(col("cents") * 1000000L + col("l_partkey"))),
+            -col("cents") * 1000000L + col("l_partkey")),
           col("__ord"), col("cents"), "before", chunkSize = 1L << 38)
         val share = (col("before") + col("cents")).cast(DoubleType) /
           col("total").cast(DoubleType)
