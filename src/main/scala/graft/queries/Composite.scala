@@ -1125,11 +1125,14 @@ object Composite {
         base.groupBy(col("n_name"))
           .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING"))
           .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+          // an EMPTY pivot cell is null for every aggregate in Spark, but
+          // SQL COUNT is never null — coalesce the counts to 0 to match
+          // (sums stay null on both engines: SQL SUM of no rows is NULL)
           .select(col("n_name"),
             col("AUTOMOBILE_cents").as("auto_cents"),
-            col("AUTOMOBILE_n").as("auto_n"),
+            coalesce(col("AUTOMOBILE_n"), lit(0L)).as("auto_n"),
             col("BUILDING_cents").as("bld_cents"),
-            col("BUILDING_n").as("bld_n"))
+            coalesce(col("BUILDING_n"), lit(0L)).as("bld_n"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name,
