@@ -58,13 +58,30 @@ object Tables {
     * inference throw (illegal parquet type) → false. Footer-only — no data
     * is scanned. Shared with the Hive-catalog registration path so both
     * catalogs branch identically.
+    *
+    * Only the NANOS-inference failure selects the legacy path; any other
+    * exception (missing file, IO, permissions) rethrows — swallowing a
+    * transient error here would silently route µs data through the DIV-1000
+    * conversion, i.e. reproduce the 1000× time-compression bug as wrong
+    * results instead of an error. Memoized per dir: fixtures are immutable
+    * for the life of a run, and the probe costs a listing + footer
+    * inference that would otherwise run before EVERY events read.
     */
+  private val microsProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private[graft] def eventsTsIsNativeMicros(spark: SparkSession,
       dir: String): Boolean =
-    try spark.read.parquet(s"$dir/events.parquet").schema.exists(f =>
-      f.name == "ts" &&
-        (f.dataType == TimestampType || f.dataType == TimestampNTZType))
-    catch { case _: Exception => false }
+    microsProbeCache.computeIfAbsent(dir, _ =>
+      try spark.read.parquet(s"$dir/events.parquet").schema.exists(f =>
+        f.name == "ts" &&
+          (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+      catch {
+        case e: Exception
+            if { val m = String.valueOf(e.getMessage)
+                 m.contains("NANOS") || m.contains("Illegal Parquet type") } =>
+          false
+      })
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

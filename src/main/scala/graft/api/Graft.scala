@@ -977,8 +977,11 @@ object Graft {
     * one-row-per-chunk summary table, broadcast-joined back. The only
     * unpartitioned window left runs over n_chunks rows, not n rows.
     *
-    * `order` must be unique and non-negative numeric (a monotone id);
-    * ties within a chunk would make "strictly preceding" ambiguous.
+    * `order` must be unique numeric; ties within a chunk would make
+    * "strictly preceding" ambiguous. Negative orders are supported:
+    * chunk ids come from `floor(order / chunkSize)`, which is monotone
+    * over the whole long range (q80's descending-revenue encoding relies
+    * on this; PropertySpec pins it).
     */
   def prefixMaxExclusive(df: DataFrame, order: Column, value: Column,
       out: String, chunkSize: Long = 1L << 16): DataFrame = {
@@ -1006,8 +1009,9 @@ object Graft {
     * within-chunk prefix sums run as a partitioned window, cross-chunk
     * carry-in comes from a prefix sum over the one-row-per-chunk summary,
     * broadcast back — the only unpartitioned window runs over n_chunks
-    * rows. `order` must be unique non-negative numeric; `value` is summed
-    * as long (token counts, byte sizes).
+    * rows. `order` must be unique numeric — negatives supported, see
+    * [[prefixMaxExclusive]]; `value` is summed as long (token counts,
+    * byte sizes).
     */
   def prefixSumExclusive(df: DataFrame, order: Column, value: Column,
       out: String, chunkSize: Long = 1L << 16): DataFrame = {
@@ -1554,9 +1558,10 @@ object Graft {
     *
     * Scale posture: tokens are filtered to the query terms BEFORE the
     * (doc, term) partial aggregation, so only query-term hits shuffle —
-    * and doc length is computed row-locally (`size(split(...))`), so the
-    * corpus never shuffles at all for it. The (N, avgdl) corpus stats
-    * are a 1-row broadcast.
+    * and doc length is counted row-locally (`size(split(...))`), so its
+    * aggregation shuffles one 16-byte (id, count) row per document, not
+    * the corpus's tokens. The (N, avgdl) corpus stats are a 1-row
+    * broadcast.
     * Per-doc summation uses [[Exact.dsum]] (decimal-exact, order-free) so
     * the score survives cross-engine hashing; the double math inside each
     * term contribution is per-row scalar, identical on IEEE engines.
@@ -1568,14 +1573,18 @@ object Graft {
     // tokens are lowercased — terms must match that normalization, or an
     // uppercase query term would silently match nothing
     val terms = queryTerms.map(_.toLowerCase)
-    // doc length is row-local — size(split(...)) — NOT an explode +
-    // re-aggregate of the whole corpus (that shape shuffles every token
-    // of every document just to count them; this one shuffles nothing).
-    // The null-text filter mirrors what the explode formulation did
-    // implicitly: a null text generates no token rows, so such docs never
-    // entered dlen or the corpus stats.
-    val dlen = df.where(text.isNotNull).select(id.as("id"),
-      size(split(lower(text), " ")).cast("long").as("dl"))
+    // doc length is counted row-locally — size(split(...)) — NOT by
+    // exploding and re-aggregating the whole corpus (that shape shuffles
+    // every token of every document just to count them; this one shuffles
+    // a single (id, count) row per input row). The groupBy preserves the
+    // explode formulation's semantics for non-unique ids (rows sharing an
+    // id aggregate into ONE doc — without it, duplicate ids would fan out
+    // the tf join and inflate scores), and the null-text filter mirrors
+    // what explode did implicitly: a null text generates no token rows,
+    // so such docs never entered dlen or the corpus stats.
+    val dlen = df.where(text.isNotNull)
+      .select(id.as("id"), size(split(lower(text), " ")).cast("long").as("__rl"))
+      .groupBy(col("id")).agg(sum(col("__rl")).as("dl"))
     val tf = df.select(id.as("id"),
         explode(split(lower(text), " ")).as("tok"))
       .filter(col("tok").isin(terms: _*))
@@ -1868,20 +1877,26 @@ object Graft {
     * with [[highDegreeNodes]] — for an exact-dup signature clique the
     * closed form C(k,3) recovers the skipped count without enumeration.
     */
+  /** Canonical undirected edge list: (a, b) with a < b, deduplicated. */
+  private def normalizedEdges(pairs: DataFrame): DataFrame =
+    pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
+
+  /** Per-node degree (n, d) over a normalized edge list. */
+  private def nodeDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
   def triangles(pairs: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
-    val e0 = pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
+    val e0 = normalizedEdges(pairs)
     val e = maxDegree match {
       case None => e0
       case Some(cap) =>
-        val keep = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .where(col("d") <= cap).select(col("n"))
+        val keep = nodeDegrees(e0).where(col("d") <= cap).select(col("n"))
         e0.join(keep.withColumnRenamed("n", "a"), Seq("a"), "semi")
           .join(keep.withColumnRenamed("n", "b"), Seq("b"), "semi")
           .select(col("a"), col("b"))
     }
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg = nodeDegrees(e)
     // orient by (degree, id): src = smaller endpoint under that total
     // order; carry the dst's (degree, id) rank so wedges can reuse it
     val lt = (col("da") < col("db")) ||
@@ -1920,12 +1935,8 @@ object Graft {
     * closed-form triangle counts (C(k,3) per k-clique) for the skipped
     * components without ever enumerating them.
     */
-  def highDegreeNodes(pairs: DataFrame, maxDegree: Long): DataFrame = {
-    val e = pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
-    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      .where(col("d") > maxDegree)
-  }
+  def highDegreeNodes(pairs: DataFrame, maxDegree: Long): DataFrame =
+    nodeDegrees(normalizedEdges(pairs)).where(col("d") > maxDegree)
 
   /** Cluster collapse / survivorship: the step that USES a dup graph —
     * resolve pairs into connected components ([[dupClusters]]), attach

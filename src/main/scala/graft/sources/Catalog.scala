@@ -50,7 +50,6 @@ object Catalog {
     Tables.names.foreach { n =>
       val tbl = if (n == "events" && !eventsMicros) "events_raw" else n
       dropAny(s"$database.$n")
-      if (tbl != n) dropAny(s"$database.$tbl")
       if (n == "events") dropAny(s"$database.events_raw")
       // USING parquet + explicit path = external. events declares its
       // schema explicitly instead of inferring from the footer:

@@ -91,8 +91,18 @@ object VersionedTable {
     */
   def commit(spark: SparkSession, df: DataFrame, table: String,
       maxRecordsPerFile: Long = 5000000L): Long = {
-    val (_, root) = fs(spark, table)
     val next = latestVersion(spark, table).getOrElse(0L) + 1L
+    val dirName = writeSnapshot(spark, df, table, maxRecordsPerFile)
+    publish(spark, table, next, dirName)
+    next
+  }
+
+  /** Step 2 of the commit protocol: write `df` to a fresh writer-unique
+    * data dir, returning its relative name for the publish step.
+    */
+  private def writeSnapshot(spark: SparkSession, df: DataFrame,
+      table: String, maxRecordsPerFile: Long): String = {
+    val (_, root) = fs(spark, table)
     val dirName = s"data/${UUID.randomUUID}"
     // ErrorIfExists: the uuid dir is fresh by construction — Overwrite
     // would mask a (cosmically unlikely) collision instead of failing it
@@ -100,8 +110,7 @@ object VersionedTable {
       .option("compression", "zstd")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(new Path(root, dirName).toString)
-    publish(spark, table, next, dirName)
-    next
+    dirName
   }
 
   /** The put-if-absent publish step of [[commit]]: create the version's
@@ -186,10 +195,32 @@ object VersionedTable {
     * batch MISSING columns the snapshot has fails typed instead — a
     * change row must describe its full row, or an upsert would silently
     * null out surviving columns.
+    *
+    * Concurrency: the merge PINS the base version it read and publishes
+    * at exactly base+1 — it does NOT re-select "latest+1" at publish
+    * time. A commit landing between the read and the publish therefore
+    * raises [[CommitConflictException]] (retry: re-read, re-merge)
+    * instead of silently producing a snapshot that drops the concurrent
+    * commit's changes — the lost-update anomaly the optimistic protocol
+    * exists to prevent.
     */
   def commitMerge(spark: SparkSession, table: String, changes: DataFrame,
       key: String, version: String, op: String): Long = {
-    val base = readLatest(spark, table)
+    val baseVersion = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    commitMergeFrom(spark, table, baseVersion, changes, key, version, op)
+  }
+
+  /** [[commitMerge]] against an explicitly pinned base version — the seam
+    * that makes the optimistic-concurrency contract testable (pin a stale
+    * base while a newer version exists → the publish must conflict, not
+    * overwrite). Also the retry entry: a caller holding a conflict can
+    * re-read, re-derive its changes, and re-merge from the new latest.
+    */
+  private[graft] def commitMergeFrom(spark: SparkSession, table: String,
+      baseVersion: Long, changes: DataFrame,
+      key: String, version: String, op: String): Long = {
+    val base = readVersion(spark, table, baseVersion)
     val changeDataCols = changes.columns.filterNot(c => c == version || c == op)
     val missing = base.columns.diff(changeDataCols)
     if (missing.nonEmpty) throw new IllegalArgumentException(
@@ -202,7 +233,10 @@ object VersionedTable {
         .cast(changes.schema(c).dataType)))
     val merged = graft.api.Graft.applyChanges(
       widened, changes, key, version, op)
-    commit(spark, merged, table)
+    val dirName = writeSnapshot(spark, merged, table,
+      maxRecordsPerFile = 5000000L)
+    publish(spark, table, baseVersion + 1L, dirName)
+    baseVersion + 1L
   }
 
   /** MERGE-INTO-shaped entry over [[commitMerge]] — the verb a lakehouse
@@ -265,7 +299,13 @@ object VersionedTable {
       .filter(_.isDirectory)
       .filter(st => !referenced.contains(s"data/${st.getPath.getName}"))
       .filter(_.getModificationTime < cutoff)
-      .map { st => hfs.delete(st.getPath, true); s"data/${st.getPath.getName}" }
+      // only dirs the filesystem CONFIRMS deleted enter the audit list —
+      // several FileSystem impls return false instead of throwing, and
+      // reporting a still-present dir as reclaimed would corrupt the audit
+      .flatMap { st =>
+        if (hfs.delete(st.getPath, true)) Some(s"data/${st.getPath.getName}")
+        else None
+      }
       .toSeq.sorted
   }
 }

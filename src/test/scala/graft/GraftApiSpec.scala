@@ -201,6 +201,22 @@ class GraftApiSpec extends SparkSpec {
     assert(chunked.filter(col("oid") === 0).head().getLong(2) == 0L)
   }
 
+  test("prefixSumExclusive supports NEGATIVE orders (q80's desc encoding)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // orders straddle zero, like q80's -cents*1e6 + partkey encoding;
+    // floor-division chunk ids must stay monotone across the sign change
+    val df = (-250L until 250L).map(i => (i, (i * 7919 % 101 + 101) % 101))
+      .toDF("oid", "v")
+    val naive = df.withColumn("ps",
+      coalesce(sum(col("v")).over(Window.orderBy(col("oid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunked = Graft.prefixSumExclusive(df, col("oid"), col("v"), "ps",
+      chunkSize = 64L)
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+    assert(chunked.filter(col("oid") === -250).head().getLong(2) == 0L)
+  }
+
   test("packSequences: spans tile the token stream; straddlers cross bins") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, 1L + i * 31 % 97)).toDF("did", "n")

@@ -327,6 +327,31 @@ class SinksSpec extends SparkSpec {
     assert(err.getMessage.contains("missing snapshot columns"), err.getMessage)
   }
 
+  test("VersionedTable.commitMerge conflicts instead of losing a concurrent commit") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable_merge_race"
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    // a concurrent writer lands v2 AFTER this merge pinned base = v1
+    VersionedTable.commit(spark, Seq((1L, "a"), (2L, "concurrent")).toDF("k", "v"), t)
+    val changes = Seq((3L, "c", 1L, "u")).toDF("k", "v", "ver", "op")
+    // the merge must CONFLICT (publish pinned at base+1 = the taken v2),
+    // never publish v3 built from the stale v1 — that would silently drop
+    // the concurrent writer's k=2 row (the lost-update anomaly)
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.commitMergeFrom(spark, t, baseVersion = 1L, changes,
+        key = "k", version = "ver", op = "op")
+    }
+    // the concurrent commit is intact; retry from the new latest succeeds
+    assert(VersionedTable.readLatest(spark, t).count() == 2)
+    val v = VersionedTable.commitMerge(spark, t, changes,
+      key = "k", version = "ver", op = "op")
+    assert(v == 3L)
+    assert(VersionedTable.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "concurrent"), (3L, "c")))
+  }
+
   test("VersionedTable.mergeInto: upsert + conditional delete in one commit") {
     import graft.sources.VersionedTable
     import org.apache.spark.sql.functions.col
