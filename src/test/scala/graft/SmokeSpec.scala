@@ -21,6 +21,27 @@ class SmokeSpec extends SparkSpec {
   // compressed 30 days of events into ~43 minutes on 1970-01-20 and took out
   // every events-reading query. Pin the fixture's physical shape here so any
   // future dtype drift fails loudly in-repo instead of only at the oracle.
+  test("legacy TIMESTAMP(NANOS) events read converts losslessly via DIV 1000") {
+    // a real nanos-annotated parquet (written by pyarrow; Spark cannot
+    // produce one) pins the legacy branch: footer inference must throw,
+    // the probe must CLASSIFY that throw as nanos (not rethrow), and the
+    // raw-long DIV-1000 conversion must yield the original instants.
+    // 100 events at 8h spacing from 2024-01-01 → 33-day span.
+    val dir = getClass.getResource("/nanos-events").getPath
+    assert(!Tables.eventsTsIsNativeMicros(spark, dir),
+      "nanos footer misclassified as native micros")
+    val ev = Tables(spark, dir, "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    import org.apache.spark.sql.functions.{max, min}
+    val r = ev.agg(min("ts"), max("ts")).head()
+    assert(r.getTimestamp(0).toInstant.toString == "2024-01-01T00:00:00Z",
+      s"got ${r.getTimestamp(0).toInstant}")
+    assert(r.getTimestamp(1).toInstant.toString == "2024-02-03T00:00:00Z",
+      s"got ${r.getTimestamp(1).toInstant}")
+    assert(ev.count() == 100)
+  }
+
   test("events fixture tripwire: ts spans > 25 days and starts in 2024") {
     import org.apache.spark.sql.functions.{max, min, year}
     val ev = Tables(spark, sfDir, "events")
