@@ -2144,13 +2144,14 @@ object Graft {
       // m-long list gets weight decay^(m−1−i). The fold is sequential in
       // that order on both engines, so 6-dp rounding is stable.
       .withColumn("ewma",
-        round(
+        // Exact.round6: the input series is caller-supplied and may be
+        // signed — a near-zero smoothed value can round to -0.0
+        graft.Exact.round6(
           aggregate(
             transform(lst, (x, i) =>
               x * pow(lit(decay), (size(lst) - 1 - i).cast(DoubleType))),
             lit(0.0), (acc, y) => acc + y)
-            * (1.0 - decay) / (lit(1.0) - pow(lit(decay), size(lst))),
-          6))
+            * (1.0 - decay) / (lit(1.0) - pow(lit(decay), size(lst)))))
       .drop("__ewma_lst")
   }
 

@@ -963,10 +963,14 @@ object Analytics {
           sum(col("cents").cast(D0)).as("sx"),
           sum(((col("rank0") + 1) * col("cents")).cast(D0)).as("srx"))
         agg.select(col("n").as("n_customers"),
-            round((lit(2.0) * col("srx").cast(DoubleType) /
-              (col("n").cast(DoubleType) * col("sx").cast(DoubleType))) -
-              ((col("n") + 1).cast(DoubleType) / col("n").cast(DoubleType)),
-              6).as("gini"))
+            // Exact.round6: a perfectly-equal distribution puts gini at
+            // 0 via a difference of near-equal doubles, which can land
+            // at -0.0 and hash-differ from the oracle
+            graft.Exact.round6(
+              (lit(2.0) * col("srx").cast(DoubleType) /
+                (col("n").cast(DoubleType) * col("sx").cast(DoubleType))) -
+                ((col("n") + 1).cast(DoubleType) /
+                  col("n").cast(DoubleType))).as("gini"))
           .orderBy(col("n_customers"))
       },
       Some("""WITH per AS (
@@ -983,7 +987,7 @@ object Analytics {
              |        * cents) AS DOUBLE) /
              |    (count(*) * CAST(sum(CAST(cents AS DECIMAL(38,0)))
              |        AS DOUBLE)) -
-             |    CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+             |    CAST(count(*) + 1 AS DOUBLE) / count(*), 6) + 0.0 AS gini
              |FROM r ORDER BY n_customers""".stripMargin)),
 
     // Q84 — inter-arrival (dwell) time stats: per event type, the
@@ -1045,7 +1049,8 @@ object Analytics {
              |  round(list_sum([lst[i] * pow(CAST(0.8 AS DOUBLE),
              |        len(lst) - i) FOR i IN range(1, len(lst) + 1)])
              |    * (1 - CAST(0.8 AS DOUBLE))
-             |    / (1 - pow(CAST(0.8 AS DOUBLE), len(lst))), 6) AS ewma
+             |    / (1 - pow(CAST(0.8 AS DOUBLE), len(lst))), 6) + 0.0
+             |    AS ewma
              |FROM l ORDER BY event_id""".stripMargin)),
 
     // Q86 — PSI distribution drift (Graft.psiDrift): how far the event
@@ -1773,9 +1778,11 @@ object Analytics {
         }.reduce(_.unionByName(_))
         paired.join(mean, Seq("event_type"))
           .select(col("event_type"), col("k"),
-            round((col("sxy") - col("mu") * col("sxp")
+            // Exact.round6: autocorrelation is signed — a near-zero r
+            // can round to -0.0 and hash-differ from the oracle
+            graft.Exact.round6((col("sxy") - col("mu") * col("sxp")
                 - col("mu") * col("syp") + col("np") * col("mu") * col("mu"))
-              / (col("sxx") - col("cnt") * col("mu") * col("mu")), 6)
+              / (col("sxx") - col("cnt") * col("mu") * col("mu")))
               .as("r"))
           .orderBy(col("event_type"), col("k"))
       },
@@ -1800,7 +1807,7 @@ object Analytics {
              |  GROUP BY 1, 2)
              |SELECT p.event_type, p.k,
              |  round((sxy - mu * sxp - mu * syp + np * mu * mu)
-             |    / (sxx - cnt * mu * mu), 6) AS r
+             |    / (sxx - cnt * mu * mu), 6) + 0.0 AS r
              |FROM p JOIN m USING (event_type)
              |ORDER BY event_type, k""".stripMargin)),
 

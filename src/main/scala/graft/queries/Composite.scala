@@ -837,10 +837,12 @@ object Composite {
               6).as("rate_a"),
             round(col("nb").cast(DoubleType) / col("tb").cast(DoubleType),
               6).as("rate_b"),
-            round(
+            // Exact.round6: lift is signed — a tiny negative rate delta
+            // rounds to -0.0 and hash-differs from the oracle
+            graft.Exact.round6(
               (col("nb").cast(DoubleType) / col("tb").cast(DoubleType)) -
-                (col("na").cast(DoubleType) / col("ta").cast(DoubleType)),
-              6).as("lift"))
+                (col("na").cast(DoubleType) / col("ta").cast(DoubleType)))
+              .as("lift"))
           .orderBy(col("event_type"))
       },
       Some("""WITH armed AS (
@@ -867,7 +869,8 @@ object Composite {
              |  round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE), 6)
              |    AS rate_b,
              |  round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) -
-             |        CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS lift
+             |        CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), 6) + 0.0
+             |    AS lift
              |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin)),
 
     // Q129 — stratified k-fold assignment: within each stratum (language),
@@ -1167,8 +1170,10 @@ object Composite {
         monthly
           .withColumn("prev", lag(col("cents"), 1).over(w))
           .select(to_date(col("month")).as("month"), col("n"), col("cents"),
-            round((col("cents") - col("prev")).cast(DoubleType) /
-              col("prev").cast(DoubleType), 6).as("mom_change"))
+            // Exact.round6: a tiny month-over-month decline rounds to
+            // -0.0 and hash-differs from the oracle
+            graft.Exact.round6((col("cents") - col("prev")).cast(DoubleType) /
+              col("prev").cast(DoubleType)).as("mom_change"))
           .orderBy(col("month"))
       },
       Some("""WITH m AS (
@@ -1181,7 +1186,7 @@ object Composite {
              |  round(CAST(cents - lag(cents, 1) OVER (ORDER BY month)
              |      AS DOUBLE) /
              |    CAST(lag(cents, 1) OVER (ORDER BY month) AS DOUBLE), 6)
-             |    AS mom_change
+             |    + 0.0 AS mom_change
              |FROM m ORDER BY month""".stripMargin)),
 
     // Q136 — leave-one-out target encoding: each customer's segment mean
@@ -1200,8 +1205,11 @@ object Composite {
             count(lit(1)).as("seg_n"))
         cust.join(broadcast(seg), Seq("c_mktsegment"))
           .select(col("c_custkey"), col("c_mktsegment"),
-            round((col("seg_sum") - col("cents")).cast(DoubleType) /
-              nullif(col("seg_n") - 1, lit(0)).cast(DoubleType), 6)
+            // Exact.round6: acctbal can be negative, so a segment whose
+            // balances nearly cancel can put the LOO mean at -0.0
+            graft.Exact.round6(
+              (col("seg_sum") - col("cents")).cast(DoubleType) /
+                nullif(col("seg_n") - 1, lit(0)).cast(DoubleType))
               .as("loo_mean_cents"))
           .orderBy(col("c_custkey"))
       },
@@ -1216,7 +1224,7 @@ object Composite {
              |  FROM c GROUP BY c_mktsegment)
              |SELECT c_custkey, c.c_mktsegment,
              |  round(CAST(seg_sum - cents AS DOUBLE) /
-             |    CAST(nullif(seg_n - 1, 0) AS DOUBLE), 6)
+             |    CAST(nullif(seg_n - 1, 0) AS DOUBLE), 6) + 0.0
              |    AS loo_mean_cents
              |FROM c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
              |ORDER BY c_custkey""".stripMargin)),
@@ -1385,7 +1393,9 @@ object Composite {
               (col("n") - col("sa")) * (col("n") - col("sb")))
               .cast(DoubleType) /
               (col("n") * col("n")).cast(DoubleType), 6).as("pe"),
-            round(((col("n11") + col("n00")).cast(DoubleType) /
+            // Exact.round6: kappa is signed (chance-level agreement sits
+            // at 0) — a tiny negative rounds to -0.0, hash-differing
+            graft.Exact.round6(((col("n11") + col("n00")).cast(DoubleType) /
               col("n").cast(DoubleType) -
               (col("sa") * col("sb") +
                 (col("n") - col("sa")) * (col("n") - col("sb")))
@@ -1395,7 +1405,7 @@ object Composite {
                 (col("sa") * col("sb") +
                   (col("n") - col("sa")) * (col("n") - col("sb")))
                   .cast(DoubleType) /
-                  (col("n") * col("n")).cast(DoubleType), lit(0.0)), 6)
+                  (col("n") * col("n")).cast(DoubleType), lit(0.0)))
               .as("kappa"))
           .orderBy(col("lang"))
       },
@@ -1421,7 +1431,8 @@ object Composite {
              |    CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) /
              |      CAST(n * n AS DOUBLE)) /
              |    nullif(1.0 - CAST(sa * sb + (n - sa) * (n - sb)
-             |      AS DOUBLE) / CAST(n * n AS DOUBLE), 0.0), 6) AS kappa
+             |      AS DOUBLE) / CAST(n * n AS DOUBLE), 0.0), 6) + 0.0
+             |    AS kappa
              |FROM g ORDER BY lang""".stripMargin)),
 
     // Q142 — robust feature scaling: per-language median/IQR of document

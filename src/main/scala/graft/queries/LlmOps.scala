@@ -1048,7 +1048,9 @@ object LlmOps {
             id = col("vec_id"), group = col("label"),
             vec = col("embedding"), k = 3)
           .select(col("id").as("vec_id"), col("grp").as("label"),
-            col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
+            // Exact.round6: cosine is signed for real embeddings — a
+            // near-orthogonal pair can round to -0.0
+            col("rank"), col("nn_id"), graft.Exact.round6(col("sim")).as("sim"))
           .orderBy(col("vec_id"), col("rank"))
       },
       Some("""WITH e AS (SELECT vec_id, label,
@@ -1063,7 +1065,7 @@ object LlmOps {
              |    PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rank
              |  FROM p)
              |SELECT vec_id, label, CAST(rank AS INTEGER) AS rank, nn_id,
-             |  round(sim, 6) AS sim
+             |  round(sim, 6) + 0.0 AS sim
              |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin)),
 
     // Q69 — shingle containment (Graft.shingleContainment): pairs where

@@ -659,7 +659,8 @@ object TextOps {
         Graft.pmiBigrams(Tables(s, d, "documents"), col("text"),
             minCount = 5L, topN = 50)
           .select(col("w1"), col("w2"), col("c12"),
-            round(col("pmi"), 6).as("pmi"))
+            // Exact.round6: PMI is signed — independence sits at 0
+            graft.Exact.round6(col("pmi")).as("pmi"))
           .orderBy(col("pmi").desc, col("w1"), col("w2"))
       },
       Some("""WITH bi AS (
@@ -678,7 +679,8 @@ object TextOps {
              |  FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
              |  WHERE c12 >= 5
              |  ORDER BY pmi DESC, w1, w2 LIMIT 50)
-             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, round(pmi, 6) AS pmi
+             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+             |  round(pmi, 6) + 0.0 AS pmi
              |FROM top ORDER BY pmi DESC, w1, w2""".stripMargin)),
 
     // Q73 — Zipf rank-frequency fit (Graft.zipfFit): per-language OLS of
@@ -692,8 +694,10 @@ object TextOps {
         Graft.zipfFit(Tables(s, d, "documents"),
             group = col("lang"), text = col("text"))
           .select(col("grp").as("lang"), col("n_types"),
-            round(col("slope"), 6).as("slope"),
-            round(col("intercept"), 6).as("intercept"))
+            // Exact.round6: the slope is negative by nature and the
+            // intercept can sit near 0 for tiny vocabularies
+            graft.Exact.round6(col("slope")).as("slope"),
+            graft.Exact.round6(col("intercept")).as("intercept"))
           .orderBy(col("lang"))
       },
       Some("""WITH tok AS (
@@ -711,9 +715,10 @@ object TextOps {
              |    sum(x * y) AS sxy, sum(x * x) AS sxx
              |  FROM r GROUP BY lang)
              |SELECT lang, CAST(n AS BIGINT) AS n_types,
-             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+             |    AS slope,
              |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-             |    / n, 6) AS intercept
+             |    / n, 6) + 0.0 AS intercept
              |FROM s ORDER BY lang""".stripMargin))
   )
 }
