@@ -682,7 +682,10 @@ object Graft {
     val u = (phash32(id.cast(StringType)) + lit(0.5)) / lit(4294967296.0)
     df.filter(weight.cast(DoubleType) > 0)
       .withColumn("__wscore", log(u) / weight.cast(DoubleType))
-      .orderBy(col("__wscore").desc)
+      // id tiebreak: a score tie needs identical (u, weight) — vanishing
+      // for distinct ids, but the order must be TOTAL for the sample to
+      // be partition-count-independent in every case, not just almost all
+      .orderBy(col("__wscore").desc, id)
       .limit(k).drop("__wscore")
   }
 

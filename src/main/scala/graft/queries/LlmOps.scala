@@ -940,7 +940,7 @@ object LlmOps {
              |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
              |         AS BIGINT) + 0.5) / 4294967296.0)
              |      / CAST(n_chars AS DOUBLE) AS s
-             |  FROM documents ORDER BY s DESC LIMIT 50)
+             |  FROM documents ORDER BY s DESC, doc_id LIMIT 50)
              |ORDER BY doc_id""".stripMargin)),
 
     // Q56 — deterministic training-mix interleave (Graft.mixSources):
