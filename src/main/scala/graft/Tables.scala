@@ -52,36 +52,54 @@ object Tables {
     eventsRawSchema.fields.map(f =>
       if (f.name == "ts") f.copy(dataType = TimestampType) else f))
 
-  /** Footer probe for the events fixture: true when `ts` is declared as
-    * parquet µs — inferred as TimestampType, or TimestampNTZType when the
-    * footer says isAdjustedToUTC=false. NANOS footers make Spark 4's
-    * inference throw (illegal parquet type) → false. Footer-only — no data
-    * is scanned. Shared with the Hive-catalog registration path so both
-    * catalogs branch identically.
-    *
-    * Only the NANOS-inference failure selects the legacy path; any other
-    * exception (missing file, IO, permissions) rethrows — swallowing a
-    * transient error here would silently route µs data through the DIV-1000
-    * conversion, i.e. reproduce the 1000× time-compression bug as wrong
-    * results instead of an error. Memoized per dir: fixtures are immutable
-    * for the life of a run, and the probe costs a listing + footer
-    * inference that would otherwise run before EVERY events read.
+  /** Footer probe for the events fixture: true when the `ts` column's own
+    * parquet logical type is a non-NANOS timestamp (µs/ms — Spark maps
+    * both natively). Reads the footer DIRECTLY with the parquet-hadoop
+    * API and inspects exactly the `ts` annotation, so the decision can
+    * never be confused by an unrelated inference failure (a different
+    * exotic column, a transient IO error) — any such error propagates
+    * instead of silently selecting the DIV-1000 legacy path and
+    * reproducing the 1000× time-compression bug as wrong results.
+    * Footer-only — no data pages are touched. Memoized per dir: fixtures
+    * are immutable for the life of a run, and the probe would otherwise
+    * run before EVERY events read. Shared with the Hive-catalog
+    * registration path so both catalogs branch identically.
     */
   private val microsProbeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   private[graft] def eventsTsIsNativeMicros(spark: SparkSession,
       dir: String): Boolean =
-    microsProbeCache.computeIfAbsent(dir, _ =>
-      try spark.read.parquet(s"$dir/events.parquet").schema.exists(f =>
-        f.name == "ts" &&
-          (f.dataType == TimestampType || f.dataType == TimestampNTZType))
-      catch {
-        case e: Exception
-            if { val m = String.valueOf(e.getMessage)
-                 m.contains("NANOS") || m.contains("Illegal Parquet type") } =>
-          false
-      })
+    microsProbeCache.computeIfAbsent(dir, _ => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val declared = new Path(s"$dir/events.parquet")
+      val fs = declared.getFileSystem(conf)
+      // fixture contract is a single file, but tolerate a Spark-written
+      // directory layout by probing its first data file — every part of
+      // one write shares a schema
+      val file =
+        if (fs.getFileStatus(declared).isDirectory)
+          fs.listStatus(declared).iterator
+            .map(_.getPath)
+            .find(p => p.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$declared contains no parquet files"))
+        else declared
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) false
+        else schema.getFields.get(schema.getFieldIndex("ts"))
+          .getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit != TimeUnit.NANOS
+          case _ => false // unannotated int64 — treat as legacy raw nanos
+        }
+      } finally reader.close()
+    })
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

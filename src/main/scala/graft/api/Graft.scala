@@ -1858,6 +1858,15 @@ object Graft {
           .as("score"))
   }
 
+  /** Canonical undirected edge list: (a, b) with a < b, deduplicated. */
+  private def normalizedEdges(pairs: DataFrame): DataFrame =
+    pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
+
+  /** Per-node degree (n, d) over a normalized edge list. */
+  private def nodeDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
   /** Exact triangle listing over an undirected pair graph (edges as
     * (a, b) with a < b, e.g. a near-dup candidate graph): the standard
     * degree-ordered two-join algorithm — orient every edge from the
@@ -1880,15 +1889,6 @@ object Graft {
     * with [[highDegreeNodes]] — for an exact-dup signature clique the
     * closed form C(k,3) recovers the skipped count without enumeration.
     */
-  /** Canonical undirected edge list: (a, b) with a < b, deduplicated. */
-  private def normalizedEdges(pairs: DataFrame): DataFrame =
-    pairs.toDF("a", "b").where(col("a") < col("b")).distinct()
-
-  /** Per-node degree (n, d) over a normalized edge list. */
-  private def nodeDegrees(e: DataFrame): DataFrame =
-    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-
   def triangles(pairs: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
     val e0 = normalizedEdges(pairs)
     val e = maxDegree match {

@@ -823,14 +823,17 @@ object Analytics {
           .agg((sum(col("l_extendedprice").cast(DecimalType(25, 6))) * 100)
             .cast(LongType).as("cents"))
         val tot = per.agg(sum(col("cents")).as("total"))
-        // __ord encodes (cents DESC, l_partkey ASC) as one ascending long —
-        // the +partkey term must NOT sit inside the negation, or tied
-        // revenues order by partkey DESC and diverge from the oracle's
-        // tiebreak (surfaced at sf0.1, where two parts tie to the cent)
+        // __ord encodes (cents DESC, l_partkey ASC) as one ascending
+        // DECIMAL(38,0) — the +partkey term must NOT sit inside the
+        // negation, or tied revenues order by partkey DESC and diverge
+        // from the oracle's tiebreak (surfaced at sf0.1, where two parts
+        // tie to the cent). Decimal + a 1e9 multiplier keeps the encoding
+        // valid for any realistic partkey and immune to long overflow.
         val pre = graft.api.Graft.prefixSumExclusive(
           per.withColumn("__ord",
-            -col("cents") * 1000000L + col("l_partkey")),
-          col("__ord"), col("cents"), "before", chunkSize = 1L << 38)
+            -col("cents").cast(DecimalType(38, 0)) * 1000000000L +
+              col("l_partkey")),
+          col("__ord"), col("cents"), "before", chunkSize = 1L << 48)
         val share = (col("before") + col("cents")).cast(DoubleType) /
           col("total").cast(DoubleType)
         pre.crossJoin(broadcast(tot))
@@ -955,9 +958,15 @@ object Analytics {
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(DecimalType(25, 6))) * 100)
             .cast(LongType).as("cents"))
+        // __ord encodes (cents ASC, custkey ASC) in DECIMAL(38,0): the
+        // 1e9 multiplier stays above any realistic custkey (long math
+        // with a small multiplier would invert ties once keys outgrow
+        // it, and would overflow long at extreme revenue·multiplier)
         val ranked = graft.api.Graft.prefixSumExclusive(
-          per.withColumn("__ord", col("cents") * 1000000L + col("o_custkey")),
-          col("__ord"), lit(1L), "rank0", chunkSize = 1L << 38)
+          per.withColumn("__ord",
+            col("cents").cast(DecimalType(38, 0)) * 1000000000L +
+              col("o_custkey")),
+          col("__ord"), lit(1L), "rank0", chunkSize = 1L << 48)
         val agg = ranked.agg(
           count(lit(1)).as("n"),
           sum(col("cents").cast(D0)).as("sx"),
@@ -980,7 +989,8 @@ object Analytics {
              |  FROM orders GROUP BY o_custkey),
              |r AS (
              |  SELECT cents, row_number() OVER (
-             |    ORDER BY cents * 1000000 + o_custkey) AS rnk
+             |    ORDER BY CAST(cents AS HUGEINT) * 1000000000 + o_custkey)
+             |    AS rnk
              |  FROM per)
              |SELECT CAST(count(*) AS BIGINT) AS n_customers,
              |  round(2.0 * CAST(sum(CAST(rnk AS DECIMAL(38,0))

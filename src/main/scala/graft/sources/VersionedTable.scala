@@ -205,10 +205,12 @@ object VersionedTable {
     * exists to prevent.
     */
   def commitMerge(spark: SparkSession, table: String, changes: DataFrame,
-      key: String, version: String, op: String): Long = {
+      key: String, version: String, op: String,
+      maxRecordsPerFile: Long = 5000000L): Long = {
     val baseVersion = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    commitMergeFrom(spark, table, baseVersion, changes, key, version, op)
+    commitMergeFrom(spark, table, baseVersion, changes, key, version, op,
+      maxRecordsPerFile)
   }
 
   /** [[commitMerge]] against an explicitly pinned base version — the seam
@@ -219,7 +221,8 @@ object VersionedTable {
     */
   private[graft] def commitMergeFrom(spark: SparkSession, table: String,
       baseVersion: Long, changes: DataFrame,
-      key: String, version: String, op: String): Long = {
+      key: String, version: String, op: String,
+      maxRecordsPerFile: Long = 5000000L): Long = {
     val base = readVersion(spark, table, baseVersion)
     val changeDataCols = changes.columns.filterNot(c => c == version || c == op)
     val missing = base.columns.diff(changeDataCols)
@@ -233,8 +236,7 @@ object VersionedTable {
         .cast(changes.schema(c).dataType)))
     val merged = graft.api.Graft.applyChanges(
       widened, changes, key, version, op)
-    val dirName = writeSnapshot(spark, merged, table,
-      maxRecordsPerFile = 5000000L)
+    val dirName = writeSnapshot(spark, merged, table, maxRecordsPerFile)
     publish(spark, table, baseVersion + 1L, dirName)
     baseVersion + 1L
   }
@@ -259,14 +261,16 @@ object VersionedTable {
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       key: String,
       deleteWhen: org.apache.spark.sql.Column =
-        org.apache.spark.sql.functions.lit(false)): Long = {
+        org.apache.spark.sql.functions.lit(false),
+      maxRecordsPerFile: Long = 5000000L): Long = {
     import org.apache.spark.sql.functions.{lit, when}
     require(!source.columns.contains("__ver") && !source.columns.contains("__op"),
       "source must not carry reserved columns __ver/__op")
     val changes = source
       .withColumn("__op", when(deleteWhen, "d").otherwise("u"))
       .withColumn("__ver", lit(1L))
-    commitMerge(spark, table, changes, key, version = "__ver", op = "__op")
+    commitMerge(spark, table, changes, key, version = "__ver", op = "__op",
+      maxRecordsPerFile = maxRecordsPerFile)
   }
 
   /** Reclaim storage from data dirs no manifest references — the orphans
