@@ -93,10 +93,18 @@ object Tables {
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
         if (!schema.containsField("ts")) false
-        else schema.getFields.get(schema.getFieldIndex("ts"))
-          .getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation => t.getUnit != TimeUnit.NANOS
-          case _ => false // unannotated int64 — treat as legacy raw nanos
+        else {
+          val ts = schema.getFields.get(schema.getFieldIndex("ts"))
+          ts.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation =>
+              t.getUnit != TimeUnit.NANOS
+            case _ =>
+              // no annotation: INT96 (Spark's own default timestamp
+              // encoding) maps natively to TimestampType → native path;
+              // a bare INT64 is the legacy raw-nanos shape → legacy path
+              ts.asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+          }
         }
       } finally reader.close()
     })

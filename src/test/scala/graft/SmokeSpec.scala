@@ -42,6 +42,24 @@ class SmokeSpec extends SparkSpec {
     assert(ev.count() == 100)
   }
 
+  test("footer probe handles a directory-shaped events table") {
+    // Spark-written tables are directories of part files; the probe must
+    // find a data file inside and read ITS footer annotation
+    val dir = java.nio.file.Files.createTempDirectory("graft-evdir").toString
+    Tables(spark, sfDir, "events").limit(10)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // Spark writes INT96 timestamps by default — no logical annotation,
+    // must still classify as native (INT96 maps to TimestampType)
+    assert(Tables.eventsTsIsNativeMicros(spark, dir),
+      "Spark-written directory misclassified")
+    val back = Tables(spark, dir, "events")
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.count() == 10)
+    assert(back.agg(org.apache.spark.sql.functions.min("ts")).head()
+      .getTimestamp(0).toInstant.toString.startsWith("2024-01"))
+  }
+
   test("events fixture tripwire: ts spans > 25 days and starts in 2024") {
     import org.apache.spark.sql.functions.{max, min, year}
     val ev = Tables(spark, sfDir, "events")
