@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout in forked `run` instead of routing through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any consumer
+// that json-parses Bench's stdout line (a bare `{"metric":...}` line parses;
+// `[info] {"metric":...}` does not). 9 of 10 driver rounds failed to parse
+// the bench line for exactly this reason.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

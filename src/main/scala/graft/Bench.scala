@@ -23,7 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.views(spark, sfDir)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // Warm-up passes are run and DISCARDED before the timed reps: the first
+    // pass through 200+ queries pays JIT compilation, codegen-class loading,
+    // and parquet-footer caching that no steady-state pass pays, and r10
+    // showed the driver box can also be externally loaded for minutes at a
+    // time — a discarded first pass keeps both effects out of the medians.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run while iterating on one query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.all.map(_.name)
@@ -54,6 +60,7 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(dt) else None
     }
+    (1 to warmup).foreach { _ => names.foreach(runOnce); errors.clear() }
     val samples = (1 to reps).flatMap { _ =>
       names.flatMap(n => runOnce(n).map(n -> _))
     }.groupMap(_._1)(_._2)
@@ -64,6 +71,14 @@ object Bench {
         else times.sorted.apply((times.size - 1) / 2)
       name -> median
     }
+    // min-of-n alongside the median (detail file only): the min is the best
+    // available estimate of a query's intrinsic cost when the box is noisy —
+    // a query whose median spikes but whose min matches history is noise,
+    // not a regression (r10's q31_minhash_lsh: median 14.3s, clean 2.5s).
+    val mins = names.map { name =>
+      val times = samples.getOrElse(name, Seq.empty)
+      name -> (if (times.isEmpty) Double.NaN else times.min)
+    }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale emits
     // "1,234" and silently corrupts the JSON line the driver parses
     def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -73,9 +88,16 @@ object Bench {
       jq(kv._1) + ":" + (if (kv._2.isNaN) "null" else fm(kv._2))
     val errJson = errors.map(jq).mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    def line(qs: Seq[(String, Double)], omitted: Int) = {
+    val totalMin = mins.map(_._2).filterNot(_.isNaN).sum
+    def line(qs: Seq[(String, Double)], omitted: Int, withMins: Boolean) = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"agg":"median","queries":${qs.map(entry).mkString("{", ",", "}")}$om,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+      // queries_min/value_min live in the detail file only: the stdout line
+      // must stay inside the harness's ~2KB tail window (see below)
+      val mn =
+        if (withMins)
+          s""","value_min":${fm(totalMin)},"queries_min":${mins.map(entry).mkString("{", ",", "}")}"""
+        else ""
+      s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"warmup":$warmup,"agg":"median","queries":${qs.map(entry).mkString("{", ",", "}")}$om$mn,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     }
     // The harness keeps only the last ~2000 bytes of stdout and parses the
     // JSON line out of that tail; once the full per-query map outgrows the
@@ -84,24 +106,25 @@ object Bench {
     // and on stdout keep the whole map only while it fits -- otherwise the
     // slowest queries that do, plus an explicit omission count. 1800 leaves
     // headroom for the build tool's trailing status line inside the window.
-    val fullDetail = line(results, 0)
+    val fullDetail = line(results, 0, withMins = true)
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p,
         fullDetail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // stdout line is the contract; file is extra
     val budget = 1800
+    val stdoutFull = line(results, 0, withMins = false)
     val out =
-      if (fullDetail.length <= budget) fullDetail
+      if (stdoutFull.length <= budget) stdoutFull
       else {
         val bySlowest = results.sortBy { case (_, v) => if (v.isNaN) 0.0 else -v }
-        val overhead = line(Seq.empty, results.size).length
+        val overhead = line(Seq.empty, results.size, withMins = false).length
         var used = overhead
         val kept = bySlowest.takeWhile { kv =>
           used += entry(kv).length + 1
           used <= budget
         }
-        line(kept, results.size - kept.size)
+        line(kept, results.size - kept.size, withMins = false)
       }
     println(out)
     spark.stop()
