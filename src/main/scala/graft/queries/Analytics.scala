@@ -1336,7 +1336,11 @@ object Analytics {
     // Q95 — TTL dedup (Graft.dedupWithinTtl): at most one event per user
     // per 30 minutes, anchored to the last KEPT event — sequential
     // semantics no window expresses (GraftApiSpec proves the anchor-vs-
-    // lag-gap distinction); engine-verified, no SQL oracle exists.
+    // lag-gap distinction). The oracle is a recursive CTE that walks each
+    // key's (t, event_id)-ordered rows anchor-to-anchor: the next kept row
+    // is the min-rn row with t >= last_kept.t + ttl (t is non-decreasing in
+    // rn, so min-rn == first surviving row; equal-t ties sit strictly
+    // inside the TTL and are skipped, matching the engine's tieBreak).
     Q("q95_ttl_dedup",
       (s, d) => {
         graft.api.Graft.dedupWithinTtl(
@@ -1346,7 +1350,20 @@ object Analytics {
           .select(col("event_id"), col("user_id"), col("ts"))
           .orderBy(col("event_id"))
       },
-      None),
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS t,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+             |  FROM events),
+             |kept AS (
+             |  SELECT user_id, event_id, ts, t, rn FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.event_id, o.ts, o.t, o.rn
+             |  FROM kept k JOIN ordered o ON o.user_id = k.user_id
+             |  WHERE o.rn = (SELECT min(o2.rn) FROM ordered o2
+             |    WHERE o2.user_id = k.user_id AND o2.t >= k.t + 1800))
+             |SELECT event_id, user_id, ts FROM kept
+             |ORDER BY event_id""".stripMargin)),
 
     // Q96 — interval-overlap join (Graft.intervalOverlapJoin): per user,
     // daily browsing spans (click/view min..max) that overlap daily
