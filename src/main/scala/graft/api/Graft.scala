@@ -1671,6 +1671,31 @@ object Graft {
       .orderBy(col("cnt").desc, col("word"))
       .limit(topN)
 
+  /** Sketch dual of [[tokenFrequency]]: top-N via `approx_top_k` (Spark's
+    * datasketches frequent-items aggregate). One pass, kilobyte mergeable
+    * state — at 100 TB the exact variant shuffles the full (token, count)
+    * vocabulary while this ships one ~`maxItemsTracked`-entry sketch per
+    * partition (the q13_approx_distinct-vs-q12 posture, for frequency).
+    * Guarantees (frequent-items law, proven in GraftApiSpec): with
+    * `maxItemsTracked` ≥ the distinct-token count no eviction ever happens
+    * and every returned count is EXACT; under eviction each estimate is
+    * within the sketch's ±N/maxMapSize envelope, so sufficiently-heavy
+    * hitters are always surfaced. Ties re-sort deterministically but the
+    * boundary SELECTION may differ from exact under equal counts.
+    */
+  def tokenFrequencyApprox(df: DataFrame, text: Column, topN: Int,
+      maxItemsTracked: Int): DataFrame = {
+    val exploded = df.select(explode(split(lower(text), " ")).as("word"))
+      .agg(expr(s"approx_top_k(word, $topN, $maxItemsTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+    // field names come from the sketch's struct schema (item, count) —
+    // read positionally so a rename upstream cannot silently misbind
+    val f = exploded.schema("e").dataType.asInstanceOf[StructType].fieldNames
+    exploded.select(col(s"e.${f(0)}").as("word"),
+        col(s"e.${f(1)}").cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** Positional rolling-hash fingerprint mod 1e9+7 (ANSI-safe modular
     * fold; order-sensitive, unlike the dedup signatures).
     */

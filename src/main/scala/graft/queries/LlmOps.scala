@@ -736,6 +736,20 @@ object LlmOps {
              |  FROM documents)
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin)),
 
+    // Q33a — the sketch dual of q33_token_freq: `approx_top_k` frequent-
+    // items aggregate, the documented 100 TB swap made a first-class
+    // registered query. Engine-verified (sketch internals differ from any
+    // SQL oracle's; selection under boundary ties is sketch-order): the
+    // frequent-items laws — no-eviction ⇒ exact counts, eviction ⇒
+    // ±N/maxMapSize envelope with guaranteed heavy-hitter recall — are
+    // proven against tokenFrequency in GraftApiSpec.
+    Q("q33_token_freq_approx",
+      (s, d) => {
+        Graft.tokenFrequencyApprox(Tables(s, d, "documents"), col("text"),
+          50, maxItemsTracked = 10000)
+      },
+      None),
+
     // Q33b — per-language document stats (integer sums are exact, so the
     // avg is deterministic without decimal detours).
     Q("q33_lang_stats",

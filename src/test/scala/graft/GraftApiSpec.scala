@@ -611,6 +611,56 @@ class GraftApiSpec extends SparkSpec {
       s"estimates stay within the eps*N error bound (slack 2x, N=$n)")
   }
 
+  test("tokenFrequencyApprox: exact when nothing evicts (frequent-items law)") {
+    // maxItemsTracked >= the distinct-token count means the sketch never
+    // purges, so every stored count is exact — the approx top-50 must carry
+    // the same (word -> count) map as the exact aggregation, and the same
+    // count multiset (boundary ties may select different words, so the SET
+    // of words is only compared above the boundary count).
+    val docs = Tables(spark, sfDir, "documents")
+    val vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .agg(count_distinct(col("word"))).head().getLong(0)
+    val approx = Graft.tokenFrequencyApprox(docs, col("text"), 50,
+        maxItemsTracked = math.max(64, vocab.toInt * 2))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val exact = Graft.tokenFrequency(docs, col("text"), 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(approx.length == exact.length)
+    assert(approx.map(_._2).toSeq == exact.map(_._2).toSeq,
+      "count multisets match (descending)")
+    val exactFull = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (w, c) =>
+      assert(exactFull(w) == c, s"no-eviction count for '$w' is exact")
+    }
+    val boundary = exact.last._2
+    assert(approx.filter(_._2 > boundary).toSet ==
+      exact.filter(_._2 > boundary).toSet,
+      "above the tie boundary, selection matches exact top-k")
+  }
+
+  test("tokenFrequencyApprox: heavy hitters survive eviction within the envelope") {
+    import spark.implicits._
+    // 3 items at 1000x + 2000 singletons, sketched with maxItemsTracked=64
+    // (maxMapSize >= 128): a-priori error <= 3.5*N/maxMapSize ~ 137, so the
+    // heavy items MUST be the top 3 with estimates within +-500 of truth.
+    val heavy = Seq("alpha", "beta", "gamma").flatMap(w => Seq.fill(1000)(w))
+    val noise = (1 to 2000).map(i => s"tok$i")
+    val df = (heavy ++ noise).toDF("body")
+    val out = Graft.tokenFrequencyApprox(df, col("body"), 3,
+        maxItemsTracked = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.map(_._1).toSet == Set("alpha", "beta", "gamma"),
+      s"heavy hitters are the top 3: ${out.mkString(",")}")
+    out.foreach { case (w, c) =>
+      assert(math.abs(c - 1000L) <= 500L,
+        s"estimate for $w within the error envelope: $c")
+    }
+  }
+
   test("applyChanges: latest version wins, deletes drop, untouched keys survive") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
