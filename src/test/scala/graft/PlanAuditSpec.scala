@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws, count, crc32, lit, sha2, sum, when}
 
 /** Plan-quality invariants as regression tests: the physical plans that
   * make queries scale must not silently regress. Checks mirror the
@@ -321,5 +321,67 @@ class PlanAuditSpec extends SparkSpec {
     // corpus-sized aggregations below remain hash-partitioned
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
+    // The hot-key commentary at q55_boilerplate / q70_pmi promises AQE's
+    // skew-join handles stop-word-grade key skew; this proves the rewrite
+    // actually fires under production-shaped skew. One key carries ~50k
+    // wide rows (one shuffle partition far over factor x median); after
+    // execution the ADAPTIVE final plan must carry the skew=true join —
+    // thresholds are scaled to fixture bytes, the SHAPE is the production
+    // one (AQE decides from runtime map-output sizes either way).
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // fixture-scale stand-ins for the 256MB/64MB production gates
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // the small build side must not short-circuit to broadcast: at
+      // corpus scale neither side of a stop-word join is broadcast-able
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // payload must be incompressible: skew detection reads COMPRESSED
+      // map-output sizes, and a constant-pad payload deflates to nothing
+      val skewed = spark.range(0, 51000).select(
+        when(col("id") < 50000, lit(0L)).otherwise(col("id") - 49999)
+          .as("k"),
+        concat_ws("", sha2(col("id").cast("string"), 256),
+          sha2((col("id") + 1).cast("string"), 256)).as("payload"))
+      val dim = spark.range(0, 1200).select(col("id").as("k"),
+        (col("id") * 7).as("attr"))
+      // crc32(payload)+attr needs BOTH sides above the join, so pruning
+      // cannot drop the wide payload below the shuffle (an earlier draft
+      // aggregated attr only and the "skewed" side shuffled 8-byte keys)
+      val joined = skewed.join(dim, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(crc32(col("payload")) + col("attr")).as("s"))
+      // collect(), not head(): head() runs a SEPARATE limit-1 plan and
+      // leaves this QueryExecution un-executed (isFinalPlan=false forever)
+      assert(joined.collect()(0).getLong(0) == 51000L)
+      // the top-level toString keeps showing the initial plan; the
+      // re-planned tree lives inside the adaptive node after execution
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val adaptive = joined.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+      assert(adaptive.nonEmpty, "no AdaptiveSparkPlan node: " +
+        joined.queryExecution.executedPlan.toString)
+      val p = adaptive.get.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not rewrite the skewed exchange:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
