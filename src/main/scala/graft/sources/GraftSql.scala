@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Textual SQL front-end for the statements Spark SQL cannot route to
+  * path-based [[VersionedTable]]s — the spellings a lakehouse user types
+  * first ([[VersionedTable.mergeInto]] / [[VersionedTable.readVersion]]
+  * are the API ancestors; reference analogue: the STM upsert surface,
+  * hive-task src/primitives.lisp:252–266, which likewise pairs a
+  * programmatic verb with the caller-facing entry):
+  *
+  *  - `MERGE INTO '<table-path>' USING <source> ON <key> WHEN ... THEN ...`
+  *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
+  *  - `SELECT ... FROM '<table-path>' VERSION AS OF <n> ...` rewrites the
+  *    time-travel reference to a temp view over
+  *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`;
+  *  - anything else passes through to `spark.sql` untouched.
+  *
+  * Deliberately thin: a regex statement grammar, not a full parser — the
+  * heavy lifting (atomicity, schema evolution, optimistic concurrency,
+  * the one-keyed-shuffle merge plan) lives in the verbs it compiles to.
+  *
+  * MERGE grammar (case-insensitive; `*`-forms only, because the verb has
+  * full-row semantics — column-level `SET x = expr` is the caller
+  * pre-computing the source frame):
+  * {{{
+  *   MERGE INTO '<path>' | `<path>`            -- the versioned table root
+  *   USING <view-name> | ( <subquery> ) [AS a]
+  *   ON <key> | t.<key> = s.<key>              -- same column name per side
+  *   WHEN MATCHED AND <cond> THEN DELETE       -- cond sees the SOURCE row
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  * Clause rules (the combinations the verb's semantics honestly express):
+  * an upsert merge needs BOTH `UPDATE SET *` and `INSERT *`; a
+  * conditional DELETE may accompany them; `WHEN MATCHED THEN DELETE`
+  * without a condition is only legal ALONE (a pure delete-merge — with an
+  * INSERT clause present the verb could not distinguish "unmatched row to
+  * insert" from "matched row to delete", since the delete predicate sees
+  * the source row, not matched-ness). Returns a 1-row (version) frame.
+  */
+object GraftSql {
+
+  private val MergeStmt =
+    """(?is)\s*MERGE\s+INTO\s+(?:'([^']+)'|`([^`]+)`)\s+USING\s+""" +
+      """(\((?:[^()]|\([^()]*\))*\)|[\w.]+)(?:\s+AS\s+(\w+))?\s+""" +
+      """ON\s+(.+?)\s*(\bWHEN\b.+?)\s*;?\s*"""
+  private val MergeRe = MergeStmt.r
+
+  private val WhenRe =
+    ("""(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+      """(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*""").r
+
+  private val OnEqRe =
+    """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*""".r
+  private val OnBareRe = """(?is)\s*`?(\w+)`?\s*""".r
+
+  private val VersionRefRe =
+    """(?is)(?:'([^']+)'|`([^`]+)`)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** Execute one statement; see the object doc for the grammar. */
+  def sql(spark: SparkSession, statement: String): DataFrame =
+    statement match {
+      case MergeRe(p1, p2, source, alias, on, whens) =>
+        merge(spark, Option(p1).getOrElse(p2), source, Option(alias), on, whens)
+      case s if VersionRefRe.findFirstIn(s).isDefined =>
+        spark.sql(rewriteTimeTravel(spark, s))
+      case s => spark.sql(s)
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException("GraftSql: " + msg)
+
+  private def merge(spark: SparkSession, table: String, sourceSql: String,
+      alias: Option[String], on: String, whens: String): DataFrame = {
+    val key = on match {
+      case OnEqRe(_, l, _, r) =>
+        if (l.equalsIgnoreCase(r)) l
+        else fail(s"ON must equate the SAME column name on both sides " +
+          s"(got $l = $r) — the merge key identifies the row")
+      case OnBareRe(k) => k
+      case other => fail(s"unsupported ON clause '$other' — use a single " +
+        "equi-key: ON k, or ON t.k = s.k")
+    }
+    val clauses = WhenRe.findAllMatchIn(whens).toSeq
+    val parsed = clauses.map { m =>
+      val notMatched = m.group(1) != null
+      val cond = Option(m.group(2))
+      val action = m.group(3).toUpperCase.replaceAll("\\s+", " ")
+      (notMatched, cond, action)
+    }
+    // the WHEN grammar must consume the entire clause text — leftover
+    // tokens mean an unsupported spelling, which must fail loudly rather
+    // than silently drop an action
+    val residue = WhenRe.replaceAllIn(whens, "").trim
+    if (clauses.isEmpty || residue.nonEmpty)
+      fail(s"unparseable WHEN clause near '${if (residue.nonEmpty) residue
+        else whens}' — supported: WHEN MATCHED [AND cond] THEN DELETE, " +
+        "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *")
+    val deletes = parsed.filter(_._3 == "DELETE")
+    val updates = parsed.filter(_._3 == "UPDATE SET *")
+    val inserts = parsed.filter(_._3 == "INSERT *")
+    if (deletes.exists(_._1)) fail("WHEN NOT MATCHED THEN DELETE is not a " +
+      "merge action (an unmatched key has nothing to delete)")
+    if (updates.exists(c => c._1 || c._2.nonEmpty))
+      fail("UPDATE SET * must be the plain WHEN MATCHED clause")
+    if (inserts.exists(c => !c._1 || c._2.nonEmpty))
+      fail("INSERT * must be the plain WHEN NOT MATCHED clause")
+    if (updates.nonEmpty != inserts.nonEmpty)
+      fail("upsert merges need BOTH 'WHEN MATCHED THEN UPDATE SET *' AND " +
+        "'WHEN NOT MATCHED THEN INSERT *' — the verb replaces or inserts " +
+        "the full source row")
+    if (deletes.size > 1 || updates.size > 1 || inserts.size > 1)
+      fail("duplicate WHEN clauses")
+    val unconditionalDelete = deletes.exists(_._2.isEmpty)
+    if (unconditionalDelete && updates.nonEmpty)
+      fail("an unconditional WHEN MATCHED THEN DELETE cannot combine with " +
+        "upsert clauses: the delete predicate evaluates on the source row " +
+        "(not matched-ness), so every source row would delete; give the " +
+        "DELETE an AND condition, or drop the UPDATE/INSERT clauses")
+    if (deletes.isEmpty && updates.isEmpty)
+      fail("no actionable clause (need an upsert pair and/or a DELETE)")
+
+    // alias the source so alias-qualified references in the DELETE
+    // condition resolve (`s.flag` and bare `flag` both work)
+    val raw =
+      if (sourceSql.startsWith("("))
+        spark.sql(sourceSql.stripPrefix("(").stripSuffix(")"))
+      else spark.table(sourceSql)
+    val src = alias.map(raw.as(_)).getOrElse(raw)
+    val deleteWhen = deletes.headOption match {
+      case Some((_, Some(cond), _)) => expr(cond)
+      case Some((_, None, _)) => lit(true) // pure delete-merge
+      case None => lit(false)
+    }
+    val v = VersionedTable.mergeInto(spark, table, src, key, deleteWhen)
+    import spark.implicits._
+    Seq(v).toDF("version")
+  }
+
+  /** Swap every `'<path>' VERSION AS OF n` reference for a fresh temp view
+    * over the committed snapshot; the rest of the statement is untouched
+    * (plain Spark SQL — filters/joins/aggregates all apply to the
+    * time-travel read, and pushdown works because the view IS the
+    * snapshot's parquet scan).
+    */
+  private def rewriteTimeTravel(spark: SparkSession, statement: String): String =
+    VersionRefRe.replaceAllIn(statement, m => {
+      val table = Option(m.group(1)).getOrElse(m.group(2))
+      val version = m.group(3).toLong
+      val view = s"graft_time_travel_${UUID.randomUUID.toString.replace("-", "_")}"
+      VersionedTable.readVersion(spark, table, version)
+        .createOrReplaceTempView(view)
+      view
+    })
+}

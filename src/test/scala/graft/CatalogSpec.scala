@@ -61,4 +61,104 @@ class CatalogSpec extends AnyFunSuite {
       assert(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     } finally spark.stop()
   }
+
+  // ---- textual lakehouse SQL (GraftSql over VersionedTable) ----------
+
+  private def plainSession() = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]").appName("graft-sql")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("textual MERGE INTO executes end-to-end against a versioned table") {
+    val spark = plainSession()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftSql, VersionedTable}
+      import spark.implicits._
+      val tbl = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/t"
+      VersionedTable.commit(spark,
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+          .toDF("k", "name", "v"), tbl)
+      Seq((2L, "b2", 21.0), (3L, "c", -1.0), (4L, "d", 40.0))
+        .toDF("k", "name", "v").createOrReplaceTempView("updates")
+      val out = GraftSql.sql(spark,
+        s"""MERGE INTO '$tbl' USING updates AS s ON t.k = s.k
+           |WHEN MATCHED AND s.v <= 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L),
+        "MERGE returns the committed version")
+      val latest = VersionedTable.readLatest(spark, tbl)
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(latest.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 21.0),
+        (4L, "d", 40.0)),
+        "upsert replaced k=2, delete dropped k=3, insert added k=4")
+
+      // pure delete-merge with a subquery source (no upsert clauses)
+      GraftSql.sql(spark,
+        s"""MERGE INTO '$tbl'
+           |USING (SELECT * FROM updates WHERE v > 30) AS s ON k
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(VersionedTable.readLatest(spark, tbl)
+        .orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+      // time travel reads every committed state; two versions join in one
+      // statement; a plain statement passes through untouched
+      val v1 = GraftSql.sql(spark,
+        s"SELECT k, v FROM '$tbl' VERSION AS OF 1 ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(v1.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+      val both = GraftSql.sql(spark,
+        s"""SELECT a.k FROM '$tbl' VERSION AS OF 1 a
+           |JOIN '$tbl' VERSION AS OF 3 b ON a.k = b.k
+           |ORDER BY a.k""".stripMargin)
+        .collect().map(_.getLong(0))
+      assert(both.toSeq == Seq(1L, 2L))
+      assert(GraftSql.sql(spark, "SELECT 1 AS one").collect()
+        .head.getInt(0) == 1)
+    } finally spark.stop()
+  }
+
+  test("textual MERGE INTO rejects the spellings the verb cannot honor") {
+    val spark = plainSession()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftSql, VersionedTable}
+      import spark.implicits._
+      val tbl = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/t"
+      VersionedTable.commit(spark,
+        Seq((1L, 1.0)).toDF("k", "v"), tbl)
+      Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("u2")
+      def rejects(stmt: String, needle: String): Unit = {
+        val e = intercept[IllegalArgumentException](GraftSql.sql(spark, stmt))
+        assert(e.getMessage.contains(needle), e.getMessage)
+      }
+      // unconditional DELETE alongside upsert clauses: the predicate sees
+      // the source row, so every row would delete — must fail, not guess
+      rejects(
+        s"""MERGE INTO '$tbl' USING u2 ON k
+           |WHEN MATCHED THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "unconditional")
+      // UPDATE without INSERT: the verb's upsert is all-or-nothing
+      rejects(
+        s"""MERGE INTO '$tbl' USING u2 ON k
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin, "BOTH")
+      // ON must be one equi-key with the same name on both sides
+      rejects(
+        s"""MERGE INTO '$tbl' USING u2 ON t.k = s.kk
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "SAME column")
+      // column-level SET is full-row by contract — unparseable, loudly
+      rejects(
+        s"""MERGE INTO '$tbl' USING u2 ON k
+           |WHEN MATCHED THEN UPDATE SET v = v + 1
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "unparseable")
+      // nothing committed by any rejected statement
+      assert(VersionedTable.latestVersion(spark, tbl).contains(1L))
+    } finally spark.stop()
+  }
 }
