@@ -60,10 +60,14 @@ object Tables {
     * exotic column, a transient IO error) — any such error propagates
     * instead of silently selecting the DIV-1000 legacy path and
     * reproducing the 1000× time-compression bug as wrong results.
-    * Footer-only — no data pages are touched. Memoized per dir: fixtures
-    * are immutable for the life of a run, and the probe would otherwise
-    * run before EVERY events read. Shared with the Hive-catalog
-    * registration path so both catalogs branch identically.
+    * Footer-only — no data pages are touched. Memoized per dir FOR THE
+    * LIFE OF THE JVM and never invalidated: fixtures are immutable for a
+    * run (Verify/Bench/tests all launch fresh JVMs), and the probe would
+    * otherwise run before EVERY events read. A process that REPLACES an
+    * events fixture in place and re-reads the same dir would see the
+    * stale classification — swap the directory, not the file. Shared
+    * with the Hive-catalog registration path so both catalogs branch
+    * identically.
     */
   private val microsProbeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -78,11 +82,21 @@ object Tables {
       val conf = spark.sparkContext.hadoopConfiguration
       val declared = new Path(s"$dir/events.parquet")
       val fs = declared.getFileSystem(conf)
+      // the probe (unlike the pre-r10 declared-schema path) touches the
+      // footer at REGISTRATION time, so an absent fixture surfaces here —
+      // name the fixture in the error instead of a bare FileNotFound
+      val status =
+        try fs.getFileStatus(declared)
+        catch { case e: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"events fixture missing at $declared — the catalog probes its " +
+              "parquet footer to pick the timestamp read path", e)
+        }
       // fixture contract is a single file, but tolerate a Spark-written
       // directory layout by probing its first data file — every part of
       // one write shares a schema
       val file =
-        if (fs.getFileStatus(declared).isDirectory)
+        if (status.isDirectory)
           fs.listStatus(declared).iterator
             .map(_.getPath)
             .find(p => p.getName.endsWith(".parquet"))

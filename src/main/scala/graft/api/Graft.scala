@@ -993,6 +993,15 @@ object Graft {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wPrevChunks = Window.orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // DECIMAL(38,0) orders (q80/q83's encodings) divide through Spark's
+    // precision-preserving decimal division (DECIMAL(38,6), HALF_UP): the
+    // quotient can round ACROSS a k*chunkSize boundary (|err| ≤ 5e-7, so
+    // with chunkSize > 2e6 an order of k*chunkSize − 1 may map to chunk
+    // k). Correct anyway: round-half-up and floor are both monotone
+    // non-decreasing, so order→chunk stays monotone and deterministic —
+    // chunk ids are BUCKETS, nothing downstream assumes which side of a
+    // boundary a row lands on. GraftApiSpec pins this with decimal orders
+    // adjacent to k*chunkSize at a rounding-active chunk size.
     val chunked = df
       .withColumn("__chunk", floor(order / lit(chunkSize)).cast(LongType))
       .withColumn("__local", max(value).over(wChunk))
@@ -1024,6 +1033,9 @@ object Graft {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wPrevChunks = Window.orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // decimal-order rounding note: see prefixMaxExclusive — the mapping
+    // may shift a boundary row's bucket but stays monotone, which is all
+    // the two-level scan needs
     val chunked = df
       .withColumn("__chunk", floor(order / lit(chunkSize)).cast(LongType))
       .withColumn("__local", sum(v).over(wChunk))

@@ -224,6 +224,16 @@ object VersionedTable {
       key: String, version: String, op: String,
       maxRecordsPerFile: Long = 5000000L): Long = {
     val base = readVersion(spark, table, baseVersion)
+    // the version/op names partition `changes` into metadata vs data
+    // columns; a BASE data column with one of those names would make that
+    // partition ambiguous (its updates would be stripped as metadata and
+    // the merge would fail "missing snapshot columns" for a column the
+    // caller plainly supplied) — fail with the real cause instead
+    val collide = base.columns.filter(c => c == version || c == op)
+    if (collide.nonEmpty) throw new IllegalArgumentException(
+      s"version/op column name(s) ${collide.mkString(", ")} collide with " +
+        s"snapshot data columns of $table — pick change-metadata names " +
+        "the table does not use")
     val changeDataCols = changes.columns.filterNot(c => c == version || c == op)
     val missing = base.columns.diff(changeDataCols)
     if (missing.nonEmpty) throw new IllegalArgumentException(
@@ -289,8 +299,11 @@ object VersionedTable {
     * per version + one `data/` listing.
     */
   def vacuum(spark: SparkSession, table: String, graceMs: Long): Seq[String] = {
+    // grace 0 would widen the TOCTOU window below from "writers slower
+    // than the grace" to "every in-flight writer" — refuse it
+    require(graceMs > 0, s"graceMs must be > 0: $graceMs")
     val (hfs, root) = fs(spark, table)
-    val referenced: Set[String] = versions(spark, table).map { v =>
+    def referenced(): Set[String] = versions(spark, table).map { v =>
       val in = hfs.open(new Path(root, s"_manifests/${manifestName(v)}"))
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -299,10 +312,23 @@ object VersionedTable {
     val dataDir = new Path(root, "data")
     if (!hfs.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
-    hfs.listStatus(dataDir).iterator
+    val referencedAtListing = referenced()
+    val candidates = hfs.listStatus(dataDir).iterator
       .filter(_.isDirectory)
-      .filter(st => !referenced.contains(s"data/${st.getPath.getName}"))
+      .filter(st => !referencedAtListing.contains(s"data/${st.getPath.getName}"))
       .filter(_.getModificationTime < cutoff)
+      .toSeq
+    if (candidates.isEmpty) return Seq.empty
+    // TOCTOU guard: a writer whose snapshot write OUTLIVED the grace can
+    // publish between the listing above and the deletes below — its dir
+    // would be "orphaned by mtime" yet newly referenced. Re-read the
+    // manifest set after candidate selection so a freshly committed dir
+    // is never deleted; the race window shrinks from the whole listing
+    // pass to the re-list→delete gap (the mtime grace still covers
+    // writers inside it).
+    val committed = referenced()
+    candidates.iterator
+      .filter(st => !committed.contains(s"data/${st.getPath.getName}"))
       // only dirs the filesystem CONFIRMS deleted enter the audit list —
       // several FileSystem impls return false instead of throwing, and
       // reporting a still-present dir as reclaimed would corrupt the audit

@@ -217,6 +217,30 @@ class GraftApiSpec extends SparkSpec {
     assert(chunked.filter(col("oid") === -250).head().getLong(2) == 0L)
   }
 
+  test("prefixSumExclusive: DECIMAL(38,0) orders at chunk boundaries stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // decimal / long division goes through DECIMAL(38,6) with HALF_UP
+    // rounding; at chunkSize 10_000_000 the rounding step CAN move an
+    // order of k*chunkSize - 1 into chunk k (err 1e-7 < half-ulp). The
+    // scan must stay exact anyway, because rounding-then-floor keeps the
+    // order -> chunk mapping monotone — this is the property the q80/q83
+    // DECIMAL(38,0) encodings lean on.
+    val c = 10000000L
+    val orders = (1L to 5L).flatMap(k => Seq(k * c - 1, k * c, k * c + 1))
+    val df = orders.zipWithIndex
+      .map { case (o, i) => (BigDecimal(o), (i * 37 % 11).toLong) }
+      .toDF("oid", "v")
+      .select(col("oid").cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 0)).as("oid"), col("v"))
+    val naive = df.withColumn("ps",
+      coalesce(sum(col("v")).over(Window.orderBy(col("oid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunked = Graft.prefixSumExclusive(df, col("oid"), col("v"), "ps",
+      chunkSize = c)
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+  }
+
   test("packSequences: spans tile the token stream; straddlers cross bins") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, 1L + i * 31 % 97)).toDF("did", "n")

@@ -325,6 +325,17 @@ class SinksSpec extends SparkSpec {
         key = "k", version = "ver", op = "op")
     }
     assert(err.getMessage.contains("missing snapshot columns"), err.getMessage)
+    // a BASE data column named like the version/op parameter would make
+    // the metadata/data split ambiguous — fails naming the collision,
+    // not a misleading "missing snapshot columns"
+    val t2 = tmp() + "/vtable_collide"
+    VersionedTable.commit(spark, Seq((1L, 7L, "x")).toDF("k", "ver", "v"), t2)
+    val collide = intercept[IllegalArgumentException] {
+      VersionedTable.commitMerge(spark, t2,
+        Seq((1L, 8L, "y", 1L, "u")).toDF("k", "ver", "v", "cver", "op"),
+        key = "k", version = "ver", op = "op")
+    }
+    assert(collide.getMessage.contains("collide"), collide.getMessage)
   }
 
   test("VersionedTable.commitMerge conflicts instead of losing a concurrent commit") {
@@ -388,8 +399,15 @@ class SinksSpec extends SparkSpec {
     // generous grace: NOTHING is old enough — orphans survive (this is
     // the in-flight-writer protection window)
     assert(VersionedTable.vacuum(spark, t, graceMs = 3600L * 1000).isEmpty)
-    // zero grace: exactly the two orphans go; committed dirs survive
-    val deleted = VersionedTable.vacuum(spark, t, graceMs = -1L)
+    // a non-positive grace would disable the in-flight-writer protection
+    // entirely — refused, not honored
+    intercept[IllegalArgumentException] {
+      VersionedTable.vacuum(spark, t, graceMs = 0L)
+    }
+    // minimal grace (everything already written is out of it): exactly
+    // the two orphans go; committed dirs survive
+    Thread.sleep(50)
+    val deleted = VersionedTable.vacuum(spark, t, graceMs = 10L)
     assert(deleted == Seq("data/crash-orphan", "data/loser-orphan"), deleted)
     assert(!new java.io.File(t + "/data/crash-orphan").exists)
     // both committed versions still read back exactly
@@ -398,7 +416,7 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.readLatest(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2")))
     // idempotent: a second vacuum finds nothing
-    assert(VersionedTable.vacuum(spark, t, graceMs = -1L).isEmpty)
+    assert(VersionedTable.vacuum(spark, t, graceMs = 10L).isEmpty)
   }
 
   test("compactParquet sizes a hive-partitioned input recursively") {

@@ -23,9 +23,10 @@ class SmokeSpec extends SparkSpec {
   // future dtype drift fails loudly in-repo instead of only at the oracle.
   test("legacy TIMESTAMP(NANOS) events read converts losslessly via DIV 1000") {
     // a real nanos-annotated parquet (written by pyarrow; Spark cannot
-    // produce one) pins the legacy branch: footer inference must throw,
-    // the probe must CLASSIFY that throw as nanos (not rethrow), and the
-    // raw-long DIV-1000 conversion must yield the original instants.
+    // produce one) pins the legacy branch: the footer probe reads the ts
+    // column's own logical-type annotation, must classify NANOS as
+    // non-native, and the raw-long DIV-1000 conversion must yield the
+    // original instants.
     // 100 events at 8h spacing from 2024-01-01 → 33-day span.
     val dir = getClass.getResource("/nanos-events").getPath
     assert(!Tables.eventsTsIsNativeMicros(spark, dir),
