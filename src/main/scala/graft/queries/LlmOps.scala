@@ -721,9 +721,9 @@ object LlmOps {
 
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small. The
-    // documented at-scale swap is `approx_top_k(word, 50)` (Spark 4.1's
-    // sketch aggregate): one pass, kilobyte mergeable state, no exact
-    // (token, count) shuffle — exact counts here because the oracle
+    // at-scale swap is the REGISTERED dual q33_token_freq_approx
+    // (`approx_top_k`, below): one pass, kilobyte mergeable state, no
+    // exact (token, count) shuffle — exact counts here because the oracle
     // compare needs determinism, approximate on a 100 TB vocabulary
     // where the exact agg's shuffle is the bottleneck (same posture as
     // q13_approx_distinct vs q12_count_distinct).
