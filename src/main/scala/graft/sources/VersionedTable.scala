@@ -66,17 +66,48 @@ object VersionedTable {
   }
 
   private def manifestName(v: Long) = f"v$v%08d.json"
+  private def checkpointName(v: Long) = f"checkpoint-v$v%08d.json"
 
-  /** Committed versions, ascending — from the manifest listing only. */
+  private val checkpointEntry = """\{"v":(\d+),"dir":"([^"]+)"\}""".r
+
+  /** The newest checkpoint's folded (version → dir) map, or empty. One
+    * body read; see [[compactManifests]] for the write side.
+    */
+  private def checkpointMap(hfs: FileSystem, root: Path): Map[Long, String] = {
+    val mDir = new Path(root, "_manifests")
+    if (!hfs.exists(mDir)) return Map.empty
+    val newest = hfs.listStatus(mDir).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("checkpoint-v") && n.endsWith(".json") =>
+        n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
+      }.maxOption
+    newest match {
+      case None => Map.empty
+      case Some(v) =>
+        val in = hfs.open(new Path(mDir, checkpointName(v)))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        checkpointEntry.findAllMatchIn(body)
+          .map(m => m.group(1).toLong -> m.group(2)).toMap
+    }
+  }
+
+  /** Committed versions, ascending — the manifest listing, plus versions
+    * folded into the newest checkpoint (whose per-version manifests
+    * [[compactManifests]] may have retired).
+    */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val (hfs, root) = fs(spark, table)
     val mDir = new Path(root, "_manifests")
     if (!hfs.exists(mDir)) Seq.empty
-    else hfs.listStatus(mDir).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong
-      }.toSeq.sorted
+    else {
+      val listed = hfs.listStatus(mDir).iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong
+        }.toSet
+      (listed ++ checkpointMap(hfs, root).keySet).toSeq.sorted
+    }
   }
 
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
@@ -143,24 +174,44 @@ object VersionedTable {
 
   private val dirField = """"dir"\s*:\s*"([^"]+)"""".r
 
+  /** Resolve `version` → its data dir: the per-version manifest body when
+    * present, else the newest checkpoint (where [[compactManifests]] may
+    * have folded it). None = never committed.
+    */
+  private def resolveDir(hfs: FileSystem, root: Path,
+      version: Long): Option[String] =
+    resolveDirWith(hfs, root, version, () => checkpointMap(hfs, root))
+
+  /** `cp` is by-need so the common case (manifest present) never pays the
+    * checkpoint read; batch callers (vacuum, compaction) preload one map
+    * and share it across versions.
+    */
+  private def resolveDirWith(hfs: FileSystem, root: Path, version: Long,
+      cp: () => Map[Long, String]): Option[String] = {
+    val manifest = new Path(root, s"_manifests/${manifestName(version)}")
+    if (hfs.exists(manifest)) {
+      val in = hfs.open(manifest)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(dirField.findFirstMatchIn(body).map(_.group(1))
+        // manifests predating the writer-unique layout name no dir: they
+        // committed to the versioned path
+        .getOrElse(s"data/v=$version"))
+    } else cp().get(version)
+  }
+
   /** Time-travel read: snapshot `version` exactly as committed — the data
-    * dir is resolved from the manifest body. Throws if the version was
-    * never COMMITTED — data files without a manifest (a crashed writer)
-    * do not exist as far as readers are concerned.
+    * dir is resolved from the manifest body (or the checkpoint that
+    * folded it). Throws if the version was never COMMITTED — data files
+    * without a manifest (a crashed writer) do not exist as far as
+    * readers are concerned.
     */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val (hfs, root) = fs(spark, table)
-    val manifest = new Path(root, s"_manifests/${manifestName(version)}")
-    require(hfs.exists(manifest),
-      s"version $version of $table was never committed")
-    val in = hfs.open(manifest)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val dir = dirField.findFirstMatchIn(body).map(_.group(1))
-      // manifests predating the writer-unique layout name no dir: they
-      // committed to the versioned path
-      .getOrElse(s"data/v=$version")
+    val dir = resolveDir(hfs, root, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version of $table was never committed"))
     spark.read.parquet(new Path(root, dir).toString)
   }
 
@@ -303,12 +354,14 @@ object VersionedTable {
     // than the grace" to "every in-flight writer" — refuse it
     require(graceMs > 0, s"graceMs must be > 0: $graceMs")
     val (hfs, root) = fs(spark, table)
-    def referenced(): Set[String] = versions(spark, table).map { v =>
-      val in = hfs.open(new Path(root, s"_manifests/${manifestName(v)}"))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      dirField.findFirstMatchIn(body).map(_.group(1)).getOrElse(s"data/v=$v")
-    }.toSet
+    def referenced(): Set[String] = {
+      // one checkpoint read per pass, shared across versions; re-loaded
+      // on the second pass so a compaction racing the vacuum cannot hide
+      // a version behind a manifest it just retired
+      val cp = checkpointMap(hfs, root)
+      versions(spark, table)
+        .flatMap(v => resolveDirWith(hfs, root, v, () => cp)).toSet
+    }
     val dataDir = new Path(root, "data")
     if (!hfs.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
@@ -337,5 +390,59 @@ object VersionedTable {
         else None
       }
       .toSeq.sorted
+  }
+
+  /** Compact the manifest log — the Delta-checkpoint move for long
+    * version chains. Folds every committed (version → dir) pair into one
+    * `_manifests/checkpoint-v<latest>.json`, then retires the per-version
+    * manifests it folded (keeping the newest `keepRecent` as a hot tail),
+    * plus any older checkpoint the new one subsumes. After compaction,
+    * version discovery and vacuum read ONE checkpoint body + the recent
+    * tail instead of one body per version — a million-commit table's
+    * metadata ops stay O(tail), and time travel still reaches every
+    * version ([[resolveDir]] falls back to the checkpoint).
+    *
+    * Concurrency, by the same put-if-absent primitive as [[publish]]:
+    * the checkpoint is created with overwrite=false at the CURRENT latest
+    * version — two racing compactions at the same latest produce one
+    * winner and one clean no-op; a commit racing PAST latest is untouched
+    * (its manifest is newer than the checkpoint and survives retirement).
+    * Retirement deletes only manifests already folded into the by-then
+    * durable checkpoint, so no reader can ever fail to resolve a version.
+    * Returns the number of per-version manifests retired.
+    */
+  def compactManifests(spark: SparkSession, table: String,
+      keepRecent: Int = 8): Int = {
+    require(keepRecent >= 0, s"keepRecent must be >= 0: $keepRecent")
+    val (hfs, root) = fs(spark, table)
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return 0
+    val latest = vs.last
+    val target = new Path(root, s"_manifests/${checkpointName(latest)}")
+    if (hfs.exists(target)) return 0 // already compacted at this version
+    val cp = checkpointMap(hfs, root)
+    val pairs = vs.flatMap(v =>
+      resolveDirWith(hfs, root, v, () => cp).map(v -> _))
+    val body = pairs.map { case (v, d) => s"""{"v":$v,"dir":"$d"}""" }
+      .mkString("[", ",", "]")
+    val out =
+      try hfs.create(target, /* overwrite = */ false)
+      catch { case e: java.io.IOException =>
+        if (hfs.exists(target)) return 0 // racing compaction won — no-op
+        else throw e
+      }
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // the checkpoint is durable: retire what it folded
+    val olderCheckpoints = hfs.listStatus(new Path(root, "_manifests"))
+      .iterator.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("checkpoint-v") && n.endsWith(".json") && n != target.getName
+      }
+    olderCheckpoints.foreach(p => hfs.delete(p, false))
+    vs.dropRight(keepRecent).count { v =>
+      val m = new Path(root, s"_manifests/${manifestName(v)}")
+      hfs.exists(m) && hfs.delete(m, false)
+    }
   }
 }

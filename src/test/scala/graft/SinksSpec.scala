@@ -419,6 +419,37 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.vacuum(spark, t, graceMs = 10L).isEmpty)
   }
 
+  test("VersionedTable.compactManifests folds the log; every version resolves") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable_compact"
+    (1 to 12).foreach(i =>
+      VersionedTable.commit(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    // fold all 12, keep a 3-manifest hot tail -> 9 retired
+    assert(VersionedTable.compactManifests(spark, t, keepRecent = 3) == 9)
+    assert(VersionedTable.versions(spark, t) == (1L to 12L),
+      "discovery sees checkpointed AND listed versions")
+    // time travel reaches a retired version via the checkpoint and a
+    // recent one via its manifest
+    assert(VersionedTable.readVersion(spark, t, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "v1")))
+    assert(VersionedTable.readVersion(spark, t, 12L).collect()
+      .map(_.getString(1)).toSeq == Seq("v12"))
+    // the chain continues past the checkpoint
+    VersionedTable.commit(spark, Seq((99L, "z")).toDF("k", "v"), t)
+    assert(VersionedTable.latestVersion(spark, t).contains(13L))
+    // re-compacting at the new latest folds the growth (only v10 of the
+    // pre-tail manifests still exists); at the SAME latest it's a no-op
+    assert(VersionedTable.compactManifests(spark, t, keepRecent = 3) == 1)
+    assert(VersionedTable.compactManifests(spark, t, keepRecent = 3) == 0)
+    // vacuum keeps honoring checkpoint-only references: nothing reclaimed,
+    // retired versions still read back
+    Thread.sleep(50)
+    assert(VersionedTable.vacuum(spark, t, graceMs = 10L).isEmpty)
+    assert(VersionedTable.readVersion(spark, t, 5L).collect()
+      .map(_.getString(1)).toSeq == Seq("v5"))
+  }
+
   test("compactParquet sizes a hive-partitioned input recursively") {
     // data files live under k=0/…k=3/ subdirectories: a flat listing sees
     // 0 bytes -> n=1 -> single-file rewrite regardless of target. The
