@@ -17,6 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `SELECT ... FROM '<table-path>' VERSION AS OF <n> ...` rewrites the
   *    time-travel reference to a temp view over
   *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`;
+  *  - `VACUUM '<table-path>' RETAIN <n> HOURS`, `COMPACT MANIFESTS
+  *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'` —
+  *    the maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
   * Deliberately thin: a regex statement grammar, not a full parser — the
@@ -61,15 +64,43 @@ object GraftSql {
   private val VersionRefRe =
     """(?is)(?:'([^']+)'|`([^`]+)`)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)""".r
 
-  /** Execute one statement; see the object doc for the grammar. */
-  def sql(spark: SparkSession, statement: String): DataFrame =
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(?:'([^']+)'|`([^`]+)`)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*""".r
+  private val CompactRe =
+    """(?is)\s*COMPACT\s+MANIFESTS\s+(?:'([^']+)'|`([^`]+)`)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+
+  /** Execute one statement; see the object doc for the grammar. The
+    * maintenance statements mirror their verbs 1:1:
+    * `VACUUM '<path>' RETAIN <n> HOURS` → [[VersionedTable.vacuum]]
+    * (returns the reclaimed dirs); `COMPACT MANIFESTS '<path>'
+    * [KEEP <n>]` → [[VersionedTable.compactManifests]] (returns the
+    * retired-manifest count); `DESCRIBE HISTORY '<path>'` → one row per
+    * committed version, ascending.
+    */
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    import spark.implicits._
     statement match {
       case MergeRe(p1, p2, source, alias, on, whens) =>
         merge(spark, Option(p1).getOrElse(p2), source, Option(alias), on, whens)
+      case VacuumRe(p1, p2, hours) =>
+        VersionedTable.vacuum(spark, Option(p1).getOrElse(p2),
+            graceMs = hours.toLong * 3600L * 1000L)
+          .toDF("reclaimed_dir")
+      case CompactRe(p1, p2, keep) =>
+        val n = VersionedTable.compactManifests(spark,
+          Option(p1).getOrElse(p2),
+          keepRecent = Option(keep).map(_.toInt).getOrElse(8))
+        Seq(n).toDF("manifests_retired")
+      case HistoryRe(p1, p2) =>
+        val t = Option(p1).getOrElse(p2)
+        VersionedTable.versions(spark, t).toDF("version")
       case s if VersionRefRe.findFirstIn(s).isDefined =>
         spark.sql(rewriteTimeTravel(spark, s))
       case s => spark.sql(s)
     }
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException("GraftSql: " + msg)

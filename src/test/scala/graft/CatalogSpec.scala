@@ -119,6 +119,16 @@ class CatalogSpec extends AnyFunSuite {
       assert(both.toSeq == Seq(1L, 2L))
       assert(GraftSql.sql(spark, "SELECT 1 AS one").collect()
         .head.getInt(0) == 1)
+
+      // maintenance statements compile to their verbs
+      assert(GraftSql.sql(spark, s"DESCRIBE HISTORY '$tbl'").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(GraftSql.sql(spark, s"COMPACT MANIFESTS '$tbl' KEEP 1")
+        .collect().head.getInt(0) == 2, "versions 1-2 fold into the checkpoint")
+      assert(GraftSql.sql(spark, s"SELECT k FROM '$tbl' VERSION AS OF 1")
+        .count() == 3, "retired versions still time-travel via the checkpoint")
+      assert(GraftSql.sql(spark, s"VACUUM '$tbl' RETAIN 1 HOURS").isEmpty,
+        "everything inside the grace window survives")
     } finally spark.stop()
   }
 
