@@ -154,11 +154,15 @@ object VersionedTable {
     * so the conflict path is testable without a real race.
     */
   private[graft] def publish(spark: SparkSession, table: String,
-      version: Long, dataDirName: String): Unit = {
+      version: Long, dataDirName: String,
+      batchId: Option[Long] = None): Unit = {
     val (hfs, root) = fs(spark, table)
     val manifest = new Path(root, s"_manifests/${manifestName(version)}")
     hfs.mkdirs(manifest.getParent)
+    // "batch": the writing stream's epoch id — the idempotence token
+    // [[mergeBatchIfNew]] reads back to skip an already-applied replay
     val body = s"""{"version":$version,"dir":"$dataDirName",""" +
+      batchId.map(b => s""""batch":$b,""").getOrElse("") +
       s""""writer":"${UUID.randomUUID}"}"""
     val out =
       try hfs.create(manifest, /* overwrite = */ false)
@@ -257,11 +261,12 @@ object VersionedTable {
     */
   def commitMerge(spark: SparkSession, table: String, changes: DataFrame,
       key: String, version: String, op: String,
-      maxRecordsPerFile: Long = 5000000L): Long = {
+      maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long = {
     val baseVersion = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     commitMergeFrom(spark, table, baseVersion, changes, key, version, op,
-      maxRecordsPerFile)
+      maxRecordsPerFile, batchId)
   }
 
   /** [[commitMerge]] against an explicitly pinned base version — the seam
@@ -273,7 +278,8 @@ object VersionedTable {
   private[graft] def commitMergeFrom(spark: SparkSession, table: String,
       baseVersion: Long, changes: DataFrame,
       key: String, version: String, op: String,
-      maxRecordsPerFile: Long = 5000000L): Long = {
+      maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long = {
     val base = readVersion(spark, table, baseVersion)
     // the version/op names partition `changes` into metadata vs data
     // columns; a BASE data column with one of those names would make that
@@ -298,7 +304,7 @@ object VersionedTable {
     val merged = graft.api.Graft.applyChanges(
       widened, changes, key, version, op)
     val dirName = writeSnapshot(spark, merged, table, maxRecordsPerFile)
-    publish(spark, table, baseVersion + 1L, dirName)
+    publish(spark, table, baseVersion + 1L, dirName, batchId)
     baseVersion + 1L
   }
 
@@ -323,7 +329,8 @@ object VersionedTable {
       key: String,
       deleteWhen: org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.lit(false),
-      maxRecordsPerFile: Long = 5000000L): Long = {
+      maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{lit, when}
     require(!source.columns.contains("__ver") && !source.columns.contains("__op"),
       "source must not carry reserved columns __ver/__op")
@@ -331,7 +338,59 @@ object VersionedTable {
       .withColumn("__op", when(deleteWhen, "d").otherwise("u"))
       .withColumn("__ver", lit(1L))
     commitMerge(spark, table, changes, key, version = "__ver", op = "__op",
-      maxRecordsPerFile = maxRecordsPerFile)
+      maxRecordsPerFile = maxRecordsPerFile, batchId = batchId)
+  }
+
+  private val batchField = """"batch"\s*:\s*(-?\d+)""".r
+
+  /** The batch token the LATEST version was committed with (None for
+    * non-stream commits). Read from the latest per-version manifest —
+    * which always exists, because [[compactManifests]] keeps a hot tail
+    * of ≥ 1 manifest.
+    */
+  def lastBatchId(spark: SparkSession, table: String): Option[Long] =
+    latestVersion(spark, table).flatMap { v =>
+      val (hfs, root) = fs(spark, table)
+      val m = new Path(root, s"_manifests/${manifestName(v)}")
+      if (!hfs.exists(m)) None
+      else {
+        val in = hfs.open(m)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        batchField.findFirstMatchIn(body).map(_.group(1).toLong)
+      }
+    }
+
+  /** Exactly-once micro-batch upsert — the `foreachBatch` body of the
+    * streaming→lakehouse bridge ([[graft.streaming.Streams]] wires it).
+    * Structured Streaming replays a batch whose commit landed but whose
+    * checkpoint write did not (at-least-once delivery); the batch token
+    * pinned in the manifest turns that replay into a no-op, upgrading the
+    * sink to exactly-once — Delta's txn-version idempotence, expressed on
+    * this manifest layout. Returns the committed version, or None when
+    * `batchId` is already the latest commit's token (replay).
+    *
+    * First batch on an empty table commits the source as snapshot v1;
+    * later batches run [[mergeInto]] upserts (same contract: ≤ 1 source
+    * row per key — pre-aggregate the stream; conditional deletes via
+    * `deleteWhen`). One stream per table: the token check inspects only
+    * the LATEST commit, so interleaved writers would defeat it (the same
+    * single-writer rule every batch-id-idempotent sink has).
+    */
+  def mergeBatchIfNew(spark: SparkSession, table: String, source: DataFrame,
+      key: String, batchId: Long,
+      deleteWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(false)): Option[Long] = {
+    if (lastBatchId(spark, table).contains(batchId)) None
+    else latestVersion(spark, table) match {
+      case None =>
+        val dirName = writeSnapshot(spark, source, table, 5000000L)
+        publish(spark, table, 1L, dirName, Some(batchId))
+        Some(1L)
+      case Some(_) =>
+        Some(mergeInto(spark, table, source, key, deleteWhen,
+          batchId = Some(batchId)))
+    }
   }
 
   /** Reclaim storage from data dirs no manifest references — the orphans
@@ -413,7 +472,10 @@ object VersionedTable {
     */
   def compactManifests(spark: SparkSession, table: String,
       keepRecent: Int = 8): Int = {
-    require(keepRecent >= 0, s"keepRecent must be >= 0: $keepRecent")
+    // >= 1: the LATEST version's manifest must survive compaction — it
+    // carries the batch token [[lastBatchId]] reads for streaming
+    // exactly-once (and keeps "what just happened" one body-read away)
+    require(keepRecent >= 1, s"keepRecent must be >= 1: $keepRecent")
     val (hfs, root) = fs(spark, table)
     val vs = versions(spark, table)
     if (vs.isEmpty) return 0

@@ -135,6 +135,37 @@ object Streams {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .start()
 
+  /** The per-batch body of [[startVersionedUpsertSink]] — each micro-batch
+    * MERGEs into the versioned table as one atomic commit, made
+    * exactly-once by the batch token the manifest pins
+    * ([[graft.sources.VersionedTable.mergeBatchIfNew]]): an at-least-once
+    * replay after a failure between commit and checkpoint no-ops instead
+    * of double-applying. Exposed so tests replay the REAL commit path.
+    */
+  def versionedUpsertBatch(table: String, key: String)(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    graft.sources.VersionedTable.mergeBatchIfNew(
+      batch.sparkSession, table, batch.toDF(), key, batchId)
+    ()
+  }
+
+  /** Streaming→lakehouse bridge: continuous exactly-once upserts into a
+    * [[graft.sources.VersionedTable]] — every micro-batch becomes a
+    * committed, time-travelable version; readers always see a whole
+    * snapshot, never a partial batch (the same STM-at-file-granularity
+    * contract as every other commit). The stream must emit ≤ 1 row per
+    * key per batch (an `update`-mode keyed aggregation does naturally).
+    */
+  def startVersionedUpsertSink(df: DataFrame, table: String, key: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch(versionedUpsertBatch(table, key) _)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
     * running totals emitted on every update (the engine's escape hatch when
     * windowed aggregation can't express the state machine). State is

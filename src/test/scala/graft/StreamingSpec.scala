@@ -196,4 +196,44 @@ class StreamingSpec extends SparkSpec {
         s"unmatched click must surface with null purchase: $rows")
     } finally query.stop()
   }
+
+  test("versioned upsert sink: each batch commits once; replays no-op") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsink").toString
+    val table = s"$dir/t"
+    // live wiring: a real streaming query drives batches through the sink
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.startVersionedUpsertSink(
+      input.toDF().toDF("k", "v"), table, "k",
+      s"$dir/_ckpt", "vsink_golden")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      input.addData((2L, "b2"), (3L, "c"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(VersionedTable.versions(spark, table) == Seq(1L, 2L))
+    assert(VersionedTable.readLatest(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // time travel reaches the pre-merge snapshot — every batch is a version
+    assert(VersionedTable.readVersion(spark, table, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // at-least-once replay of the LAST batch (crash between commit and
+    // checkpoint): the pinned batch token turns it into a no-op
+    val replay = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    assert(VersionedTable.mergeBatchIfNew(spark, table, replay, "k",
+      batchId = 1L).isEmpty, "replayed batch must not commit")
+    assert(VersionedTable.versions(spark, table) == Seq(1L, 2L))
+    // the next NEW batch commits (conditional delete exercised)
+    assert(VersionedTable.mergeBatchIfNew(spark, table,
+      Seq((1L, "drop"), (4L, "d")).toDF("k", "v"), "k", batchId = 2L,
+      deleteWhen = col("v") === "drop").contains(3L))
+    assert(VersionedTable.readLatest(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "b2"), (3L, "c"), (4L, "d")))
+  }
 }
