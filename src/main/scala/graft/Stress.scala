@@ -141,9 +141,15 @@ object Stress {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
     val failures = mutable.ArrayBuffer.empty[String]
-    // SPARK_GRAFT_STRESS_ONLY=q50_resample,... narrows while iterating
+    // SPARK_GRAFT_STRESS_ONLY=q50_resample,... narrows while iterating —
+    // ANY registered query is allowed, so ad-hoc scale comparisons (e.g.
+    // exact vs sketch duals) run on the same synthesized corpus
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSet)
-    val reports = heavyQueries.filter(n => only.forall(_.contains(n))).map { name =>
+    val toRun = only match {
+      case Some(o) => SparkEntry.all.map(_.name).filter(o.contains)
+      case None => heavyQueries
+    }
+    val reports = toRun.map { name =>
       listener.reset()
       spark.catalog.clearCache()
       val q0 = System.nanoTime()

@@ -742,7 +742,10 @@ object LlmOps {
     // SQL oracle's; selection under boundary ties is sketch-order): the
     // frequent-items laws — no-eviction ⇒ exact counts, eviction ⇒
     // ±N/maxMapSize envelope with guaranteed heavy-hitter recall — are
-    // proven against tokenFrequency in GraftApiSpec.
+    // proven against tokenFrequency in GraftApiSpec. Measured on the 10×
+    // stress corpus (graft.Stress, ~10× vocabulary): exact 2.25 s vs
+    // sketch 0.93 s — the gap is the vocabulary-sized shuffle vs one
+    // bounded sketch per partition, and widens with distinct tokens.
     Q("q33_token_freq_approx",
       (s, d) => {
         Graft.tokenFrequencyApprox(Tables(s, d, "documents"), col("text"),
