@@ -94,8 +94,7 @@ object GraftSql {
           keepRecent = Option(keep).map(_.toInt).getOrElse(8))
         Seq(n).toDF("manifests_retired")
       case HistoryRe(p1, p2) =>
-        val t = Option(p1).getOrElse(p2)
-        VersionedTable.versions(spark, t).toDF("version")
+        VersionedTable.history(spark, Option(p1).getOrElse(p2))
       case s if VersionRefRe.findFirstIn(s).isDefined =>
         spark.sql(rewriteTimeTravel(spark, s))
       case s => spark.sql(s)

@@ -236,6 +236,51 @@ object VersionedTable {
       readVersion(spark, table, from), readVersion(spark, table, to),
       key, hashCols)
 
+  /** CDC-out: net key changes since `fromVersion`, against the CURRENT
+    * latest — what an incremental downstream consumer reads to catch up
+    * (pair with [[latestVersion]] to checkpoint its own high-water mark).
+    * NET semantics by construction (one diff of two snapshots, not a
+    * replay of every intermediate commit): a key upserted then deleted in
+    * between appears as nothing; cost is one keyed join of two hash
+    * projections regardless of how many versions elapsed.
+    */
+  def changesSince(spark: SparkSession, table: String, fromVersion: Long,
+      key: String, hashCols: Seq[String]): DataFrame = {
+    val to = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    require(fromVersion <= to,
+      s"fromVersion $fromVersion is ahead of latest $to")
+    diffVersions(spark, table, fromVersion, to, key, hashCols)
+  }
+
+  private val writerField = """"writer"\s*:\s*"([^"]+)"""".r
+
+  /** One row per committed version, ascending: (version, data_dir,
+    * writer, batch) — writer/batch null for versions whose per-version
+    * manifest [[compactManifests]] retired (the checkpoint folds only the
+    * version→dir pairs; the tail keeps full provenance). Metadata-only:
+    * one listing + one body read per surviving manifest.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val (hfs, root) = fs(spark, table)
+    val cp = checkpointMap(hfs, root)
+    val rows = versions(spark, table).map { v =>
+      val m = new Path(root, s"_manifests/${manifestName(v)}")
+      if (hfs.exists(m)) {
+        val in = hfs.open(m)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        (v,
+          dirField.findFirstMatchIn(body).map(_.group(1))
+            .getOrElse(s"data/v=$v"),
+          writerField.findFirstMatchIn(body).map(_.group(1)),
+          batchField.findFirstMatchIn(body).map(_.group(1).toLong))
+      } else (v, cp.getOrElse(v, s"data/v=$v"), None, None)
+    }
+    import spark.implicits._
+    rows.toDF("version", "data_dir", "writer", "batch")
+  }
+
   /** MERGE a CDC change batch into the latest snapshot and commit the
     * result as a new version ([[graft.api.Graft.applyChanges]] semantics:
     * per key the highest-`version` change wins, winning deletes drop the

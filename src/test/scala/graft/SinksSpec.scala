@@ -448,6 +448,38 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.vacuum(spark, t, graceMs = 10L).isEmpty)
     assert(VersionedTable.readVersion(spark, t, 5L).collect()
       .map(_.getString(1)).toSeq == Seq("v5"))
+    // history: every version rowed; retired ones keep dir but lose
+    // writer/batch provenance (the checkpoint folds pairs only)
+    val h = VersionedTable.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == (1L to 13L))
+    assert(h.forall(!_.isNullAt(1)), "every version resolves a data dir")
+    assert(h.take(9).forall(_.isNullAt(2)), "retired tail has no writer")
+    assert(!h.last.isNullAt(2), "surviving manifests keep writer provenance")
+  }
+
+  test("VersionedTable.changesSince nets out intermediate churn") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vtable_cdc"
+    VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    // v2: update 2, delete 3, add 4; v3: add 5 then v4: delete 5 (churn)
+    VersionedTable.mergeInto(spark, t,
+      Seq((2L, "b2"), (3L, "x"), (4L, "d")).toDF("k", "v"), "k",
+      deleteWhen = col("v") === "x")
+    VersionedTable.mergeInto(spark, t, Seq((5L, "e")).toDF("k", "v"), "k")
+    VersionedTable.mergeInto(spark, t, Seq((5L, "e")).toDF("k", "v"), "k",
+      deleteWhen = col("v") === "e")
+    val ch = VersionedTable.changesSince(spark, t, fromVersion = 1L,
+        key = "k", hashCols = Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // NET vs v1: 2 changed, 3 removed, 4 added — 5's add+delete nets out
+    assert(ch == Set((2L, "changed"), (3L, "removed"), (4L, "added")), ch)
+    // caught-up consumer sees nothing
+    assert(VersionedTable.changesSince(spark, t, 4L, "k", Seq("v")).isEmpty)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changesSince(spark, t, 99L, "k", Seq("v"))
+    }
   }
 
   test("compactParquet sizes a hive-partitioned input recursively") {
