@@ -1134,14 +1134,31 @@ object Graft {
     * serializes into one task — pre-split such keys by time range before
     * calling (the window is time-ordered, so range splits compose).
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame =
+    asofJoinTolerance(left, right, key, time, tolerance = None)
+
+  /** [[asofJoin]] with a staleness bound (pandas `merge_asof(tolerance=)`):
+    * a matched right row older than `tolerance` (in the time column's own
+    * units) is discarded — the row survives with nulls, exactly as if no
+    * right row preceded it. Same single-shuffle shape: the right row's
+    * time rides inside the packed struct, so the staleness test is one
+    * row-local comparison after the fill.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      time: String, tolerance: Option[Long]): DataFrame = {
+    require(tolerance.forall(_ >= 0),
+      s"tolerance must be >= 0: ${tolerance.get}")
     val lv = left.columns.filterNot(c => c == key || c == time)
     val rv = right.columns.filterNot(c => c == key || c == time)
     val overlap = lv.toSet.intersect(rv.toSet)
     require(overlap.isEmpty, s"asofJoin value columns must be disjoint: $overlap")
     if (rv.isEmpty) return left
-    // one nullable struct per right row — filled as a unit, unpacked after
-    val rvStructType = StructType(rv.map(c => right.schema(c).copy(nullable = true)))
+    // one nullable struct per right row — filled as a unit, unpacked
+    // after; "__rt" (the right row's own time) rides along for the
+    // staleness test and never leaves this operator
+    val rvStructType = StructType(
+      rv.map(c => right.schema(c).copy(nullable = true)) :+
+        right.schema(time).copy(name = "__rt", nullable = true))
     val lNorm = left.select(
       Seq(col(key), col(time), lit(1).as("__side")) ++
         lv.map(col) :+
@@ -1149,15 +1166,21 @@ object Graft {
     val rNorm = right.select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
         lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rv.map(col): _*).as("__rv"): _*)
+        struct(rv.map(col) :+ col(time).as("__rt"): _*).as("__rv"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lNorm.unionByName(rNorm)
+    val filled = lNorm.unionByName(rNorm)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(Seq(col(key), col(time)) ++ lv.map(col) ++
-        rv.map(c => col("__rv").getField(c).as(c)): _*)
+    val bounded = tolerance match {
+      case None => filled
+      case Some(t) => filled.withColumn("__rv",
+        when(col(time).cast(LongType) -
+          col("__rv").getField("__rt").cast(LongType) <= t, col("__rv")))
+    }
+    bounded.select(Seq(col(key), col(time)) ++ lv.map(col) ++
+      rv.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
   /** Range join: pair each point row with every interval row of the same

@@ -374,6 +374,39 @@ object Relational {
              |  ON c.user_id = p.user_id AND c.ts >= p.ts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // Q44b — as-of join with a staleness bound (pandas merge_asof
+    // tolerance): a prior purchase older than 1 h is no match — the row
+    // survives with null. Same one-shuffle fill shape; the tolerance test
+    // is row-local on the packed struct. Oracle mirrors Spark's
+    // seconds-granularity arithmetic (floor each side, then diff) so
+    // boundary rows agree bit-for-bit.
+    Q("q44_asof_tolerance",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("last_purchase_value"))
+        graft.api.Graft.asofJoinTolerance(clicks, purch, "user_id", "ts",
+            tolerance = Some(3600L))
+          .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'click'),
+             |purch AS (
+             |  SELECT user_id, ts, value AS last_purchase_value FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT c.event_id, c.user_id,
+             |  CASE WHEN (epoch_us(c.ts) // 1000000)
+             |         - (epoch_us(p.ts) // 1000000) <= 3600
+             |       THEN p.last_purchase_value END AS last_purchase_value
+             |FROM clicks c ASOF LEFT JOIN purch p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // Q45 — range (interval-containment) join: clicks within ±1 h of a
     // same-user purchase. Spark side is the bucketed range join
     // (Graft.rangeJoin — equi-join on (key, time-bucket), exact after the

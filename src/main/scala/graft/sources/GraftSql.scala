@@ -155,10 +155,13 @@ object GraftSql {
       fail("no actionable clause (need an upsert pair and/or a DELETE)")
 
     // alias the source so alias-qualified references in the DELETE
-    // condition resolve (`s.flag` and bare `flag` both work)
+    // condition resolve (`s.flag` and bare `flag` both work); a subquery
+    // source may itself time-travel (`USING (SELECT ... FROM '<path>'
+    // VERSION AS OF n)`) — rewrite before handing it to spark.sql
     val raw =
       if (sourceSql.startsWith("("))
-        spark.sql(sourceSql.stripPrefix("(").stripSuffix(")"))
+        spark.sql(rewriteTimeTravel(spark,
+          sourceSql.stripPrefix("(").stripSuffix(")")))
       else spark.table(sourceSql)
     val src = alias.map(raw.as(_)).getOrElse(raw)
     val deleteWhen = deletes.headOption match {

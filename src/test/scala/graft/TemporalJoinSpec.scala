@@ -53,6 +53,29 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((15L, 1.0, 100L), (25L, null, 200L)))
   }
 
+  test("asofJoinTolerance: stale matches null out, boundary inclusive") {
+    import spark.implicits._
+    val quotes = Seq((1L, 90L, 1.0), (1L, 95L, 2.0)).toDF("k", "t", "px")
+    val trades = Seq(
+      (1L, 100L), // diff to latest quote (95) = 5  <= 110 -> 2.0
+      (1L, 205L), // diff 110, boundary INCLUSIVE   -> 2.0
+      (1L, 206L), // diff 111, stale                -> null
+      (2L, 100L)  // no quote at all                -> null
+    ).toDF("k", "t")
+    val out = Graft.asofJoinTolerance(trades, quotes, "k", "t",
+        tolerance = Some(110L))
+      .orderBy("k", "t").select("k", "t", "px").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 2.0), (1L, 205L, 2.0), (1L, 206L, null), (2L, 100L, null)))
+    // tolerance None ≡ plain asofJoin (same operator underneath)
+    val plain = Graft.asofJoinTolerance(trades, quotes, "k", "t", None)
+      .orderBy("k", "t").select("px").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(plain.toSeq == Seq(2.0, 2.0, 2.0, null))
+  }
+
   test("asofJoin: overlapping value-column names are rejected") {
     import spark.implicits._
     val a = Seq((1L, 1L, "x")).toDF("k", "t", "v")
