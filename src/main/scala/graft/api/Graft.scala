@@ -3,7 +3,7 @@ package graft.api
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 
 /** The user-facing operator library: every LLM-data-pipeline operator as a
@@ -1131,8 +1131,8 @@ object Graft {
     * genuine NULL in one column cannot have that column back-filled from
     * an older row (and multi-column results never mix fields from
     * different right rows). Known skew note: a pathologically hot key
-    * serializes into one task — pre-split such keys by time range before
-    * calling (the window is time-ordered, so range splits compose).
+    * serializes into one task — [[asofJoinSplit]] is the same join with
+    * the window partitioned by (key, time-split), built for exactly that.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame =
     asofJoinTolerance(left, right, key, time, tolerance = None)
@@ -1181,6 +1181,75 @@ object Graft {
     }
     bounded.select(Seq(col(key), col(time)) ++ lv.map(col) ++
       rv.map(c => col("__rv").getField(c).as(c)): _*)
+  }
+
+  /** [[asofJoin]] for HOT keys: identical results, but the fill window
+    * partitions by (key, time-split) instead of key alone, so a key
+    * holding a billion rows spreads across `range/splitWidth` tasks
+    * instead of serializing into one — the fix for the skew caveat on
+    * [[asofJoin]], built from the engine's own two-level carry pattern
+    * ([[prefixMaxExclusive]]): per (key, split) the latest right row
+    * BEFORE the split's start arrives as a synthetic carry row, computed
+    * with an exclusive `last(ignoreNulls)` window over the one-row-per-
+    * (key, split) summary table — keyed by key but sized in SPLITS, not
+    * rows. `splitWidth` is in the time column's own units (cast to long);
+    * pick it so a split holds memory-comfortable row counts for the
+    * hottest key.
+    */
+  def asofJoinSplit(left: DataFrame, right: DataFrame, key: String,
+      time: String, splitWidth: Long): DataFrame = {
+    require(splitWidth > 0, s"splitWidth must be > 0: $splitWidth")
+    val lv = left.columns.filterNot(c => c == key || c == time)
+    val rv = right.columns.filterNot(c => c == key || c == time)
+    val overlap = lv.toSet.intersect(rv.toSet)
+    require(overlap.isEmpty, s"asofJoin value columns must be disjoint: $overlap")
+    if (rv.isEmpty) return left
+    val rvStructType = StructType(
+      rv.map(c => right.schema(c).copy(nullable = true)) :+
+        StructField("__rt", LongType, nullable = true))
+    def splitOf(t: Column) = floor(t.cast(LongType) / splitWidth).cast(LongType)
+    val lNorm = left.select(
+      Seq(col(key), col(time), splitOf(col(time)).as("__split"),
+        lit(1).as("__side")) ++ lv.map(col) :+
+        lit(null).cast(rvStructType).as("__rv"): _*)
+    val rNorm = right.select(
+      Seq(col(key), col(time), splitOf(col(time)).as("__split"),
+        lit(0).as("__side")) ++
+        lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rv.map(col) :+ col(time).cast(LongType).as("__rt"): _*)
+          .as("__rv"): _*)
+    // per-(key, split) summary: the LAST right row of each split — one
+    // row per occupied split, so everything below is split-sized
+    val summaries = rNorm
+      .groupBy(col(key), col("__split"))
+      .agg(max_by(col("__rv"), struct(col(time), col("__rv"))).as("__last"))
+    // the carry for split s = last right row of any EARLIER split. The
+    // spine is every (key, split) either side occupies; the exclusive
+    // window runs over n_splits rows per key (bounded), never data rows.
+    val spine = lNorm.select(col(key), col("__split"))
+      .union(rNorm.select(col(key), col("__split"))).distinct()
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("__split"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = spine
+      .join(summaries, Seq(key, "__split"), "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wPrev))
+      .filter(col("__carry").isNotNull)
+      .select(Seq(col(key),
+        (col("__split") * splitWidth).cast(left.schema(time).dataType)
+          .as(time),
+        col("__split"), lit(-1).as("__side")) ++
+        lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__carry").as("__rv"): _*)
+    // fill within each (key, split): carry sorts first (side -1 at the
+    // split start), right rows override it, left rows read the latest
+    val w = Window.partitionBy(col(key), col("__split"))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rNorm).unionByName(carries)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(time)) ++ lv.map(col) ++
+        rv.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
   /** Range join: pair each point row with every interval row of the same

@@ -109,8 +109,8 @@ object Analytics {
     // `quantile_cont` both use linear interpolation at h = (n−1)·q and
     // produce bit-identical doubles (verified to 17 significant digits on
     // this fixture) — so the exact-percentile surface is oracle-paired.
-    // The approx sketch dual (percentile_approx) is engine-verified with a
-    // rank-error bound in PropertySpec. Scale posture: exact percentile
+    // The approx sketch dual is REGISTERED below (q11_percentiles_approx)
+    // with a rank-error bound in PropertySpec. Scale posture: exact percentile
     // buffers every group value in the aggregation (fine at verification
     // scale, the priciest agg in the bench) — at 100 TB use the
     // percentile_approx sketch, whose state is O(1/accuracy) per group.
@@ -130,6 +130,27 @@ object Analytics {
              |  quantile_cont(l_quantity, 0.5) AS p50_qty
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // Q11b — the sketch dual of q11_percentiles, registered (the
+    // q12/q13 and q33 token_freq pairing, for quantiles): KLL-style
+    // percentile_approx with O(accuracy) mergeable state per group where
+    // the exact aggregate buffers every value. Engine-verified — sketch
+    // internals differ from any oracle's; the rank-error law (approx p50
+    // within the exact [p45, p55] band at accuracy 100) is proven in
+    // PropertySpec.
+    Q("q11_percentiles_approx",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile_approx(l_extendedprice, 0.5, 1000)")
+              .as("p50_price"),
+            expr("percentile_approx(l_extendedprice, 0.95, 1000)")
+              .as("p95_price"),
+            expr("percentile_approx(l_quantity, 0.5, 1000)").as("p50_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
 
     // Q15b — explicit GROUPING SETS with grouping() disambiguation markers.
     Q("q15_grouping_sets",

@@ -407,6 +407,35 @@ object Relational {
              |  ON c.user_id = p.user_id AND c.ts >= p.ts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // Q44c — the hot-key formulation (Graft.asofJoinSplit): value-
+    // identical to q44_asof_join (SAME oracle — the strongest identity
+    // statement available) but the fill window partitions by (user, day)
+    // with per-day carry rows from a splits-sized exclusive window, so a
+    // billion-row key spreads across range/86400 tasks instead of one.
+    Q("q44_asof_split",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("last_purchase_value"))
+        graft.api.Graft.asofJoinSplit(clicks, purch, "user_id", "ts",
+            splitWidth = 86400L)
+          .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'click'),
+             |purch AS (
+             |  SELECT user_id, ts, value AS last_purchase_value FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT c.event_id, c.user_id, p.last_purchase_value
+             |FROM clicks c ASOF LEFT JOIN purch p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // Q45 — range (interval-containment) join: clicks within ±1 h of a
     // same-user purchase. Spark side is the bucketed range join
     // (Graft.rangeJoin — equi-join on (key, time-bucket), exact after the

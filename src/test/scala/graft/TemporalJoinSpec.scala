@@ -76,6 +76,32 @@ class TemporalJoinSpec extends SparkSpec {
     assert(plain.toSeq == Seq(2.0, 2.0, 2.0, null))
   }
 
+  test("asofJoinSplit: identical to asofJoin across split boundaries and hot keys") {
+    import spark.implicits._
+    // quotes sparse (some splits empty -> carry must chain across them),
+    // trades dense; key 9 is a "hot" key with every row (the shape the
+    // split variant exists for); unique (k, t) so both orders agree
+    val quotes = (for (k <- 0L to 3L; i <- 0L to 40L)
+      yield (k, 7L + i * 23L + k, (i * 23L + k).toDouble)).toDF("k", "t", "px")
+      .union(Seq((9L, 3L, 99.0)).toDF("k", "t", "px")) // one early quote
+    val trades = (for (k <- 0L to 3L; i <- 0L to 150L)
+      yield (k, i * 7L + k)).toDF("k", "t")
+      .union((0L to 900L).map(i => (9L, i + 4L)).toDF("k", "t"))
+    val viaSplit = Graft.asofJoinSplit(trades, quotes, "k", "t",
+        splitWidth = 100L)
+    val viaPlain = Graft.asofJoin(trades, quotes, "k", "t")
+    assert(viaSplit.exceptAll(viaPlain).isEmpty &&
+      viaPlain.exceptAll(viaSplit).isEmpty,
+      "split-window formulation must be value-identical")
+    // the hot key's single early quote must carry through EVERY later
+    // split (splits 1..9 have no quotes at all)
+    assert(viaSplit.filter(col("k") === 9L && col("px").isNull).count() == 0)
+    // the data-sized fill must be keyed by (key, split) — only the
+    // splits-sized carry window may partition by key alone
+    val plan = viaSplit.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__split"), plan.take(2000))
+  }
+
   test("asofJoin: overlapping value-column names are rejected") {
     import spark.implicits._
     val a = Seq((1L, 1L, "x")).toDF("k", "t", "v")
