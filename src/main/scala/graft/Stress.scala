@@ -97,8 +97,20 @@ object Stress {
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"$$1$i"))
           .withColumn("n_chars", length(col("text")))))
+    // SPARK_GRAFT_STRESS_HOTKEY=0.3 rewires a deterministic 30% of all
+    // events onto ONE user — the hot-entity shape (a bot, a megacorp
+    // tenant) that serializes per-key windows. Off by default; used to
+    // demonstrate the skew tripwire catching a hot key in the plain
+    // as-of join while the split formulation stays balanced.
+    val hotFrac = sys.env.get("SPARK_GRAFT_STRESS_HOTKEY").map(_.toDouble)
+    val hotwire: (DataFrame, Int) => DataFrame = (df, _) => hotFrac match {
+      case None => df
+      case Some(f) => df.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(1000)) < lit((f * 1000).toLong),
+          lit(1L)).otherwise(col("user_id")))
+    }
     write("events", blowUp(Tables(spark, sfDir, "events"), mult,
-      Seq("event_id", "user_id"), noPerturb))
+      Seq("event_id", "user_id"), hotwire))
     write("orders", blowUp(Tables(spark, sfDir, "orders"), mult,
       Seq("o_orderkey", "o_custkey"), noPerturb))
     // l_partkey intentionally NOT offset: the item vocabulary is fixed as

@@ -1194,7 +1194,11 @@ object Graft {
     * (key, split) summary table — keyed by key but sized in SPLITS, not
     * rows. `splitWidth` is in the time column's own units (cast to long);
     * pick it so a split holds memory-comfortable row counts for the
-    * hottest key.
+    * hottest key. Costs one extra splits-sized aggregation + carry join
+    * over [[asofJoin]] (measured ~+1 s of fixed overhead at fixture
+    * scale, where even a 90%-hot key sorts in well under a second) — reach
+    * for it when a single key's rows outgrow one task's sort budget, not
+    * before.
     */
   def asofJoinSplit(left: DataFrame, right: DataFrame, key: String,
       time: String, splitWidth: Long): DataFrame = {
