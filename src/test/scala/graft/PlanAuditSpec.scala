@@ -75,6 +75,16 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q44_asof_split: data fill is keyed by (key, split); no NLJ anywhere") {
+    val p = plan("q44_asof_split")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the data-sized window must carry the split in its partition key —
+    // a key-only window over the union would re-create the hot-key task
+    assert("hashpartitioning\\(user_id#\\d+L?, __split".r.findFirstIn(p)
+      .isDefined, s"no (key, split)-keyed exchange:\n$p")
+  }
+
   test("q46: grouped top-k costs exactly one hash-partition shuffle") {
     val p = plan("q46_topk_grouped")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
