@@ -71,25 +71,34 @@ object VersionedTable {
   private val checkpointEntry = """\{"v":(\d+),"dir":"([^"]+)"\}""".r
 
   /** The newest checkpoint's folded (version → dir) map, or empty. One
-    * body read; see [[compactManifests]] for the write side.
+    * body read; see [[compactManifests]] for the write side. A racing
+    * compaction can retire the checkpoint between our listing and the
+    * open (each checkpoint is a superset of its predecessors, so the
+    * replacement answers every lookup the retired one did) — re-list and
+    * retry once on that window; compaction's keep-two retirement policy
+    * guarantees the second attempt's newest checkpoint outlives it.
     */
   private def checkpointMap(hfs: FileSystem, root: Path): Map[Long, String] = {
     val mDir = new Path(root, "_manifests")
     if (!hfs.exists(mDir)) return Map.empty
-    val newest = hfs.listStatus(mDir).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("checkpoint-v") && n.endsWith(".json") =>
-        n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
-      }.maxOption
-    newest match {
-      case None => Map.empty
-      case Some(v) =>
-        val in = hfs.open(new Path(mDir, checkpointName(v)))
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        checkpointEntry.findAllMatchIn(body)
-          .map(m => m.group(1).toLong -> m.group(2)).toMap
+    def attempt(): Map[Long, String] = {
+      val newest = hfs.listStatus(mDir).iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("checkpoint-v") && n.endsWith(".json") =>
+          n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
+        }.maxOption
+      newest match {
+        case None => Map.empty
+        case Some(v) =>
+          val in = hfs.open(new Path(mDir, checkpointName(v)))
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          checkpointEntry.findAllMatchIn(body)
+            .map(m => m.group(1).toLong -> m.group(2)).toMap
+      }
     }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
   }
 
   /** Committed versions, ascending — the manifest listing, plus versions
@@ -539,14 +548,18 @@ object VersionedTable {
         else throw e
       }
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // the checkpoint is durable: retire what it folded
-    val olderCheckpoints = hfs.listStatus(new Path(root, "_manifests"))
-      .iterator.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith("checkpoint-v") && n.endsWith(".json") && n != target.getName
-      }
-    olderCheckpoints.foreach(p => hfs.delete(p, false))
+    // the checkpoint is durable: retire what it folded. Keep the single
+    // most recent predecessor alongside the new checkpoint — a reader
+    // that listed just before this compaction may be about to open it
+    // (checkpointMap's retry then covers the pathological double-race)
+    val oldCheckpoints = hfs.listStatus(new Path(root, "_manifests"))
+      .iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("checkpoint-v") &&
+          n.endsWith(".json") && n != target.getName =>
+        n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
+      }.toSeq.sorted
+    oldCheckpoints.dropRight(1).foreach(v =>
+      hfs.delete(new Path(root, s"_manifests/${checkpointName(v)}"), false))
     vs.dropRight(keepRecent).count { v =>
       val m = new Path(root, s"_manifests/${manifestName(v)}")
       hfs.exists(m) && hfs.delete(m, false)
