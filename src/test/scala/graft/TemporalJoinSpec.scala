@@ -102,6 +102,28 @@ class TemporalJoinSpec extends SparkSpec {
     assert(plan.contains("__split"), plan.take(2000))
   }
 
+  test("asofJoinSplit: equivalence holds at extreme split widths") {
+    import spark.implicits._
+    // W=1 makes every tick its own split (the carry chain does ALL the
+    // matching); W=10^6 collapses to one split (pure in-split fill) —
+    // both must agree with the plain operator on irregular data
+    // groupBy(k, t) enforces unique right (key, time): duplicate right
+    // times are tiebreak-nondeterministic in BOTH formulations and would
+    // make the comparison flaky rather than meaningful
+    val quotes = (0L to 3L).flatMap(k =>
+      (0L to 25L).map(i => (k, (i * i * 13 + k * 5) % 700, (i + k).toDouble)))
+      .toDF("k", "t", "px")
+      .groupBy(col("k"), col("t")).agg(max(col("px")).as("px"))
+    val trades = (0L to 3L).flatMap(k =>
+      (0L to 80L).map(i => (k, (i * 31 + k) % 900))).distinct.toDF("k", "t")
+    val plain = Graft.asofJoin(trades, quotes, "k", "t")
+    Seq(1L, 7L, 1000000L).foreach { w =>
+      val split = Graft.asofJoinSplit(trades, quotes, "k", "t", w)
+      assert(split.exceptAll(plain).isEmpty && plain.exceptAll(split).isEmpty,
+        s"splitWidth=$w diverges from asofJoin")
+    }
+  }
+
   test("asofJoin: overlapping value-column names are rejected") {
     import spark.implicits._
     val a = Seq((1L, 1L, "x")).toDF("k", "t", "v")
