@@ -2472,6 +2472,61 @@ object Graft {
       .toDF().drop("__ttl_k", "__ttl_t")
   }
 
+  /** Holt linear (double-exponential) smoothing per key: level and trend
+    * state over each key's time-ordered values —
+    * {{{
+    *   l_1 = y_1,  b_1 = 0
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * }}}
+    * the one-step-ahead forecasting primitive ([[ewma]]'s sibling with a
+    * trend term). Genuinely sequential — l_t depends on the full prefix
+    * through a non-associative recurrence, so no window/self-join
+    * formulation exists; the scale shape is the [[dedupWithinTtl]] one:
+    * ONE keyed shuffle, Spark's secondary sort streams each group ordered
+    * by (time, tieBreak) through an O(1)-state iterator (two doubles per
+    * key in flight — no per-group materialization, spill-safe).
+    * Appends `level` and `trend` columns; `value` must be non-null
+    * (filter first); `tieBreak` completes the total order.
+    */
+  def holtSmooth(df: DataFrame, key: Column, time: Column, value: Column,
+      tieBreak: Column, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1]: $beta")
+    val prep = df.withColumn("__h_k", key.cast(StringType))
+      .withColumn("__h_t", time.cast(LongType))
+      .withColumn("__h_y", value.cast(DoubleType))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      prep.schema.fields :+
+        StructField("level", DoubleType, nullable = false) :+
+        StructField("trend", DoubleType, nullable = false))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[
+      org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    import org.apache.spark.sql.Encoders
+    val kIdx = prep.schema.fieldIndex("__h_k")
+    val yIdx = prep.schema.fieldIndex("__h_y")
+    val ia = 1 - alpha
+    val ib = 1 - beta
+    prep.groupByKey(_.getString(kIdx))(Encoders.STRING)
+      .flatMapSortedGroups(col("__h_t"), tieBreak) { (_, it) =>
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        it.map { r =>
+          val y = r.getDouble(yIdx)
+          if (first) { l = y; b = 0.0; first = false }
+          else {
+            val lPrev = l
+            l = alpha * y + ia * (l + b)
+            b = beta * (l - lPrev) + ib * b
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ l :+ b)
+        }
+      }
+      .toDF().drop("__h_k", "__h_t", "__h_y")
+  }
+
   /** Interval-overlap JOIN: pairs of closed intervals (same key, one from
     * each side) that overlap in time — the interval-interval sibling of
     * [[rangeJoin]]'s point-in-interval. Candidates come from an equi-join

@@ -1297,5 +1297,53 @@ object LlmOps {
              |  SELECT doc_id, rank_a, rank_b, rrf, row_number() OVER (
              |    ORDER BY rrf DESC, doc_id) AS rk FROM fused)
              |WHERE rk <= 10 ORDER BY rrf DESC, doc_id"""
-        .stripMargin.replace("%SUM%", graft.Exact.sqlSum("s")))))
+        .stripMargin.replace("%SUM%", graft.Exact.sqlSum("s")))),
+
+    // Q147 — Holt double-exponential smoothing (Graft.holtSmooth): per-
+    // user level+trend over purchase values — the forecasting recurrence
+    // (q85 EWMA's sibling with a trend term) that NO window expresses
+    // (l_t folds the whole prefix non-associatively), so it runs as the
+    // dedupWithinTtl shape: one keyed shuffle + secondary sort, O(1)
+    // state. Oracle: the identical recurrence as a recursive CTE walking
+    // rn → rn+1 per key; α=0.5 / β=0.25 are exactly representable and
+    // the step expressions are structurally identical on both engines,
+    // so doubles agree bit-for-bit before the 6dp rounding.
+    Q("q147_holt",
+      (s, d) => {
+        val purchases = Tables(s, d, "events")
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        // RAW doubles on both sides, no in-query round: the recurrence is
+        // bit-identical across engines (same ops, same order), and the
+        // harness's shared normalizer rounds both sides with ONE rounding
+        // function — an in-query round(…, 6) hit engine-specific tie
+        // behavior at values like 1.0128125 (Spark rounds the shortest
+        // decimal repr up, DuckDB rounds the binary double down).
+        Graft.holtSmooth(purchases, key = col("user_id"), time = col("ts"),
+            value = col("value"), tieBreak = col("event_id"),
+            alpha = 0.5, beta = 0.25)
+          .select(col("event_id"), col("user_id"), col("level"), col("trend"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT event_id, user_id, value AS y,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |rec AS (
+             |  -- DOUBLE anchors: DuckDB types the recursive branch from
+             |  -- the anchor, and a DECIMAL '0.0' would narrow every trend
+             |  SELECT event_id, user_id, y, rn, CAST(y AS DOUBLE) AS level,
+             |    CAST(0.0 AS DOUBLE) AS trend
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.event_id, o.user_id, o.y, o.rn,
+             |    0.5 * o.y + 0.5 * (r.level + r.trend) AS level,
+             |    0.25 * ((0.5 * o.y + 0.5 * (r.level + r.trend))
+             |      - r.level) + 0.75 * r.trend AS trend
+             |  FROM rec r JOIN ordered o
+             |    ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT event_id, user_id, level, trend
+             |FROM rec ORDER BY event_id""".stripMargin)))
 }

@@ -217,6 +217,24 @@ class GraftApiSpec extends SparkSpec {
     assert(chunked.filter(col("oid") === -250).head().getLong(2) == 0L)
   }
 
+  test("holtSmooth: level/trend recurrence matches hand computation per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0, 1L), ("a", 2L, 20.0, 2L), ("a", 3L, 30.0, 3L),
+      ("b", 1L, 5.0, 4L)
+    ).toDF("k", "t", "y", "id")
+    val out = Graft.holtSmooth(df, col("k"), col("t"), col("y"),
+        tieBreak = col("id"), alpha = 0.5, beta = 0.25)
+      .orderBy("k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(4), r.getDouble(5)))
+    // a: l1=10,b1=0; l2=.5*20+.5*10=15, b2=.25*5=1.25;
+    //    l3=.5*30+.5*16.25=23.125, b3=.25*8.125+.75*1.25=2.96875
+    assert(out.toSeq == Seq(
+      ("a", 1L, 10.0, 0.0), ("a", 2L, 15.0, 1.25),
+      ("a", 3L, 23.125, 2.96875), ("b", 1L, 5.0, 0.0)))
+  }
+
   test("prefixSumExclusive: DECIMAL(38,0) orders at chunk boundaries stay exact") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
