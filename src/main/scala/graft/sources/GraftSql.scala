@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    time-travel reference to a temp view over
   *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`;
   *  - `VACUUM '<table-path>' RETAIN <n> HOURS`, `COMPACT MANIFESTS
-  *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'` —
+  *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'`,
+  *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]` —
   *    the maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
@@ -70,6 +71,10 @@ object GraftSql {
     """(?is)\s*COMPACT\s+MANIFESTS\s+(?:'([^']+)'|`([^`]+)`)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
+      """(?:\s+CLUSTER\s+BY\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?\s*;?\s*""").r
 
   /** Execute one statement; see the object doc for the grammar. The
     * maintenance statements mirror their verbs 1:1:
@@ -95,6 +100,13 @@ object GraftSql {
         Seq(n).toDF("manifests_retired")
       case HistoryRe(p1, p2) =>
         VersionedTable.history(spark, Option(p1).getOrElse(p2))
+      case OptimizeRe(p1, p2, mb, cluster) =>
+        val v = VersionedTable.optimize(spark, Option(p1).getOrElse(p2),
+          targetFileBytes =
+            Option(mb).map(_.toLong << 20).getOrElse(128L << 20),
+          clusterCols = Option(cluster).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        Seq(v).toDF("version")
       case s if VersionRefRe.findFirstIn(s).isDefined =>
         spark.sql(rewriteTimeTravel(spark, s))
       case s => spark.sql(s)

@@ -130,11 +130,39 @@ object VersionedTable {
     * snapshot's bytes.
     */
   def commit(spark: SparkSession, df: DataFrame, table: String,
-      maxRecordsPerFile: Long = 5000000L): Long = {
+      maxRecordsPerFile: Long = 5000000L,
+      statsCols: Seq[String] = Nil): Long = {
     val next = latestVersion(spark, table).getOrElse(0L) + 1L
     val dirName = writeSnapshot(spark, df, table, maxRecordsPerFile)
+    // zone-map sidecar BEFORE publish: the stats become visible in the
+    // same atomic step as the data they describe
+    writeStatsSidecar(spark, new Path(new Path(table), dirName), statsCols)
     publish(spark, table, next, dirName)
     next
+  }
+
+  /** [[commit]] with the snapshot range-clustered on `clusterCols` first
+    * (repartitionByRange + sortWithinPartitions), so each data file covers
+    * a narrow slice of the cluster-key space — the layout that makes the
+    * zone-map sidecar actually prune (an unclustered write interleaves the
+    * key range across every file and no [min,max] test can exclude any).
+    * Stats default to the cluster columns. This is the simplified Z-order
+    * story: one-dimensional clustering at commit, [[Sinks.zorderedParquet]]
+    * when two dimensions must both prune.
+    */
+  def commitClustered(spark: SparkSession, df: DataFrame, table: String,
+      clusterCols: Seq[String], numFiles: Int = 0,
+      statsCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    require(clusterCols.nonEmpty, "commitClustered needs cluster columns")
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols.map(col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    commit(spark, ranged.sortWithinPartitions(cols: _*), table,
+      maxRecordsPerFile,
+      statsCols = if (statsCols.nonEmpty) statsCols else clusterCols)
   }
 
   /** Step 2 of the commit protocol: write `df` to a fresh writer-unique
@@ -564,5 +592,185 @@ object VersionedTable {
       val m = new Path(root, s"_manifests/${manifestName(v)}")
       hfs.exists(m) && hfs.delete(m, false)
     }
+  }
+
+  // ----- data skipping (zone-map sidecar + pruned reads) ---------------
+
+  /** An inclusive range predicate `lower <= column <= upper` for
+    * [[readVersionPruned]]; either bound may be open. Values go through
+    * `lit`, so use the column's native Scala type (Long, Double, String,
+    * java.sql.Timestamp, ...).
+    */
+  final case class ColumnBounds(column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None)
+
+  /** The zone-map sidecar's dir name inside a snapshot's data dir. The
+    * leading underscore makes it invisible to `spark.read.parquet(dataDir)`
+    * (Spark's file index skips `_`/`.`-prefixed paths), so [[readVersion]]
+    * is byte-identical with or without stats.
+    */
+  private val statsDirName = "_stats"
+
+  /** Write the per-file zone-map sidecar for `cols` under `dataDir`:
+    * one row per data file — (file, rows, min__c, max__c, nulls__c per
+    * column), native types preserved (the sidecar is itself parquet).
+    * min/max ignore nulls (Spark agg semantics), so a file all-null in a
+    * column has null min/max — which every range test fails, correctly
+    * pruning it. One small Spark job over the snapshot; the result is one
+    * row per file regardless of data size.
+    */
+  private def writeStatsSidecar(spark: SparkSession, dataDir: Path,
+      cols: Seq[String]): Unit = {
+    if (cols.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dataDir.toString)
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"stats column(s) ${missing.mkString(", ")} not in snapshot schema")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c")))
+    val allAggs = count(lit(1)).as("rows") +: aggs
+    df.groupBy(col("_metadata.file_name").as("file"))
+      .agg(allAggs.head, allAggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(dataDir, statsDirName).toString)
+  }
+
+  /** Backfill the zone-map sidecar for an already-committed version (new
+    * query pattern arrived after ingest). Additive only — snapshot data
+    * files are untouched; rewriting an existing sidecar is harmless
+    * (derived data). Returns false when the version resolves but the
+    * sidecar was already present with exactly these columns' stats.
+    */
+  def ensureStats(spark: SparkSession, table: String, version: Long,
+      cols: Seq[String]): Boolean = {
+    require(cols.nonEmpty, "ensureStats needs at least one column")
+    val dataDir = dataPathOf(spark, table, version)
+    val (hfs, _) = fs(spark, table)
+    val statsPath = new Path(dataDir, statsDirName)
+    if (hfs.exists(statsPath)) {
+      val have = spark.read.parquet(statsPath.toString).columns.toSet
+      if (cols.forall(c => have.contains(s"min__$c"))) return false
+    }
+    writeStatsSidecar(spark, dataDir, cols)
+    true
+  }
+
+  private def dataPathOf(spark: SparkSession, table: String,
+      version: Long): Path = {
+    val (hfs, root) = fs(spark, table)
+    val dir = resolveDir(hfs, root, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version of $table was never committed"))
+    new Path(root, dir)
+  }
+
+  /** File-level selection for `bounds` against the version's sidecar:
+    * Some((kept file names, total files)) — or None when no sidecar
+    * exists (caller falls back to the full scan). A file survives iff for
+    * every STATS-COVERED bound its [min,max] interval can intersect the
+    * range (`max >= lower && min <= upper`); bounds on uncovered columns
+    * prune nothing (the residual filter still applies them row-level).
+    * The kept list is driver-side — one file NAME per surviving file,
+    * the same driver-memory class as the file index every scan builds.
+    */
+  private[graft] def pruneSelection(spark: SparkSession, table: String,
+      version: Long, bounds: Seq[ColumnBounds]): Option[(Seq[String], Int)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dataDir = dataPathOf(spark, table, version)
+    val (hfs, _) = fs(spark, table)
+    val statsPath = new Path(dataDir, statsDirName)
+    if (!hfs.exists(statsPath)) return None
+    val stats = spark.read.parquet(statsPath.toString)
+    val keep = bounds
+      .filter(b => stats.columns.contains(s"min__${b.column}"))
+      .flatMap { b =>
+        b.lower.map(l => col(s"max__${b.column}") >= lit(l)).toSeq ++
+          b.upper.map(u => col(s"min__${b.column}") <= lit(u)).toSeq
+      }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // an all-null file has null min/max -> the range test is NULL ->
+    // "cannot satisfy" -> prune (false), matching SQL range semantics
+    val rows = stats.select(col("file"),
+      org.apache.spark.sql.functions.coalesce(keep,
+        lit(false)).as("k")).collect()
+    Some((rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq, rows.length))
+  }
+
+  /** Range-predicate read with manifest-level data skipping: semantically
+    * identical to `readVersion(...).where(<bounds>)`, but files whose
+    * zone-map interval cannot intersect the bounds are never OPENED — at
+    * 100 TB that's the difference between touching every footer of a
+    * million files and reading the handful a clustered commit put the
+    * range into. Parquet row-group stats still prune WITHIN the surviving
+    * files; this layer sits above them, driven by one kilobyte-scale
+    * sidecar read. Degrades gracefully: no sidecar → full scan + filter
+    * (same rows, no skipping). Cluster the table on the bound columns
+    * ([[commitClustered]]) for the skipping to bite.
+    */
+  def readVersionPruned(spark: SparkSession, table: String, version: Long,
+      bounds: Seq[ColumnBounds]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val full = readVersion(spark, table, version)
+    val residual = bounds.flatMap { b =>
+      b.lower.map(l => col(b.column) >= lit(l)).toSeq ++
+        b.upper.map(u => col(b.column) <= lit(u)).toSeq
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    pruneSelection(spark, table, version, bounds) match {
+      case None => full.where(residual)
+      case Some((kept, total)) if kept.size == total => full.where(residual)
+      case Some((kept, _)) if kept.isEmpty =>
+        full.where(lit(false)) // folds to an empty LocalRelation — no scan
+      case Some((kept, _)) =>
+        val dataDir = dataPathOf(spark, table, version)
+        spark.read.schema(full.schema)
+          .parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+          .where(residual)
+    }
+  }
+
+  /** [[readVersionPruned]] at the latest committed version. */
+  def readLatestPruned(spark: SparkSession, table: String,
+      bounds: Seq[ColumnBounds]): DataFrame = {
+    val v = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    readVersionPruned(spark, table, v, bounds)
+  }
+
+  /** Rewrite the LATEST snapshot into ~`targetFileBytes` files and commit
+    * the result as a NEW version (Delta's OPTIMIZE): the small-file
+    * problem every incremental merge pipeline accretes — thousands of
+    * kilobyte files from drip commits, each costing a task + a footer
+    * read — fixed by one rewrite, while every historical version stays
+    * time-travel-readable (the old files belong to the old versions until
+    * [[vacuum]]'s grace passes after [[compactManifests]] retires them...
+    * they are REFERENCED, so vacuum never touches them — only dropping
+    * the old versions' manifests frees them). With `clusterCols` the
+    * rewrite also range-clusters and writes the zone-map sidecar, so
+    * OPTIMIZE doubles as the retro-clustering verb. Returns the new
+    * version. Concurrency: a racing commit wins the version slot and this
+    * throws [[CommitConflictException]] — retry; the half-written rewrite
+    * dir is vacuum-reclaimable garbage.
+    */
+  def optimize(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20,
+      clusterCols: Seq[String] = Nil): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0: $targetFileBytes")
+    val v = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val dataDir = dataPathOf(spark, table, v)
+    val (hfs, _) = fs(spark, table)
+    val it = hfs.listFiles(dataDir, /* recursive = */ false)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cur = readVersion(spark, table, v)
+    if (clusterCols.isEmpty) commit(spark, cur.repartition(n), table)
+    else commitClustered(spark, cur, table, clusterCols, numFiles = n)
   }
 }

@@ -502,4 +502,114 @@ class SinksSpec extends SparkSpec {
     // the partition column survives as a data column via discovery
     assert(back.columns.contains("k"))
   }
+
+  test("zone maps: clustered commit + pruned read skip out-of-range files") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnBounds
+    val t = tmp() + "/vt_skip"
+    // nv: all-null for id < 5000 — range-clustered on id, the low files
+    // are all-null in nv and must prune for any nv range
+    val df = spark.range(10000).select(col("id"),
+      (col("id") % 7).as("m"),
+      when(col("id") < 5000, lit(null).cast("long"))
+        .otherwise(col("id")).as("nv"))
+    val v = VersionedTable.commitClustered(spark, df, t,
+      clusterCols = Seq("id"), numFiles = 8, statsCols = Seq("id", "nv"))
+    assert(v == 1L)
+    // the sidecar is invisible to the plain read
+    val full = VersionedTable.readVersion(spark, t, 1L)
+    assert(full.count() == 10000 && full.columns.toSeq == Seq("id", "m", "nv"))
+
+    // narrow id range -> at most 2 of 8 range-clustered files survive
+    val idBounds = Seq(ColumnBounds("id", Some(2000L), Some(2999L)))
+    val (kept, total) = VersionedTable.pruneSelection(spark, t, 1L, idBounds).get
+    assert(total == 8, s"expected 8 stats rows, got $total")
+    assert(kept.nonEmpty && kept.size <= 2, s"kept ${kept.size}/8 files")
+    val pruned = VersionedTable.readVersionPruned(spark, t, 1L, idBounds)
+    val expect = full.where(col("id").between(2000L, 2999L))
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+
+    // all-null files prune on the null-bearing column (min/max null fail
+    // every range test), and the surviving rows are exact
+    val nvBounds = Seq(ColumnBounds("nv", Some(0L), None))
+    val (keptNv, _) = VersionedTable.pruneSelection(spark, t, 1L, nvBounds).get
+    assert(keptNv.size < 8, s"all-null nv files not pruned: ${keptNv.size}/8")
+    val prunedNv = VersionedTable.readVersionPruned(spark, t, 1L, nvBounds)
+    val expectNv = full.where(col("nv") >= 0L)
+    assert(prunedNv.exceptAll(expectNv).isEmpty &&
+      expectNv.exceptAll(prunedNv).isEmpty)
+
+    // a bound on a column WITHOUT stats prunes nothing but still filters
+    val mixed = Seq(ColumnBounds("m", Some(3L), Some(3L)),
+      ColumnBounds("id", Some(2000L), Some(2999L)))
+    val prunedMix = VersionedTable.readVersionPruned(spark, t, 1L, mixed)
+    val expectMix = full.where(col("m") === 3L &&
+      col("id").between(2000L, 2999L))
+    assert(prunedMix.exceptAll(expectMix).isEmpty &&
+      expectMix.exceptAll(prunedMix).isEmpty)
+
+    // fully out-of-range -> zero files, empty result, schema intact
+    val none = VersionedTable.readLatestPruned(spark, t,
+      Seq(ColumnBounds("id", Some(50000L), None)))
+    assert(none.count() == 0 && none.columns.toSeq == full.columns.toSeq)
+
+    // no sidecar -> graceful full-scan fallback with identical rows
+    val t2 = tmp() + "/vt_nostats"
+    import spark.implicits._
+    VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), t2)
+    assert(VersionedTable.pruneSelection(spark, t2, 1L,
+      Seq(ColumnBounds("k", Some(2L), None))).isEmpty)
+    val fb = VersionedTable.readLatestPruned(spark, t2,
+      Seq(ColumnBounds("k", Some(2L), None)))
+    assert(fb.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("zone maps: ensureStats backfills an existing version once") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnBounds
+    val t = tmp() + "/vt_backfill"
+    VersionedTable.commitClustered(spark, spark.range(1000).toDF("id"), t,
+      clusterCols = Seq("id"), numFiles = 4)
+    // already covered -> no rewrite; a NEW column -> rewrite
+    assert(!VersionedTable.ensureStats(spark, t, 1L, Seq("id")))
+    val t2 = tmp() + "/vt_backfill2"
+    VersionedTable.commit(spark, spark.range(1000).toDF("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")), t2)
+    assert(VersionedTable.ensureStats(spark, t2, 1L, Seq("id")))
+    val (kept, total) = VersionedTable.pruneSelection(spark, t2, 1L,
+      Seq(ColumnBounds("id", Some(0L), Some(99L)))).get
+    assert(total == 4 && kept.size < 4, s"kept ${kept.size}/$total")
+  }
+
+  test("optimize rewrites the latest snapshot as a new compacted version") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnBounds
+    val t = tmp() + "/vt_opt"
+    val df = spark.range(20000).select(col("id"),
+      md5(col("id").cast("string")).as("payload"))
+    VersionedTable.commit(spark, df.repartition(16), t,
+      maxRecordsPerFile = 500L) // many small files
+    def nFiles(v: Long) = VersionedTable.readVersion(spark, t, v)
+      .select(col("_metadata.file_name")).distinct().count()
+    val before = nFiles(1L)
+    assert(before >= 16, s"setup expected many small files, got $before")
+    // everything fits one file at a 1 GiB target; cluster + stats on id
+    val v2 = VersionedTable.optimize(spark, t,
+      targetFileBytes = 1L << 30, clusterCols = Seq("id"))
+    assert(v2 == 2L && nFiles(2L) < before)
+    // same rows; v1 still time-travel-readable at its old layout
+    val a = VersionedTable.readVersion(spark, t, 1L)
+    val b = VersionedTable.readVersion(spark, t, 2L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(nFiles(1L) == before)
+    // the rewrite clustered + wrote stats -> pruned reads work on v2
+    assert(VersionedTable.pruneSelection(spark, t, 2L,
+      Seq(ColumnBounds("id", Some(0L), Some(10L)))).isDefined)
+    // statement spelling drives the same verb
+    val v3 = graft.sources.GraftSql.sql(spark,
+        s"OPTIMIZE '$t' TARGET 1024 MB CLUSTER BY (id)")
+      .head().getLong(0)
+    assert(v3 == 3L)
+  }
 }
