@@ -1552,6 +1552,36 @@ object Composite {
              |WHERE v1.c_name IS DISTINCT FROM v2.c_name
              |   OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
              |   OR v1.c_acctbal IS DISTINCT FROM v2.c_acctbal
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Q148 — zone-map pruned scan (VersionedTable.readLatestPruned): the
+    // full data-skipping path end-to-end — range-cluster orders on
+    // o_orderdate into a versioned commit (per-file min/max sidecar), then
+    // read one year back through the file-pruning range read. The result
+    // must be IDENTICAL to a plain relational range scan (the oracle); the
+    // file-level skip itself (files never opened) is asserted in
+    // SinksSpec. At 100 TB this is the manifest-driven scan that touches
+    // only the files a clustered ingest put the year into.
+    Q("q148_pruned_scan",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-vtable-skip").toString
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice"))
+        VersionedTable.commitClustered(s, orders, dir,
+          clusterCols = Seq("o_orderdate"), numFiles = 8)
+        VersionedTable.readLatestPruned(s, dir,
+            Seq(VersionedTable.ColumnBounds("o_orderdate",
+              Some(java.sql.Date.valueOf("1995-01-01")),
+              Some(java.sql.Date.valueOf("1995-12-31")))))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+             |FROM orders
+             |WHERE o_orderdate BETWEEN DATE '1995-01-01'
+             |  AND DATE '1995-12-31'
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
