@@ -1582,6 +1582,32 @@ object Composite {
              |FROM orders
              |WHERE o_orderdate BETWEEN DATE '1995-01-01'
              |  AND DATE '1995-12-31'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q149 — Bloom-index point lookup (VersionedTable ColumnEquals): the
+    // needle-in-haystack read a date-clustered table cannot zone-map-skip
+    // (orderkeys interleave across every date file) — the per-file Bloom
+    // sidecar keeps only the file(s) whose filter admits the key, then
+    // the residual equality filters rows. Result identical to the plain
+    // relational lookup (the oracle); the file-level skip itself is
+    // pinned in SinksSpec.
+    Q("q149_point_lookup",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-vtable-bloom").toString
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice"))
+        VersionedTable.commitClustered(s, orders, dir,
+          clusterCols = Seq("o_orderdate"), numFiles = 8,
+          bloomCols = Seq("o_orderkey"))
+        VersionedTable.readLatestPruned(s, dir, Nil,
+            Seq(VersionedTable.ColumnEquals("o_orderkey", 1285L)))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+             |FROM orders WHERE o_orderkey = 1285
              |ORDER BY o_orderkey""".stripMargin))
   )
 }

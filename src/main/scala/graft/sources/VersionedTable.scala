@@ -131,12 +131,15 @@ object VersionedTable {
     */
   def commit(spark: SparkSession, df: DataFrame, table: String,
       maxRecordsPerFile: Long = 5000000L,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBitsPerRow: Int = 10): Long = {
     val next = latestVersion(spark, table).getOrElse(0L) + 1L
     val dirName = writeSnapshot(spark, df, table, maxRecordsPerFile)
     // zone-map sidecar BEFORE publish: the stats become visible in the
     // same atomic step as the data they describe
-    writeStatsSidecar(spark, new Path(new Path(table), dirName), statsCols)
+    writeStatsSidecar(spark, new Path(new Path(table), dirName), statsCols,
+      bloomCols, bloomBitsPerRow)
     publish(spark, table, next, dirName)
     next
   }
@@ -153,6 +156,7 @@ object VersionedTable {
   def commitClustered(spark: SparkSession, df: DataFrame, table: String,
       clusterCols: Seq[String], numFiles: Int = 0,
       statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 5000000L): Long = {
     require(clusterCols.nonEmpty, "commitClustered needs cluster columns")
     import org.apache.spark.sql.functions.col
@@ -162,7 +166,8 @@ object VersionedTable {
       else df.repartitionByRange(cols: _*)
     commit(spark, ranged.sortWithinPartitions(cols: _*), table,
       maxRecordsPerFile,
-      statsCols = if (statsCols.nonEmpty) statsCols else clusterCols)
+      statsCols = if (statsCols.nonEmpty) statsCols else clusterCols,
+      bloomCols = bloomCols)
   }
 
   /** Step 2 of the commit protocol: write `df` to a fresh writer-unique
@@ -604,6 +609,15 @@ object VersionedTable {
   final case class ColumnBounds(column: String,
       lower: Option[Any] = None, upper: Option[Any] = None)
 
+  /** An equality predicate `column = value` for [[readVersionPruned]]:
+    * files are skipped via the column's per-file Bloom filter when the
+    * sidecar carries one (see `bloomCols` on [[commit]]), else via its
+    * zone map as the point range [value, value], else not at all (the
+    * residual row filter still applies). Same typing rule as
+    * [[ColumnBounds]]: pass the column's native Scala type.
+    */
+  final case class ColumnEquals(column: String, value: Any)
+
   /** The zone-map sidecar's dir name inside a snapshot's data dir. The
     * leading underscore makes it invisible to `spark.read.parquet(dataDir)`
     * (Spark's file index skips `_`/`.`-prefixed paths), so [[readVersion]]
@@ -620,22 +634,76 @@ object VersionedTable {
     * row per file regardless of data size.
     */
   private def writeStatsSidecar(spark: SparkSession, dataDir: Path,
-      cols: Seq[String]): Unit = {
-    if (cols.isEmpty) return
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBitsPerRow: Int = 10): Unit = {
+    if (cols.isEmpty && bloomCols.isEmpty) return
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(dataDir.toString)
-    val missing = cols.filterNot(df.columns.contains)
+    val missing = (cols ++ bloomCols).distinct.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"stats column(s) ${missing.mkString(", ")} not in snapshot schema")
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c")))
     val allAggs = count(lit(1)).as("rows") +: aggs
-    df.groupBy(col("_metadata.file_name").as("file"))
+    val base = df.groupBy(col("_metadata.file_name").as("file"))
       .agg(allAggs.head, allAggs.tail: _*)
-      .coalesce(1)
+    val stats = bloomCols.foldLeft(base)((acc, c) =>
+      acc.join(bloomPerFile(spark, df, c, bloomBitsPerRow), Seq("file"), "left"))
+    stats.coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(dataDir, statsDirName).toString)
+  }
+
+  /** k (number of Bloom probes per value): 7 ≈ the optimum for ~10
+    * bits/row, giving ~1% false-file rate — a false positive only costs
+    * opening one file that turns out empty after its row-group filter.
+    */
+  private val BloomSeeds: Seq[Int] = 0 until 7
+
+  /** Per-file Bloom filter over `c` for [[ColumnEquals]] point-lookup
+    * skipping: each non-null value sets k = 7 bits (xxhash64(value, seed)
+    * mod m) in an m-bit filter, m sized per file to `bitsPerRow` · rows
+    * (rounded up to whole 64-bit words, min 64). Stored SPARSE and
+    * word-aligned — `bloom_words__c` (sorted set-word indices, int) +
+    * `bloom_masks__c` (their 64-bit masks, aligned) + `bloom_m__c` — so a
+    * membership probe is two array lookups per seed, evaluable as a plain
+    * expression over the one-row-per-file sidecar. Zone maps cover range
+    * predicates on the CLUSTER column; this covers equality on the
+    * high-cardinality columns a table cannot also be clustered by (you
+    * get one clustering), at the classic Bloom-index storage price —
+    * size it with `bitsPerRow`.
+    */
+  private def bloomPerFile(spark: SparkSession, df: DataFrame, c: String,
+      bitsPerRow: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bitsPerRow > 0, s"bloomBitsPerRow must be > 0: $bitsPerRow")
+    val vals = df
+      .select(col("_metadata.file_name").as("file"), col(c).as("__v"))
+      .where(col("__v").isNotNull)
+    // `div`, not `/`: the Column `/` is double division and would type
+    // the filter size m (and so every probe) as DOUBLE
+    val m = vals.groupBy(col("file"))
+      .agg(greatest(lit(64L),
+        expr(s"((count(1) * $bitsPerRow + 63) div 64) * 64")).as("__m"))
+    val probes = BloomSeeds.map(s =>
+      pmod(xxhash64(col("__v"), lit(s)), col("__m")))
+    vals.join(broadcast(m), Seq("file"))
+      .select(col("file"), col("__m"),
+        explode(array(probes: _*)).as("__pos"))
+      .select(col("file"), col("__m"),
+        expr("CAST(__pos div 64 AS INT)").as("__word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
+          .as("__bit"))
+      .groupBy(col("file"), col("__m"), col("__word"))
+      .agg(bit_or(col("__bit")).as("__mask"))
+      .groupBy(col("file"))
+      .agg(first(col("__m")).as(s"bloom_m__$c"),
+        sort_array(collect_list(struct(col("__word"), col("__mask"))))
+          .as("__wm"))
+      .select(col("file"), col(s"bloom_m__$c"),
+        col("__wm.__word").as(s"bloom_words__$c"),
+        col("__wm.__mask").as(s"bloom_masks__$c"))
   }
 
   /** Backfill the zone-map sidecar for an already-committed version (new
@@ -645,16 +713,19 @@ object VersionedTable {
     * sidecar was already present with exactly these columns' stats.
     */
   def ensureStats(spark: SparkSession, table: String, version: Long,
-      cols: Seq[String]): Boolean = {
-    require(cols.nonEmpty, "ensureStats needs at least one column")
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBitsPerRow: Int = 10): Boolean = {
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      "ensureStats needs at least one column")
     val dataDir = dataPathOf(spark, table, version)
     val (hfs, _) = fs(spark, table)
     val statsPath = new Path(dataDir, statsDirName)
     if (hfs.exists(statsPath)) {
       val have = spark.read.parquet(statsPath.toString).columns.toSet
-      if (cols.forall(c => have.contains(s"min__$c"))) return false
+      if (cols.forall(c => have.contains(s"min__$c")) &&
+          bloomCols.forall(c => have.contains(s"bloom_m__$c"))) return false
     }
-    writeStatsSidecar(spark, dataDir, cols)
+    writeStatsSidecar(spark, dataDir, cols, bloomCols, bloomBitsPerRow)
     true
   }
 
@@ -677,19 +748,37 @@ object VersionedTable {
     * the same driver-memory class as the file index every scan builds.
     */
   private[graft] def pruneSelection(spark: SparkSession, table: String,
-      version: Long, bounds: Seq[ColumnBounds]): Option[(Seq[String], Int)] = {
+      version: Long, bounds: Seq[ColumnBounds],
+      equalities: Seq[ColumnEquals] = Nil): Option[(Seq[String], Int)] = {
     import org.apache.spark.sql.functions.{col, lit}
     val dataDir = dataPathOf(spark, table, version)
     val (hfs, _) = fs(spark, table)
     val statsPath = new Path(dataDir, statsDirName)
     if (!hfs.exists(statsPath)) return None
     val stats = spark.read.parquet(statsPath.toString)
-    val keep = bounds
+    val rangeTests = bounds
       .filter(b => stats.columns.contains(s"min__${b.column}"))
       .flatMap { b =>
         b.lower.map(l => col(s"max__${b.column}") >= lit(l)).toSeq ++
           b.upper.map(u => col(s"min__${b.column}") <= lit(u)).toSeq
       }
+    // column dtypes only matter for Bloom probes (the probe hash must be
+    // computed on the value AS the column's type); one footer read
+    lazy val snapSchema =
+      spark.read.parquet(dataDir.toString).schema
+    val eqTests = equalities.flatMap { e =>
+      val c = e.column
+      if (stats.columns.contains(s"bloom_m__$c") &&
+          snapSchema.fieldNames.contains(c))
+        Some(bloomProbe(spark, snapSchema(c).dataType, e))
+      else if (stats.columns.contains(s"min__$c"))
+        // no Bloom -> the zone map still excludes files whose range
+        // cannot contain the point
+        Some(col(s"min__$c") <= lit(e.value) &&
+          col(s"max__$c") >= lit(e.value))
+      else None
+    }
+    val keep = (rangeTests ++ eqTests)
       .reduceOption(_ && _).getOrElse(lit(true))
     // an all-null file has null min/max -> the range test is NULL ->
     // "cannot satisfy" -> prune (false), matching SQL range semantics
@@ -697,6 +786,32 @@ object VersionedTable {
       org.apache.spark.sql.functions.coalesce(keep,
         lit(false)).as("k")).collect()
     Some((rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq, rows.length))
+  }
+
+  /** The membership test for one [[ColumnEquals]] against its per-file
+    * Bloom columns, as an expression over the sidecar's one-row-per-file
+    * frame. The k probe hashes are computed by a 1-row Spark job — the
+    * SAME `xxhash64(value-as-column-type, seed)` expression the write
+    * side evaluated, so driver and executor hashing can never drift. Each
+    * probe then costs two array lookups per stats row (word index +
+    * mask). A file whose filter lacks ANY probe bit cannot contain the
+    * value; missing arrays (file all-null in the column) yield NULL,
+    * which the caller's coalesce(false) prunes.
+    */
+  private def bloomProbe(spark: SparkSession,
+      dt: org.apache.spark.sql.types.DataType,
+      eq: ColumnEquals): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{expr, lit, xxhash64}
+    val c = eq.column
+    val hrow = spark.range(1).select(
+      BloomSeeds.map(s => xxhash64(lit(eq.value).cast(dt), lit(s))): _*).head()
+    BloomSeeds.indices.map { i =>
+      val h = hrow.getLong(i)
+      val pos = s"pmod(${h}L, bloom_m__$c)"
+      val idx = s"array_position(bloom_words__$c, CAST($pos div 64 AS INT))"
+      expr(s"$idx > 0 AND (element_at(bloom_masks__$c, CAST($idx AS INT)) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) != 0")
+    }.reduce(_ && _)
   }
 
   /** Range-predicate read with manifest-level data skipping: semantically
@@ -711,14 +826,16 @@ object VersionedTable {
     * ([[commitClustered]]) for the skipping to bite.
     */
   def readVersionPruned(spark: SparkSession, table: String, version: Long,
-      bounds: Seq[ColumnBounds]): DataFrame = {
+      bounds: Seq[ColumnBounds],
+      equalities: Seq[ColumnEquals] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val full = readVersion(spark, table, version)
-    val residual = bounds.flatMap { b =>
+    val residual = (bounds.flatMap { b =>
       b.lower.map(l => col(b.column) >= lit(l)).toSeq ++
         b.upper.map(u => col(b.column) <= lit(u)).toSeq
-    }.reduceOption(_ && _).getOrElse(lit(true))
-    pruneSelection(spark, table, version, bounds) match {
+    } ++ equalities.map(e => col(e.column) === lit(e.value)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    pruneSelection(spark, table, version, bounds, equalities) match {
       case None => full.where(residual)
       case Some((kept, total)) if kept.size == total => full.where(residual)
       case Some((kept, _)) if kept.isEmpty =>
@@ -733,10 +850,11 @@ object VersionedTable {
 
   /** [[readVersionPruned]] at the latest committed version. */
   def readLatestPruned(spark: SparkSession, table: String,
-      bounds: Seq[ColumnBounds]): DataFrame = {
+      bounds: Seq[ColumnBounds],
+      equalities: Seq[ColumnEquals] = Nil): DataFrame = {
     val v = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    readVersionPruned(spark, table, v, bounds)
+    readVersionPruned(spark, table, v, bounds, equalities)
   }
 
   /** Rewrite the LATEST snapshot into ~`targetFileBytes` files and commit

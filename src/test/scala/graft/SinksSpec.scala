@@ -565,6 +565,62 @@ class SinksSpec extends SparkSpec {
     assert(fb.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("bloom index: point lookups skip files on a non-clustered column") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.{ColumnBounds, ColumnEquals}
+    val t = tmp() + "/vt_bloom"
+    // clustered by grp, bloom on id: ids INTERLEAVE across the grp-ranged
+    // files (id % 16 spreads every id range over all groups), so zone
+    // maps on id are useless and only the Bloom filter can skip
+    val df = spark.range(20000).select(col("id"), (col("id") % 16).as("grp"),
+      md5(col("id").cast("string")).as("payload"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("grp"),
+      numFiles = 8, bloomCols = Seq("id"))
+    val full = VersionedTable.readVersion(spark, t, 1L)
+
+    // a present id lives in exactly one group -> exactly one file really
+    // holds it; Bloom keeps that file plus <= a false positive or two
+    val hit = Seq(ColumnEquals("id", 12345L))
+    val (kept, total) = VersionedTable.pruneSelection(spark, t, 1L, Nil, hit).get
+    assert(total == 8 && kept.nonEmpty && kept.size <= 3,
+      s"bloom kept ${kept.size}/$total files for a single-file id")
+    val got = VersionedTable.readVersionPruned(spark, t, 1L, Nil, hit)
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(12345L))
+
+    // an ABSENT id: every filter should reject it (k=7 at 10 bits/row);
+    // the read must come back empty without error
+    val miss = Seq(ColumnEquals("id", 999999999L))
+    val (keptM, _) = VersionedTable.pruneSelection(spark, t, 1L, Nil, miss).get
+    assert(keptM.size <= 1, s"absent id kept ${keptM.size}/8 files")
+    assert(VersionedTable.readVersionPruned(spark, t, 1L, Nil, miss).count() == 0)
+
+    // equality composes with a range bound on the cluster column
+    val both = VersionedTable.readVersionPruned(spark, t, 1L,
+      Seq(ColumnBounds("grp", Some(0L), Some(3L))), hit)
+    val expect = full.where(col("grp").between(0L, 3L) && col("id") === 12345L)
+    assert(both.exceptAll(expect).isEmpty && expect.exceptAll(both).isEmpty)
+
+    // no Bloom for a column -> equality falls back to its zone map: on
+    // the CLUSTER column the point range prunes to one file
+    val (keptG, _) = VersionedTable.pruneSelection(spark, t, 1L, Nil,
+      Seq(ColumnEquals("grp", 5L))).get
+    assert(keptG.size <= 2, s"zone-map point lookup kept ${keptG.size}/8")
+    val g5 = VersionedTable.readVersionPruned(spark, t, 1L, Nil,
+      Seq(ColumnEquals("grp", 5L)))
+    assert(g5.count() == full.where(col("grp") === 5L).count())
+
+    // ensureStats reports bloom coverage: present -> false, new col -> true
+    assert(!VersionedTable.ensureStats(spark, t, 1L, Seq("grp"),
+      bloomCols = Seq("id")))
+    assert(VersionedTable.ensureStats(spark, t, 1L, Seq("grp"),
+      bloomCols = Seq("payload")))
+    val byHash = Seq(ColumnEquals("payload",
+      full.where(col("id") === 777L).head().getString(2)))
+    val prunedS = VersionedTable.readVersionPruned(spark, t, 1L, Nil, byHash)
+    assert(prunedS.collect().map(_.getLong(0)).toSeq == Seq(777L),
+      "string-typed bloom lookup")
+  }
+
   test("zone maps: ensureStats backfills an existing version once") {
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.ColumnBounds
