@@ -138,10 +138,30 @@ object VersionedTable {
     val dirName = writeSnapshot(spark, df, table, maxRecordsPerFile)
     // zone-map sidecar BEFORE publish: the stats become visible in the
     // same atomic step as the data they describe
-    writeStatsSidecar(spark, new Path(new Path(table), dirName), statsCols,
-      bloomCols, bloomBitsPerRow)
+    applySkipping(spark, table, dirName, statsCols, bloomCols, bloomBitsPerRow)
     publish(spark, table, next, dirName)
     next
+  }
+
+  /** Sidecar step shared by every commit path: explicit columns win;
+    * otherwise the table's persistent [[setSkippingPolicy]] applies
+    * (leniently — policy columns absent from THIS snapshot's schema are
+    * skipped, so schema evolution never breaks a merge).
+    */
+  private def applySkipping(spark: SparkSession, table: String,
+      dirName: String, statsCols: Seq[String], bloomCols: Seq[String],
+      bloomBitsPerRow: Int): Unit = {
+    val dataDir = new Path(new Path(table), dirName)
+    if (statsCols.nonEmpty || bloomCols.nonEmpty)
+      writeStatsSidecar(spark, dataDir, statsCols, bloomCols, bloomBitsPerRow)
+    else skippingPolicy(spark, table) match {
+      case Some((pStats, pBloom, pBits)) =>
+        val have = spark.read.parquet(dataDir.toString).columns.toSet
+        val (s2, b2) = (pStats.filter(have), pBloom.filter(have))
+        if (s2.nonEmpty || b2.nonEmpty)
+          writeStatsSidecar(spark, dataDir, s2, b2, pBits)
+      case None => ()
+    }
   }
 
   /** [[commit]] with the snapshot range-clustered on `clusterCols` first
@@ -391,6 +411,9 @@ object VersionedTable {
     val merged = graft.api.Graft.applyChanges(
       widened, changes, key, version, op)
     val dirName = writeSnapshot(spark, merged, table, maxRecordsPerFile)
+    // merges inherit the table's skipping policy: a drip-merged table
+    // must not lose its index on the first CDC batch
+    applySkipping(spark, table, dirName, Nil, Nil, 10)
     publish(spark, table, baseVersion + 1L, dirName, batchId)
     baseVersion + 1L
   }
@@ -472,6 +495,7 @@ object VersionedTable {
     else latestVersion(spark, table) match {
       case None =>
         val dirName = writeSnapshot(spark, source, table, 5000000L)
+        applySkipping(spark, table, dirName, Nil, Nil, 10)
         publish(spark, table, 1L, dirName, Some(batchId))
         Some(1L)
       case Some(_) =>
@@ -617,6 +641,54 @@ object VersionedTable {
     * [[ColumnBounds]]: pass the column's native Scala type.
     */
   final case class ColumnEquals(column: String, value: Any)
+
+  /** Persist the table's data-skipping policy (`_skipping.json` at the
+    * table root): every later commit on ANY path — full snapshot, CDC
+    * merge, `mergeInto`, streaming [[mergeBatchIfNew]], [[optimize]] —
+    * writes the sidecar for these columns automatically, so a
+    * continuously-merged table keeps its index instead of silently
+    * losing it on the first merge. Explicit `statsCols`/`bloomCols` on a
+    * commit override the policy for that commit. Mutable config, not a
+    * commit record — overwriting is the point; it applies from the next
+    * commit (no retroactive backfill — [[ensureStats]] does that).
+    */
+  def setSkippingPolicy(spark: SparkSession, table: String,
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBitsPerRow: Int = 10): Unit = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "policy needs at least one column")
+    require((statsCols ++ bloomCols).forall(_.matches("[A-Za-z0-9_]+")),
+      "policy column names must be simple identifiers")
+    val (hfs, root) = fs(spark, table)
+    hfs.mkdirs(root)
+    val body = s"""{"stats":${statsCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""bloom":${bloomCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""bitsPerRow":$bloomBitsPerRow}"""
+    val out = hfs.create(new Path(root, "_skipping.json"), /* overwrite */ true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private val skipStatsField = """"stats"\s*:\s*\[([^\]]*)\]""".r
+  private val skipBloomField = """"bloom"\s*:\s*\[([^\]]*)\]""".r
+  private val skipBitsField = """"bitsPerRow"\s*:\s*(\d+)""".r
+
+  /** The persisted policy, or None. */
+  private def skippingPolicy(spark: SparkSession,
+      table: String): Option[(Seq[String], Seq[String], Int)] = {
+    val (hfs, root) = fs(spark, table)
+    val p = new Path(root, "_skipping.json")
+    if (!hfs.exists(p)) return None
+    val in = hfs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def cols(m: Option[scala.util.matching.Regex.Match]) =
+      m.map(_.group(1)).getOrElse("").split(",").iterator
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        .toSeq
+    Some((cols(skipStatsField.findFirstMatchIn(body)),
+      cols(skipBloomField.findFirstMatchIn(body)),
+      skipBitsField.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(10)))
+  }
 
   /** The zone-map sidecar's dir name inside a snapshot's data dir. The
     * leading underscore makes it invisible to `spark.read.parquet(dataDir)`

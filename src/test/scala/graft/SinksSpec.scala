@@ -638,6 +638,57 @@ class SinksSpec extends SparkSpec {
     assert(total == 4 && kept.size < 4, s"kept ${kept.size}/$total")
   }
 
+  test("skipping policy persists across merge and streaming commit paths") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.{ColumnBounds, ColumnEquals}
+    import spark.implicits._
+    val t = tmp() + "/vt_policy"
+    VersionedTable.setSkippingPolicy(spark, t,
+      statsCols = Seq("k"), bloomCols = Seq("name"))
+    // plain commit with NO explicit columns picks up the policy
+    val base = spark.range(4000).select(col("id").as("k"),
+      concat(lit("u"), col("id")).as("name"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    VersionedTable.commit(spark, base, t)
+    assert(VersionedTable.pruneSelection(spark, t, 1L,
+      Seq(ColumnBounds("k", Some(0L), Some(10L)))).exists(_._2 == 4))
+
+    // mergeInto writes v2 through the merge path — the sidecar must
+    // follow, with both the zone map and the bloom filter intact
+    VersionedTable.mergeInto(spark, t,
+      Seq((99999L, "new-row")).toDF("k", "name"), key = "k")
+    val sel = VersionedTable.pruneSelection(spark, t, 2L,
+      Seq(ColumnBounds("k", Some(0L), Some(10L)))).get
+    assert(sel._2 >= 1, "merge commit lost the stats sidecar")
+    val hit = VersionedTable.readLatestPruned(spark, t, Nil,
+      Seq(ColumnEquals("name", "u1234")))
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1234L),
+      "bloom lookup after merge")
+
+    // the streaming first-batch path honors the policy too
+    val t2 = tmp() + "/vt_policy_stream"
+    VersionedTable.setSkippingPolicy(spark, t2, statsCols = Seq("k"))
+    VersionedTable.mergeBatchIfNew(spark, t2,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"), key = "k", batchId = 0L)
+    assert(VersionedTable.pruneSelection(spark, t2, 1L,
+      Seq(ColumnBounds("k", Some(1L), Some(1L)))).isDefined,
+      "first streaming batch lost the sidecar")
+
+    // a policy column absent from the snapshot schema is skipped, not fatal
+    val t3 = tmp() + "/vt_policy_evolve"
+    VersionedTable.setSkippingPolicy(spark, t3, statsCols = Seq("k", "ghost"))
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "name"), t3)
+    assert(VersionedTable.pruneSelection(spark, t3, 1L,
+      Seq(ColumnBounds("k", Some(0L), Some(9L)))).isDefined)
+
+    // explicit columns override the policy for that commit
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "name"), t3,
+      statsCols = Seq("name"))
+    val stats2 = VersionedTable.pruneSelection(spark, t3, 2L,
+      Seq(ColumnBounds("k", Some(0L), Some(0L))))
+    assert(stats2.isDefined, "explicit-cols commit wrote a sidecar")
+  }
+
   test("optimize rewrites the latest snapshot as a new compacted version") {
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.ColumnBounds
