@@ -19,8 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`;
   *  - `VACUUM '<table-path>' RETAIN <n> HOURS`, `COMPACT MANIFESTS
   *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'`,
-  *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]` —
-  *    the maintenance verbs, statement-spelled;
+  *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]`,
+  *    `SET SKIPPING ON '<table-path>' STATS (c, ...) [BLOOM (c, ...)]
+  *    [BITS <n>]` — the maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
   * Deliberately thin: a regex statement grammar, not a full parser — the
@@ -75,6 +76,11 @@ object GraftSql {
     ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
       """(?:\s+CLUSTER\s+BY\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?\s*;?\s*""").r
+  private val SkippingRe =
+    ("""(?is)\s*SET\s+SKIPPING\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+STATS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
+      """(?:\s+BLOOM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+BITS\s+(\d+))?\s*;?\s*""").r
 
   /** Execute one statement; see the object doc for the grammar. The
     * maintenance statements mirror their verbs 1:1:
@@ -100,6 +106,13 @@ object GraftSql {
         Seq(n).toDF("manifests_retired")
       case HistoryRe(p1, p2) =>
         VersionedTable.history(spark, Option(p1).getOrElse(p2))
+      case SkippingRe(p1, p2, statsC, bloomC, bits) =>
+        def split(s: String) = Option(s).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+        VersionedTable.setSkippingPolicy(spark, Option(p1).getOrElse(p2),
+          statsCols = split(statsC), bloomCols = split(bloomC),
+          bloomBitsPerRow = Option(bits).map(_.toInt).getOrElse(10))
+        Seq("ok").toDF("skipping_policy")
       case OptimizeRe(p1, p2, mb, cluster) =>
         val v = VersionedTable.optimize(spark, Option(p1).getOrElse(p2),
           targetFileBytes =

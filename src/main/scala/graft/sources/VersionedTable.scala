@@ -190,6 +190,32 @@ object VersionedTable {
       bloomCols = bloomCols)
   }
 
+  /** [[commit]] with the snapshot Morton-ordered on TWO dimensions
+    * ([[graft.api.Graft.zorderKey]] bit interleave), so each file covers a
+    * compact rectangle of the (dimA, dimB) plane and the zone-map sidecar
+    * prunes range predicates on EITHER dimension — the property
+    * one-dimensional [[commitClustered]] cannot give its second column
+    * (a lexicographic sort serves only its leading key). Stats default to
+    * both dims. Dims must be non-negative integrals (cast dates via
+    * `datediff` first — the interleave is bitwise on longs).
+    */
+  def commitZordered(spark: SparkSession, df: DataFrame, table: String,
+      dimA: String, dimB: String, numFiles: Int = 8,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    import org.apache.spark.sql.functions.col
+    val z = df
+      .withColumn("__graft_z", graft.api.Graft.zorderKey(
+        col(dimA).cast("long"), col(dimB).cast("long")))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+    commit(spark, z, table, maxRecordsPerFile,
+      statsCols = if (statsCols.nonEmpty) statsCols else Seq(dimA, dimB),
+      bloomCols = bloomCols)
+  }
+
   /** Step 2 of the commit protocol: write `df` to a fresh writer-unique
     * data dir, returning its relative name for the publish step.
     */

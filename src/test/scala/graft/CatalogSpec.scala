@@ -129,6 +129,21 @@ class CatalogSpec extends AnyFunSuite {
         .count() == 3, "retired versions still time-travel via the checkpoint")
       assert(GraftSql.sql(spark, s"VACUUM '$tbl' RETAIN 1 HOURS").isEmpty,
         "everything inside the grace window survives")
+
+      // the skipping-policy statement persists config the next commit obeys
+      assert(GraftSql.sql(spark,
+          s"SET SKIPPING ON '$tbl' STATS (k) BLOOM (k) BITS 12")
+        .collect().head.getString(0) == "ok")
+      GraftSql.sql(spark,
+        s"""MERGE INTO '$tbl' USING (SELECT CAST(9 AS BIGINT) AS k,
+           |'z' AS name, CAST(90.0 AS DOUBLE) AS v) AS s ON k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      import graft.sources.VersionedTable.ColumnBounds
+      val latestV = VersionedTable.latestVersion(spark, tbl).get
+      assert(VersionedTable.pruneSelection(spark, tbl, latestV,
+        Seq(ColumnBounds("k", Some(9L), Some(9L)))).isDefined,
+        "statement-set policy did not reach the merge commit's sidecar")
     } finally spark.stop()
   }
 

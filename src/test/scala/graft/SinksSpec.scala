@@ -638,6 +638,34 @@ class SinksSpec extends SparkSpec {
     assert(total == 4 && kept.size < 4, s"kept ${kept.size}/$total")
   }
 
+  test("z-ordered commit prunes range reads on EITHER dimension") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnBounds
+    val t = tmp() + "/vt_zorder"
+    // 100x100 grid: under a 1-D x-clustering, a y-range prunes nothing;
+    // under Morton order each file is a compact rectangle, so a narrow
+    // range in EITHER dim keeps only the files whose rectangles touch it
+    val grid = spark.range(10000).select(
+      (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"))
+    VersionedTable.commitZordered(spark, grid, t, "x", "y", numFiles = 16)
+    val full = VersionedTable.readVersion(spark, t, 1L)
+    def kept(b: ColumnBounds) =
+      VersionedTable.pruneSelection(spark, t, 1L, Seq(b)).get._1.size
+    val kx = kept(ColumnBounds("x", Some(0L), Some(12L)))
+    val ky = kept(ColumnBounds("y", Some(0L), Some(12L)))
+    assert(kx < 16 && kx <= 8, s"x-range kept $kx/16 files")
+    assert(ky < 16 && ky <= 8, s"y-range kept $ky/16 files")
+    // and the pruned read stays exact on both axes
+    val px = VersionedTable.readVersionPruned(spark, t, 1L,
+      Seq(ColumnBounds("x", Some(0L), Some(12L))))
+    val ex = full.where(col("x").between(0L, 12L))
+    assert(px.exceptAll(ex).isEmpty && ex.exceptAll(px).isEmpty)
+    val py = VersionedTable.readVersionPruned(spark, t, 1L,
+      Seq(ColumnBounds("y", Some(0L), Some(12L))))
+    val ey = full.where(col("y").between(0L, 12L))
+    assert(py.exceptAll(ey).isEmpty && ey.exceptAll(py).isEmpty)
+  }
+
   test("skipping policy persists across merge and streaming commit paths") {
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.{ColumnBounds, ColumnEquals}
