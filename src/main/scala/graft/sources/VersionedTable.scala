@@ -853,6 +853,17 @@ object VersionedTable {
     val (hfs, _) = fs(spark, table)
     val statsPath = new Path(dataDir, statsDirName)
     if (!hfs.exists(statsPath)) return None
+    // the sidecar is an OPTIMIZATION: any failure reading it (an
+    // [[ensureStats]] backfill rewriting it mid-read, a truncated write)
+    // must degrade to the full scan, never fail the query
+    try pruneAgainstStats(spark, dataDir, statsPath, bounds, equalities)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def pruneAgainstStats(spark: SparkSession, dataDir: Path,
+      statsPath: Path, bounds: Seq[ColumnBounds],
+      equalities: Seq[ColumnEquals]): Option[(Seq[String], Int)] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val stats = spark.read.parquet(statsPath.toString)
     val rangeTests = bounds
       .filter(b => stats.columns.contains(s"min__${b.column}"))

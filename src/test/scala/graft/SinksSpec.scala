@@ -638,6 +638,36 @@ class SinksSpec extends SparkSpec {
     assert(total == 4 && kept.size < 4, s"kept ${kept.size}/$total")
   }
 
+  test("pruned-read law: random bounds always equal the filtered full read") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.{ColumnBounds, ColumnEquals}
+    val rnd = new scala.util.Random(20260814L)
+    val t = tmp() + "/vt_law"
+    // non-monotone a, nullable b: bounds straddle file edges, miss
+    // entirely, or land on all-null stretches depending on the draw
+    val df = spark.range(5000).select(
+      (col("id") * 37 % 1000).as("a"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 500).as("b"))
+    VersionedTable.commitClustered(spark, df, t, Seq("a"), numFiles = 6,
+      statsCols = Seq("a", "b"), bloomCols = Seq("b"))
+    val full = VersionedTable.readVersion(spark, t, 1L)
+    (1 to 8).foreach { _ =>
+      val c = if (rnd.nextBoolean()) "a" else "b"
+      val lo = (rnd.nextInt(1100) - 50).toLong
+      val hi = lo + rnd.nextInt(400)
+      val bounds = Seq(ColumnBounds(c, Some(lo), Some(hi)))
+      val eqs =
+        if (rnd.nextBoolean()) Seq(ColumnEquals("b", rnd.nextInt(600).toLong))
+        else Nil
+      val got = VersionedTable.readVersionPruned(spark, t, 1L, bounds, eqs)
+      val want = full.where(eqs.foldLeft(col(c).between(lo, hi))(
+        (p, e) => p && col(e.column) === lit(e.value)))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"pruned($c in [$lo,$hi], eq=$eqs) diverged from the full read")
+    }
+  }
+
   test("z-ordered commit prunes range reads on EITHER dimension") {
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.ColumnBounds
