@@ -668,6 +668,18 @@ object VersionedTable {
     */
   final case class ColumnEquals(column: String, value: Any)
 
+  /** An IN-list predicate `column IN (values)` for [[readVersionPruned]]
+    * — the decontamination/semi-join probe shape: a file survives iff ANY
+    * value could be present (Bloom OR-of-probes, else zone-map
+    * OR-of-point-ranges). Lists longer than [[MaxInListSkip]] skip file
+    * pruning (the OR expression would outgrow its usefulness) and rely on
+    * the residual row filter alone.
+    */
+  final case class ColumnIn(column: String, values: Seq[Any])
+
+  /** Above this IN-list size, file-level pruning is skipped for the list. */
+  val MaxInListSkip = 256
+
   /** Persist the table's data-skipping policy (`_skipping.json` at the
     * table root): every later commit on ANY path — full snapshot, CDC
     * merge, `mergeInto`, streaming [[mergeBatchIfNew]], [[optimize]] —
@@ -847,7 +859,8 @@ object VersionedTable {
     */
   private[graft] def pruneSelection(spark: SparkSession, table: String,
       version: Long, bounds: Seq[ColumnBounds],
-      equalities: Seq[ColumnEquals] = Nil): Option[(Seq[String], Int)] = {
+      equalities: Seq[ColumnEquals] = Nil,
+      inLists: Seq[ColumnIn] = Nil): Option[(Seq[String], Int)] = {
     import org.apache.spark.sql.functions.{col, lit}
     val dataDir = dataPathOf(spark, table, version)
     val (hfs, _) = fs(spark, table)
@@ -856,13 +869,15 @@ object VersionedTable {
     // the sidecar is an OPTIMIZATION: any failure reading it (an
     // [[ensureStats]] backfill rewriting it mid-read, a truncated write)
     // must degrade to the full scan, never fail the query
-    try pruneAgainstStats(spark, dataDir, statsPath, bounds, equalities)
+    try pruneAgainstStats(spark, dataDir, statsPath, bounds, equalities,
+      inLists)
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def pruneAgainstStats(spark: SparkSession, dataDir: Path,
       statsPath: Path, bounds: Seq[ColumnBounds],
-      equalities: Seq[ColumnEquals]): Option[(Seq[String], Int)] = {
+      equalities: Seq[ColumnEquals],
+      inLists: Seq[ColumnIn]): Option[(Seq[String], Int)] = {
     import org.apache.spark.sql.functions.{col, lit}
     val stats = spark.read.parquet(statsPath.toString)
     val rangeTests = bounds
@@ -875,19 +890,33 @@ object VersionedTable {
     // computed on the value AS the column's type); one footer read
     lazy val snapSchema =
       spark.read.parquet(dataDir.toString).schema
-    val eqTests = equalities.flatMap { e =>
-      val c = e.column
-      if (stats.columns.contains(s"bloom_m__$c") &&
-          snapSchema.fieldNames.contains(c))
-        Some(bloomProbe(spark, snapSchema(c).dataType, e))
+    // point predicates (equalities + size-capped IN-lists), unified: a
+    // file survives an IN-list iff ANY value could be present. Bloom
+    // probe hashes for EVERY (column, value) pair are computed in ONE
+    // 1-row job — per-value jobs would cost an IN-list up to
+    // MaxInListSkip round trips.
+    val pointPreds: Seq[(String, Seq[Any])] =
+      equalities.map(e => e.column -> Seq(e.value)) ++
+        inLists.filter(l => l.values.nonEmpty &&
+          l.values.size <= MaxInListSkip).map(l => l.column -> l.values)
+    def bloomAvailable(c: String) =
+      stats.columns.contains(s"bloom_m__$c") && snapSchema.fieldNames.contains(c)
+    val bloomItems = pointPreds.flatMap { case (c, vs) =>
+      if (bloomAvailable(c)) vs.map(v => (snapSchema(c).dataType, v)) else Nil
+    }
+    // consumed below in the exact order pointPreds built bloomItems
+    val hashIt = bloomHashes(spark, bloomItems).iterator
+    val pointTests = pointPreds.flatMap { case (c, vs) =>
+      if (bloomAvailable(c))
+        Some(vs.map(_ => bloomTestExpr(c, hashIt.next())).reduce(_ || _))
       else if (stats.columns.contains(s"min__$c"))
         // no Bloom -> the zone map still excludes files whose range
         // cannot contain the point
-        Some(col(s"min__$c") <= lit(e.value) &&
-          col(s"max__$c") >= lit(e.value))
+        Some(vs.map(v => col(s"min__$c") <= lit(v) &&
+          col(s"max__$c") >= lit(v)).reduce(_ || _))
       else None
     }
-    val keep = (rangeTests ++ eqTests)
+    val keep = (rangeTests ++ pointTests)
       .reduceOption(_ && _).getOrElse(lit(true))
     // an all-null file has null min/max -> the range test is NULL ->
     // "cannot satisfy" -> prune (false), matching SQL range semantics
@@ -897,25 +926,33 @@ object VersionedTable {
     Some((rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq, rows.length))
   }
 
-  /** The membership test for one [[ColumnEquals]] against its per-file
-    * Bloom columns, as an expression over the sidecar's one-row-per-file
-    * frame. The k probe hashes are computed by a 1-row Spark job — the
-    * SAME `xxhash64(value-as-column-type, seed)` expression the write
-    * side evaluated, so driver and executor hashing can never drift. Each
-    * probe then costs two array lookups per stats row (word index +
-    * mask). A file whose filter lacks ANY probe bit cannot contain the
-    * value; missing arrays (file all-null in the column) yield NULL,
-    * which the caller's coalesce(false) prunes.
+  /** The k probe hashes for each (column-type, value) pair, all computed
+    * by ONE 1-row Spark job — the SAME `xxhash64(value-as-column-type,
+    * seed)` expression the write side evaluated, so driver and executor
+    * hashing can never drift.
     */
-  private def bloomProbe(spark: SparkSession,
-      dt: org.apache.spark.sql.types.DataType,
-      eq: ColumnEquals): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{expr, lit, xxhash64}
-    val c = eq.column
-    val hrow = spark.range(1).select(
-      BloomSeeds.map(s => xxhash64(lit(eq.value).cast(dt), lit(s))): _*).head()
-    BloomSeeds.indices.map { i =>
-      val h = hrow.getLong(i)
+  private def bloomHashes(spark: SparkSession,
+      items: Seq[(org.apache.spark.sql.types.DataType, Any)]): Seq[Seq[Long]] = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    if (items.isEmpty) return Nil
+    val exprs = items.flatMap { case (dt, v) =>
+      BloomSeeds.map(s => xxhash64(lit(v).cast(dt), lit(s))) }
+    val row = spark.range(1).select(exprs: _*).head()
+    items.indices.map(i =>
+      BloomSeeds.indices.map(j => row.getLong(i * BloomSeeds.size + j)))
+  }
+
+  /** The membership test for one value's probe `hashes` against column
+    * `c`'s per-file Bloom arrays, over the sidecar's one-row-per-file
+    * frame: two array lookups per seed (word index + mask). A file whose
+    * filter lacks ANY probe bit cannot contain the value; missing arrays
+    * (file all-null in the column) yield NULL, which the caller's
+    * coalesce(false) prunes.
+    */
+  private def bloomTestExpr(c: String,
+      hashes: Seq[Long]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    hashes.map { h =>
       val pos = s"pmod(${h}L, bloom_m__$c)"
       val idx = s"array_position(bloom_words__$c, CAST($pos div 64 AS INT))"
       expr(s"$idx > 0 AND (element_at(bloom_masks__$c, CAST($idx AS INT)) & " +
@@ -936,15 +973,17 @@ object VersionedTable {
     */
   def readVersionPruned(spark: SparkSession, table: String, version: Long,
       bounds: Seq[ColumnBounds],
-      equalities: Seq[ColumnEquals] = Nil): DataFrame = {
+      equalities: Seq[ColumnEquals] = Nil,
+      inLists: Seq[ColumnIn] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val full = readVersion(spark, table, version)
     val residual = (bounds.flatMap { b =>
       b.lower.map(l => col(b.column) >= lit(l)).toSeq ++
         b.upper.map(u => col(b.column) <= lit(u)).toSeq
-    } ++ equalities.map(e => col(e.column) === lit(e.value)))
+    } ++ equalities.map(e => col(e.column) === lit(e.value))
+      ++ inLists.map(l => col(l.column).isin(l.values: _*)))
       .reduceOption(_ && _).getOrElse(lit(true))
-    pruneSelection(spark, table, version, bounds, equalities) match {
+    pruneSelection(spark, table, version, bounds, equalities, inLists) match {
       case None => full.where(residual)
       case Some((kept, total)) if kept.size == total => full.where(residual)
       case Some((kept, _)) if kept.isEmpty =>
@@ -960,10 +999,11 @@ object VersionedTable {
   /** [[readVersionPruned]] at the latest committed version. */
   def readLatestPruned(spark: SparkSession, table: String,
       bounds: Seq[ColumnBounds],
-      equalities: Seq[ColumnEquals] = Nil): DataFrame = {
+      equalities: Seq[ColumnEquals] = Nil,
+      inLists: Seq[ColumnIn] = Nil): DataFrame = {
     val v = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    readVersionPruned(spark, table, v, bounds, equalities)
+    readVersionPruned(spark, table, v, bounds, equalities, inLists)
   }
 
   /** Rewrite the LATEST snapshot into ~`targetFileBytes` files and commit

@@ -638,6 +638,30 @@ class SinksSpec extends SparkSpec {
     assert(total == 4 && kept.size < 4, s"kept ${kept.size}/$total")
   }
 
+  test("IN-list pruning keeps the union of per-value files, exact rows") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnIn
+    val t = tmp() + "/vt_inlist"
+    val df = spark.range(20000).select(col("id"), (col("id") % 16).as("grp"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("grp"),
+      numFiles = 8, bloomCols = Seq("id"))
+    // two present ids + one absent: ~2 real files + at most a false
+    // positive or two survive; rows are exactly the present pair
+    val probe = Seq(ColumnIn("id", Seq(100L, 15001L, 888888L)))
+    val (kept, total) = VersionedTable.pruneSelection(spark, t, 1L,
+      Nil, Nil, probe).get
+    assert(total == 8 && kept.size <= 4, s"IN-list kept ${kept.size}/8")
+    val got = VersionedTable.readVersionPruned(spark, t, 1L, Nil, Nil, probe)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 15001L))
+    // an over-cap list prunes nothing but still filters exactly
+    val big = ColumnIn("id", (0L until 300L).map(_ * 64L))
+    val (keptBig, _) = VersionedTable.pruneSelection(spark, t, 1L,
+      Nil, Nil, Seq(big)).get
+    assert(keptBig.size == 8, "over-cap IN-list must not prune")
+    assert(VersionedTable.readVersionPruned(spark, t, 1L, Nil, Nil, Seq(big))
+      .count() == 300L)
+  }
+
   test("pruned-read law: random bounds always equal the filtered full read") {
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.{ColumnBounds, ColumnEquals}
