@@ -16,12 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
   *  - `SELECT ... FROM '<table-path>' VERSION AS OF <n> ...` rewrites the
   *    time-travel reference to a temp view over
-  *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`;
+  *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`
+  *    (`FROM '<table-path>' LATEST` likewise reads the newest version —
+  *    the LATEST marker is required so string literals that look like
+  *    paths are never rewritten);
   *  - `VACUUM '<table-path>' RETAIN <n> HOURS`, `COMPACT MANIFESTS
   *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'`,
   *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]`,
   *    `SET SKIPPING ON '<table-path>' STATS (c, ...) [BLOOM (c, ...)]
-  *    [BITS <n>]` — the maintenance verbs, statement-spelled;
+  *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'` — the maintenance
+  *    verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
   * Deliberately thin: a regex statement grammar, not a full parser — the
@@ -65,6 +69,11 @@ object GraftSql {
 
   private val VersionRefRe =
     """(?is)(?:'([^']+)'|`([^`]+)`)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)""".r
+  // the LATEST marker is required: a bare quoted path is indistinguishable
+  // from a string literal, and a rewrite inside WHERE s = '/x/y' would
+  // corrupt the query
+  private val LatestRefRe =
+    """(?is)(?:'([^']+)'|`([^`]+)`)\s+LATEST\b""".r
 
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(?:'([^']+)'|`([^`]+)`)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*""".r
@@ -72,6 +81,8 @@ object GraftSql {
     """(?is)\s*COMPACT\s+MANIFESTS\s+(?:'([^']+)'|`([^`]+)`)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val DescSkipRe =
+    """(?is)\s*DESCRIBE\s+SKIPPING\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
@@ -120,7 +131,10 @@ object GraftSql {
           clusterCols = Option(cluster).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
         Seq(v).toDF("version")
-      case s if VersionRefRe.findFirstIn(s).isDefined =>
+      case DescSkipRe(p1, p2) =>
+        VersionedTable.describeSkipping(spark, Option(p1).getOrElse(p2))
+      case s if VersionRefRe.findFirstIn(s).isDefined ||
+          LatestRefRe.findFirstIn(s).isDefined =>
         spark.sql(rewriteTimeTravel(spark, s))
       case s => spark.sql(s)
     }
@@ -205,8 +219,8 @@ object GraftSql {
     * time-travel read, and pushdown works because the view IS the
     * snapshot's parquet scan).
     */
-  private def rewriteTimeTravel(spark: SparkSession, statement: String): String =
-    VersionRefRe.replaceAllIn(statement, m => {
+  private def rewriteTimeTravel(spark: SparkSession, statement: String): String = {
+    val pinned = VersionRefRe.replaceAllIn(statement, m => {
       val table = Option(m.group(1)).getOrElse(m.group(2))
       val version = m.group(3).toLong
       val view = s"graft_time_travel_${UUID.randomUUID.toString.replace("-", "_")}"
@@ -214,4 +228,11 @@ object GraftSql {
         .createOrReplaceTempView(view)
       view
     })
+    LatestRefRe.replaceAllIn(pinned, m => {
+      val table = Option(m.group(1)).getOrElse(m.group(2))
+      val view = s"graft_latest_${UUID.randomUUID.toString.replace("-", "_")}"
+      VersionedTable.readLatest(spark, table).createOrReplaceTempView(view)
+      view
+    })
+  }
 }

@@ -706,6 +706,36 @@ object VersionedTable {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** One row per committed version — whether it carries a sidecar, which
+    * columns its zone maps / Bloom filters cover, and the table's current
+    * policy (repeated per row): the audit view for "why didn't my read
+    * prune". Metadata-only except one sidecar schema read per version.
+    */
+  def describeSkipping(spark: SparkSession, table: String): DataFrame = {
+    val (hfs, root) = fs(spark, table)
+    val pol = skippingPolicy(spark, table)
+    val cp = checkpointMap(hfs, root)
+    val rows = versions(spark, table).map { v =>
+      val sidecar = resolveDirWith(hfs, root, v, () => cp)
+        .map(d => new Path(new Path(root, d), statsDirName))
+        .filter(hfs.exists)
+      val cols = sidecar.map { p =>
+        try spark.read.parquet(p.toString).columns.toSeq
+        catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+      }.getOrElse(Seq.empty)
+      (v, cols.nonEmpty,
+        cols.filter(_.startsWith("min__"))
+          .map(_.stripPrefix("min__")).mkString(","),
+        cols.filter(_.startsWith("bloom_m__"))
+          .map(_.stripPrefix("bloom_m__")).mkString(","),
+        pol.map(_._1.mkString(",")).getOrElse(""),
+        pol.map(_._2.mkString(",")).getOrElse(""))
+    }
+    import spark.implicits._
+    rows.toDF("version", "sidecar", "stats_cols", "bloom_cols",
+      "policy_stats", "policy_bloom")
+  }
+
   private val skipStatsField = """"stats"\s*:\s*\[([^\]]*)\]""".r
   private val skipBloomField = """"bloom"\s*:\s*\[([^\]]*)\]""".r
   private val skipBitsField = """"bitsPerRow"\s*:\s*(\d+)""".r

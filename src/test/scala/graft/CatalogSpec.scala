@@ -144,6 +144,23 @@ class CatalogSpec extends AnyFunSuite {
       assert(VersionedTable.pruneSelection(spark, tbl, latestV,
         Seq(ColumnBounds("k", Some(9L), Some(9L)))).isDefined,
         "statement-set policy did not reach the merge commit's sidecar")
+
+      // LATEST references read the newest version; a string literal that
+      // looks like a path is untouched (no LATEST marker)
+      assert(GraftSql.sql(spark,
+          s"SELECT count(*) AS n FROM '$tbl' LATEST WHERE k = 9")
+        .head().getLong(0) == 1L)
+      assert(GraftSql.sql(spark,
+          s"SELECT '$tbl' AS p").head().getString(0) == tbl,
+        "a path-shaped string literal must not be rewritten")
+
+      // DESCRIBE SKIPPING reports per-version coverage + the policy
+      val desc = GraftSql.sql(spark, s"DESCRIBE SKIPPING '$tbl'").collect()
+      assert(desc.length == latestV.toInt, "one row per version")
+      val last = desc.last
+      assert(last.getBoolean(1) && last.getString(2).contains("k") &&
+        last.getString(3).contains("k") && last.getString(4) == "k",
+        s"unexpected coverage row: $last")
     } finally spark.stop()
   }
 
