@@ -24,8 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'`,
   *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]`,
   *    `SET SKIPPING ON '<table-path>' STATS (c, ...) [BLOOM (c, ...)]
-  *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'` — the maintenance
-  *    verbs, statement-spelled;
+  *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'`, `ADD CONSTRAINT
+  *    '<table-path>' <name> CHECK (<expr>)` (additive; later commits
+  *    abort on violation), `DESCRIBE CONSTRAINTS '<table-path>'` — the
+  *    maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
   * Deliberately thin: a regex statement grammar, not a full parser — the
@@ -83,6 +85,11 @@ object GraftSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
   private val DescSkipRe =
     """(?is)\s*DESCRIBE\s+SKIPPING\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val AddConstraintRe =
+    ("""(?is)\s*ADD\s+CONSTRAINT\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DescConstraintsRe =
+    """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
@@ -133,6 +140,16 @@ object GraftSql {
         Seq(v).toDF("version")
       case DescSkipRe(p1, p2) =>
         VersionedTable.describeSkipping(spark, Option(p1).getOrElse(p2))
+      case AddConstraintRe(p1, p2, name, check) =>
+        val tbl = Option(p1).getOrElse(p2)
+        // additive: merge with whatever constraints the table already has
+        VersionedTable.setConstraints(spark, tbl,
+          VersionedTable.constraintsOf(spark, tbl).toMap +
+            (name -> check.trim))
+        Seq(name).toDF("constraint_added")
+      case DescConstraintsRe(p1, p2) =>
+        VersionedTable.constraintsOf(spark, Option(p1).getOrElse(p2))
+          .toDF("name", "expression")
       case s if VersionRefRe.findFirstIn(s).isDefined ||
           LatestRefRe.findFirstIn(s).isDefined =>
         spark.sql(rewriteTimeTravel(spark, s))

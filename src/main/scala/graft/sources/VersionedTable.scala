@@ -133,13 +133,17 @@ object VersionedTable {
       maxRecordsPerFile: Long = 5000000L,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomBitsPerRow: Int = 10): Long = {
+      bloomBitsPerRow: Int = 10,
+      op: String = "commit"): Long = {
     val next = latestVersion(spark, table).getOrElse(0L) + 1L
     val dirName = writeSnapshot(spark, df, table, maxRecordsPerFile)
+    // CHECK constraints gate the publish: a violating snapshot never
+    // becomes a version (its dir is an orphan, vacuum-reclaimable)
+    validateConstraints(spark, table, dirName)
     // zone-map sidecar BEFORE publish: the stats become visible in the
     // same atomic step as the data they describe
     applySkipping(spark, table, dirName, statsCols, bloomCols, bloomBitsPerRow)
-    publish(spark, table, next, dirName)
+    publish(spark, table, next, dirName, op = op)
     next
   }
 
@@ -177,7 +181,8 @@ object VersionedTable {
       clusterCols: Seq[String], numFiles: Int = 0,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 5000000L): Long = {
+      maxRecordsPerFile: Long = 5000000L,
+      op: String = "commit"): Long = {
     require(clusterCols.nonEmpty, "commitClustered needs cluster columns")
     import org.apache.spark.sql.functions.col
     val cols = clusterCols.map(col)
@@ -187,7 +192,7 @@ object VersionedTable {
     commit(spark, ranged.sortWithinPartitions(cols: _*), table,
       maxRecordsPerFile,
       statsCols = if (statsCols.nonEmpty) statsCols else clusterCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, op = op)
   }
 
   /** [[commit]] with the snapshot Morton-ordered on TWO dimensions
@@ -243,15 +248,17 @@ object VersionedTable {
     */
   private[graft] def publish(spark: SparkSession, table: String,
       version: Long, dataDirName: String,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      op: String = "commit"): Unit = {
     val (hfs, root) = fs(spark, table)
     val manifest = new Path(root, s"_manifests/${manifestName(version)}")
     hfs.mkdirs(manifest.getParent)
     // "batch": the writing stream's epoch id — the idempotence token
-    // [[mergeBatchIfNew]] reads back to skip an already-applied replay
+    // [[mergeBatchIfNew]] reads back to skip an already-applied replay;
+    // "op": which verb committed the version, for the history audit
     val body = s"""{"version":$version,"dir":"$dataDirName",""" +
       batchId.map(b => s""""batch":$b,""").getOrElse("") +
-      s""""writer":"${UUID.randomUUID}"}"""
+      s""""op":"$op","writer":"${UUID.randomUUID}"}"""
     val out =
       try hfs.create(manifest, /* overwrite = */ false)
       catch { case e: java.io.IOException =>
@@ -342,6 +349,7 @@ object VersionedTable {
   }
 
   private val writerField = """"writer"\s*:\s*"([^"]+)"""".r
+  private val opField = """"op"\s*:\s*"([^"]+)"""".r
 
   /** One row per committed version, ascending: (version, data_dir,
     * writer, batch) — writer/batch null for versions whose per-version
@@ -362,11 +370,12 @@ object VersionedTable {
           dirField.findFirstMatchIn(body).map(_.group(1))
             .getOrElse(s"data/v=$v"),
           writerField.findFirstMatchIn(body).map(_.group(1)),
-          batchField.findFirstMatchIn(body).map(_.group(1).toLong))
-      } else (v, cp.getOrElse(v, s"data/v=$v"), None, None)
+          batchField.findFirstMatchIn(body).map(_.group(1).toLong),
+          opField.findFirstMatchIn(body).map(_.group(1)))
+      } else (v, cp.getOrElse(v, s"data/v=$v"), None, None, None)
     }
     import spark.implicits._
-    rows.toDF("version", "data_dir", "writer", "batch")
+    rows.toDF("version", "data_dir", "writer", "batch", "op")
   }
 
   /** MERGE a CDC change batch into the latest snapshot and commit the
@@ -437,10 +446,11 @@ object VersionedTable {
     val merged = graft.api.Graft.applyChanges(
       widened, changes, key, version, op)
     val dirName = writeSnapshot(spark, merged, table, maxRecordsPerFile)
+    validateConstraints(spark, table, dirName)
     // merges inherit the table's skipping policy: a drip-merged table
     // must not lose its index on the first CDC batch
     applySkipping(spark, table, dirName, Nil, Nil, 10)
-    publish(spark, table, baseVersion + 1L, dirName, batchId)
+    publish(spark, table, baseVersion + 1L, dirName, batchId, op = "merge")
     baseVersion + 1L
   }
 
@@ -521,8 +531,9 @@ object VersionedTable {
     else latestVersion(spark, table) match {
       case None =>
         val dirName = writeSnapshot(spark, source, table, 5000000L)
+        validateConstraints(spark, table, dirName)
         applySkipping(spark, table, dirName, Nil, Nil, 10)
-        publish(spark, table, 1L, dirName, Some(batchId))
+        publish(spark, table, 1L, dirName, Some(batchId), op = "stream")
         Some(1L)
       case Some(_) =>
         Some(mergeInto(spark, table, source, key, deleteWhen,
@@ -679,6 +690,76 @@ object VersionedTable {
 
   /** Above this IN-list size, file-level pruning is skipped for the list. */
   val MaxInListSkip = 256
+
+  /** Thrown when a commit's snapshot violates a CHECK constraint; the
+    * written data dir is an orphan (no manifest names it) and is
+    * reclaimable by [[vacuum]] — nothing became visible.
+    */
+  final class ConstraintViolationException(val name: String,
+      val expression: String, val violations: Long)
+    extends RuntimeException(
+      s"CHECK constraint '$name' ($expression) violated by " +
+        s"$violations row(s) — commit aborted, nothing published")
+
+  /** Persist CHECK constraints (`_constraints.json` at the table root):
+    * every later commit on ANY path counts rows where the expression is
+    * FALSE in the written snapshot (NULL passes, per SQL CHECK) and
+    * aborts BEFORE publish on the first violated constraint — the
+    * violating snapshot never becomes a version. One combined
+    * aggregation pass over the snapshot regardless of constraint count.
+    * Applies from the next commit; existing versions are not re-checked.
+    */
+  def setConstraints(spark: SparkSession, table: String,
+      constraints: Map[String, String]): Unit = {
+    require(constraints.nonEmpty, "setConstraints needs at least one")
+    require(constraints.keys.forall(_.matches("[A-Za-z0-9_]+")),
+      "constraint names must be simple identifiers")
+    val (hfs, root) = fs(spark, table)
+    hfs.mkdirs(root)
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = constraints.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"""\"${esc(n)}\":\"${esc(e)}\"""" }
+      .mkString("{", ",", "}")
+    val out = hfs.create(new Path(root, "_constraints.json"), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private val constraintEntry =
+    """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  /** The persisted constraints, name-ascending; empty when none set. */
+  def constraintsOf(spark: SparkSession,
+      table: String): Seq[(String, String)] = {
+    val (hfs, root) = fs(spark, table)
+    val p = new Path(root, "_constraints.json")
+    if (!hfs.exists(p)) return Nil
+    val in = hfs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
+    constraintEntry.findAllMatchIn(body)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toSeq
+  }
+
+  /** One aggregation pass counting FALSE rows per constraint over the
+    * just-written (unpublished) snapshot; throws
+    * [[ConstraintViolationException]] for the first violated one.
+    */
+  private def validateConstraints(spark: SparkSession, table: String,
+      dirName: String): Unit = {
+    val cs = constraintsOf(spark, table)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val snap = spark.read.parquet(
+      new Path(new Path(table), dirName).toString)
+    val counts = snap.select(cs.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+    }: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (bad > 0) throw new ConstraintViolationException(n, e, bad)
+    }
+  }
 
   /** Persist the table's data-skipping policy (`_skipping.json` at the
     * table root): every later commit on ANY path — full snapshot, CDC
@@ -1067,7 +1148,9 @@ object VersionedTable {
     }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val cur = readVersion(spark, table, v)
-    if (clusterCols.isEmpty) commit(spark, cur.repartition(n), table)
-    else commitClustered(spark, cur, table, clusterCols, numFiles = n)
+    if (clusterCols.isEmpty)
+      commit(spark, cur.repartition(n), table, op = "optimize")
+    else commitClustered(spark, cur, table, clusterCols, numFiles = n,
+      op = "optimize")
   }
 }

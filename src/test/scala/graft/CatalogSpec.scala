@@ -161,6 +161,18 @@ class CatalogSpec extends AnyFunSuite {
       assert(last.getBoolean(1) && last.getString(2).contains("k") &&
         last.getString(3).contains("k") && last.getString(4) == "k",
         s"unexpected coverage row: $last")
+
+      // statement-added CHECK constraint gates the next textual MERGE
+      GraftSql.sql(spark, s"ADD CONSTRAINT '$tbl' v_nonneg CHECK (v >= 0)")
+      assert(GraftSql.sql(spark, s"DESCRIBE CONSTRAINTS '$tbl'")
+        .collect().map(_.getString(0)).toSeq == Seq("v_nonneg"))
+      intercept[VersionedTable.ConstraintViolationException] {
+        GraftSql.sql(spark,
+          s"""MERGE INTO '$tbl' USING (SELECT CAST(7 AS BIGINT) AS k,
+             |'neg' AS name, CAST(-1.0 AS DOUBLE) AS v) AS s ON k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
     } finally spark.stop()
   }
 

@@ -771,6 +771,42 @@ class SinksSpec extends SparkSpec {
     assert(stats2.isDefined, "explicit-cols commit wrote a sidecar")
   }
 
+  test("CHECK constraints gate every commit path; violations publish nothing") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_check"
+    VersionedTable.setConstraints(spark, t, Map(
+      "qty_pos" -> "qty > 0",
+      "name_len" -> "length(name) <= 8"))
+    // clean snapshot commits; NULL qty passes (SQL CHECK semantics)
+    val v1 = VersionedTable.commit(spark,
+      Seq((1L, Some(5L), "ok"), (2L, None, "also-ok"))
+        .toDF("k", "qty", "name"), t)
+    assert(v1 == 1L)
+    // a violating commit aborts BEFORE publish: latest stays v1 and the
+    // orphan dir is invisible
+    val e = intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.commit(spark,
+        Seq((3L, Some(-2L), "bad")).toDF("k", "qty", "name"), t)
+    }
+    assert(e.name == "qty_pos" && e.violations == 1L)
+    assert(VersionedTable.latestVersion(spark, t).contains(1L))
+    // the merge path is gated too
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.mergeInto(spark, t,
+        Seq((9L, Some(1L), "way-too-long-name")).toDF("k", "qty", "name"),
+        key = "k")
+    }
+    assert(VersionedTable.latestVersion(spark, t).contains(1L))
+    // and a clean merge still commits
+    assert(VersionedTable.mergeInto(spark, t,
+      Seq((9L, Some(1L), "fine")).toDF("k", "qty", "name"), key = "k") == 2L)
+    // op provenance landed in history: v1 commit, v2 merge
+    val ops = VersionedTable.history(spark, t).orderBy("version")
+      .collect().map(_.getString(4))
+    assert(ops.toSeq == Seq("commit", "merge"), ops.mkString(","))
+  }
+
   test("optimize rewrites the latest snapshot as a new compacted version") {
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.ColumnBounds
