@@ -14,6 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - `MERGE INTO '<table-path>' USING <source> ON <key> WHEN ... THEN ...`
   *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
+  *  - `DELETE FROM '<table-path>' WHERE <cond>` / `UPDATE '<table-path>'
+  *    SET c = expr[, ...] WHERE <cond>` compile to the copy-on-write
+  *    [[VersionedTable.deleteWhere]]/[[VersionedTable.updateWhere]]
+  *    (base-pinned: a racing commit conflicts instead of being lost);
   *  - `SELECT ... FROM '<table-path>' VERSION AS OF <n> ...` rewrites the
   *    time-travel reference to a temp view over
   *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`
@@ -90,6 +94,13 @@ object GraftSql {
       """\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DescConstraintsRe =
     """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val DeleteRe =
+    ("""(?is)\s*DELETE\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+WHERE\s+(.+?)\s*;?\s*""").r
+  private val UpdateRe =
+    ("""(?is)\s*UPDATE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""").r
+  private val AssignRe = """(?s)\s*`?(\w+)`?\s*=\s*(.+)\s*""".r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
@@ -150,6 +161,16 @@ object GraftSql {
       case DescConstraintsRe(p1, p2) =>
         VersionedTable.constraintsOf(spark, Option(p1).getOrElse(p2))
           .toDF("name", "expression")
+      case DeleteRe(p1, p2, cond) =>
+        Seq(VersionedTable.deleteWhere(spark, Option(p1).getOrElse(p2),
+          expr(cond))).toDF("version")
+      case UpdateRe(p1, p2, assigns, cond) =>
+        val set = splitTopLevel(assigns).map {
+          case AssignRe(c, e) => c -> expr(e)
+          case a => fail(s"unparseable SET assignment '$a' — use col = expr")
+        }.toMap
+        Seq(VersionedTable.updateWhere(spark, Option(p1).getOrElse(p2),
+          expr(cond), set)).toDF("version")
       case s if VersionRefRe.findFirstIn(s).isDefined ||
           LatestRefRe.findFirstIn(s).isDefined =>
         spark.sql(rewriteTimeTravel(spark, s))
@@ -159,6 +180,25 @@ object GraftSql {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException("GraftSql: " + msg)
+
+  /** Split on commas NOT nested inside parentheses — `SET a = f(x, y),
+    * b = 2` has exactly one top-level comma.
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    s.indices.foreach { i =>
+      s(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def merge(spark: SparkSession, table: String, sourceSql: String,
       alias: Option[String], on: String, whens: String): DataFrame = {

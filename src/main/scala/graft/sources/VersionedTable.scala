@@ -691,6 +691,66 @@ object VersionedTable {
   /** Above this IN-list size, file-level pruning is skipped for the list. */
   val MaxInListSkip = 256
 
+  /** Copy-on-write DELETE: commit the latest snapshot minus rows matching
+    * `cond` as a new version. Rows where `cond` is NULL are KEPT (SQL
+    * DELETE removes only rows the predicate proves true). Base-pinned
+    * optimistic concurrency like [[commitMergeFrom]]: a writer landing
+    * between our read and publish raises [[CommitConflictException]]
+    * instead of silently dropping their commit. Constraints and the
+    * skipping policy apply as on every commit path.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val kept = readVersion(spark, table, base)
+      .where(not(coalesce(cond, lit(false))))
+    val dirName = writeSnapshot(spark, kept, table, maxRecordsPerFile)
+    validateConstraints(spark, table, dirName)
+    applySkipping(spark, table, dirName, Nil, Nil, 10)
+    publish(spark, table, base + 1L, dirName, op = "delete")
+    base + 1L
+  }
+
+  /** Copy-on-write UPDATE: rows matching `cond` get each column in `set`
+    * replaced by its expression (evaluated against the OLD row, as in
+    * SQL — all assignments see pre-update values); other rows pass
+    * through. NULL `cond` rows are untouched. Same base-pinned publish,
+    * constraint gate, and skipping policy as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val cur = readVersion(spark, table, base)
+    val missing = set.keys.filterNot(cur.columns.contains)
+    require(missing.isEmpty,
+      s"UPDATE of unknown column(s): ${missing.mkString(", ")}")
+    val hit = coalesce(cond, lit(false))
+    // single select: every assignment evaluates against the old row
+    // assignments cast to the column's existing type: UPDATE must never
+    // silently migrate the table schema (an int literal widening a long
+    // column to double would corrupt every later reader's expectations)
+    val updated = cur.select(cur.columns.map { c =>
+      set.get(c) match {
+        case Some(e) =>
+          when(hit, e.cast(cur.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val dirName = writeSnapshot(spark, updated, table, maxRecordsPerFile)
+    validateConstraints(spark, table, dirName)
+    applySkipping(spark, table, dirName, Nil, Nil, 10)
+    publish(spark, table, base + 1L, dirName, op = "update")
+    base + 1L
+  }
+
   /** Thrown when a commit's snapshot violates a CHECK constraint; the
     * written data dir is an orphan (no manifest names it) and is
     * reclaimable by [[vacuum]] — nothing became visible.

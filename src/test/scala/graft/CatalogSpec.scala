@@ -162,6 +162,21 @@ class CatalogSpec extends AnyFunSuite {
         last.getString(3).contains("k") && last.getString(4) == "k",
         s"unexpected coverage row: $last")
 
+      // textual DML: UPDATE with a function call containing a comma in
+      // SET (top-level split must not break on it), then DELETE
+      val uv = GraftSql.sql(spark,
+        s"UPDATE '$tbl' SET v = greatest(v, 15.0), name = upper(name) " +
+          "WHERE k = 1").head().getLong(0)
+      val afterU = VersionedTable.readLatest(spark, tbl)
+        .where("k = 1").head()
+      assert(afterU.getString(1) == "A" && afterU.getDouble(2) == 15.0,
+        s"UPDATE applied wrong values: $afterU")
+      val dv = GraftSql.sql(spark,
+        s"DELETE FROM '$tbl' WHERE k = 9").head().getLong(0)
+      assert(dv == uv + 1)
+      assert(VersionedTable.readLatest(spark, tbl)
+        .where("k = 9").isEmpty)
+
       // statement-added CHECK constraint gates the next textual MERGE
       GraftSql.sql(spark, s"ADD CONSTRAINT '$tbl' v_nonneg CHECK (v >= 0)")
       assert(GraftSql.sql(spark, s"DESCRIBE CONSTRAINTS '$tbl'")

@@ -771,6 +771,41 @@ class SinksSpec extends SparkSpec {
     assert(stats2.isDefined, "explicit-cols commit wrote a sidecar")
   }
 
+  test("deleteWhere / updateWhere: copy-on-write DML with pinned base") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_dml"
+    VersionedTable.commit(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
+        .toDF("k", "tag", "v"), t)
+
+    // DELETE: NULL-predicate rows are KEPT (k=3's tag is null)
+    val v2 = VersionedTable.deleteWhere(spark, t, col("tag") === "a")
+    assert(v2 == 2L)
+    assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+
+    // UPDATE: assignments see OLD values; non-matching rows untouched;
+    // the int-literal assignment must not widen the double column
+    val v3 = VersionedTable.updateWhere(spark, t, col("k") === 2L,
+      Map("v" -> (col("v") + lit(1)), "tag" -> upper(col("tag"))))
+    assert(v3 == 3L)
+    val rows = VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((2L, "B", 21.0), (3L, null, 30.0)))
+    assert(VersionedTable.readLatest(spark, t).schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+
+    // unknown column fails typed; time travel still reads every state
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, lit(true), Map("ghost" -> lit(1)))
+    }
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 3)
+    // op provenance: commit, delete, update
+    assert(VersionedTable.history(spark, t).orderBy("version").collect()
+      .map(_.getString(4)).toSeq == Seq("commit", "delete", "update"))
+  }
+
   test("CHECK constraints gate every commit path; violations publish nothing") {
     import graft.sources.VersionedTable
     import spark.implicits._
