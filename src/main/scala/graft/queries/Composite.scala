@@ -1608,6 +1608,36 @@ object Composite {
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
              |FROM orders WHERE o_orderkey = 1285
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q150 — copy-on-write DML (VersionedTable.updateWhere/deleteWhere):
+    // UPDATE raises open orders' totals 10%, then DELETE drops rows the
+    // UPDATED total leaves under 50k — exactly SQL's statement ordering,
+    // each an atomic base-pinned version. The oracle replays the same two
+    // statements relationally; the 1.1 multiply is one IEEE double op,
+    // bit-identical across engines.
+    Q("q150_dml",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-vtable-dml").toString
+        VersionedTable.commit(s,
+          Tables(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice")),
+          dir)
+        VersionedTable.updateWhere(s, dir, col("o_orderstatus") === "O",
+          Map("o_totalprice" -> (col("o_totalprice") * lit(1.1))))
+        VersionedTable.deleteWhere(s, dir, col("o_totalprice") < 50000.0)
+        VersionedTable.readLatest(s, dir).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM orders)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM u
+             |WHERE NOT (o_totalprice < 50000.0)
              |ORDER BY o_orderkey""".stripMargin))
   )
 }
