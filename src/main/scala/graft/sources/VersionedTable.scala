@@ -450,8 +450,38 @@ object VersionedTable {
     // merges inherit the table's skipping policy: a drip-merged table
     // must not lose its index on the first CDC batch
     applySkipping(spark, table, dirName, Nil, Nil, 10)
+    // change-data-feed at write time: the change batch IS this version's
+    // row-level CDC — persist it inside the (still unpublished) data dir,
+    // so a downstream consumer reads deltas without diffing snapshots.
+    // The `_` prefix keeps it invisible to readVersion; atomic with the
+    // commit by the same argument as the stats sidecar.
+    changes.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(new Path(new Path(table), s"$dirName/$changesDirName").toString)
     publish(spark, table, baseVersion + 1L, dirName, batchId, op = "merge")
     baseVersion + 1L
+  }
+
+  private val changesDirName = "_changes"
+
+  /** The exact change batch `version` was committed with (columns as the
+    * merge caller supplied — for [[mergeInto]]/[[mergeBatchIfNew]] that is
+    * the source schema plus `__ver`/`__op`) — the row-level change feed a
+    * downstream consumer polls: for each new version, `readChanges` when
+    * it merges, falling back to [[diffVersions]] for full-snapshot
+    * commits (which have no change log — this throws for those). Reading
+    * deltas instead of diffing snapshots is the 100 TB difference between
+    * touching the batch and touching the table.
+    */
+  def readChanges(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    val dataDir = dataPathOf(spark, table, version)
+    val (hfs, _) = fs(spark, table)
+    val p = new Path(dataDir, changesDirName)
+    if (!hfs.exists(p)) throw new IllegalArgumentException(
+      s"version $version of $table has no change log (full-snapshot " +
+        "commit) — use diffVersions for snapshot-level CDC")
+    spark.read.parquet(p.toString)
   }
 
   /** MERGE-INTO-shaped entry over [[commitMerge]] — the verb a lakehouse

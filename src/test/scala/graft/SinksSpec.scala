@@ -553,6 +553,14 @@ class SinksSpec extends SparkSpec {
       Seq(ColumnBounds("id", Some(50000L), None)))
     assert(none.count() == 0 && none.columns.toSeq == full.columns.toSeq)
 
+    // plan quality: the residual filter still reaches the parquet scan of
+    // the surviving files (file-level skip ABOVE row-group pushdown, not
+    // instead of it)
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PushedFilters") &&
+      prunedPlan.contains("GreaterThanOrEqual(id,2000)"),
+      s"residual not pushed to scan:\n$prunedPlan")
+
     // no sidecar -> graceful full-scan fallback with identical rows
     val t2 = tmp() + "/vt_nostats"
     import spark.implicits._
@@ -769,6 +777,32 @@ class SinksSpec extends SparkSpec {
     val stats2 = VersionedTable.pruneSelection(spark, t3, 2L,
       Seq(ColumnBounds("k", Some(0L), Some(0L))))
     assert(stats2.isDefined, "explicit-cols commit wrote a sidecar")
+  }
+
+  test("merge commits persist their change batch as a readable change feed") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_cdf"
+    VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.mergeInto(spark, t,
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), key = "k")
+    // the feed is the exact batch, op-tagged; v1 (full snapshot) has none
+    val ch = VersionedTable.readChanges(spark, t, 2L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ch.toSeq == Seq((2L, "b2"), (3L, "c")), ch.mkString(","))
+    assert(VersionedTable.readChanges(spark, t, 2L).columns.contains("__op"))
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, t, 1L))
+    // the sidecar is invisible to snapshot reads
+    assert(VersionedTable.readVersion(spark, t, 2L).count() == 3)
+    // a consumer catching up: deltas per merged version reproduce the
+    // net diff the snapshot pair would give
+    val delta = VersionedTable.readChanges(spark, t, 2L)
+      .select(col("k")).orderBy("k").collect().map(_.getLong(0))
+    val net = VersionedTable.diffVersions(spark, t, 1L, 2L, "k", Seq("v"))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(delta.toSeq == net.toSeq)
   }
 
   test("deleteWhere / updateWhere: copy-on-write DML with pinned base") {
