@@ -18,10 +18,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * {{{
   *   data/<uuid>/  (parquet)     immutable snapshot bodies, one
   *                               WRITER-UNIQUE dir per commit attempt
+  *     _stats/   (parquet)       per-file zone maps + Bloom filters
+  *                               (data skipping; written pre-publish)
+  *     _changes/ (parquet)       the change batch a merge committed
+  *                               (write-time CDC feed; merge paths only)
   *   _manifests/v<%08d n>.json   the COMMIT RECORD — a version exists iff
   *                               its manifest file exists; its body names
-  *                               the data dir the version points at
+  *                               the data dir the version points at (and
+  *                               the op/writer/batch provenance)
+  *   _skipping.json              data-skipping policy (mutable config)
+  *   _constraints.json           CHECK constraints (mutable config)
   * }}}
+  * Underscore-prefixed paths are invisible to Spark's parquet file index,
+  * so sidecars never leak into snapshot reads; everything under the uuid
+  * dir becomes visible atomically with the manifest create.
   *
   * Commit protocol (optimistic, lock-free):
   *  1. next = latest committed version + 1;
