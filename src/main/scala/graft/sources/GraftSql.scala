@@ -28,7 +28,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'`,
   *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]`,
   *    `SET SKIPPING ON '<table-path>' STATS (c, ...) [BLOOM (c, ...)]
-  *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'`, `ADD CONSTRAINT
+  *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'`, `EXPIRE VERSIONS
+  *    '<table-path>' KEEP <n>` (physical version retirement — pair with
+  *    VACUUM for erasure), `ADD CONSTRAINT
   *    '<table-path>' <name> CHECK (<expr>)` (additive; later commits
   *    abort on violation), `DESCRIBE CONSTRAINTS '<table-path>'` — the
   *    maintenance verbs, statement-spelled;
@@ -94,6 +96,9 @@ object GraftSql {
       """\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DescConstraintsRe =
     """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val ExpireRe =
+    ("""(?is)\s*EXPIRE\s+VERSIONS\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+KEEP\s+(\d+)\s*;?\s*""").r
   private val DeleteRe =
     ("""(?is)\s*DELETE\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+WHERE\s+(.+?)\s*;?\s*""").r
@@ -161,6 +166,9 @@ object GraftSql {
       case DescConstraintsRe(p1, p2) =>
         VersionedTable.constraintsOf(spark, Option(p1).getOrElse(p2))
           .toDF("name", "expression")
+      case ExpireRe(p1, p2, keep) =>
+        VersionedTable.expireVersions(spark, Option(p1).getOrElse(p2),
+          keepLast = keep.toInt).toDF("expired_version")
       case DeleteRe(p1, p2, cond) =>
         Seq(VersionedTable.deleteWhere(spark, Option(p1).getOrElse(p2),
           expr(cond))).toDF("version")

@@ -700,6 +700,81 @@ object VersionedTable {
     }
   }
 
+  /** Physically EXPIRE every version but the newest `keepLast`: after
+    * this, the expired versions no longer exist (time travel to them
+    * throws) and their data dirs become unreferenced — [[vacuum]]
+    * reclaims the bytes once the grace passes. This is the data-lifecycle
+    * half "time travel forever" otherwise blocks: a deleted row is only
+    * GONE (right-to-be-forgotten) once the versions that contained it are
+    * expired AND vacuumed; [[compactManifests]] shrinks the log but keeps
+    * every version readable — this retires the versions themselves.
+    *
+    * Mechanism (ordered so a crash anywhere leaves every KEPT version
+    * resolvable and at worst some expired versions still alive — rerun):
+    *  1. write a checkpoint carrying ONLY the kept (version → dir) pairs,
+    *     stamped STRICTLY NEWER than every existing checkpoint (and than
+    *     `latest`, so it wins the newest-checkpoint read even against a
+    *     checkpoint a racing compaction writes at `latest`) — put-if-
+    *     absent, bumping the stamp on collision;
+    *  2. delete the expired versions' per-version manifests (resolution
+    *     is manifest-first, so an expired version stays readable until
+    *     its manifest is gone — crash = incomplete expiry, not loss);
+    *  3. retire older checkpoints, keeping one predecessor (the same
+    *     policy as compaction — its reader-retry covers the swap).
+    *
+    * A stamp can land on a version number a later compaction would use;
+    * that compaction then no-ops once and runs at the next commit —
+    * benign. Concurrent readers mid-read of an expiring version fail
+    * once its manifest drops or vacuum reclaims its dir — inherent to
+    * erasure (Delta's VACUUM has the same property). Returns the expired
+    * version numbers.
+    */
+  def expireVersions(spark: SparkSession, table: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val (hfs, root) = fs(spark, table)
+    val vs = versions(spark, table)
+    val dropped = vs.dropRight(keepLast)
+    if (dropped.isEmpty) return Seq.empty
+    val cp = checkpointMap(hfs, root)
+    val kept = vs.takeRight(keepLast)
+      .flatMap(v => resolveDirWith(hfs, root, v, () => cp).map(v -> _))
+    val body = kept.map { case (v, d) => s"""{"v":$v,"dir":"$d"}""" }
+      .mkString("[", ",", "]")
+    val existingStamps = hfs.listStatus(new Path(root, "_manifests"))
+      .iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("checkpoint-v") && n.endsWith(".json") =>
+        n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
+      }.maxOption.getOrElse(0L)
+    var stamp = math.max(vs.last, existingStamps) + 1L
+    var written = false
+    while (!written) {
+      val target = new Path(root, s"_manifests/${checkpointName(stamp)}")
+      try {
+        val out = hfs.create(target, /* overwrite = */ false)
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        written = true
+      } catch { case e: java.io.IOException =>
+        if (hfs.exists(target)) stamp += 1L // racing stamper — bump
+        else throw e
+      }
+    }
+    dropped.foreach { v =>
+      val m = new Path(root, s"_manifests/${manifestName(v)}")
+      if (hfs.exists(m)) hfs.delete(m, false)
+    }
+    val oldCheckpoints = hfs.listStatus(new Path(root, "_manifests"))
+      .iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("checkpoint-v") &&
+          n.endsWith(".json") && n != checkpointName(stamp) =>
+        n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
+      }.toSeq.sorted
+    oldCheckpoints.dropRight(1).foreach(v =>
+      hfs.delete(new Path(root, s"_manifests/${checkpointName(v)}"), false))
+    dropped
+  }
+
   // ----- data skipping (zone-map sidecar + pruned reads) ---------------
 
   /** An inclusive range predicate `lower <= column <= upper` for

@@ -779,6 +779,38 @@ class SinksSpec extends SparkSpec {
     assert(stats2.isDefined, "explicit-cols commit wrote a sidecar")
   }
 
+  test("expireVersions retires history physically; vacuum reclaims the bytes") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_expire"
+    (1 to 5).foreach(i =>
+      VersionedTable.commit(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    // fold everything into a checkpoint first: expiry must work on
+    // checkpoint-resolved versions, not just live manifests
+    VersionedTable.compactManifests(spark, t, keepRecent = 1)
+    assert(VersionedTable.expireVersions(spark, t, keepLast = 2) ==
+      Seq(1L, 2L, 3L))
+    assert(VersionedTable.versions(spark, t) == Seq(4L, 5L))
+    intercept[IllegalArgumentException](VersionedTable.readVersion(spark, t, 2L))
+    assert(VersionedTable.readVersion(spark, t, 4L).head().getString(1) == "v4")
+    // the dropped dirs are unreferenced now: vacuum reclaims exactly them
+    Thread.sleep(50)
+    val reclaimed = VersionedTable.vacuum(spark, t, graceMs = 10L)
+    assert(reclaimed.size == 3, s"reclaimed ${reclaimed.size} dirs")
+    assert(VersionedTable.readLatest(spark, t).head().getString(1) == "v5")
+    // idempotent; numbering continues; later compaction still resolves
+    assert(VersionedTable.expireVersions(spark, t, keepLast = 2).isEmpty)
+    assert(VersionedTable.commit(spark,
+      Seq((9L, "v6")).toDF("k", "v"), t) == 6L)
+    VersionedTable.compactManifests(spark, t, keepRecent = 1)
+    assert((4L to 6L).forall(v =>
+      VersionedTable.readVersion(spark, t, v).count() == 1))
+    // statement spelling
+    assert(graft.sources.GraftSql.sql(spark, s"EXPIRE VERSIONS '$t' KEEP 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    assert(VersionedTable.versions(spark, t) == Seq(6L))
+  }
+
   test("merge commits persist their change batch as a readable change feed") {
     import graft.sources.VersionedTable
     import spark.implicits._
