@@ -30,7 +30,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `SET SKIPPING ON '<table-path>' STATS (c, ...) [BLOOM (c, ...)]
   *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'`, `EXPIRE VERSIONS
   *    '<table-path>' KEEP <n>` (physical version retirement — pair with
-  *    VACUUM for erasure), `ADD CONSTRAINT
+  *    VACUUM for erasure), `RESTORE '<table-path>' TO VERSION <n>`
+  *    (roll back as a new forward version), `ADD CONSTRAINT
   *    '<table-path>' <name> CHECK (<expr>)` (additive; later commits
   *    abort on violation), `DESCRIBE CONSTRAINTS '<table-path>'` — the
   *    maintenance verbs, statement-spelled;
@@ -96,6 +97,9 @@ object GraftSql {
       """\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DescConstraintsRe =
     """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+TO\s+VERSION\s+(\d+)\s*;?\s*""").r
   private val ExpireRe =
     ("""(?is)\s*EXPIRE\s+VERSIONS\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+KEEP\s+(\d+)\s*;?\s*""").r
@@ -166,6 +170,9 @@ object GraftSql {
       case DescConstraintsRe(p1, p2) =>
         VersionedTable.constraintsOf(spark, Option(p1).getOrElse(p2))
           .toDF("name", "expression")
+      case RestoreRe(p1, p2, v) =>
+        Seq(VersionedTable.restore(spark, Option(p1).getOrElse(p2),
+          v.toLong)).toDF("version")
       case ExpireRe(p1, p2, keep) =>
         VersionedTable.expireVersions(spark, Option(p1).getOrElse(p2),
           keepLast = keep.toInt).toDF("expired_version")

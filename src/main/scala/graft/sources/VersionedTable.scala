@@ -700,6 +700,17 @@ object VersionedTable {
     }
   }
 
+  /** Roll the table back to `version` by committing that snapshot's
+    * contents as a NEW latest version (op "restore") — history moves only
+    * forward, so the bad versions stay inspectable until [[expireVersions]]
+    * retires them, and concurrent readers of the old latest are
+    * undisturbed. The restored version must still exist (not expired).
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val snap = readVersion(spark, table, version)
+    commit(spark, snap, table, op = "restore")
+  }
+
   /** Physically EXPIRE every version but the newest `keepLast`: after
     * this, the expired versions no longer exist (time travel to them
     * throws) and their data dirs become unreferenced — [[vacuum]]

@@ -805,10 +805,16 @@ class SinksSpec extends SparkSpec {
     VersionedTable.compactManifests(spark, t, keepRecent = 1)
     assert((4L to 6L).forall(v =>
       VersionedTable.readVersion(spark, t, v).count() == 1))
-    // statement spelling
+    // RESTORE rolls back as a forward version; history keeps moving
+    assert(graft.sources.GraftSql.sql(spark, s"RESTORE '$t' TO VERSION 5")
+      .head().getLong(0) == 7L)
+    assert(VersionedTable.readLatest(spark, t).head().getString(1) == "v5")
+    assert(VersionedTable.history(spark, t).orderBy("version").collect()
+      .last.getString(4) == "restore")
+    // statement spelling for expiry
     assert(graft.sources.GraftSql.sql(spark, s"EXPIRE VERSIONS '$t' KEEP 1")
-      .collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
-    assert(VersionedTable.versions(spark, t) == Seq(6L))
+      .collect().map(_.getLong(0)).toSeq == Seq(4L, 5L, 6L))
+    assert(VersionedTable.versions(spark, t) == Seq(7L))
   }
 
   test("merge commits persist their change batch as a readable change feed") {
