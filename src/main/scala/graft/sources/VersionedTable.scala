@@ -897,6 +897,10 @@ object VersionedTable {
     */
   def setConstraints(spark: SparkSession, table: String,
       constraints: Map[String, String]): Unit = {
+    // config overwrite is not atomic: a commit whose validation read
+    // lands inside the rewrite window may see no/partial constraints and
+    // skip the gate once — acceptable for a rare administrative write
+    // (the alternative, delete+rename, has the same no-file window)
     require(constraints.nonEmpty, "setConstraints needs at least one")
     require(constraints.keys.forall(_.matches("[A-Za-z0-9_]+")),
       "constraint names must be simple identifiers")
@@ -938,9 +942,18 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     val snap = spark.read.parquet(
       new Path(new Path(table), dirName).toString)
-    val counts = snap.select(cs.map { case (n, e) =>
-      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
-    }: _*).head()
+    val counts =
+      try snap.select(cs.map { case (n, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+      }: _*).head()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        // name the real cause: a constraint outliving a schema change
+        // otherwise surfaces as an opaque resolution error mid-commit
+        throw new IllegalArgumentException(
+          s"CHECK constraint(s) ${cs.map(_._1).mkString(", ")} reference " +
+            s"column(s) this snapshot does not carry — drop or update the " +
+            s"constraint (setConstraints) before committing this schema", e)
+      }
     cs.zipWithIndex.foreach { case ((n, e), i) =>
       val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
       if (bad > 0) throw new ConstraintViolationException(n, e, bad)
