@@ -16,6 +16,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType,
   */
 object Composite {
 
+  /** Temp dir for the file-backed queries (ORC/CSV/JSONL round-trips,
+    * versioned tables), reclaimed at JVM exit: bench reps and repeated
+    * verify runs otherwise strand one dir per invocation in /tmp.
+    */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    dir.toString
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q110 — correlated LATERAL subquery: top-2 orders per customer by
@@ -342,8 +357,7 @@ object Composite {
     // declared sink surface, same pattern as the catalog queries.
     Q("q117_orc_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-orc").toString
+        val dir = scratchDir("graft-orc")
         Tables(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_returnflag"),
             (col("l_extendedprice").cast(DecimalType(25, 6)) * 100)
@@ -911,8 +925,7 @@ object Composite {
     // parquet; equality proves header/quoting/type fidelity end to end.
     Q("q130_csv_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-csv").toString
+        val dir = scratchDir("graft-csv")
         Tables(s, d, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_timestamp(col("ts")).as("epoch_s"))
@@ -1479,8 +1492,7 @@ object Composite {
     // parquet oracle proves field/type fidelity through the text format.
     Q("q143_jsonl_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-jsonl").toString
+        val dir = scratchDir("graft-jsonl")
         Tables(s, d, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_timestamp(col("ts")).as("epoch_s"))
@@ -1515,8 +1527,7 @@ object Composite {
     // manifest/commit/time-travel plumbing value-transparent end to end.
     Q("q144_version_diff",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-vtable").toString
+        val dir = scratchDir("graft-vtable")
         val cust = Tables(s, d, "customer")
         val v1 = cust.where(col("c_custkey") <= 1200)
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
@@ -1565,8 +1576,7 @@ object Composite {
     Q("q148_pruned_scan",
       (s, d) => {
         import graft.sources.VersionedTable
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-vtable-skip").toString
+        val dir = scratchDir("graft-vtable-skip")
         val orders = Tables(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_orderdate"), col("o_totalprice"))
@@ -1594,8 +1604,7 @@ object Composite {
     Q("q149_point_lookup",
       (s, d) => {
         import graft.sources.VersionedTable
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-vtable-bloom").toString
+        val dir = scratchDir("graft-vtable-bloom")
         val orders = Tables(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_orderdate"), col("o_totalprice"))
@@ -1619,8 +1628,7 @@ object Composite {
     Q("q150_dml",
       (s, d) => {
         import graft.sources.VersionedTable
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-vtable-dml").toString
+        val dir = scratchDir("graft-vtable-dml")
         VersionedTable.commit(s,
           Tables(s, d, "orders")
             .select(col("o_orderkey"), col("o_orderstatus"),
