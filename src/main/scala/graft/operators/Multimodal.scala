@@ -77,6 +77,41 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** REAL (non-stub) audio-header parse, the WAV sibling of [[pngDims]]:
+    * sample rate / channels / bit depth / payload size / duration straight
+    * off canonical RIFF-WAVE bytes (44-byte PCM header: "RIFF" @1,
+    * "WAVEfmt " @9, "data" @37 — the layout every standard PCM encoder
+    * writes), builtin codegen functions only. WAV fields are
+    * LITTLE-endian, so each integer is read by hex-ing its bytes in
+    * reverse order before `conv` — still zero-copy slicing + codegen'd
+    * string ops. Non-canonical containers (extra chunks before `data`)
+    * and non-WAV payloads gate to a null struct rather than misparse:
+    * metadata-pass-then-decode, same posture as the image side. Duration
+    * is null when any rate/channel/depth field is zero (division guard),
+    * not a fabricated 0.0.
+    */
+  def wavMeta(content: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val le = (off: Int, n: Int) =>
+      conv(concat((0 until n).reverse.map(i =>
+        hex(substring(content, off + i, 1))): _*), 16, 10).cast("long")
+    val isWav = hex(substring(content, 1, 4)) === lit("52494646") &&
+      hex(substring(content, 9, 8)) === lit("57415645666D7420") &&
+      hex(substring(content, 37, 4)) === lit("64617461")
+    val rate = le(25, 4)
+    val ch = le(23, 2)
+    val bits = le(35, 2)
+    val dataBytes = le(41, 4)
+    val duration = when(rate > 0 && ch > 0 && bits > 0,
+      dataBytes.cast("double") * 8.0 /
+        (rate.cast("double") * ch.cast("double") * bits.cast("double")))
+    when(isWav && length(content) >= 44,
+      struct(rate.as("sample_rate"), ch.as("channels"),
+        bits.as("bits_per_sample"), dataBytes.as("data_bytes"),
+        duration.as("duration_s")))
+      .otherwise(lit(null))
+  }
+
   /** Attach a fake binary payload to the documents table (in production the
     * payload column arrives from the source parquet; text bytes stand in).
     * The metadata struct keeps scan-time pruning possible: filters on

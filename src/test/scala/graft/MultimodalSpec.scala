@@ -95,4 +95,33 @@ class MultimodalSpec extends SparkSpec {
       dims(2) == (65535L, 2L))
     assert(rows(3).isNullAt(1) && rows(4).isNullAt(1))
   }
+
+  test("wavMeta reads rate/channels/depth/duration off real header bytes") {
+    import spark.implicits._
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >>> (8 * i)) & 0xFF).toByte).toArray
+    // canonical 44-byte PCM header the way every standard encoder lays
+    // it out: RIFF size, WAVEfmt , fmt-size 16, format 1 (PCM)
+    def wav(rate: Long, ch: Long, bits: Long, dataBytes: Long): Array[Byte] =
+      "RIFF".getBytes ++ le(36 + dataBytes, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(ch, 2) ++ le(rate, 4) ++
+        le(rate * ch * bits / 8, 4) ++ le(ch * bits / 8, 2) ++
+        le(bits, 2) ++ "data".getBytes ++ le(dataBytes, 4)
+    val rows = Seq(
+      (1L, wav(44100L, 2L, 16L, 176400L)),  // exactly 1 s of CD stereo
+      (2L, wav(16000L, 1L, 8L, 8000L)),     // 0.5 s of 8-bit mono
+      (3L, wav(0L, 1L, 16L, 100L)),         // zero rate: fields, no duration
+      (4L, "RIFFxxxxLIST".getBytes),        // RIFF but not canonical WAVE
+      (5L, Array[Byte](0x49, 0x44, 0x33)))  // MP3/ID3: not a WAV
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.wavMeta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    val cd = rows(0).getStruct(1)
+    assert((cd.getLong(0), cd.getLong(1), cd.getLong(2), cd.getLong(3)) ==
+      ((44100L, 2L, 16L, 176400L)))
+    assert(math.abs(cd.getDouble(4) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getStruct(1).getDouble(4) - 0.5) < 1e-12)
+    assert(rows(2).getStruct(1).isNullAt(4), "zero rate must null duration")
+    assert(rows(3).isNullAt(1) && rows(4).isNullAt(1))
+  }
 }
