@@ -779,6 +779,55 @@ class SinksSpec extends SparkSpec {
     assert(stats2.isDefined, "explicit-cols commit wrote a sidecar")
   }
 
+  test("refreshRollup maintains a keyed rollup incrementally from the feed") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val base = tmp() + "/vt_roll_base"
+    val roll = tmp() + "/vt_roll"
+    def fullRollup() = VersionedTable.readLatest(spark, base)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    def assertCurrent(): Unit = {
+      val got = VersionedTable.readLatest(spark, roll)
+      val want = fullRollup()
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"rollup diverged: got ${got.collect().toSeq} want ${want.collect().toSeq}")
+    }
+    // first refresh = full aggregate
+    VersionedTable.commit(spark,
+      Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L))
+        .toDF("id", "k", "v"), base)
+    assert(VersionedTable.refreshRollup(spark, base, roll,
+      keys = Seq("k"), sumCols = Seq("v")).contains(1L))
+    assertCurrent()
+    // already current -> None (exactly-once token)
+    assert(VersionedTable.refreshRollup(spark, base, roll,
+      Seq("k"), Seq("v")).isEmpty)
+
+    // merges drive the INCREMENTAL path: upsert into group a, delete all
+    // of group b, create group c — refresh must equal full recompute and
+    // must DELETE the vanished group
+    VersionedTable.mergeInto(spark, base,
+      Seq((2L, "a", 50L), (4L, "c", 3L)).toDF("id", "k", "v"), key = "id")
+    VersionedTable.mergeInto(spark, base,
+      Seq((3L, "b", 0L)).toDF("id", "k", "v"), key = "id",
+      deleteWhen = lit(true))
+    assert(VersionedTable.refreshRollup(spark, base, roll,
+      Seq("k"), Seq("v")).contains(2L))
+    assertCurrent()
+    assert(VersionedTable.readLatest(spark, roll)
+      .where(col("k") === "b").isEmpty, "vanished group must be deleted")
+    // the merge recorded the applied base version; replay no-ops
+    assert(VersionedTable.refreshRollup(spark, base, roll,
+      Seq("k"), Seq("v")).isEmpty)
+
+    // a full-snapshot commit breaks feed coverage -> full recompute path
+    VersionedTable.commit(spark,
+      Seq((9L, "z", 100L)).toDF("id", "k", "v"), base)
+    assert(VersionedTable.refreshRollup(spark, base, roll,
+      Seq("k"), Seq("v")).isDefined)
+    assertCurrent()
+  }
+
   test("expireVersions retires history physically; vacuum reclaims the bytes") {
     import graft.sources.VersionedTable
     import spark.implicits._
