@@ -1646,6 +1646,46 @@ object Composite {
              |  FROM orders)
              |SELECT o_orderkey, o_orderstatus, o_totalprice FROM u
              |WHERE NOT (o_totalprice < 50000.0)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q151 — incremental materialized rollup (VersionedTable.refreshRollup):
+    // full refresh, then a CDC merge (97th orders repriced, customers
+    // divisible by 50 dropped), then the INCREMENTAL refresh driven by the
+    // merge's change feed — only touched customers re-aggregate, and the
+    // maintained rollup must equal the oracle's from-scratch aggregate of
+    // the post-merge state. The IVM claim "incremental == full recompute"
+    // checked cross-engine.
+    Q("q151_rollup_ivm",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val base = scratchDir("graft-vtable-ivm")
+        val roll = scratchDir("graft-vtable-ivm-roll")
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        VersionedTable.commit(s, orders, base)
+        VersionedTable.refreshRollup(s, base, roll,
+          keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+        val src = orders.where(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        VersionedTable.mergeInto(s, base, src, key = "o_orderkey",
+          deleteWhen = col("o_custkey") % 50 === 0)
+        VersionedTable.refreshRollup(s, base, roll,
+          keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+        VersionedTable.readLatest(s, roll).orderBy(col("o_custkey"))
+      },
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0
+             |    AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 97 = 0),
+             |final AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM src
+             |  WHERE NOT (o_custkey % 50 = 0))
+             |SELECT o_custkey, count(*) AS n,
+             |  sum(o_totalprice) AS sum_o_totalprice
+             |FROM final GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin))
   )
 }
