@@ -31,7 +31,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'`, `EXPIRE VERSIONS
   *    '<table-path>' KEEP <n>` (physical version retirement — pair with
   *    VACUUM for erasure), `RESTORE '<table-path>' TO VERSION <n>`
-  *    (roll back as a new forward version), `ADD CONSTRAINT
+  *    (roll back as a new forward version), `REFRESH ROLLUP '<target>'
+  *    FROM '<base>' KEY <k> SUM (c, ...)` (churn-bound incremental
+  *    materialized rollup; empty result = already current), `ADD CONSTRAINT
   *    '<table-path>' <name> CHECK (<expr>)` (additive; later commits
   *    abort on violation), `DESCRIBE CONSTRAINTS '<table-path>'` — the
   *    maintenance verbs, statement-spelled;
@@ -97,6 +99,10 @@ object GraftSql {
       """\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DescConstraintsRe =
     """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val RollupRe =
+    ("""(?is)\s*REFRESH\s+ROLLUP\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+KEY\s+(\w+)\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+TO\s+VERSION\s+(\d+)\s*;?\s*""").r
@@ -170,6 +176,13 @@ object GraftSql {
       case DescConstraintsRe(p1, p2) =>
         VersionedTable.constraintsOf(spark, Option(p1).getOrElse(p2))
           .toDF("name", "expression")
+      case RollupRe(t1, t2, b1, b2, key, sums) =>
+        val v = VersionedTable.refreshRollup(spark,
+          baseTable = Option(b1).getOrElse(b2),
+          targetTable = Option(t1).getOrElse(t2),
+          keys = Seq(key),
+          sumCols = sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        v.map(Seq(_)).getOrElse(Seq.empty[Long]).toDF("version")
       case RestoreRe(p1, p2, v) =>
         Seq(VersionedTable.restore(spark, Option(p1).getOrElse(p2),
           v.toLong)).toDF("version")

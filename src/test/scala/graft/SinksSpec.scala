@@ -826,6 +826,17 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.refreshRollup(spark, base, roll,
       Seq("k"), Seq("v")).isDefined)
     assertCurrent()
+
+    // statement spelling; already-current -> empty result
+    VersionedTable.mergeInto(spark, base,
+      Seq((9L, "z", 150L)).toDF("id", "k", "v"), key = "id")
+    assert(graft.sources.GraftSql.sql(spark,
+        s"REFRESH ROLLUP '$roll' FROM '$base' KEY k SUM (v)")
+      .count() == 1L)
+    assertCurrent()
+    assert(graft.sources.GraftSql.sql(spark,
+        s"REFRESH ROLLUP '$roll' FROM '$base' KEY k SUM (v)")
+      .isEmpty, "already-current refresh must return no version")
   }
 
   test("expireVersions retires history physically; vacuum reclaims the bytes") {
