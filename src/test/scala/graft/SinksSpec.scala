@@ -629,6 +629,28 @@ class SinksSpec extends SparkSpec {
       "string-typed bloom lookup")
   }
 
+  test("zone maps prune timestamp-typed range bounds") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnBounds
+    val t = tmp() + "/vt_ts"
+    val ev = Tables(spark, sfDir, "events").select(col("event_id"), col("ts"))
+    VersionedTable.commitClustered(spark, ev, t,
+      clusterCols = Seq("ts"), numFiles = 8)
+    val full = VersionedTable.readVersion(spark, t, 1L)
+    // one mid-range day: java.sql.Timestamp values through lit() must
+    // compare correctly against the sidecar's native timestamp min/max
+    val span = full.agg(min(col("ts")), max(col("ts"))).head()
+    val lo = new java.sql.Timestamp(span.getTimestamp(0).getTime + 86400000L)
+    val hi = new java.sql.Timestamp(lo.getTime + 86400000L)
+    val bounds = Seq(ColumnBounds("ts", Some(lo), Some(hi)))
+    val (kept, total) = VersionedTable.pruneSelection(spark, t, 1L, bounds).get
+    assert(total == 8 && kept.nonEmpty && kept.size < 8,
+      s"timestamp bounds kept ${kept.size}/$total")
+    val got = VersionedTable.readVersionPruned(spark, t, 1L, bounds)
+    val want = full.where(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("zone maps: ensureStats backfills an existing version once") {
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.ColumnBounds
