@@ -907,10 +907,20 @@ object VersionedTable {
     */
   def deleteWhere(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column,
-      maxRecordsPerFile: Long = 5000000L): Long = {
+      maxRecordsPerFile: Long = 5000000L): Long =
+    deleteWhereFrom(spark, table, latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions")),
+      cond, maxRecordsPerFile)
+
+  /** [[deleteWhere]] against an explicitly pinned base — the seam that
+    * makes the optimistic-concurrency contract testable (pin a stale base
+    * while a newer version exists → the publish must conflict, not
+    * overwrite), mirroring [[commitMergeFrom]].
+    */
+  private[graft] def deleteWhereFrom(spark: SparkSession, table: String,
+      base: Long, cond: org.apache.spark.sql.Column,
+      maxRecordsPerFile: Long): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    val base = latestVersion(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"$table has no committed versions"))
     val kept = readVersion(spark, table, base)
       .where(not(coalesce(cond, lit(false))))
     val dirName = writeSnapshot(spark, kept, table, maxRecordsPerFile)

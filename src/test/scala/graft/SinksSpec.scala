@@ -955,6 +955,15 @@ class SinksSpec extends SparkSpec {
       VersionedTable.updateWhere(spark, t, lit(true), Map("ghost" -> lit(1)))
     }
     assert(VersionedTable.readVersion(spark, t, 1L).count() == 3)
+    // base-pinned publish: a commit racing between the DML's base read
+    // and its publish makes it CONFLICT instead of silently dropping the
+    // racer (the pinned-base seam simulates the interleaving)
+    val stray = new java.io.File(t + "/_manifests/v00000004.json")
+    assert(stray.createNewFile())
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.deleteWhereFrom(spark, t, 3L, col("k") === 2L, 5000000L)
+    }
+    assert(stray.delete())
     // op provenance: commit, delete, update
     assert(VersionedTable.history(spark, t).orderBy("version").collect()
       .map(_.getString(4)).toSeq == Seq("commit", "delete", "update"))
