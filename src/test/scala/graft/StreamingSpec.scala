@@ -271,4 +271,47 @@ class StreamingSpec extends SparkSpec {
     assert(vs.size == vs.toSet.size && vs.last == vs.size,
       s"contiguous version chain expected: $vs")
   }
+
+  test("stream -> policied table -> incremental rollup composes end-to-end") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnBounds
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsink3").toString
+    val table = s"$dir/t"
+    val roll = s"$dir/roll"
+    // policy set BEFORE any data: every streamed batch must keep the index
+    VersionedTable.setSkippingPolicy(spark, table, statsCols = Seq("id"))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streams.startVersionedUpsertSink(
+      input.toDF().toDF("id", "k", "v"), table, "id",
+      s"$dir/_ckpt", "vsink_rollup")
+    def rollupCurrent(): Unit = {
+      val got = VersionedTable.readLatest(spark, roll)
+      val want = VersionedTable.readLatest(spark, table)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"rollup stale: ${got.collect().toSeq} vs ${want.collect().toSeq}")
+    }
+    try {
+      input.addData((1L, "a", 10L), (2L, "b", 5L))
+      q.processAllAvailable()
+      // first refresh: full aggregate (snapshot batch has no feed)
+      assert(VersionedTable.refreshRollup(spark, table, roll,
+        Seq("k"), Seq("v")).contains(1L))
+      rollupCurrent()
+      input.addData((3L, "a", 7L))
+      q.processAllAvailable()
+      // second refresh rides the merge batch's change feed incrementally
+      assert(VersionedTable.refreshRollup(spark, table, roll,
+        Seq("k"), Seq("v")).contains(2L))
+      rollupCurrent()
+    } finally q.stop()
+    // the streamed merge batch obeyed the skipping policy: the latest
+    // version carries a sidecar a pruned read can use
+    val latest = VersionedTable.latestVersion(spark, table).get
+    assert(VersionedTable.pruneSelection(spark, table, latest,
+      Seq(ColumnBounds("id", Some(1L), Some(1L)))).isDefined,
+      "streamed commit lost the skipping sidecar")
+  }
 }
