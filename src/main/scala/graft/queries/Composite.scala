@@ -1686,6 +1686,67 @@ object Composite {
              |SELECT o_custkey, count(*) AS n,
              |  sum(o_totalprice) AS sum_o_totalprice
              |FROM final GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Q152 — SQL-only lifecycle (GraftSql CREATE VERSIONED TABLE /
+    // INSERT INTO): bootstrap from a SELECT, append the rest as a second
+    // version, read LATEST — all statements, no Scala verbs. The INSERT
+    // is O(new data): the appended batch writes ONE fresh dir and the
+    // manifest references base dirs + new dir — at 100 TB a drip insert
+    // touches only its own bytes, never the table.
+    Q("q152_sql_insert",
+      (s, d) => {
+        import graft.sources.GraftSql
+        Tables.views(s, d)
+        val dir = scratchDir("graft-vtable-insert")
+        GraftSql.sql(s,
+          s"""CREATE VERSIONED TABLE '$dir' AS
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+        GraftSql.sql(s,
+          s"""INSERT INTO '$dir'
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 3 <> 0""".stripMargin)
+        GraftSql.sql(s,
+          s"""SELECT o_orderkey, o_custkey, o_totalprice FROM '$dir' LATEST
+             |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q153 — incremental rollup under a GROUP-MOVING merge: the CDC
+    // batch reassigns every 101st order to the NEXT customer, so each
+    // change row's rollup-key value differs from the stored row's. The
+    // refresh must re-aggregate the PRE-image groups too (recovered by
+    // merge-key semi-join against the predecessor snapshot) or the old
+    // customers' totals silently stay stale — the exact IVM hazard
+    // checked cross-engine against a from-scratch aggregate.
+    Q("q153_rollup_move",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val base = scratchDir("graft-vtable-move")
+        val roll = scratchDir("graft-vtable-move-roll")
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        VersionedTable.commit(s, orders, base)
+        VersionedTable.refreshRollup(s, base, roll,
+          keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+        val src = orders.where(col("o_orderkey") % 101 === 0)
+          .withColumn("o_custkey", col("o_custkey") + lit(1L))
+        VersionedTable.mergeInto(s, base, src, key = "o_orderkey")
+        VersionedTable.refreshRollup(s, base, roll,
+          keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+        VersionedTable.readLatest(s, roll).orderBy(col("o_custkey"))
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1
+             |         ELSE o_custkey END AS o_custkey,
+             |    o_totalprice
+             |  FROM orders)
+             |SELECT o_custkey, count(*) AS n,
+             |  sum(o_totalprice) AS sum_o_totalprice
+             |FROM final GROUP BY o_custkey
              |ORDER BY o_custkey""".stripMargin))
   )
 }

@@ -12,6 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hive-task src/primitives.lisp:252–266, which likewise pairs a
   * programmatic verb with the caller-facing entry):
   *
+  *  - `CREATE VERSIONED TABLE '<table-path>' AS SELECT ...` bootstraps a
+  *    table (fails if it exists) and `INSERT INTO '<table-path>'
+  *    SELECT ... | VALUES (...)` appends in O(new data) via
+  *    [[VersionedTable.append]] (the new batch's dir joins the manifest;
+  *    no table rewrite — SELECT binds by name, VALUES by position), so a
+  *    SQL-only user can create, load, mutate, and time-travel end to end;
   *  - `MERGE INTO '<table-path>' USING <source> ON <key> WHEN ... THEN ...`
   *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
   *  - `DELETE FROM '<table-path>' WHERE <cond>` / `UPDATE '<table-path>'
@@ -35,7 +41,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    FROM '<base>' KEY <k> SUM (c, ...)` (churn-bound incremental
   *    materialized rollup; empty result = already current), `ADD CONSTRAINT
   *    '<table-path>' <name> CHECK (<expr>)` (additive; later commits
-  *    abort on violation), `DESCRIBE CONSTRAINTS '<table-path>'` — the
+  *    abort on violation — a read-modify-write of single-administrator
+  *    config, so concurrent ADDs can last-write-win: administer
+  *    constraints from one place, per [[VersionedTable.setConstraints]]),
+  *    `DESCRIBE CONSTRAINTS '<table-path>'` — the
   *    maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
@@ -120,6 +129,12 @@ object GraftSql {
     ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
       """(?:\s+CLUSTER\s+BY\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?\s*;?\s*""").r
+  private val CreateRe =
+    ("""(?is)\s*CREATE\s+VERSIONED\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+AS\s+(SELECT\b.+?)\s*;?\s*""").r
+  private val InsertRe =
+    ("""(?is)\s*INSERT\s+INTO\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+(SELECT\b.+?|VALUES\b.+?)\s*;?\s*""").r
   private val SkippingRe =
     ("""(?is)\s*SET\s+SKIPPING\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+STATS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
@@ -183,6 +198,29 @@ object GraftSql {
           keys = Seq(key),
           sumCols = sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         v.map(Seq(_)).getOrElse(Seq.empty[Long]).toDF("version")
+      case CreateRe(p1, p2, select) =>
+        val tbl = Option(p1).getOrElse(p2)
+        if (VersionedTable.latestVersion(spark, tbl).isDefined)
+          fail(s"versioned table '$tbl' already exists — INSERT INTO it " +
+            "to append, MERGE/UPDATE/DELETE to mutate, or RESTORE to " +
+            "roll back")
+        val df = spark.sql(rewriteTimeTravel(spark, select))
+        Seq(VersionedTable.commit(spark, df, tbl)).toDF("version")
+      case InsertRe(p1, p2, source) =>
+        val tbl = Option(p1).getOrElse(p2)
+        val raw = spark.sql(rewriteTimeTravel(spark, source))
+        // a VALUES source has positional col1..colN names — bind them to
+        // the table's columns by position (SQL INSERT semantics); SELECT
+        // sources bind by NAME (append realigns order itself)
+        val df =
+          if (source.trim.toUpperCase.startsWith("VALUES")) {
+            val tableCols = VersionedTable.readLatest(spark, tbl).columns
+            if (raw.columns.length != tableCols.length)
+              fail(s"INSERT VALUES arity ${raw.columns.length} != table " +
+                s"arity ${tableCols.length} for '$tbl'")
+            raw.toDF(tableCols: _*)
+          } else raw
+        Seq(VersionedTable.append(spark, tbl, df)).toDF("version")
       case RestoreRe(p1, p2, v) =>
         Seq(VersionedTable.restore(spark, Option(p1).getOrElse(p2),
           v.toLong)).toDF("version")

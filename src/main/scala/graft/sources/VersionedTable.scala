@@ -24,8 +24,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *                               (write-time CDC feed; merge paths only)
   *   _manifests/v<%08d n>.json   the COMMIT RECORD — a version exists iff
   *                               its manifest file exists; its body names
-  *                               the data dir the version points at (and
-  *                               the op/writer/batch provenance)
+  *                               the data dir(s) the version points at
+  *                               (`;`-joined for [[append]]ed versions —
+  *                               an INSERT reuses the base dirs and adds
+  *                               ONE new dir, so appending is O(new
+  *                               data), never a table rewrite) and the
+  *                               op/writer/batch provenance
   *   _skipping.json              data-skipping policy (mutable config)
   *   _constraints.json           CHECK constraints (mutable config)
   * }}}
@@ -157,6 +161,28 @@ object VersionedTable {
     next
   }
 
+  /** The pinned-base commit tail every derived-snapshot writer shares
+    * (copy-on-write DML, [[optimize]], [[restore]], the rollup refresh):
+    * write + constraint gate + sidecar + publish at EXACTLY `base` + 1.
+    * A commit landing between the caller's base read and this publish
+    * raises [[CommitConflictException]] instead of being silently
+    * clobbered by a snapshot derived from stale data — plain [[commit]]
+    * re-selects latest+1 at publish time, which is only safe when the
+    * df does NOT derive from a previously-read version.
+    */
+  private def commitPinned(spark: SparkSession, df: DataFrame, table: String,
+      base: Long, op: String,
+      maxRecordsPerFile: Long = 5000000L,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBitsPerRow: Int = 10,
+      batchId: Option[Long] = None): Long = {
+    val dirName = writeSnapshot(spark, df, table, maxRecordsPerFile)
+    validateConstraints(spark, table, dirName)
+    applySkipping(spark, table, dirName, statsCols, bloomCols, bloomBitsPerRow)
+    publish(spark, table, base + 1L, dirName, batchId, op = op)
+    base + 1L
+  }
+
   /** Sidecar step shared by every commit path: explicit columns win;
     * otherwise the table's persistent [[setSkippingPolicy]] applies
     * (leniently — policy columns absent from THIS snapshot's schema are
@@ -259,26 +285,71 @@ object VersionedTable {
   private[graft] def publish(spark: SparkSession, table: String,
       version: Long, dataDirName: String,
       batchId: Option[Long] = None,
-      op: String = "commit"): Unit = {
+      op: String = "commit",
+      mergeKey: Option[String] = None): Unit = {
     val (hfs, root) = fs(spark, table)
     val manifest = new Path(root, s"_manifests/${manifestName(version)}")
     hfs.mkdirs(manifest.getParent)
     // "batch": the writing stream's epoch id — the idempotence token
     // [[mergeBatchIfNew]] reads back to skip an already-applied replay;
-    // "op": which verb committed the version, for the history audit
+    // "op": which verb committed the version, for the history audit;
+    // "key": the merge key a merge commit identified rows by — the fact
+    // [[refreshRollup]] needs to recover each change row's PRE-image
+    // (which stored row the change replaced) from the v-1 snapshot
     val body = s"""{"version":$version,"dir":"$dataDirName",""" +
       batchId.map(b => s""""batch":$b,""").getOrElse("") +
+      mergeKey.map(k => s""""key":"$k",""").getOrElse("") +
       s""""op":"$op","writer":"${UUID.randomUUID}"}"""
-    val out =
-      try hfs.create(manifest, /* overwrite = */ false)
-      catch { case e: java.io.IOException =>
-        // conflict iff the manifest is actually there — filesystem-
-        // agnostic (HDFS throws FileAlreadyExistsException, local FS a
-        // bare IOException; an exists() probe classifies both)
-        if (hfs.exists(manifest)) throw new CommitConflictException(version, e)
-        else throw e
-      }
+    // Two-phase atomic publish (the Delta LogStore recipe, one impl per
+    // store class): write the FULL body to a writer-unique temp, then
+    // promote it to the manifest name with an ATOMIC PUT-IF-ABSENT, so
+    // (a) two racers get exactly one winner, and (b) a concurrent reader
+    // can NEVER open a manifest whose body is empty or partial. The
+    // previous create-then-write exposed exactly that window — the
+    // 8-writer hammer caught a reader seeing a zero-byte manifest
+    // between a racer's create and close, misresolving the data dir.
+    //
+    // The promote primitive is store-specific:
+    //  - local FS: hard link (link(2) fails with EEXIST atomically in
+    //    the kernel). Hadoop's FileContext.rename(Rename.NONE) is only
+    //    CHECK-then-rename here — the hammer caught two racers both
+    //    passing the check and one manifest silently vanishing;
+    //  - HDFS: FileContext.rename(Rename.NONE), atomic under the
+    //    namenode's namespace lock;
+    //  - S3-class stores need an external put-if-absent (Delta's
+    //    DynamoDB LogStore) — out of scope in a zero-egress build.
+    val tmp = new Path(root, s"_manifests/.tmp-${UUID.randomUUID}")
+    val out = hfs.create(tmp, /* overwrite = */ false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val scheme = manifest.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(manifest.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          hfs.delete(tmp, false)
+          throw new CommitConflictException(version, e)
+      }
+      hfs.delete(tmp, false) // manifest holds the remaining link
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        manifest.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          hfs.delete(tmp, false)
+          throw new CommitConflictException(version, e)
+        case e: java.io.IOException =>
+          // conflict iff the manifest is actually there — some FS impls
+          // report the occupied slot as a bare IOException; an exists()
+          // probe classifies both
+          if (hfs.exists(manifest)) {
+            hfs.delete(tmp, false)
+            throw new CommitConflictException(version, e)
+          } else throw e
+      }
+    }
   }
 
   private val dirField = """"dir"\s*:\s*"([^"]+)"""".r
@@ -303,10 +374,15 @@ object VersionedTable {
       val body =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(dirField.findFirstMatchIn(body).map(_.group(1))
-        // manifests predating the writer-unique layout name no dir: they
-        // committed to the versioned path
-        .getOrElse(s"data/v=$version"))
+      dirField.findFirstMatchIn(body) match {
+        case Some(m) => Some(m.group(1))
+        // the two-phase publish makes a partial body impossible, so a
+        // manifest without a dir field is a corrupt or foreign file —
+        // fail loud rather than guess at a data dir
+        case None => throw new IllegalStateException(
+          s"manifest for version $version of $root names no data dir — " +
+            "corrupt or foreign file in _manifests/")
+      }
     } else cp().get(version)
   }
 
@@ -321,8 +397,20 @@ object VersionedTable {
     val dir = resolveDir(hfs, root, version).getOrElse(
       throw new IllegalArgumentException(
         s"version $version of $table was never committed"))
-    spark.read.parquet(new Path(root, dir).toString)
+    // appended versions name several dirs (`;`-joined); all dirs of one
+    // version share an identical schema (append enforces it), so the
+    // multi-path read needs no schema merging
+    spark.read.parquet(splitDirs(dir).map(d =>
+      new Path(root, d).toString): _*)
   }
+
+  /** The dirs a manifest's `dir` field names: one for snapshot/merge/DML
+    * commits, several for [[append]]ed versions (base dirs + the new
+    * one, in commit order — the LAST entry is always the dir the version
+    * itself wrote).
+    */
+  private def splitDirs(dir: String): Seq[String] =
+    dir.split(';').iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
   def readLatest(spark: SparkSession, table: String): DataFrame = {
     val v = latestVersion(spark, table).getOrElse(
@@ -377,12 +465,11 @@ object VersionedTable {
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         (v,
-          dirField.findFirstMatchIn(body).map(_.group(1))
-            .getOrElse(s"data/v=$v"),
+          dirField.findFirstMatchIn(body).map(_.group(1)).getOrElse(""),
           writerField.findFirstMatchIn(body).map(_.group(1)),
           batchField.findFirstMatchIn(body).map(_.group(1).toLong),
           opField.findFirstMatchIn(body).map(_.group(1)))
-      } else (v, cp.getOrElse(v, s"data/v=$v"), None, None, None)
+      } else (v, cp.getOrElse(v, ""), None, None, None)
     }
     import spark.implicits._
     rows.toDF("version", "data_dir", "writer", "batch", "op")
@@ -468,7 +555,8 @@ object VersionedTable {
     changes.write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(new Path(new Path(table), s"$dirName/$changesDirName").toString)
-    publish(spark, table, baseVersion + 1L, dirName, batchId, op = "merge")
+    publish(spark, table, baseVersion + 1L, dirName, batchId, op = "merge",
+      mergeKey = Some(key))
     baseVersion + 1L
   }
 
@@ -485,7 +573,10 @@ object VersionedTable {
     */
   def readChanges(spark: SparkSession, table: String,
       version: Long): DataFrame = {
-    val dataDir = dataPathOf(spark, table, version)
+    // the LAST dir is the one this version itself wrote — where a merge
+    // commit put its change log (merge versions are single-dir anyway;
+    // for append/snapshot versions the probe correctly finds nothing)
+    val dataDir = dataPathsOf(spark, table, version).last
     val (hfs, _) = fs(spark, table)
     val p = new Path(dataDir, changesDirName)
     if (!hfs.exists(p)) throw new IllegalArgumentException(
@@ -527,6 +618,76 @@ object VersionedTable {
       maxRecordsPerFile = maxRecordsPerFile, batchId = batchId)
   }
 
+  /** Append `rows` to the table as a new version (SQL INSERT INTO) in
+    * O(NEW DATA): the new batch writes to ONE fresh writer-unique dir and
+    * the manifest for base+1 names the base version's dirs PLUS that dir
+    * — no byte of the existing table is read or rewritten, which is what
+    * makes drip ingest viable at 100 TB (the copy-on-write verbs rewrite
+    * the snapshot; an append must not). Consequences, by design:
+    *
+    *  - schema must match the base column set EXACTLY (order-free — the
+    *    batch is realigned): the base dirs are reused as-is, so a
+    *    widening append would leave old files without the new column and
+    *    no per-file schema story; widen through [[commitMerge]] instead;
+    *  - CHECK constraints gate the NEW rows only (base rows passed their
+    *    own commit's gate — re-checking 100 TB per insert would defeat
+    *    the point); a constraint added after the base commit applies to
+    *    data from the next commit, as documented on [[setConstraints]];
+    *  - the skipping policy writes the new dir's sidecar only; base dirs
+    *    keep theirs, so pruned reads stay pruned across appends;
+    *  - many drip appends accrete dirs (and small files): run
+    *    [[optimize]] periodically to compact a multi-dir version back to
+    *    one clustered dir — the manifest cost is O(dirs) per version
+    *    until then;
+    *  - no key semantics: duplicates append as-is ([[mergeInto]] is the
+    *    upsert verb). Base-pinned optimistic concurrency like every
+    *    derived-state verb: a racing commit raises
+    *    [[CommitConflictException]], never a lost update. For
+    *    [[refreshRollup]], the new dir IS the version's delta — an
+    *    appended version stays on the incremental path with no change
+    *    feed needed.
+    */
+  def append(spark: SparkSession, table: String, rows: DataFrame,
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no committed versions — create it first (commit / " +
+          "CREATE VERSIONED TABLE)"))
+    appendFrom(spark, table, base, rows, maxRecordsPerFile)
+  }
+
+  /** [[append]] against an explicitly pinned base — the concurrency test
+    * seam, mirroring [[deleteWhereFrom]].
+    */
+  private[graft] def appendFrom(spark: SparkSession, table: String,
+      base: Long, rows: DataFrame, maxRecordsPerFile: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val baseDf = readVersion(spark, table, base)
+    val missing = baseDf.columns.diff(rows.columns)
+    val extra = rows.columns.diff(baseDf.columns)
+    if (missing.nonEmpty || extra.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT batch schema must match the table exactly" +
+        (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}" else "") +
+        (if (extra.nonEmpty) s"; unknown: ${extra.mkString(", ")}" else "") +
+        " — append reuses the base files as-is; widen the schema through " +
+        "a merge (commitMerge) instead")
+    // cast to the table's column types (SQL INSERT assignment semantics,
+    // the updateWhere precedent): the dirs of one version must agree on
+    // PHYSICAL parquet types or the multi-path read breaks — an INSERT
+    // must never silently migrate the table schema
+    val aligned = rows.select(baseDf.columns.map(c =>
+      col(c).cast(baseDf.schema(c).dataType).as(c)): _*)
+    val dirName = writeSnapshot(spark, aligned, table, maxRecordsPerFile)
+    validateConstraints(spark, table, dirName)
+    applySkipping(spark, table, dirName, Nil, Nil, 10)
+    val (hfs, root) = fs(spark, table)
+    val baseDirs = resolveDir(hfs, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $base of $table was never committed"))
+    publish(spark, table, base + 1L, s"$baseDirs;$dirName", op = "insert")
+    base + 1L
+  }
+
   private val batchField = """"batch"\s*:\s*(-?\d+)""".r
 
   /** The batch token the LATEST version was committed with (None for
@@ -546,6 +707,45 @@ object VersionedTable {
         batchField.findFirstMatchIn(body).map(_.group(1).toLong)
       }
     }
+
+  private val keyField = """"key"\s*:\s*"([^"]+)"""".r
+
+  /** The merge key `version` was committed with (None for non-merge
+    * commits, and for merge versions whose per-version manifest
+    * [[compactManifests]] has retired — the checkpoint folds only
+    * version→dir pairs, so a consumer that needs the key must read it
+    * before compaction or fall back to whole-range semantics, as
+    * [[refreshRollup]] does).
+    */
+  private[graft] def mergeKeyOf(spark: SparkSession, table: String,
+      version: Long): Option[String] = {
+    val (hfs, root) = fs(spark, table)
+    val m = new Path(root, s"_manifests/${manifestName(version)}")
+    if (!hfs.exists(m)) None
+    else {
+      val in = hfs.open(m)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      keyField.findFirstMatchIn(body).map(_.group(1))
+    }
+  }
+
+  /** The op `version` was committed with, from its per-version manifest
+    * (None once [[compactManifests]] retired it — consumers needing the
+    * op long-term should read [[history]] before compacting).
+    */
+  private[graft] def opOf(spark: SparkSession, table: String,
+      version: Long): Option[String] = {
+    val (hfs, root) = fs(spark, table)
+    val m = new Path(root, s"_manifests/${manifestName(version)}")
+    if (!hfs.exists(m)) None
+    else {
+      val in = hfs.open(m)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      opField.findFirstMatchIn(body).map(_.group(1))
+    }
+  }
 
   /** Exactly-once micro-batch upsert — the `foreachBatch` body of the
     * streaming→lakehouse bridge ([[graft.streaming.Streams]] wires it).
@@ -607,11 +807,19 @@ object VersionedTable {
       // a version behind a manifest it just retired
       val cp = checkpointMap(hfs, root)
       versions(spark, table)
-        .flatMap(v => resolveDirWith(hfs, root, v, () => cp)).toSet
+        .flatMap(v => resolveDirWith(hfs, root, v, () => cp))
+        .flatMap(splitDirs).toSet
     }
+    val cutoff = System.currentTimeMillis() - graceMs
+    // stale publish temps (writers that crashed between temp write and
+    // rename) reclaim under the same grace; never visible to readers
+    val mDir = new Path(root, "_manifests")
+    if (hfs.exists(mDir)) hfs.listStatus(mDir).iterator
+      .filter(st => st.getPath.getName.startsWith(".tmp-"))
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => hfs.delete(st.getPath, false))
     val dataDir = new Path(root, "data")
     if (!hfs.exists(dataDir)) return Seq.empty
-    val cutoff = System.currentTimeMillis() - graceMs
     val referencedAtListing = referenced()
     val candidates = hfs.listStatus(dataDir).iterator
       .filter(_.isDirectory)
@@ -710,7 +918,14 @@ object VersionedTable {
     * churn missed stay unopened). No delta subtraction is needed — a
     * keyed group's rollup at the current version IS its new value, and
     * untouched keys are untouched — so the incremental result is exactly
-    * the full recompute, not an approximation of it.
+    * the full recompute, not an approximation of it. "Touched" includes
+    * PRE-image groups: when the rollup key differs from the merge key the
+    * table is identified by, a change row can MOVE a row across groups
+    * (or a delete row can carry a stale group value), so the feed's
+    * post-image keys alone would leave the old group stale — each pending
+    * version's change batch is merge-key semi-joined against its
+    * predecessor snapshot (the manifest records the merge key) and those
+    * rows' group values union into the re-aggregated set.
     *
     * Correctness fallbacks: the first refresh, and any version range
     * containing a commit WITHOUT a change feed (full snapshot commit,
@@ -743,36 +958,91 @@ object VersionedTable {
     // the incremental merge path rides mergeInto, whose replace-by-key
     // contract is single-column; multi-key rollups stay correct via the
     // full-recompute path every refresh
-    val feedsCover = keys.size == 1 && pending.nonEmpty && pending.forall { v =>
-      resolveDir(hfs, baseRoot, v)
-        .exists(d => hfs.exists(new Path(new Path(baseRoot, d), changesDirName)))
-    }
-    val fresh =
-      if (!feedsCover) aggOf(snapshot) // first refresh / uncovered range
-      else {
-        val touched = pending.map(v =>
-            readChanges(spark, baseTable, v).select(keys.map(col): _*))
-          .reduce(_ unionByName _).distinct()
+    val rollupKey = keys.headOption.getOrElse("")
+    // Each pending version must prove its DELTA:
+    //  - an appended version's delta IS its newly written dir (appends
+    //    replace no rows, so no pre-image groups exist), provided the
+    //    rollup key is in its schema;
+    //  - a merge version needs its change feed, its recorded merge key,
+    //    the rollup key as a feed data column, and — when the merge key
+    //    is NOT the rollup key — its PREDECESSOR snapshot (pre-image
+    //    recovery reads v-1) carrying both columns.
+    // Any gap means the range cannot be proven, so recompute everything —
+    // never trust a feed that does not cover the range.
+    val deltaInfo: Seq[Option[(Long, Either[String, String])]] =
+      pending.map { v =>
+        resolveDir(hfs, baseRoot, v).flatMap { dirStr =>
+          val newDir = splitDirs(dirStr).last
+          if (opOf(spark, baseTable, v).contains("insert")) {
+            val cols = spark.read.parquet(
+              new Path(baseRoot, newDir).toString).columns.toSet
+            if (cols.contains(rollupKey)) Some((v, Left(newDir))) else None
+          } else if (!hfs.exists(
+              new Path(new Path(baseRoot, newDir), changesDirName))) None
+          else mergeKeyOf(spark, baseTable, v).flatMap { mk =>
+            val feedCols = readChanges(spark, baseTable, v).columns.toSet
+            val preOk = mk == rollupKey || (resolveDir(hfs, baseRoot, v - 1L)
+              .isDefined && {
+                val prevCols =
+                  readVersion(spark, baseTable, v - 1L).columns.toSet
+                prevCols.contains(mk) && prevCols.contains(rollupKey)
+              })
+            if (feedCols.contains(rollupKey) && feedCols.contains(mk) && preOk)
+              Some((v, Right(mk)))
+            else None
+          }
+        }
+      }
+    val plan: Option[Seq[(Long, Either[String, String])]] =
+      if (keys.size == 1 && pending.nonEmpty && deltaInfo.forall(_.isDefined))
+        Some(deltaInfo.flatten)
+      else None
+    val feedsCover = plan.isDefined
+    val fresh = plan match {
+      case None => aggOf(snapshot) // first refresh / uncovered range
+      case Some(entries) =>
+        val touched = entries.map {
+          case (_, Left(newDir)) =>
+            // appended delta: the new dir's rows are exactly the change
+            spark.read.parquet(new Path(baseRoot, newDir).toString)
+              .select(col(rollupKey))
+          case (v, Right(mk)) =>
+          val feed = readChanges(spark, baseTable, v)
+          val post = feed.select(col(rollupKey))
+          if (mk == rollupKey) post
+          else {
+            // PRE-image groups: the stored rows this batch replaced or
+            // deleted may sit in a DIFFERENT group than the change rows
+            // claim (a CDC update moving a row across groups, a delete
+            // row carrying a stale group value) — without them the OLD
+            // group's aggregate would silently stay stale and the
+            // "incremental == full recompute" contract would break. One
+            // merge-keyed semi-join against the predecessor snapshot per
+            // pending version, column-pruned to (merge key, rollup key)
+            // — cost scales with churn, and a Bloom sidecar on the merge
+            // key keeps even the untouched files unopened.
+            val pre = readVersion(spark, baseTable, v - 1L)
+              .select(col(mk), col(rollupKey))
+              .join(feed.select(col(mk)).distinct(), Seq(mk), "left_semi")
+              .select(col(rollupKey))
+            post.unionByName(pre)
+          }
+        }.reduce(_ unionByName _).distinct()
         // affected keys present at cur re-aggregate; the rest DELETE
         aggOf(snapshot.join(touched, keys, "left_semi"))
           .join(touched, keys, "right_outer")
           .na.fill(0L, Seq("n"))
-      }
+    }
     latestVersion(spark, targetTable) match {
       case None =>
-        val dirName = writeSnapshot(spark,
-          fresh.where(col("n") > 0L), targetTable, 5000000L)
-        applySkipping(spark, targetTable, dirName, Nil, Nil, 10)
-        publish(spark, targetTable, 1L, dirName, Some(cur), op = "rollup")
-        Some(1L)
-      case Some(_) if !feedsCover =>
-        // full recompute replaces the rollup wholesale
-        val dirName = writeSnapshot(spark,
-          fresh.where(col("n") > 0L), targetTable, 5000000L)
-        val next = latestVersion(spark, targetTable).get + 1L
-        applySkipping(spark, targetTable, dirName, Nil, Nil, 10)
-        publish(spark, targetTable, next, dirName, Some(cur), op = "rollup")
-        Some(next)
+        Some(commitPinned(spark, fresh.where(col("n") > 0L), targetTable,
+          base = 0L, op = "rollup", batchId = Some(cur)))
+      case Some(tv) if !feedsCover =>
+        // full recompute replaces the rollup wholesale; pinned at the
+        // target version observed above, so a racing maintainer raises
+        // a conflict instead of being clobbered
+        Some(commitPinned(spark, fresh.where(col("n") > 0L), targetTable,
+          base = tv, op = "rollup", batchId = Some(cur)))
       case Some(_) =>
         Some(mergeInto(spark, targetTable, fresh,
           key = keys.head, deleteWhen = col("n") === 0L,
@@ -785,10 +1055,16 @@ object VersionedTable {
     * forward, so the bad versions stay inspectable until [[expireVersions]]
     * retires them, and concurrent readers of the old latest are
     * undisturbed. The restored version must still exist (not expired).
+    * Base-pinned like the DML verbs: a commit racing the restore raises
+    * [[CommitConflictException]] (re-examine whether rolling back is
+    * still what you want, then retry) instead of being silently stomped
+    * by old data.
     */
   def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
     val snap = readVersion(spark, table, version)
-    commit(spark, snap, table, op = "restore")
+    commitPinned(spark, snap, table, base, op = "restore")
   }
 
   /** Physically EXPIRE every version but the newest `keepLast`: after
@@ -923,11 +1199,8 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val kept = readVersion(spark, table, base)
       .where(not(coalesce(cond, lit(false))))
-    val dirName = writeSnapshot(spark, kept, table, maxRecordsPerFile)
-    validateConstraints(spark, table, dirName)
-    applySkipping(spark, table, dirName, Nil, Nil, 10)
-    publish(spark, table, base + 1L, dirName, op = "delete")
-    base + 1L
+    commitPinned(spark, kept, table, base, op = "delete",
+      maxRecordsPerFile = maxRecordsPerFile)
   }
 
   /** Copy-on-write UPDATE: rows matching `cond` get each column in `set`
@@ -960,11 +1233,8 @@ object VersionedTable {
         case None => col(c)
       }
     }: _*)
-    val dirName = writeSnapshot(spark, updated, table, maxRecordsPerFile)
-    validateConstraints(spark, table, dirName)
-    applySkipping(spark, table, dirName, Nil, Nil, 10)
-    publish(spark, table, base + 1L, dirName, op = "update")
-    base + 1L
+    commitPinned(spark, updated, table, base, op = "update",
+      maxRecordsPerFile = maxRecordsPerFile)
   }
 
   /** Thrown when a commit's snapshot violates a CHECK constraint; the
@@ -987,10 +1257,12 @@ object VersionedTable {
     */
   def setConstraints(spark: SparkSession, table: String,
       constraints: Map[String, String]): Unit = {
-    // config overwrite is not atomic: a commit whose validation read
-    // lands inside the rewrite window may see no/partial constraints and
-    // skip the gate once — acceptable for a rare administrative write
-    // (the alternative, delete+rename, has the same no-file window)
+    // SINGLE-ADMINISTRATOR config, not a commit record: the write goes
+    // temp-then-rename, so a concurrent reader sees the old body, the
+    // new body, or (in the delete→rename gap) no file — never PARTIAL
+    // bytes. Two concurrent writers still last-write-win wholesale
+    // (one ADD's read-modify-write can lose the other's constraint) —
+    // administer constraints from one place.
     require(constraints.nonEmpty, "setConstraints needs at least one")
     require(constraints.keys.forall(_.matches("[A-Za-z0-9_]+")),
       "constraint names must be simple identifiers")
@@ -1000,8 +1272,18 @@ object VersionedTable {
     val body = constraints.toSeq.sortBy(_._1)
       .map { case (n, e) => s"""\"${esc(n)}\":\"${esc(e)}\"""" }
       .mkString("{", ",", "}")
-    val out = hfs.create(new Path(root, "_constraints.json"), true)
+    val target = new Path(root, "_constraints.json")
+    val tmp = new Path(root, s"_constraints.json.tmp-${UUID.randomUUID}")
+    val out = hfs.create(tmp, /* overwrite = */ false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // Hadoop rename does not replace an existing target on every FS —
+    // delete first; the brief no-file window reads as "no constraints"
+    if (hfs.exists(target)) hfs.delete(target, false)
+    if (!hfs.rename(tmp, target)) {
+      hfs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"could not publish constraints file for $table (rename failed)")
+    }
   }
 
   private val constraintEntry =
@@ -1086,13 +1368,19 @@ object VersionedTable {
     val pol = skippingPolicy(spark, table)
     val cp = checkpointMap(hfs, root)
     val rows = versions(spark, table).map { v =>
-      val sidecar = resolveDirWith(hfs, root, v, () => cp)
+      // a multi-dir (appended) version honestly prunes a column only if
+      // EVERY dir covers it — report the intersection
+      val perDir = resolveDirWith(hfs, root, v, () => cp).toSeq
+        .flatMap(splitDirs)
         .map(d => new Path(new Path(root, d), statsDirName))
-        .filter(hfs.exists)
-      val cols = sidecar.map { p =>
-        try spark.read.parquet(p.toString).columns.toSeq
-        catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
-      }.getOrElse(Seq.empty)
+        .map { p =>
+          if (!hfs.exists(p)) Seq.empty[String]
+          else try spark.read.parquet(p.toString).columns.toSeq
+          catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+        }
+      val cols =
+        if (perDir.isEmpty || perDir.exists(_.isEmpty)) Seq.empty[String]
+        else perDir.reduce(_ intersect _)
       (v, cols.nonEmpty,
         cols.filter(_.startsWith("min__"))
           .map(_.stripPrefix("min__")).mkString(","),
@@ -1217,61 +1505,100 @@ object VersionedTable {
   }
 
   /** Backfill the zone-map sidecar for an already-committed version (new
-    * query pattern arrived after ingest). Additive only — snapshot data
-    * files are untouched; rewriting an existing sidecar is harmless
-    * (derived data). Returns false when the version resolves but the
-    * sidecar was already present with exactly these columns' stats.
+    * query pattern arrived after ingest). STRICTLY additive — snapshot
+    * data files are untouched, and an existing sidecar's coverage is
+    * UNIONED with the request (every already-covered column is recomputed
+    * into the rewrite), so a backfill can only widen what prunes — it
+    * never silently degrades reads on previously-covered columns to full
+    * scans. Returns false when the sidecar already covers every requested
+    * column (no rewrite).
     */
   def ensureStats(spark: SparkSession, table: String, version: Long,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomBitsPerRow: Int = 10): Boolean = {
     require(cols.nonEmpty || bloomCols.nonEmpty,
       "ensureStats needs at least one column")
-    val dataDir = dataPathOf(spark, table, version)
     val (hfs, _) = fs(spark, table)
-    val statsPath = new Path(dataDir, statsDirName)
-    if (hfs.exists(statsPath)) {
-      val have = spark.read.parquet(statsPath.toString).columns.toSet
-      if (cols.forall(c => have.contains(s"min__$c")) &&
-          bloomCols.forall(c => have.contains(s"bloom_m__$c"))) return false
-    }
-    writeStatsSidecar(spark, dataDir, cols, bloomCols, bloomBitsPerRow)
-    true
+    // per-dir: an appended version's dirs may have drifted coverage
+    // (base dirs carry the policy of their own commit time)
+    dataPathsOf(spark, table, version).map { dataDir =>
+      val statsPath = new Path(dataDir, statsDirName)
+      val (haveStats, haveBloom): (Seq[String], Seq[String]) =
+        if (!hfs.exists(statsPath)) (Nil, Nil)
+        else {
+          val have = spark.read.parquet(statsPath.toString).columns
+          (have.filter(_.startsWith("min__"))
+            .map(_.stripPrefix("min__")).toSeq,
+            have.filter(_.startsWith("bloom_m__"))
+              .map(_.stripPrefix("bloom_m__")).toSeq)
+        }
+      if (cols.forall(haveStats.contains) &&
+          bloomCols.forall(haveBloom.contains)) false
+      else {
+        writeStatsSidecar(spark, dataDir,
+          (haveStats ++ cols).distinct, (haveBloom ++ bloomCols).distinct,
+          bloomBitsPerRow)
+        true
+      }
+    }.exists(identity)
   }
 
-  private def dataPathOf(spark: SparkSession, table: String,
-      version: Long): Path = {
+  /** The data dirs `version` resolves to, absolute, in manifest order
+    * (LAST = the dir the version itself wrote; one entry except for
+    * appended versions).
+    */
+  private def dataPathsOf(spark: SparkSession, table: String,
+      version: Long): Seq[Path] = {
     val (hfs, root) = fs(spark, table)
     val dir = resolveDir(hfs, root, version).getOrElse(
       throw new IllegalArgumentException(
         s"version $version of $table was never committed"))
-    new Path(root, dir)
+    splitDirs(dir).map(new Path(root, _))
   }
 
-  /** File-level selection for `bounds` against the version's sidecar:
-    * Some((kept file names, total files)) — or None when no sidecar
-    * exists (caller falls back to the full scan). A file survives iff for
-    * every STATS-COVERED bound its [min,max] interval can intersect the
-    * range (`max >= lower && min <= upper`); bounds on uncovered columns
-    * prune nothing (the residual filter still applies them row-level).
-    * The kept list is driver-side — one file NAME per surviving file,
-    * the same driver-memory class as the file index every scan builds.
+  /** File-level selection for `bounds` against the version's sidecar(s):
+    * Some((kept files as TABLE-ROOT-RELATIVE paths, total files)) — or
+    * None when NO dir of the version has a sidecar (caller falls back to
+    * the full scan). A file survives iff for every STATS-COVERED bound
+    * its [min,max] interval can intersect the range (`max >= lower &&
+    * min <= upper`); bounds on uncovered columns prune nothing (the
+    * residual filter still applies them row-level). Appended versions
+    * prune PER DIR: a dir without a sidecar keeps all its files (listed,
+    * not scanned). The kept list is driver-side — one path per SURVIVING
+    * file, the same driver-memory class as the file index every scan
+    * builds.
     */
   private[graft] def pruneSelection(spark: SparkSession, table: String,
       version: Long, bounds: Seq[ColumnBounds],
       equalities: Seq[ColumnEquals] = Nil,
       inLists: Seq[ColumnIn] = Nil): Option[(Seq[String], Int)] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val dataDir = dataPathOf(spark, table, version)
-    val (hfs, _) = fs(spark, table)
-    val statsPath = new Path(dataDir, statsDirName)
-    if (!hfs.exists(statsPath)) return None
-    // the sidecar is an OPTIMIZATION: any failure reading it (an
-    // [[ensureStats]] backfill rewriting it mid-read, a truncated write)
-    // must degrade to the full scan, never fail the query
-    try pruneAgainstStats(spark, dataDir, statsPath, bounds, equalities,
-      inLists)
-    catch { case scala.util.control.NonFatal(_) => None }
+    val (hfs, root) = fs(spark, table)
+    val dirRels = resolveDir(hfs, root, version).map(splitDirs).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version of $table was never committed"))
+    val perDir: Seq[(String, Option[(Seq[String], Int)])] = dirRels.map { rel =>
+      val dataDir = new Path(root, rel)
+      val statsPath = new Path(dataDir, statsDirName)
+      // the sidecar is an OPTIMIZATION: any failure reading it (an
+      // [[ensureStats]] backfill rewriting it mid-read, a truncated
+      // write) must degrade to the full scan, never fail the query
+      val sel =
+        if (!hfs.exists(statsPath)) None
+        else try pruneAgainstStats(spark, dataDir, statsPath, bounds,
+          equalities, inLists)
+        catch { case scala.util.control.NonFatal(_) => None }
+      (rel, sel)
+    }
+    if (perDir.forall(_._2.isEmpty)) return None
+    val parts = perDir.map {
+      case (rel, Some((kept, total))) => (kept.map(f => s"$rel/$f"), total)
+      case (rel, None) =>
+        // uncovered dir: every file kept (a listing, not a scan)
+        val files = hfs.listStatus(new Path(root, rel)).iterator
+          .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
+        (files.map(f => s"$rel/$f"), files.size)
+    }
+    Some((parts.flatMap(_._1), parts.iterator.map(_._2).sum))
   }
 
   private def pruneAgainstStats(spark: SparkSession, dataDir: Path,
@@ -1319,11 +1646,16 @@ object VersionedTable {
     val keep = (rangeTests ++ pointTests)
       .reduceOption(_ && _).getOrElse(lit(true))
     // an all-null file has null min/max -> the range test is NULL ->
-    // "cannot satisfy" -> prune (false), matching SQL range semantics
-    val rows = stats.select(col("file"),
-      org.apache.spark.sql.functions.coalesce(keep,
-        lit(false)).as("k")).collect()
-    Some((rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq, rows.length))
+    // "cannot satisfy" -> prune (false), matching SQL range semantics.
+    // The keep test folds INTO the sidecar scan: only SURVIVING file
+    // names materialize on the driver — bounded by the files the read
+    // will open anyway (the same driver-memory class as the file index
+    // every scan builds), not by the table's total file count.
+    val total = stats.count().toInt
+    val kept = stats
+      .where(org.apache.spark.sql.functions.coalesce(keep, lit(false)))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    Some((kept, total))
   }
 
   /** The k probe hashes for each (column-type, value) pair, all computed
@@ -1389,9 +1721,11 @@ object VersionedTable {
       case Some((kept, _)) if kept.isEmpty =>
         full.where(lit(false)) // folds to an empty LocalRelation — no scan
       case Some((kept, _)) =>
-        val dataDir = dataPathOf(spark, table, version)
+        // kept entries are table-root-relative (they may span several
+        // dirs for appended versions)
+        val (_, root) = fs(spark, table)
         spark.read.schema(full.schema)
-          .parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+          .parquet(kept.map(f => new Path(root, f).toString): _*)
           .where(residual)
     }
   }
@@ -1424,22 +1758,44 @@ object VersionedTable {
   def optimize(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20,
       clusterCols: Seq[String] = Nil): Long = {
-    require(targetFileBytes > 0, s"targetFileBytes must be > 0: $targetFileBytes")
     val v = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    val dataDir = dataPathOf(spark, table, v)
+    optimizeFrom(spark, table, v, targetFileBytes, clusterCols)
+  }
+
+  /** [[optimize]] against an explicitly pinned base — the seam that makes
+    * its optimistic-concurrency contract testable, mirroring
+    * [[deleteWhereFrom]]: the rewrite publishes at EXACTLY base+1, so a
+    * commit landing after the pin conflicts instead of being replaced by
+    * a rewrite of the stale snapshot (which would silently drop its rows
+    * from latest — the lost-update anomaly).
+    */
+  private[graft] def optimizeFrom(spark: SparkSession, table: String,
+      base: Long, targetFileBytes: Long,
+      clusterCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0: $targetFileBytes")
     val (hfs, _) = fs(spark, table)
-    val it = hfs.listFiles(dataDir, /* recursive = */ false)
     var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    // sum across ALL the version's dirs — compacting a drip-appended
+    // multi-dir version back into one dir is half of optimize's job
+    dataPathsOf(spark, table, base).foreach { dataDir =>
+      val it = hfs.listFiles(dataDir, /* recursive = */ false)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      }
     }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val cur = readVersion(spark, table, v)
-    if (clusterCols.isEmpty)
-      commit(spark, cur.repartition(n), table, op = "optimize")
-    else commitClustered(spark, cur, table, clusterCols, numFiles = n,
-      op = "optimize")
+    val cur = readVersion(spark, table, base)
+    val rewritten =
+      if (clusterCols.isEmpty) cur.repartition(n)
+      else cur.repartitionByRange(n, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+    // clustered rewrites default their zone-map stats to the cluster
+    // columns (the commitClustered contract); unclustered ones fall back
+    // to the table's skipping policy inside the shared tail
+    commitPinned(spark, rewritten, table, base, op = "optimize",
+      statsCols = clusterCols)
   }
 }

@@ -230,4 +230,72 @@ class CatalogSpec extends AnyFunSuite {
       assert(VersionedTable.latestVersion(spark, tbl).contains(1L))
     } finally spark.stop()
   }
+
+  test("SQL-only lifecycle: CREATE VERSIONED TABLE, INSERT INTO, DML, audit") {
+    val spark = plainSession()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftSql, VersionedTable}
+      val tbl =
+        java.nio.file.Files.createTempDirectory("graft-sql-life").toString + "/t"
+      spark.range(5)
+        .selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v")
+        .createOrReplaceTempView("seed")
+      // bootstrap from a SELECT
+      assert(GraftSql.sql(spark,
+        s"CREATE VERSIONED TABLE '$tbl' AS SELECT k, v FROM seed WHERE k < 3")
+        .head().getLong(0) == 1L)
+      // create over an existing table fails loudly, commits nothing
+      intercept[IllegalArgumentException](GraftSql.sql(spark,
+        s"CREATE VERSIONED TABLE '$tbl' AS SELECT * FROM seed"))
+      assert(VersionedTable.latestVersion(spark, tbl).contains(1L))
+      // append by SELECT binds by NAME (column order free)
+      assert(GraftSql.sql(spark,
+        s"INSERT INTO '$tbl' SELECT v, k FROM seed WHERE k >= 3")
+        .head().getLong(0) == 2L)
+      // append by VALUES binds by POSITION, casting to the table's types
+      assert(GraftSql.sql(spark,
+        s"INSERT INTO '$tbl' VALUES (100, 1.5), (101, 2.5)")
+        .head().getLong(0) == 3L)
+      val latest = GraftSql.sql(spark,
+        s"SELECT k, v FROM '$tbl' LATEST ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(latest.toSeq == Seq((0L, 0.0), (1L, 10.0), (2L, 20.0),
+        (3L, 30.0), (4L, 40.0), (100L, 1.5), (101L, 2.5)))
+      // a VALUES arity mismatch fails typed, commits nothing
+      interceptMsg(spark, s"INSERT INTO '$tbl' VALUES (1, 2.0, 'x')",
+        "arity")
+      // every version stays time-travel-readable
+      assert(GraftSql.sql(spark,
+        s"SELECT count(*) AS n FROM '$tbl' VERSION AS OF 1")
+        .head().getLong(0) == 3L)
+      // DML statements mutate; DESCRIBE HISTORY audits each verb
+      GraftSql.sql(spark, s"UPDATE '$tbl' SET v = v + 1 WHERE k >= 100")
+      GraftSql.sql(spark, s"DELETE FROM '$tbl' WHERE k = 101")
+      val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY '$tbl'")
+        .orderBy("version").collect()
+      assert(hist.map(_.getString(4)).toSeq ==
+        Seq("commit", "insert", "insert", "update", "delete"))
+      // the insert versions reference the base dirs plus ONE new dir —
+      // the O(new-data) contract, visible in the audit trail
+      val dirs = hist.map(_.getString(1))
+      assert(dirs(0).split(";").length == 1 &&
+        dirs(1).split(";").length == 2 && dirs(2).split(";").length == 3,
+        s"append dir chains wrong: ${dirs.toSeq}")
+      assert(dirs(1).startsWith(dirs(0)), "insert must reuse the base dir")
+      val fin = GraftSql.sql(spark,
+        s"SELECT k, v FROM '$tbl' LATEST ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(fin.toSeq == Seq((0L, 0.0), (1L, 10.0), (2L, 20.0),
+        (3L, 30.0), (4L, 40.0), (100L, 2.5)))
+    } finally spark.stop()
+  }
+
+  private def interceptMsg(spark: org.apache.spark.sql.SparkSession,
+      stmt: String, needle: String): Unit = {
+    val e = intercept[IllegalArgumentException](
+      graft.sources.GraftSql.sql(spark, stmt))
+    assert(e.getMessage.toLowerCase.contains(needle),
+      s"expected '$needle' in: ${e.getMessage}")
+  }
 }

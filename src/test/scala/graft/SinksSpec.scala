@@ -1035,4 +1035,262 @@ class SinksSpec extends SparkSpec {
       .head().getLong(0)
     assert(v3 == 3L)
   }
+
+  test("refreshRollup re-aggregates PRE-image groups when a merge moves rows") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val base = tmp() + "/vt_move_base"
+    val roll = tmp() + "/vt_move_roll"
+    def fullRollup() = VersionedTable.readLatest(spark, base)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    VersionedTable.commit(spark,
+      Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L), (4L, "c", 2L))
+        .toDF("id", "grp", "v"), base)
+    assert(VersionedTable.refreshRollup(spark, base, roll,
+      keys = Seq("grp"), sumCols = Seq("v")).contains(1L))
+    // the hazard batch: id=1 MOVES a→b (pre-image group a must shrink),
+    // and id=3's delete row LIES about its group ("x" instead of the
+    // stored "b") — both pre-image groups are recoverable only from the
+    // predecessor snapshot via the recorded merge key
+    VersionedTable.mergeInto(spark, base,
+      Seq((1L, "b", 10L), (3L, "x", 0L)).toDF("id", "grp", "v"),
+      key = "id", deleteWhen = col("v") === 0L)
+    assert(VersionedTable.refreshRollup(spark, base, roll,
+      Seq("grp"), Seq("v")).isDefined)
+    val got = VersionedTable.readLatest(spark, roll)
+    val want = fullRollup()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"rollup diverged after group move: got ${got.collect().toSeq} " +
+        s"want ${want.collect().toSeq}")
+    // the OLD groups specifically: a lost id=1 (now only id=2 -> 5), b
+    // gained id=1 but lost id=3 (-> 10)
+    val byGrp = got.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(byGrp("a") == ((1L, 5L)), s"stale pre-image group a: $byGrp")
+    assert(byGrp("b") == ((1L, 10L)), s"group b wrong: $byGrp")
+    assert(!byGrp.contains("x"), "phantom group from a lying delete row")
+  }
+
+  test("rollup group-move refresh rides the incremental path, not recompute") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val base = tmp() + "/vt_move2_base"
+    val roll = tmp() + "/vt_move2_roll"
+    VersionedTable.commit(spark,
+      Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "grp", "v"), base)
+    VersionedTable.refreshRollup(spark, base, roll, Seq("grp"), Seq("v"))
+    VersionedTable.mergeInto(spark, base,
+      Seq((1L, "b", 10L)).toDF("id", "grp", "v"), key = "id")
+    VersionedTable.refreshRollup(spark, base, roll, Seq("grp"), Seq("v"))
+    // the target's newest version must come from the incremental
+    // mergeInto (op "merge"), proving the feed path handled the move —
+    // a silent fallback to full recompute would commit op "rollup"
+    val lastOp = VersionedTable.history(spark, roll)
+      .orderBy(col("version").desc).head().getString(4)
+    assert(lastOp == "merge", s"expected incremental path, got op=$lastOp")
+    val gotA = VersionedTable.readLatest(spark, roll)
+      .where(col("grp") === "a").collect()
+    assert(gotA.isEmpty, "moved-away group a must be deleted from rollup")
+    val gotB = VersionedTable.readLatest(spark, roll)
+      .where(col("grp") === "b").head()
+    assert(gotB.getLong(1) == 2L && gotB.getLong(2) == 15L)
+  }
+
+  test("optimize and restore conflict instead of clobbering a racing commit") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_opt_race"
+    VersionedTable.commit(spark, Seq((1L, "old")).toDF("k", "v"), t)
+    // racer lands AFTER the optimizer pinned version 1
+    VersionedTable.commit(spark, Seq((2L, "racer")).toDF("k", "v"), t)
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.optimizeFrom(spark, t, base = 1L,
+        targetFileBytes = 1L << 30, clusterCols = Nil)
+    }
+    // the racer's commit is intact — no lost update, only a conflict
+    assert(VersionedTable.readLatest(spark, t).head().getString(1) == "racer")
+    assert(VersionedTable.latestVersion(spark, t).contains(2L))
+    // restore shares the pinned tail: rolling back to v1 now succeeds
+    // (no race) and commits FORWARD as v3
+    assert(VersionedTable.restore(spark, t, 1L) == 3L)
+    assert(VersionedTable.readLatest(spark, t).head().getString(1) == "old")
+  }
+
+  test("ensureStats backfill is additive: old columns keep pruning") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.{ColumnBounds, ColumnEquals}
+    val t = tmp() + "/vt_additive"
+    val df = spark.range(8000).select(col("id"),
+      concat(lit("u"), col("id")).as("name"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    VersionedTable.commit(spark, df, t, statsCols = Seq("id"))
+    val before = VersionedTable.pruneSelection(spark, t, 1L,
+      Seq(ColumnBounds("id", Some(0L), Some(99L)))).get
+    assert(before._1.size < before._2, "id pruned before the backfill")
+    // backfilling a DIFFERENT column must union, not replace: the id
+    // zone map survives the rewrite
+    assert(VersionedTable.ensureStats(spark, t, 1L, Nil,
+      bloomCols = Seq("name")))
+    val after = VersionedTable.pruneSelection(spark, t, 1L,
+      Seq(ColumnBounds("id", Some(0L), Some(99L)))).get
+    assert(after._1.size == before._1.size && after._2 == before._2,
+      s"id zone map lost by name backfill: $after vs $before")
+    // and the new bloom column actually prunes too
+    val hit = VersionedTable.pruneSelection(spark, t, 1L, Nil,
+      Seq(ColumnEquals("name", "u6000"))).get
+    assert(hit._1.size < hit._2, s"name bloom not pruning: $hit")
+    // re-request of covered columns -> no rewrite
+    assert(!VersionedTable.ensureStats(spark, t, 1L, Seq("id"),
+      bloomCols = Seq("name")))
+  }
+
+  test("append is O(new data): base files reused, never rewritten") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_append"
+    VersionedTable.setSkippingPolicy(spark, t, statsCols = Seq("k"))
+    VersionedTable.commit(spark,
+      spark.range(1000).select(col("id").as("k"),
+          concat(lit("a"), col("id")).as("name"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")), t)
+    def dirFiles(rel: String): Set[String] = {
+      val d = new java.io.File(t, rel)
+      Option(d.listFiles).toSeq.flatten
+        .map(f => f.getName + ":" + f.lastModified).toSet
+    }
+    val hist1 = VersionedTable.history(spark, t).head()
+    val v1Dir = hist1.getString(1)
+    val v1Files = dirFiles(v1Dir)
+    // append 100 rows -> v2; the manifest must reference the v1 dir
+    // UNCHANGED (same files, same mtimes) plus exactly one new dir
+    val batch = spark.range(1000, 1100).select(col("id").as("k"),
+      concat(lit("b"), col("id")).as("name"))
+    assert(VersionedTable.append(spark, t, batch) == 2L)
+    val v2Dirs = VersionedTable.history(spark, t)
+      .orderBy(col("version").desc).head().getString(1).split(";")
+    assert(v2Dirs.length == 2 && v2Dirs.head == v1Dir,
+      s"append must reuse the base dir: ${v2Dirs.toSeq}")
+    assert(dirFiles(v1Dir) == v1Files, "append rewrote base files")
+    // contents: v2 = v1 + batch; v1 time-travels unchanged
+    assert(VersionedTable.readVersion(spark, t, 2L).count() == 1100L)
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 1000L)
+    val got = VersionedTable.readLatest(spark, t)
+      .where(col("k") >= 1000L).orderBy("k").collect()
+    assert(got.length == 100 && got.head.getString(1) == "b1000")
+    // column ORDER in the batch is realigned by name
+    assert(VersionedTable.append(spark, t,
+      Seq(("z5000", 5000L)).toDF("name", "k")) == 3L)
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("k") === 5000L).head().getString(1) == "z5000")
+    // schema mismatch fails typed, publishes nothing
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, t,
+        Seq((1L, "x", true)).toDF("k", "name", "extra"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, t, Seq(Tuple1(1L)).toDF("k"))
+    }
+    assert(VersionedTable.latestVersion(spark, t).contains(3L))
+    // append conflict: a racing commit after the pin must win
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.appendFrom(spark, t, base = 2L,
+        Seq((6000L, "late")).toDF("k", "name"), 5000000L)
+    }
+    // pruned reads span dirs: every dir carries the policy's sidecar, so
+    // a narrow k range keeps a strict subset of ALL files
+    val sel = VersionedTable.pruneSelection(spark, t, 3L,
+      Seq(VersionedTable.ColumnBounds("k", Some(0L), Some(10L)))).get
+    assert(sel._1.size < sel._2, s"multi-dir prune kept ${sel._1.size}/${sel._2}")
+    val pruned = VersionedTable.readVersionPruned(spark, t, 3L,
+      Seq(VersionedTable.ColumnBounds("k", Some(0L), Some(10L))))
+    assert(pruned.count() == 11L)
+    // vacuum must treat EVERY referenced dir of the multi-dir versions as
+    // live: the ONLY reclaimable dir is the losing appendFrom's orphan
+    Thread.sleep(50)
+    val reclaimed = VersionedTable.vacuum(spark, t, graceMs = 10L)
+    assert(reclaimed.size == 1, s"expected just the loser's orphan: $reclaimed")
+    assert((1L to 3L).forall(v =>
+      VersionedTable.readVersion(spark, t, v).count() >= 1000L),
+      "vacuum touched a dir referenced by a live multi-dir version")
+    // optimize compacts the 3-dir version back to one dir, same rows
+    val v4 = VersionedTable.optimize(spark, t, targetFileBytes = 1L << 30)
+    val v4Dirs = VersionedTable.history(spark, t)
+      .orderBy(col("version").desc).head().getString(1).split(";")
+    assert(v4 == 4L && v4Dirs.length == 1)
+    assert(VersionedTable.readVersion(spark, t, 4L).count() == 1101L)
+    // rollup rides appended versions incrementally: the new dir IS the
+    // delta (no change feed needed)
+    val roll = tmp() + "/vt_append_roll"
+    val base2 = tmp() + "/vt_append_base2"
+    VersionedTable.commit(spark,
+      Seq((1L, "g1", 10L), (2L, "g2", 5L)).toDF("id", "grp", "v"), base2)
+    VersionedTable.refreshRollup(spark, base2, roll, Seq("grp"), Seq("v"))
+    VersionedTable.append(spark, base2,
+      Seq((3L, "g1", 7L), (4L, "g3", 1L)).toDF("id", "grp", "v"))
+    VersionedTable.refreshRollup(spark, base2, roll, Seq("grp"), Seq("v"))
+    val lastOp = VersionedTable.history(spark, roll)
+      .orderBy(col("version").desc).head().getString(4)
+    assert(lastOp == "merge",
+      s"append delta should ride the incremental path, got op=$lastOp")
+    val m = VersionedTable.readLatest(spark, roll).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map("g1" -> ((2L, 17L)), "g2" -> ((1L, 5L)),
+      "g3" -> ((1L, 1L))), s"rollup after append: $m")
+  }
+
+  test("N-writer hammer: gap-free versions, no lost updates under racing") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_hammer"
+    VersionedTable.commit(spark,
+      Seq((-1L, 0L)).toDF("writer", "commits"), t)
+    val writers = 8
+    val perWriter = 4
+    val conflicts = new java.util.concurrent.atomic.AtomicLong(0)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // each writer upserts its own row, bumping its commit count — the
+    // merge derives from the LATEST snapshot each attempt, so optimistic
+    // retries must converge with every writer's final count = perWriter
+    // (a lost update would leave a smaller count)
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          var done = 0
+          while (done < perWriter) {
+            val mine = VersionedTable.readLatest(spark, t)
+              .where(col("writer") === w.toLong).collect()
+            val cur = if (mine.isEmpty) 0L else mine.head.getLong(1)
+            try {
+              VersionedTable.mergeInto(spark, t,
+                Seq((w.toLong, cur + 1L)).toDF("writer", "commits"),
+                key = "writer")
+              done += 1
+            } catch {
+              case _: VersionedTable.CommitConflictException =>
+                conflicts.incrementAndGet() // re-read and retry
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"hammer-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    // every commit produced exactly one version: gap-free chain of
+    // 1 (seed) + writers*perWriter merges
+    val vs = VersionedTable.versions(spark, t)
+    assert(vs == (1L to (1L + writers * perWriter)),
+      s"version chain has gaps: $vs")
+    // no lost updates: every writer's final count survived
+    val counts = VersionedTable.readLatest(spark, t)
+      .where(col("writer") >= 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == (0 until writers).map(_.toLong -> perWriter.toLong)
+      .toMap, s"lost updates: $counts (conflicts seen: ${conflicts.get()})")
+    // every intermediate version stays readable (winners' snapshots
+    // were never disturbed by losers)
+    vs.foreach(v =>
+      assert(VersionedTable.readVersion(spark, t, v).count() >= 1L))
+  }
 }

@@ -314,4 +314,62 @@ class StreamingSpec extends SparkSpec {
       Seq(ColumnBounds("id", Some(1L), Some(1L)))).isDefined,
       "streamed commit lost the skipping sidecar")
   }
+
+  // The reference's timer wheel (hive-task src/timers.lisp:11–32) maps to
+  // Structured Streaming's trigger clock (SURVEY §2A.3); these two goldens
+  // exercise the mapping explicitly instead of only driving micro-batches
+  // by hand via processAllAvailable.
+
+  test("Trigger.AvailableNow drains the backlog, finalizes, and self-stops") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[Ev]
+    // backlog exists BEFORE start: the batch-like "process what's there
+    // and terminate" contract (the scheduled-ingest trigger)
+    input.addData(Ev(1, ts(5), 1.0), Ev(2, ts(30), 2.0))
+    input.addData(Ev(3, ts(90), 4.0))
+    val query = Streams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("trigger_availablenow")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(query.awaitTermination(120000),
+        "AvailableNow query must terminate on its own")
+      val rows = spark.table("trigger_availablenow")
+        .select(col("win_start"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      // the minute-90 event advanced the watermark past hour 0, so that
+      // window finalized within the drain; hour 1 is still open at
+      // termination and must NOT have emitted (append-mode semantics
+      // hold under the explicit trigger too)
+      assert(rows.toSeq == Seq(("2024-01-01 00:00:00.0", 2L, 3.0)),
+        s"AvailableNow drain emitted: ${rows.mkString(", ")}")
+    } finally query.stop()
+  }
+
+  test("Trigger.ProcessingTime paces micro-batches on the wall clock") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("id", "v")
+      .writeStream.format("memory").queryName("trigger_ptime")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      assert(spark.table("trigger_ptime").count() == 2L)
+      // a second batch lands on a later tick of the same clock
+      input.addData((3L, "c"))
+      query.processAllAvailable()
+      assert(spark.table("trigger_ptime").orderBy("id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(query.isActive, "interval-triggered query keeps running")
+    } finally query.stop()
+  }
 }
