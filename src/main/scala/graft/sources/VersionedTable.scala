@@ -656,11 +656,39 @@ object VersionedTable {
     appendFrom(spark, table, base, rows, maxRecordsPerFile)
   }
 
+  /** Exactly-once micro-batch APPEND — the insert-only sibling of
+    * [[mergeBatchIfNew]] for event/log ingest streams: each micro-batch
+    * costs O(batch) (one fresh dir + one manifest), where the merge sink
+    * pays an O(table) copy-on-write rewrite per batch — at 100 TB the
+    * difference between a viable drip-ingest pipeline and one that
+    * rewrites the table every trigger. Same idempotence contract: the
+    * batch token pinned in the manifest turns a replayed batch into a
+    * no-op (None); same single-writer rule. First batch on an empty
+    * table commits the source as v1. Pair with periodic [[optimize]] to
+    * compact the accreted dirs.
+    */
+  def appendBatchIfNew(spark: SparkSession, table: String,
+      source: DataFrame, batchId: Long): Option[Long] = {
+    if (lastBatchId(spark, table).contains(batchId)) None
+    else latestVersion(spark, table) match {
+      case None =>
+        val dirName = writeSnapshot(spark, source, table, 5000000L)
+        validateConstraints(spark, table, dirName)
+        applySkipping(spark, table, dirName, Nil, Nil, 10)
+        publish(spark, table, 1L, dirName, Some(batchId), op = "stream")
+        Some(1L)
+      case Some(base) =>
+        Some(appendFrom(spark, table, base, source, 5000000L,
+          batchId = Some(batchId)))
+    }
+  }
+
   /** [[append]] against an explicitly pinned base — the concurrency test
     * seam, mirroring [[deleteWhereFrom]].
     */
   private[graft] def appendFrom(spark: SparkSession, table: String,
-      base: Long, rows: DataFrame, maxRecordsPerFile: Long): Long = {
+      base: Long, rows: DataFrame, maxRecordsPerFile: Long,
+      batchId: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.col
     val baseDf = readVersion(spark, table, base)
     val missing = baseDf.columns.diff(rows.columns)
@@ -684,7 +712,8 @@ object VersionedTable {
     val baseDirs = resolveDir(hfs, root, base).getOrElse(
       throw new IllegalArgumentException(
         s"version $base of $table was never committed"))
-    publish(spark, table, base + 1L, s"$baseDirs;$dirName", op = "insert")
+    publish(spark, table, base + 1L, s"$baseDirs;$dirName", batchId,
+      op = "insert")
     base + 1L
   }
 

@@ -166,6 +166,39 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** The per-batch body of [[startVersionedAppendSink]] — each micro-batch
+    * APPENDS to the versioned table in O(batch) via
+    * [[graft.sources.VersionedTable.appendBatchIfNew]] (one fresh dir +
+    * one manifest; the table is never rewritten), exactly-once via the
+    * same manifest batch token as the upsert sink. Exposed so tests
+    * replay the REAL commit path.
+    */
+  def versionedAppendBatch(table: String)(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    graft.sources.VersionedTable.appendBatchIfNew(
+      batch.sparkSession, table, batch.toDF(), batchId)
+    ()
+  }
+
+  /** Insert-only streaming→lakehouse bridge for event/log ingest: every
+    * micro-batch lands as a committed, time-travelable APPEND version at
+    * O(batch) cost — where [[startVersionedUpsertSink]]'s merge pays an
+    * O(table) copy-on-write rewrite per batch, the posture that decides
+    * whether a 100 TB drip-ingest pipeline is viable. No key semantics
+    * (duplicates land as-is — dedup upstream with
+    * `dropDuplicatesWithinWatermark`, or use the upsert sink); pair with
+    * periodic `OPTIMIZE` to compact the accreted small dirs.
+    */
+  def startVersionedAppendSink(df: DataFrame, table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch(versionedAppendBatch(table) _)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
     * running totals emitted on every update (the engine's escape hatch when
     * windowed aggregation can't express the state machine). State is

@@ -315,6 +315,52 @@ class StreamingSpec extends SparkSpec {
       "streamed commit lost the skipping sidecar")
   }
 
+  test("versioned append sink: O(batch) inserts, replay no-op, optimize compacts") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-asink").toString
+    val table = s"$dir/t"
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.startVersionedAppendSink(
+      input.toDF().toDF("k", "v"), table, s"$dir/_ckpt", "asink_golden")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      input.addData((3L, "c"))
+      query.processAllAvailable()
+      input.addData((4L, "d"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(VersionedTable.versions(spark, table) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.readLatest(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // O(batch), not O(table): v1's dir is REFERENCED by v3, not copied —
+    // each append version adds exactly one dir to the chain
+    val hist = VersionedTable.history(spark, table).orderBy("version")
+      .collect()
+    assert(hist.map(_.getString(1).split(";").length).toSeq == Seq(1, 2, 3),
+      "each streamed batch must add exactly one dir")
+    assert(hist.map(_.getString(4)).toSeq == Seq("stream", "insert", "insert"))
+    // time travel reaches each batch boundary
+    assert(VersionedTable.readVersion(spark, table, 2L).count() == 3L)
+    // at-least-once replay of the LAST batch no-ops via the batch token
+    assert(VersionedTable.appendBatchIfNew(spark, table,
+      Seq((4L, "d")).toDF("k", "v"), batchId = 2L).isEmpty,
+      "replayed append batch must not commit")
+    assert(VersionedTable.versions(spark, table) == Seq(1L, 2L, 3L))
+    // a NEW batch commits; OPTIMIZE then compacts the dir chain to one
+    assert(VersionedTable.appendBatchIfNew(spark, table,
+      Seq((5L, "e")).toDF("k", "v"), batchId = 3L).contains(4L))
+    val v5 = VersionedTable.optimize(spark, table, targetFileBytes = 1L << 30)
+    assert(VersionedTable.history(spark, table)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .head().getString(1).split(";").length == 1,
+      "optimize must compact the multi-dir chain")
+    assert(VersionedTable.readVersion(spark, table, v5).count() == 5L)
+  }
+
   // The reference's timer wheel (hive-task src/timers.lisp:11–32) maps to
   // Structured Streaming's trigger clock (SURVEY §2A.3); these two goldens
   // exercise the mapping explicitly instead of only driving micro-batches
