@@ -12,9 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hive-task src/primitives.lisp:252–266, which likewise pairs a
   * programmatic verb with the caller-facing entry):
   *
-  *  - `CREATE VERSIONED TABLE '<table-path>' AS SELECT ...` bootstraps a
-  *    table (fails if it exists) and `INSERT INTO '<table-path>'
-  *    SELECT ... | VALUES (...)` appends in O(new data) via
+  *  - `CREATE VERSIONED TABLE '<table-path>' [CLUSTER BY (c, ...)] AS
+  *    SELECT ...` bootstraps a table (fails if it exists; CLUSTER BY
+  *    range-clusters the first snapshot and writes its zone-map sidecar,
+  *    so SQL-born tables prune from birth) and `INSERT INTO
+  *    '<table-path>' SELECT ... | VALUES (...)` appends in O(new data) via
   *    [[VersionedTable.append]] (the new batch's dir joins the manifest;
   *    no table rewrite — SELECT binds by name, VALUES by position), so a
   *    SQL-only user can create, load, mutate, and time-travel end to end;
@@ -131,6 +133,7 @@ object GraftSql {
       """(?:\s+CLUSTER\s+BY\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?\s*;?\s*""").r
   private val CreateRe =
     ("""(?is)\s*CREATE\s+VERSIONED\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """(?:\s+CLUSTER\s+BY\s+\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
       """\s+AS\s+(SELECT\b.+?)\s*;?\s*""").r
   private val InsertRe =
     ("""(?is)\s*INSERT\s+INTO\s+(?:'([^']+)'|`([^`]+)`)""" +
@@ -198,14 +201,19 @@ object GraftSql {
           keys = Seq(key),
           sumCols = sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         v.map(Seq(_)).getOrElse(Seq.empty[Long]).toDF("version")
-      case CreateRe(p1, p2, select) =>
+      case CreateRe(p1, p2, cluster, select) =>
         val tbl = Option(p1).getOrElse(p2)
         if (VersionedTable.latestVersion(spark, tbl).isDefined)
           fail(s"versioned table '$tbl' already exists — INSERT INTO it " +
             "to append, MERGE/UPDATE/DELETE to mutate, or RESTORE to " +
             "roll back")
         val df = spark.sql(rewriteTimeTravel(spark, select))
-        Seq(VersionedTable.commit(spark, df, tbl)).toDF("version")
+        val clusterCols = Option(cluster).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val v =
+          if (clusterCols.isEmpty) VersionedTable.commit(spark, df, tbl)
+          else VersionedTable.commitClustered(spark, df, tbl, clusterCols)
+        Seq(v).toDF("version")
       case InsertRe(p1, p2, source) =>
         val tbl = Option(p1).getOrElse(p2)
         val raw = spark.sql(rewriteTimeTravel(spark, source))

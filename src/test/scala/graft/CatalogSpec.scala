@@ -288,6 +288,14 @@ class CatalogSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getDouble(1)))
       assert(fin.toSeq == Seq((0L, 0.0), (1L, 10.0), (2L, 20.0),
         (3L, 30.0), (4L, 40.0), (100L, 2.5)))
+      // CLUSTER BY at CREATE: the first snapshot is range-clustered and
+      // carries its zone-map sidecar — SQL-born tables prune from birth
+      val tbl2 = tbl + "2"
+      GraftSql.sql(spark,
+        s"CREATE VERSIONED TABLE '$tbl2' CLUSTER BY (k) AS SELECT * FROM seed")
+      val skip = GraftSql.sql(spark, s"DESCRIBE SKIPPING '$tbl2'").head()
+      assert(skip.getBoolean(1) && skip.getString(2) == "k",
+        s"clustered create must write the k sidecar: $skip")
     } finally spark.stop()
   }
 
