@@ -954,7 +954,9 @@ object VersionedTable {
     * post-image keys alone would leave the old group stale — each pending
     * version's change batch is merge-key semi-joined against its
     * predecessor snapshot (the manifest records the merge key) and those
-    * rows' group values union into the re-aggregated set.
+    * rows' group values union into the re-aggregated set; small-churn
+    * batches (≤ [[MaxInListSkip]] keys) probe the predecessor through
+    * the Bloom/zone-pruned read instead, so drip refreshes never scan it.
     *
     * Correctness fallbacks: the first refresh, and any version range
     * containing a commit WITHOUT a change feed (full snapshot commit,
@@ -1045,15 +1047,30 @@ object VersionedTable {
             // claim (a CDC update moving a row across groups, a delete
             // row carrying a stale group value) — without them the OLD
             // group's aggregate would silently stay stale and the
-            // "incremental == full recompute" contract would break. One
-            // merge-keyed semi-join against the predecessor snapshot per
-            // pending version, column-pruned to (merge key, rollup key)
-            // — cost scales with churn, and a Bloom sidecar on the merge
-            // key keeps even the untouched files unopened.
-            val pre = readVersion(spark, baseTable, v - 1L)
-              .select(col(mk), col(rollupKey))
-              .join(feed.select(col(mk)).distinct(), Seq(mk), "left_semi")
-              .select(col(rollupKey))
+            // "incremental == full recompute" contract would break.
+            // Recovery reads the predecessor snapshot, two-tier:
+            //  - small churn (≤ MaxInListSkip distinct merge keys): the
+            //    keys collect (bounded) into a ColumnIn probe through
+            //    [[readVersionPruned]] — with a Bloom/zone sidecar on
+            //    the merge key, untouched files never open, so a drip
+            //    refresh stays metadata-cheap;
+            //  - large churn: one merge-keyed semi-join against the
+            //    v-1 snapshot, column-pruned to (merge key, rollup key)
+            //    — a scan-speed pass, proportionate when the batch
+            //    touched a large fraction of the table anyway.
+            val keyVals = feed.select(col(mk)).distinct()
+              .limit(MaxInListSkip + 1).collect().map(_.get(0)).toSeq
+            val pre =
+              if (keyVals.isEmpty) post.limit(0) // empty change batch
+              else if (keyVals.size <= MaxInListSkip)
+                // the IN-list residual filter IS the semi-join here
+                readVersionPruned(spark, baseTable, v - 1L, Nil, Nil,
+                    Seq(ColumnIn(mk, keyVals)))
+                  .select(col(rollupKey))
+              else readVersion(spark, baseTable, v - 1L)
+                .select(col(mk), col(rollupKey))
+                .join(feed.select(col(mk)).distinct(), Seq(mk), "left_semi")
+                .select(col(rollupKey))
             post.unionByName(pre)
           }
         }.reduce(_ unionByName _).distinct()
