@@ -37,7 +37,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]`,
   *    `SET SKIPPING ON '<table-path>' STATS (c, ...) [BLOOM (c, ...)]
   *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'`, `EXPIRE VERSIONS
-  *    '<table-path>' KEEP <n>` (physical version retirement — pair with
+  *    '<table-path>' KEEP <n> | OLDER THAN <n> HOURS` (physical version
+  *    retirement, count- or age-based — pair with
   *    VACUUM for erasure), `RESTORE '<table-path>' TO VERSION <n>`
   *    (roll back as a new forward version), `REFRESH ROLLUP '<target>'
   *    FROM '<base>' KEY <k> SUM (c, ...)` (churn-bound incremental
@@ -120,6 +121,9 @@ object GraftSql {
   private val ExpireRe =
     ("""(?is)\s*EXPIRE\s+VERSIONS\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+KEEP\s+(\d+)\s*;?\s*""").r
+  private val ExpireAgeRe =
+    ("""(?is)\s*EXPIRE\s+VERSIONS\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+OLDER\s+THAN\s+(\d+)\s+HOURS\s*;?\s*""").r
   private val DeleteRe =
     ("""(?is)\s*DELETE\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+WHERE\s+(.+?)\s*;?\s*""").r
@@ -235,6 +239,10 @@ object GraftSql {
       case ExpireRe(p1, p2, keep) =>
         VersionedTable.expireVersions(spark, Option(p1).getOrElse(p2),
           keepLast = keep.toInt).toDF("expired_version")
+      case ExpireAgeRe(p1, p2, hours) =>
+        VersionedTable.expireVersionsOlderThan(spark,
+            Option(p1).getOrElse(p2), maxAgeMs = hours.toLong * 3600L * 1000L)
+          .toDF("expired_version")
       case DeleteRe(p1, p2, cond) =>
         Seq(VersionedTable.deleteWhere(spark, Option(p1).getOrElse(p2),
           expr(cond))).toDF("version")

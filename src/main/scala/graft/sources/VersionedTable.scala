@@ -1188,6 +1188,37 @@ object VersionedTable {
     dropped
   }
 
+  /** [[expireVersions]] by AGE: retire every version whose manifest is
+    * older than `maxAgeMs` (always keeping at least the newest version,
+    * and never expiring a version newer than a kept one — the chain
+    * stays a contiguous suffix). Versions already folded into a
+    * checkpoint (their per-version manifests retired by
+    * [[compactManifests]]) count as old — they are the oldest of the
+    * chain by construction. The standard retention spelling
+    * (`EXPIRE VERSIONS ... OLDER THAN n HOURS`): pair with [[vacuum]]
+    * for physical erasure, same as count-based expiry.
+    */
+  def expireVersionsOlderThan(spark: SparkSession, table: String,
+      maxAgeMs: Long): Seq[Long] = {
+    require(maxAgeMs >= 0, s"maxAgeMs must be >= 0: $maxAgeMs")
+    val (hfs, root) = fs(spark, table)
+    val vs = versions(spark, table)
+    if (vs.size <= 1) return Seq.empty
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    def isOld(v: Long): Boolean = {
+      val m = new Path(root, s"_manifests/${manifestName(v)}")
+      if (hfs.exists(m)) hfs.getFileStatus(m).getModificationTime < cutoff
+      else true // checkpoint-folded = oldest of the chain
+    }
+    // contiguous old PREFIX only: a young version never expires because
+    // an older one does, and an old version survives if any version
+    // before it is young (can't happen with monotone commit times, but
+    // clock skew must degrade to keeping more, never less)
+    val oldPrefix = vs.dropRight(1).takeWhile(isOld)
+    if (oldPrefix.isEmpty) Seq.empty
+    else expireVersions(spark, table, keepLast = vs.size - oldPrefix.size)
+  }
+
   // ----- data skipping (zone-map sidecar + pruned reads) ---------------
 
   /** An inclusive range predicate `lower <= column <= upper` for

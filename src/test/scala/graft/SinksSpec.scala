@@ -1238,6 +1238,86 @@ class SinksSpec extends SparkSpec {
       "g3" -> ((1L, 1L))), s"rollup after append: $m")
   }
 
+  test("state-machine law: random verb sequences match an in-memory model") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    // every mutating verb against a driver-side model of (key -> value):
+    // after each step latest == model, and at the end EVERY version
+    // time-travels to exactly the model state it committed — the
+    // whole-table linearizability law the per-verb tests only sample.
+    val rnd = new scala.util.Random(12) // deterministic sequence
+    val t = tmp() + "/vt_model"
+    var history = Vector.empty[Map[Long, Long]]
+    def model = history.last
+    val seed = (0L until 20L).map(k => k -> k * 10L).toMap
+    VersionedTable.commit(spark, seed.toSeq.toDF("k", "v"), t)
+    history :+= seed
+    (1 to 30).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // append fresh keys (O(new-data) insert)
+          val base = 1000L * step
+          val rows = (0 until 1 + rnd.nextInt(3))
+            .map(i => (base + i, rnd.nextLong(100)))
+          VersionedTable.append(spark, t, rows.toDF("k", "v"))
+          history :+= model ++ rows.toMap
+        case 1 => // merge: upserts + value-conditional deletes + insert
+          val keys = model.keys.toSeq.sorted
+          val ups =
+            if (keys.isEmpty) Seq.empty
+            else Seq.fill(2)(keys(rnd.nextInt(keys.size))).distinct
+              .map(k => (k, rnd.nextLong(100)))
+          val src = ups :+ ((5000L + step, rnd.nextLong(100)))
+          VersionedTable.mergeInto(spark, t, src.toDF("k", "v"),
+            key = "k", deleteWhen = col("v") < 20L)
+          history :+= src.foldLeft(model) { case (m, (k, v)) =>
+            if (v < 20L) m - k else m.updated(k, v)
+          }
+        case 2 => // copy-on-write UPDATE
+          VersionedTable.updateWhere(spark, t, col("k") % 3 === 0,
+            Map("v" -> (col("v") + lit(7L))))
+          history :+= model.map { case (k, v) =>
+            k -> (if (k % 3 == 0) v + 7L else v)
+          }
+        case 3 => // copy-on-write DELETE
+          VersionedTable.deleteWhere(spark, t, col("v") > 90L)
+          history :+= model.filter(_._2 <= 90L)
+        case 4 => // physical rewrite, logically a no-op
+          VersionedTable.optimize(spark, t, targetFileBytes = 1L << 30)
+          history :+= model
+        case 5 => // roll back to a random prior version, as a new version
+          val target = 1 + rnd.nextInt(history.size)
+          VersionedTable.restore(spark, t, target.toLong)
+          history :+= history(target - 1)
+      }
+      val got = VersionedTable.readLatest(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model, s"step $step diverged: got $got want $model")
+    }
+    history.zipWithIndex.foreach { case (m, i) =>
+      val got = VersionedTable.readVersion(spark, t, i + 1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == m, s"version ${i + 1} lost its committed state")
+    }
+  }
+
+  test("expireVersionsOlderThan retires only the contiguous old prefix") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_age_expire"
+    (1 to 4).foreach(i =>
+      VersionedTable.commit(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    // nothing is older than an hour -> nothing expires
+    assert(VersionedTable.expireVersionsOlderThan(spark, t,
+      maxAgeMs = 3600L * 1000L).isEmpty)
+    // everything is "older than 0ms" except the protected newest
+    Thread.sleep(20)
+    assert(graft.sources.GraftSql.sql(spark,
+        s"EXPIRE VERSIONS '$t' OLDER THAN 0 HOURS")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(VersionedTable.versions(spark, t) == Seq(4L))
+    assert(VersionedTable.readLatest(spark, t).head().getString(1) == "v4")
+  }
+
   test("N-writer hammer: gap-free versions, no lost updates under racing") {
     import graft.sources.VersionedTable
     import spark.implicits._
