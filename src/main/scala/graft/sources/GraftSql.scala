@@ -20,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [[VersionedTable.append]] (the new batch's dir joins the manifest;
   *    no table rewrite — SELECT binds by name, VALUES by position), so a
   *    SQL-only user can create, load, mutate, and time-travel end to end;
+  *    `CONVERT TO VERSIONED '<table-path>' FROM '<parquet-dir>'` adopts
+  *    an existing parquet directory as v1 zero-copy
+  *    ([[VersionedTable.convert]] — one metadata write; the source is
+  *    referenced, never rewritten or vacuumed);
   *  - `MERGE INTO '<table-path>' USING <source> ON <key> WHEN ... THEN ...`
   *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
   *  - `DELETE FROM '<table-path>' WHERE <cond>` / `UPDATE '<table-path>'
@@ -121,6 +125,9 @@ object GraftSql {
   private val ExpireRe =
     ("""(?is)\s*EXPIRE\s+VERSIONS\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+KEEP\s+(\d+)\s*;?\s*""").r
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+VERSIONED\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+FROM\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""").r
   private val ExpireAgeRe =
     ("""(?is)\s*EXPIRE\s+VERSIONS\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+OLDER\s+THAN\s+(\d+)\s+HOURS\s*;?\s*""").r
@@ -239,6 +246,9 @@ object GraftSql {
       case ExpireRe(p1, p2, keep) =>
         VersionedTable.expireVersions(spark, Option(p1).getOrElse(p2),
           keepLast = keep.toInt).toDF("expired_version")
+      case ConvertRe(t1, t2, s1, s2) =>
+        Seq(VersionedTable.convert(spark, Option(t1).getOrElse(t2),
+          Option(s1).getOrElse(s2))).toDF("version")
       case ExpireAgeRe(p1, p2, hours) =>
         VersionedTable.expireVersionsOlderThan(spark,
             Option(p1).getOrElse(p2), maxAgeMs = hours.toLong * 3600L * 1000L)

@@ -1188,6 +1188,42 @@ object VersionedTable {
     dropped
   }
 
+  /** Adopt an EXISTING parquet directory as version 1 of a fresh table
+    * WITHOUT copying a byte (the CONVERT TO DELTA move): the manifest
+    * simply names the source dir by absolute path, so onboarding 100 TB
+    * of plain parquet costs one metadata write, not a rewrite. The
+    * adopted dir is REFERENCED, not managed:
+    *
+    *  - [[vacuum]] never touches it (it reclaims only unreferenced dirs
+    *    under the table's own `data/`), so an accidental DROP cannot
+    *    erase the original data;
+    *  - the first copy-on-write verb (merge/DML/[[optimize]]) rewrites
+    *    into a managed writer-unique dir, after which the table is fully
+    *    self-contained — run `OPTIMIZE` to take ownership eagerly;
+    *  - [[append]]s reference the adopted dir alongside their own new
+    *    managed dirs; [[ensureStats]] can backfill a skipping sidecar
+    *    into the adopted dir (an underscore-invisible addition).
+    *
+    * The path must not contain `;` or `"` (manifest-body delimiters).
+    */
+  def convert(spark: SparkSession, table: String, sourceDir: String): Long = {
+    require(latestVersion(spark, table).isEmpty,
+      s"$table already has committed versions — convert only bootstraps")
+    require(!sourceDir.contains(";") && !sourceDir.contains("\""),
+      s"source path must not contain ';' or '\"': $sourceDir")
+    val (hfs, root) = fs(spark, table)
+    val src = new Path(sourceDir)
+    val abs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(src)
+    require(hfs.exists(abs) && hfs.getFileStatus(abs).isDirectory,
+      s"source dir does not exist: $abs")
+    // it must actually read as parquet before it becomes a version
+    spark.read.parquet(abs.toString).schema
+    hfs.mkdirs(root)
+    publish(spark, table, 1L, abs.toString, op = "convert")
+    1L
+  }
+
   /** [[expireVersions]] by AGE: retire every version whose manifest is
     * older than `maxAgeMs` (always keeping at least the newest version,
     * and never expiring a version newer than a kept one — the chain

@@ -1300,6 +1300,47 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("convert adopts existing parquet zero-copy; first CoW takes ownership") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val dir = tmp()
+    val src = dir + "/plain_parquet"
+    val t = dir + "/vt_adopted"
+    val orig = spark.range(1000).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name"))
+    orig.write.parquet(src)
+    val srcFiles = Option(new java.io.File(src).listFiles).toSeq.flatten
+      .map(f => f.getName + ":" + f.lastModified).toSet
+    // adoption is one metadata write: same rows, source untouched
+    assert(GraftSql.sql(spark,
+      s"CONVERT TO VERSIONED '$t' FROM '$src'").head().getLong(0) == 1L)
+    val v1 = VersionedTable.readLatest(spark, t)
+    assert(v1.count() == 1000L &&
+      v1.exceptAll(orig).isEmpty && orig.exceptAll(v1).isEmpty)
+    // converting twice, or over an existing table, fails typed
+    intercept[IllegalArgumentException](VersionedTable.convert(spark, t, src))
+    // appends reference the adopted dir alongside managed dirs
+    VersionedTable.append(spark, t, Seq((5000L, "new")).toDF("k", "name"))
+    assert(VersionedTable.readLatest(spark, t).count() == 1001L)
+    // vacuum NEVER reclaims the adopted dir (it is referenced, and
+    // outside the table's managed data/ namespace entirely)
+    Thread.sleep(50)
+    assert(VersionedTable.vacuum(spark, t, graceMs = 10L).isEmpty)
+    // the first copy-on-write verb rewrites into a managed dir: after
+    // OPTIMIZE the table is self-contained and the source still intact
+    val v3 = VersionedTable.optimize(spark, t, targetFileBytes = 1L << 30)
+    val ownedDirs = VersionedTable.history(spark, t)
+      .orderBy(col("version").desc).head().getString(1)
+    assert(ownedDirs.startsWith("data/") && !ownedDirs.contains(";"),
+      s"optimize must take ownership: $ownedDirs")
+    assert(VersionedTable.readVersion(spark, t, v3).count() == 1001L)
+    assert(Option(new java.io.File(src).listFiles).toSeq.flatten
+      .map(f => f.getName + ":" + f.lastModified).toSet == srcFiles,
+      "adoption or optimize touched the source bytes")
+    // time travel back to the adopted version still works
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 1000L)
+  }
+
   test("expireVersionsOlderThan retires only the contiguous old prefix") {
     import graft.sources.VersionedTable
     import spark.implicits._
