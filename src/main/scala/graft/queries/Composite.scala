@@ -1747,6 +1747,26 @@ object Composite {
              |SELECT o_custkey, count(*) AS n,
              |  sum(o_totalprice) AS sum_o_totalprice
              |FROM final GROUP BY o_custkey
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Q154 — zero-copy adoption (CONVERT TO VERSIONED): an existing plain
+    // parquet directory becomes v1 with ONE metadata write — no byte of
+    // the 100 TB source is read or rewritten at adoption time — then the
+    // versioned read must be value-transparent against the original.
+    // The zero-copy property itself (source files byte-untouched through
+    // adopt/append/vacuum/optimize) is pinned in SinksSpec.
+    Q("q154_convert",
+      (s, d) => {
+        import graft.sources.GraftSql
+        val dir = scratchDir("graft-vtable-convert")
+        val src = dir + "/src"
+        Tables(s, d, "supplier").write.mode("overwrite").parquet(src)
+        GraftSql.sql(s, s"CONVERT TO VERSIONED '$dir/t' FROM '$src'")
+        GraftSql.sql(s,
+          s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM '$dir/t' LATEST ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin))
   )
 }
