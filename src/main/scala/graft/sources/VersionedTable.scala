@@ -1217,6 +1217,14 @@ object VersionedTable {
       .makeQualified(src)
     require(hfs.exists(abs) && hfs.getFileStatus(abs).isDirectory,
       s"source dir does not exist: $abs")
+    // the managed data/ namespace is off-limits as a SOURCE: vacuum
+    // compares managed candidates by their "data/<name>" relative form,
+    // so an absolute reference INTO data/ would read as unreferenced and
+    // the adopted bytes could be reclaimed out from under the table
+    val managed = hfs.makeQualified(new Path(root, "data")).toString
+    require(!(abs.toString + "/").startsWith(managed + "/"),
+      s"source dir must not live under the table's managed data/ " +
+        s"namespace: $abs")
     // it must actually read as parquet before it becomes a version
     spark.read.parquet(abs.toString).schema
     hfs.mkdirs(root)

@@ -1319,6 +1319,12 @@ class SinksSpec extends SparkSpec {
       v1.exceptAll(orig).isEmpty && orig.exceptAll(v1).isEmpty)
     // converting twice, or over an existing table, fails typed
     intercept[IllegalArgumentException](VersionedTable.convert(spark, t, src))
+    // adopting a dir INSIDE a table's managed data/ namespace is refused:
+    // vacuum compares managed dirs by relative name, so an absolute
+    // reference into data/ would read as unreferenced and be reclaimed
+    val t2 = dir + "/vt_adopted2"
+    intercept[IllegalArgumentException](
+      VersionedTable.convert(spark, t2, t + "/data"))
     // appends reference the adopted dir alongside managed dirs
     VersionedTable.append(spark, t, Seq((5000L, "new")).toDF("k", "name"))
     assert(VersionedTable.readLatest(spark, t).count() == 1001L)
