@@ -1767,6 +1767,59 @@ object Composite {
              |FROM '$dir/t' LATEST ORDER BY s_suppkey""".stripMargin)
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-             |FROM supplier ORDER BY s_suppkey""".stripMargin))
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // Q155 — predicate-region overwrite (VersionedTable.overwriteWhere /
+    // INSERT OVERWRITE ... WHERE): re-derive 1995's orders (+5% reprice)
+    // and atomically swap exactly that region — the idempotent-backfill
+    // verb. One version: the delete and insert are never separately
+    // visible (atomicity + region guard pinned in SinksSpec). The oracle
+    // replays the replacement relationally; the 1.05 multiply is one
+    // IEEE double op, bit-identical across engines.
+    Q("q155_overwrite",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = scratchDir("graft-vtable-ow")
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_totalprice"))
+        VersionedTable.commit(s, orders, dir)
+        val region = col("o_orderdate").between(
+          java.sql.Date.valueOf("1995-01-01"),
+          java.sql.Date.valueOf("1995-12-31"))
+        VersionedTable.overwriteWhere(s, dir, region,
+          orders.where(region).withColumn("o_totalprice",
+            col("o_totalprice") * lit(1.05)))
+        VersionedTable.readLatest(s, dir).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderdate,
+             |  CASE WHEN o_orderdate BETWEEN DATE '1995-01-01'
+             |         AND DATE '1995-12-31'
+             |       THEN o_totalprice * 1.05 ELSE o_totalprice END
+             |    AS o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Q156 — zero-copy fork (VersionedTable.shallowClone / CLONE ... TO):
+    // clone the customer table by reference (one metadata write), then
+    // evolve ONLY the clone with copy-on-write DML — the experiment-fork
+    // workflow. The read must equal the oracle's replay of the DML on
+    // the original; source-independence and the zero-copy property are
+    // pinned in SinksSpec.
+    Q("q156_clone",
+      (s, d) => {
+        import graft.sources.{GraftSql, VersionedTable}
+        val dir = scratchDir("graft-vtable-fork")
+        val src = dir + "/src"
+        VersionedTable.commit(s,
+          Tables(s, d, "customer").select(col("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")), src)
+        GraftSql.sql(s, s"CLONE '$src' TO '$dir/fork'")
+        VersionedTable.deleteWhere(s, s"$dir/fork", col("c_acctbal") < 0.0)
+        VersionedTable.readLatest(s, s"$dir/fork")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             |WHERE NOT (c_acctbal < 0.0)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -24,6 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    an existing parquet directory as v1 zero-copy
   *    ([[VersionedTable.convert]] — one metadata write; the source is
   *    referenced, never rewritten or vacuumed);
+  *  - `CLONE '<source-path>' TO '<target-path>' [VERSION AS OF <n>]`
+  *    ([[VersionedTable.shallowClone]] — zero-copy fork: v1 references
+  *    the source's data dirs; constraints + skipping policy cloned);
+  *  - `INSERT OVERWRITE '<table-path>' WHERE <cond> SELECT ...|VALUES ...`
+  *    ([[VersionedTable.overwriteWhere]] — atomically replace exactly
+  *    the predicate's region; every inserted row must satisfy it);
   *  - `MERGE INTO '<table-path>' USING <source> ON <key> WHEN ... THEN ...`
   *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
   *  - `DELETE FROM '<table-path>' WHERE <cond>` / `UPDATE '<table-path>'
@@ -149,6 +155,16 @@ object GraftSql {
   private val InsertRe =
     ("""(?is)\s*INSERT\s+INTO\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+(SELECT\b.+?|VALUES\b.+?)\s*;?\s*""").r
+  // the WHERE condition is everything up to the first top-level SELECT/
+  // VALUES keyword (lazy match) — a predicate containing a subquery needs
+  // the Scala verb
+  private val InsertOverwriteRe =
+    ("""(?is)\s*INSERT\s+OVERWRITE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+WHERE\s+(.+?)\s+(SELECT\b.+?|VALUES\b.+?)\s*;?\s*""").r
+  private val CloneRe =
+    ("""(?is)\s*CLONE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+TO\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val SkippingRe =
     ("""(?is)\s*SET\s+SKIPPING\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+STATS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
@@ -225,6 +241,24 @@ object GraftSql {
           if (clusterCols.isEmpty) VersionedTable.commit(spark, df, tbl)
           else VersionedTable.commitClustered(spark, df, tbl, clusterCols)
         Seq(v).toDF("version")
+      case InsertOverwriteRe(p1, p2, cond, source) =>
+        val tbl = Option(p1).getOrElse(p2)
+        val raw = spark.sql(rewriteTimeTravel(spark, source))
+        val df =
+          if (source.trim.toUpperCase.startsWith("VALUES")) {
+            val tableCols = VersionedTable.readLatest(spark, tbl).columns
+            if (raw.columns.length != tableCols.length)
+              fail(s"INSERT OVERWRITE VALUES arity ${raw.columns.length} " +
+                s"!= table arity ${tableCols.length} for '$tbl'")
+            raw.toDF(tableCols: _*)
+          } else raw
+        Seq(VersionedTable.overwriteWhere(spark, tbl, expr(cond), df))
+          .toDF("version")
+      case CloneRe(s1, s2, t1, t2, v) =>
+        Seq(VersionedTable.shallowClone(spark,
+          targetTable = Option(t1).getOrElse(t2),
+          sourceTable = Option(s1).getOrElse(s2),
+          version = Option(v).map(_.toLong))).toDF("version")
       case InsertRe(p1, p2, source) =>
         val tbl = Option(p1).getOrElse(p2)
         val raw = spark.sql(rewriteTimeTravel(spark, source))

@@ -1232,6 +1232,72 @@ object VersionedTable {
     1L
   }
 
+  /** Zero-copy SHALLOW CLONE: bootstrap `targetTable` as a new versioned
+    * table whose v1 references `sourceTable`'s data dirs (of `version`,
+    * default latest) BY NAME — one manifest write and two small metadata
+    * copies, no data movement, which is what makes forking a 100 TB
+    * table for an experiment instant. The clone then evolves
+    * independently: its first copy-on-write verb (merge/DML/OPTIMIZE)
+    * rewrites into its own managed dirs, taking ownership of what it
+    * touched; appends reference source dirs alongside new managed ones.
+    * CHECK constraints and the skipping policy are cloned (the sidecar
+    * `_stats` indexes live INSIDE the data dirs, so pruned reads work on
+    * the clone for free); version HISTORY is not — the clone starts at
+    * v1, and time travel into pre-clone states happens on the source.
+    *
+    * Retention caveat (inherent to shallow clones, as in Delta):
+    * [[vacuum]] on the CLONE can never reclaim source bytes (absolute
+    * references are not candidates in the clone's managed namespace),
+    * but [[expireVersions]] + [[vacuum]] on the SOURCE can reclaim dirs
+    * the clone still references — the source does not know its clones.
+    * Run `OPTIMIZE` on the clone to take full ownership before loosening
+    * the source's retention.
+    */
+  def shallowClone(spark: SparkSession, targetTable: String,
+      sourceTable: String, version: Option[Long] = None): Long = {
+    require(latestVersion(spark, targetTable).isEmpty,
+      s"$targetTable already has committed versions — clone only " +
+        "bootstraps")
+    val v = version.getOrElse(latestVersion(spark, sourceTable).getOrElse(
+      throw new IllegalArgumentException(
+        s"$sourceTable has no committed versions")))
+    val dirs = dataPathsOf(spark, sourceTable, v).map(_.toString)
+    require(dirs.forall(d => !d.contains(";") && !d.contains("\"")),
+      s"source data paths must not contain ';' or '\"'")
+    val (hfs, tgtRoot) = fs(spark, targetTable)
+    val (_, srcRoot) = fs(spark, sourceTable)
+    require(tgtRoot.toString != srcRoot.toString,
+      s"cannot clone a table onto itself: $srcRoot")
+    // same reclaim argument as [[convert]]: the clone must not live
+    // under the source's managed data/ namespace (the source's vacuum
+    // would read the clone's tree as an unreferenced orphan), and
+    // vice versa (the clone's vacuum compares managed candidates by
+    // relative name, so absolute refs INTO its own data/ would be
+    // reclaimable)
+    require(!(tgtRoot.toString + "/")
+        .startsWith(srcRoot.toString + "/data/"),
+      s"clone target must not live under the source's managed data/ " +
+        s"namespace: $tgtRoot")
+    require(dirs.forall(d =>
+        !(d + "/").startsWith(tgtRoot.toString + "/data/")),
+      "source data dirs must not live under the clone's managed data/ " +
+        "namespace")
+    hfs.mkdirs(tgtRoot)
+    // clone table-level metadata so the target's FUTURE commits behave
+    // like the source's: CHECK constraints gate, the skipping policy
+    // indexes. Copied BEFORE publish — a clone is never visible without
+    // its constraints.
+    Seq("_constraints.json", "_skipping.json").foreach { f =>
+      val src = new Path(srcRoot, f)
+      if (hfs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs,
+          new Path(tgtRoot, f), /* deleteSource = */ false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    publish(spark, targetTable, 1L, dirs.mkString(";"), op = "clone")
+    1L
+  }
+
   /** [[expireVersions]] by AGE: retire every version whose manifest is
     * older than `maxAgeMs` (always keeping at least the newest version,
     * and never expiring a version newer than a kept one — the chain
@@ -1356,6 +1422,53 @@ object VersionedTable {
     }: _*)
     commitPinned(spark, updated, table, base, op = "update",
       maxRecordsPerFile = maxRecordsPerFile)
+  }
+
+  /** Copy-on-write INSERT OVERWRITE ... WHERE (Delta's `replaceWhere`):
+    * atomically replace exactly the region `cond` selects with `rows` —
+    * rows outside the region pass through, rows inside are dropped, and
+    * the replacement batch takes their place, all in ONE version (the
+    * delete and the insert can never be observed separately, unlike a
+    * [[deleteWhere]] + [[append]] pair). The idempotent-backfill verb:
+    * re-deriving one day/region of a 100 TB table writes only the new
+    * region plus the kept remainder — and re-running it converges.
+    *
+    * Contract (strict, as SQL's static-partition overwrite): every
+    * replacement row must itself satisfy `cond` — a row outside the
+    * region it claims to replace would silently clobber data the caller
+    * never named, so it fails typed instead. Replacement rows must carry
+    * exactly the table's columns (order-free; values cast to the
+    * column's existing type — overwrite never migrates the schema).
+    * NULL `cond` rows count as outside the region (kept), per SQL WHERE.
+    * Same base-pinned publish, constraint gate, and skipping policy as
+    * every other CoW verb.
+    */
+  def overwriteWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, rows: DataFrame,
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val cur = readVersion(spark, table, base)
+    val missing = cur.columns.diff(rows.columns)
+    val extra = rows.columns.diff(cur.columns)
+    require(missing.isEmpty && extra.isEmpty,
+      s"overwrite rows must carry exactly the table's columns — " +
+        (if (missing.nonEmpty) s"missing: ${missing.mkString(", ")}; "
+         else "") +
+        (if (extra.nonEmpty) s"unknown: ${extra.mkString(", ")}" else ""))
+    val aligned = rows.select(cur.columns.map(c =>
+      col(c).cast(cur.schema(c).dataType).as(c)): _*)
+    // region guard BEFORE any write: one counting job over the (small)
+    // replacement batch, not the table
+    val outside = aligned.where(not(coalesce(cond, lit(false)))).count()
+    if (outside > 0L) throw new IllegalArgumentException(
+      s"$outside replacement row(s) do not satisfy the overwrite " +
+        "predicate — INSERT OVERWRITE ... WHERE only writes into the " +
+        "region it replaces (widen the predicate or fix the batch)")
+    val kept = cur.where(not(coalesce(cond, lit(false))))
+    commitPinned(spark, kept.unionByName(aligned), table, base,
+      op = "overwrite", maxRecordsPerFile = maxRecordsPerFile)
   }
 
   /** Thrown when a commit's snapshot violates a CHECK constraint; the

@@ -1420,4 +1420,99 @@ class SinksSpec extends SparkSpec {
     vs.foreach(v =>
       assert(VersionedTable.readVersion(spark, t, v).count() >= 1L))
   }
+
+  test("overwriteWhere atomically replaces exactly the predicate region") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val t = tmp() + "/vt_overwrite"
+    VersionedTable.commit(spark,
+      spark.range(100).select(col("id").as("k"),
+        (col("id") % 10).as("grp"), (col("id") * 2).as("v")), t)
+    // replace group 3 with a re-derived batch (fewer rows, new values)
+    val batch = Seq((3L, 3L, 1000L), (13L, 3L, 1001L)).toDF("k", "grp", "v")
+    val v2 = VersionedTable.overwriteWhere(spark, t, col("grp") === 3L, batch)
+    assert(v2 == 2L)
+    val after = VersionedTable.readLatest(spark, t)
+    // outside the region: untouched; inside: exactly the batch
+    assert(after.where(col("grp") =!= 3L).count() == 90L)
+    assert(after.where(col("grp") === 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((3L, 1000L), (13L, 1001L)))
+    // ONE version: the delete and insert are never separately visible
+    assert(VersionedTable.versions(spark, t) == Seq(1L, 2L))
+    // idempotent: re-running the same overwrite converges (new version,
+    // same state)
+    VersionedTable.overwriteWhere(spark, t, col("grp") === 3L, batch)
+    assert(VersionedTable.readLatest(spark, t).exceptAll(after).isEmpty)
+    // region guard: a replacement row OUTSIDE the predicate fails typed,
+    // and nothing is published
+    val before = VersionedTable.versions(spark, t)
+    intercept[IllegalArgumentException](
+      VersionedTable.overwriteWhere(spark, t, col("grp") === 3L,
+        Seq((4L, 4L, 9L)).toDF("k", "grp", "v")))
+    assert(VersionedTable.versions(spark, t) == before)
+    // schema contract: missing/unknown columns fail typed
+    intercept[IllegalArgumentException](
+      VersionedTable.overwriteWhere(spark, t, col("grp") === 3L,
+        Seq((3L, 3L)).toDF("k", "grp")))
+    // the SQL spelling drives the same verb (source SELECT may itself
+    // time-travel — the LATEST view pins the pre-overwrite snapshot)
+    GraftSql.sql(spark,
+      s"INSERT OVERWRITE '$t' WHERE grp = 4 " +
+        s"SELECT k, grp, v + 1 AS v FROM '$t' LATEST WHERE grp = 4")
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("grp") === 4L).agg(sum(col("v"))).head().getLong(0) ==
+      (4L to 94L by 10L).map(_ * 2L + 1L).sum)
+  }
+
+  test("shallowClone forks zero-copy; clone and source evolve independently") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val dir = tmp()
+    val src = dir + "/vt_clone_src"
+    val tgt = dir + "/vt_clone_tgt"
+    VersionedTable.commit(spark,
+      spark.range(500).select(col("id").as("k"), (col("id") * 3).as("v")),
+      src, statsCols = Seq("k"))
+    VersionedTable.setConstraints(spark, src, Map("pos_v" -> "v >= 0"))
+    VersionedTable.append(spark, src,
+      Seq((9000L, 1L)).toDF("k", "v"))
+    val srcBytes = Option(new java.io.File(src + "/data").listFiles)
+      .toSeq.flatten.map(f => f.getName + ":" + f.lastModified).toSet
+    // clone latest (v2 = 501 rows) — one metadata write, no data movement
+    assert(GraftSql.sql(spark, s"CLONE '$src' TO '$tgt'")
+      .head().getLong(0) == 1L)
+    assert(VersionedTable.readLatest(spark, tgt).count() == 501L)
+    assert(Option(new java.io.File(src + "/data").listFiles)
+      .toSeq.flatten.map(f => f.getName + ":" + f.lastModified).toSet
+      == srcBytes, "clone moved source bytes")
+    // a pinned-version clone sees that version's state
+    val tgtV1 = dir + "/vt_clone_v1"
+    VersionedTable.shallowClone(spark, tgtV1, src, version = Some(1L))
+    assert(VersionedTable.readLatest(spark, tgtV1).count() == 500L)
+    // constraints traveled: a violating commit on the CLONE aborts
+    intercept[VersionedTable.ConstraintViolationException](
+      VersionedTable.append(spark, tgt, Seq((1L, -5L)).toDF("k", "v")))
+    // the clone evolves without touching the source...
+    VersionedTable.deleteWhere(spark, tgt, col("k") < 100L)
+    assert(VersionedTable.readLatest(spark, tgt).count() == 401L)
+    assert(VersionedTable.readLatest(spark, src).count() == 501L)
+    // ...and the source evolves without touching the clone
+    VersionedTable.append(spark, src, Seq((9001L, 2L)).toDF("k", "v"))
+    assert(VersionedTable.readLatest(spark, tgt).count() == 401L)
+    // vacuum on the clone never reclaims source dirs (absolute refs are
+    // not candidates in the clone's managed namespace) — it may reclaim
+    // the clone's OWN orphan from the aborted constraint-violating
+    // append, which is correct
+    Thread.sleep(50)
+    assert(VersionedTable.vacuum(spark, tgt, graceMs = 10L)
+      .forall(_.startsWith("data/")))
+    assert(VersionedTable.readLatest(spark, src).count() == 502L)
+    assert(VersionedTable.readLatest(spark, tgt).count() == 401L)
+    // guards: clone onto itself / over an existing table fails typed
+    intercept[IllegalArgumentException](
+      VersionedTable.shallowClone(spark, src, src))
+    intercept[IllegalArgumentException](
+      VersionedTable.shallowClone(spark, tgt, src))
+  }
 }
