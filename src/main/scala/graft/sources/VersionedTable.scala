@@ -557,6 +557,15 @@ object VersionedTable {
       .parquet(new Path(new Path(table), s"$dirName/$changesDirName").toString)
     publish(spark, table, baseVersion + 1L, dirName, batchId, op = "merge",
       mergeKey = Some(key))
+    // streaming change feed (opt-in via enableChangeFeed): mirror the
+    // committed batch into _cdf/ for file-stream subscribers. The commit
+    // above STANDS regardless — a mirror failure here self-heals on the
+    // next merge or an explicit mirrorChangeFeed call, so it must not
+    // surface as a (false) commit failure
+    val (cdfFs, cdfRoot) = fs(spark, table)
+    if (cdfFs.exists(new Path(cdfRoot, cdfDirName)))
+      try mirrorChangeFeed(spark, table)
+      catch { case scala.util.control.NonFatal(_) => () }
     baseVersion + 1L
   }
 
@@ -583,6 +592,78 @@ object VersionedTable {
       s"version $version of $table has no change log (full-snapshot " +
         "commit) — use diffVersions for snapshot-level CDC")
     spark.read.parquet(p.toString)
+  }
+
+  private val cdfDirName = "_cdf"
+  private def cdfVersionDirName(v: Long) = f"v$v%08d"
+
+  /** Opt in to the STREAMING change feed: create the root-level `_cdf/`
+    * mirror directory and backfill it from every committed merge version
+    * still carrying a per-version manifest. Once enabled, every later
+    * merge commit mirrors its change batch into `_cdf/v<NNNNNNNN>/`
+    * (with a `_commit_version` column) right after publish — the
+    * directory a Structured Streaming file source can tail
+    * ([[graft.streaming.Streams.changeFeedStream]]), which is what turns
+    * the polling `readChanges` consumer into a push-style subscription:
+    * at 100 TB a downstream pipeline follows the feed in O(churn),
+    * never touching the table. Returns the versions mirrored now.
+    *
+    * Disabled tables (no `_cdf/` dir) pay nothing. The per-version
+    * `_changes` sidecar stays the source of truth — the mirror is
+    * derived, reconstructible by this call at any time while the
+    * version's manifest lives ([[compactManifests]] retires the op
+    * field the mirror filters on — enable the feed before compacting
+    * history you want streamed).
+    */
+  def enableChangeFeed(spark: SparkSession, table: String): Seq[Long] = {
+    val (hfs, root) = fs(spark, table)
+    hfs.mkdirs(new Path(root, cdfDirName))
+    mirrorChangeFeed(spark, table)
+  }
+
+  /** Mirror every committed-but-unmirrored merge version's change batch
+    * into `_cdf/` (no-op per version already mirrored — idempotent, and
+    * the self-heal entry if a writer crashed between publish and its
+    * mirror step). Each version dir appears ATOMICALLY via
+    * temp-then-rename(NONE), so a streaming reader never lists a
+    * half-written batch; losers of a concurrent-mirror race discard
+    * their temp. Only COMMITTED versions mirror — a publish loser's
+    * orphaned data dir (which also carries a `_changes` sidecar) can
+    * never leak phantom rows into the feed.
+    */
+  def mirrorChangeFeed(spark: SparkSession, table: String): Seq[Long] = {
+    val (hfs, root) = fs(spark, table)
+    val cdfRoot = new Path(root, cdfDirName)
+    require(hfs.exists(cdfRoot),
+      s"change feed is not enabled on $table — call enableChangeFeed " +
+        "first (the _cdf/ dir is the opt-in marker)")
+    import org.apache.spark.sql.functions.lit
+    versions(spark, table).filter { v =>
+      opOf(spark, table, v).contains("merge") && {
+        val target = new Path(cdfRoot, cdfVersionDirName(v))
+        !hfs.exists(target) && {
+          val tmp = new Path(cdfRoot, s".tmp-${UUID.randomUUID}")
+          readChanges(spark, table, v)
+            .withColumn("_commit_version", lit(v))
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .parquet(tmp.toString)
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            target.toUri, spark.sparkContext.hadoopConfiguration)
+          try { fc.rename(tmp, target,
+            org.apache.hadoop.fs.Options.Rename.NONE); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException =>
+              // lost a concurrent-mirror race (or the slot filled
+              // between probe and rename): theirs is complete, ours is
+              // surplus
+              hfs.delete(tmp, true)
+              hfs.exists(target)
+          }
+        }
+      }
+    }
   }
 
   /** MERGE-INTO-shaped entry over [[commitMerge]] — the verb a lakehouse
@@ -847,6 +928,13 @@ object VersionedTable {
       .filter(st => st.getPath.getName.startsWith(".tmp-"))
       .filter(_.getModificationTime < cutoff)
       .foreach(st => hfs.delete(st.getPath, false))
+    // stale change-feed mirror temps (writers that crashed mid-mirror)
+    // reclaim the same way; committed v<NNNNNNNN> feed dirs never match
+    val cdfDir = new Path(root, cdfDirName)
+    if (hfs.exists(cdfDir)) hfs.listStatus(cdfDir).iterator
+      .filter(st => st.getPath.getName.startsWith(".tmp-"))
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => hfs.delete(st.getPath, true))
     val dataDir = new Path(root, "data")
     if (!hfs.exists(dataDir)) return Seq.empty
     val referencedAtListing = referenced()

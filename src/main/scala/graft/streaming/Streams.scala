@@ -199,6 +199,42 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Lakehouse→streaming bridge, the read dual of the versioned sinks:
+    * SUBSCRIBE to a versioned table's committed change feed as an
+    * unbounded DataFrame. Requires
+    * [[graft.sources.VersionedTable.enableChangeFeed]] on the table —
+    * every merge commit then mirrors its change batch into `_cdf/
+    * v<NNNNNNNN>/` (atomic dir rename, committed versions only), and
+    * this is a plain file-stream source tailing that directory: rows
+    * are the merge batches as written (source columns + the caller's
+    * version/op metadata columns) plus `_commit_version`. Checkpointed
+    * like any file source, so a restarted consumer resumes where it
+    * left off and each batch is delivered once. At 100 TB the consumer
+    * follows O(churn) bytes — it never reads, diffs, or even lists the
+    * table's data.
+    *
+    * Schema comes from the already-mirrored feed (at least one mirrored
+    * version must exist) unless passed explicitly — a file stream needs
+    * it up front.
+    */
+  def changeFeedStream(spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val glob = s"$table/_cdf/v*"
+    val s = schema.getOrElse {
+      try spark.read.parquet(glob).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"no mirrored change batches under $glob to infer the feed " +
+              "schema from — enableChangeFeed + at least one merge " +
+              "first, or pass the schema explicitly", e)
+      }
+    }
+    spark.readStream.schema(s).parquet(glob)
+  }
+
   /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
     * running totals emitted on every update (the engine's escape hatch when
     * windowed aggregation can't express the state machine). State is

@@ -418,4 +418,63 @@ class StreamingSpec extends SparkSpec {
       assert(query.isActive, "interval-triggered query keeps running")
     } finally query.stop()
   }
+
+  test("change feed streams: merges arrive as micro-batches, resume is exact") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    val table = s"$dir/t"
+    val out = s"$dir/out"
+    VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    assert(VersionedTable.enableChangeFeed(spark, table).isEmpty)
+    // two merges auto-mirror their committed batches into _cdf/
+    VersionedTable.mergeInto(spark, table,
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), key = "k")
+    VersionedTable.mergeInto(spark, table,
+      Seq((1L, "gone")).toDF("k", "v"), key = "k",
+      deleteWhen = col("v") === "gone")
+    // subscribe: the backlog drains as checkpointed micro-batches
+    val q1 = Streams.changeFeedStream(spark, table)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q1.awaitTermination(120000)) finally q1.stop()
+    val drained = spark.read.parquet(out)
+    assert(drained.columns.contains("_commit_version"))
+    assert(drained.select(col("k"), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 2L), (3L, 2L), (1L, 3L)),
+      "feed must carry exactly the two committed merge batches")
+    // a third merge after the drain; resuming from the SAME checkpoint
+    // delivers ONLY the new batch (no re-delivery of mirrored history)
+    VersionedTable.mergeInto(spark, table,
+      Seq((4L, "d")).toDF("k", "v"), key = "k")
+    val q2 = Streams.changeFeedStream(spark, table)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q2.awaitTermination(120000)) finally q2.stop()
+    assert(spark.read.parquet(out).select(col("k"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 2L), (3L, 2L), (1L, 3L), (4L, 4L)),
+      "resume must append exactly the post-drain merge")
+    // self-heal: wipe a mirror dir (simulating a crash between publish
+    // and mirror), then mirrorChangeFeed reconstructs it from _changes
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$table/_cdf/v00000003"), true)
+    assert(VersionedTable.mirrorChangeFeed(spark, table) == Seq(3L))
+    // mirroring is idempotent; a feed-disabled table fails typed
+    assert(VersionedTable.mirrorChangeFeed(spark, table).isEmpty)
+    val bare = s"$dir/bare"
+    VersionedTable.commit(spark, Seq((1L, "x")).toDF("k", "v"), bare)
+    intercept[IllegalArgumentException](
+      VersionedTable.mirrorChangeFeed(spark, bare))
+  }
 }
