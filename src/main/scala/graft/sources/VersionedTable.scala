@@ -891,6 +891,44 @@ object VersionedTable {
     }
   }
 
+  /** Exactly-once CDC-REPLICA micro-batch — the apply side of the
+    * change-feed subscription ([[graft.streaming.Streams
+    * .startVersionedReplicaSink]] wires it). Where [[mergeBatchIfNew]]'s
+    * full-row upsert needs ≤ 1 source row per key, a feed micro-batch
+    * legitimately spans SEVERAL upstream versions of the same key (the
+    * file source groups whatever mirror dirs appeared since the last
+    * trigger), so the replica applies changes VERSIONED: per key the
+    * highest `version` row wins and a winning delete drops the key
+    * ([[commitMerge]] semantics — use the feed's `_commit_version` as
+    * the version column for upstream commit order). Replay no-ops via
+    * the same manifest batch token; the first batch on an empty replica
+    * bootstraps from the batch's own net state (so a key merged then
+    * deleted entirely within the backlog never appears).
+    */
+  def replicaBatchIfNew(spark: SparkSession, table: String,
+      changes: DataFrame, key: String, version: String, op: String,
+      batchId: Long): Option[Long] = {
+    if (lastBatchId(spark, table).contains(batchId)) None
+    else latestVersion(spark, table) match {
+      case None =>
+        val dataFields = changes.schema.fields
+          .filterNot(f => f.name == version || f.name == op)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(dataFields))
+        val net = graft.api.Graft.applyChanges(
+          empty, changes, key, version, op)
+        val dirName = writeSnapshot(spark, net, table, 5000000L)
+        validateConstraints(spark, table, dirName)
+        applySkipping(spark, table, dirName, Nil, Nil, 10)
+        publish(spark, table, 1L, dirName, Some(batchId), op = "stream")
+        Some(1L)
+      case Some(_) =>
+        Some(commitMerge(spark, table, changes, key, version, op,
+          batchId = Some(batchId)))
+    }
+  }
+
   /** Reclaim storage from data dirs no manifest references — the orphans
     * the commit protocol deliberately leaves behind (crashed writers,
     * losing racers; see step 2 of the protocol above). Safe by the same

@@ -199,6 +199,44 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** The per-batch body of [[startVersionedReplicaSink]] — applies a feed
+    * micro-batch VERSIONED (highest `version` per key wins, winning
+    * deletes drop) via
+    * [[graft.sources.VersionedTable.replicaBatchIfNew]], exactly-once by
+    * the manifest batch token. Exposed so tests replay the real path.
+    */
+  def versionedReplicaBatch(table: String, key: String, version: String,
+      op: String)(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    graft.sources.VersionedTable.replicaBatchIfNew(
+      batch.sparkSession, table, batch.toDF(), key, version, op, batchId)
+    ()
+  }
+
+  /** Lakehouse→lakehouse CDC replication: subscribe to an upstream
+    * table's [[changeFeedStream]] and keep a replica table converged —
+    * each micro-batch commits as one atomic, time-travelable version on
+    * the replica, exactly-once across restarts. Unlike
+    * [[startVersionedUpsertSink]] (≤ 1 row per key per batch), this sink
+    * is correct when one micro-batch spans SEVERAL upstream versions of
+    * the same key: `version` (default: the feed's `_commit_version`)
+    * orders them and the last writer wins, deletes included (`op`,
+    * default: the `__op` column `mergeInto`-fed tables put on the
+    * feed). Project the feed to the replica's data columns plus those
+    * two before passing it in. Neither side ever reads or diffs a
+    * table: the pipeline moves O(churn) bytes end to end.
+    */
+  def startVersionedReplicaSink(feed: DataFrame, table: String, key: String,
+      checkpointDir: String, queryName: String,
+      version: String = "_commit_version", op: String = "__op")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch(versionedReplicaBatch(table, key, version, op) _)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Lakehouse→streaming bridge, the read dual of the versioned sinks:
     * SUBSCRIBE to a versioned table's committed change feed as an
     * unbounded DataFrame. Requires

@@ -477,4 +477,60 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VersionedTable.mirrorChangeFeed(spark, bare))
   }
+
+  test("CDC replication: feed stream + replica sink keep a replica converged") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl").toString
+    val bronze = s"$dir/bronze"
+    val silver = s"$dir/silver"
+    // bronze: a merged-into table with its feed enabled. THREE upstream
+    // versions churn the SAME keys (2 updated twice; 3 inserted, updated,
+    // then deleted) BEFORE the first replication run, so the backlog
+    // arrives as one multi-version micro-batch — the case that forces
+    // versioned apply (an unordered upsert would pick arbitrary winners
+    // and cannot express the delete)
+    VersionedTable.commit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), bronze)
+    VersionedTable.enableChangeFeed(spark, bronze)
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((2L, 21L), (3L, 30L)).toDF("k", "v"), key = "k")
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((2L, 22L), (3L, 31L)).toDF("k", "v"), key = "k")
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((3L, -1L)).toDF("k", "v"), key = "k",
+      deleteWhen = col("v") < 0L)
+    def replicate(): Unit = {
+      val q = Streams.startVersionedReplicaSink(
+        Streams.changeFeedStream(spark, bronze)
+          .select(col("k"), col("v"), col("_commit_version"), col("__op")),
+        silver, "k", s"$dir/_ckpt", "cdc_replica")
+      try q.processAllAvailable() finally q.stop()
+    }
+    replicate()
+    // highest _commit_version won per key; 3's delete landed even though
+    // its insert+update arrived in the same micro-batch (bootstrap path).
+    // The replica missed the pre-feed seed — replicas start at enable
+    // time; backfill via CLONE or an overwrite if full state is needed
+    assert(VersionedTable.readLatest(spark, silver)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 22L)))
+    // more bronze churn (update + a delete of key 2), then a SECOND run
+    // from the same checkpoint: only the new batches apply, versioned —
+    // this time through the merge path on a non-empty replica
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((1L, 11L)).toDF("k", "v"), key = "k")
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((1L, 12L), (2L, -1L)).toDF("k", "v"), key = "k",
+      deleteWhen = col("v") < 0L)
+    replicate()
+    assert(VersionedTable.readLatest(spark, silver)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 12L)))
+    // replication is idempotent: a third run with nothing new commits
+    // no version on the replica
+    val before = VersionedTable.versions(spark, silver)
+    replicate()
+    assert(VersionedTable.versions(spark, silver) == before)
+  }
 }
