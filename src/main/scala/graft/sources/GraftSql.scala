@@ -30,6 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `INSERT OVERWRITE '<table-path>' WHERE <cond> SELECT ...|VALUES ...`
   *    ([[VersionedTable.overwriteWhere]] — atomically replace exactly
   *    the predicate's region; every inserted row must satisfy it);
+  *  - `ENABLE CHANGE FEED '<table-path>'`
+  *    ([[VersionedTable.enableChangeFeed]] — opt into the streaming
+  *    `_cdf/` mirror; returns the versions backfilled now);
   *  - `MERGE INTO '<table-path>' USING <source> ON <key> WHEN ... THEN ...`
   *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
   *  - `DELETE FROM '<table-path>' WHERE <cond>` / `UPDATE '<table-path>'
@@ -165,6 +168,8 @@ object GraftSql {
     ("""(?is)\s*CLONE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+TO\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val EnableCdfRe =
+    """(?is)\s*ENABLE\s+CHANGE\s+FEED\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
   private val SkippingRe =
     ("""(?is)\s*SET\s+SKIPPING\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+STATS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
@@ -254,6 +259,9 @@ object GraftSql {
           } else raw
         Seq(VersionedTable.overwriteWhere(spark, tbl, expr(cond), df))
           .toDF("version")
+      case EnableCdfRe(p1, p2) =>
+        VersionedTable.enableChangeFeed(spark, Option(p1).getOrElse(p2))
+          .toDF("mirrored_version")
       case CloneRe(s1, s2, t1, t2, v) =>
         Seq(VersionedTable.shallowClone(spark,
           targetTable = Option(t1).getOrElse(t2),

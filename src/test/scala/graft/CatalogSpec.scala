@@ -296,6 +296,30 @@ class CatalogSpec extends AnyFunSuite {
       val skip = GraftSql.sql(spark, s"DESCRIBE SKIPPING '$tbl2'").head()
       assert(skip.getBoolean(1) && skip.getString(2) == "k",
         s"clustered create must write the k sidecar: $skip")
+      // ENABLE CHANGE FEED backfills nothing yet (no merges), then a
+      // textual MERGE mirrors its batch — statement-only CDF opt-in
+      assert(GraftSql.sql(spark, s"ENABLE CHANGE FEED '$tbl'").count() == 0L)
+      spark.sql("SELECT 100 AS k, CAST(9.9 AS DOUBLE) AS v")
+        .createOrReplaceTempView("cdf_src")
+      GraftSql.sql(spark, s"MERGE INTO '$tbl' USING cdf_src ON k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(new java.io.File(s"$tbl/_cdf").listFiles
+        .count(_.getName.startsWith("v")) == 1,
+        "textual MERGE must mirror its batch into the enabled feed")
+      // INSERT OVERWRITE replaces exactly the predicate's region
+      GraftSql.sql(spark, s"INSERT OVERWRITE '$tbl' WHERE k >= 100 " +
+        "VALUES (100, 1.0)")
+      assert(GraftSql.sql(spark,
+        s"SELECT k, v FROM '$tbl' LATEST WHERE k >= 100").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((100L, 1.0)))
+      // CLONE forks; the fork answers queries and mutates independently
+      val fork = tbl + "_fork"
+      GraftSql.sql(spark, s"CLONE '$tbl' TO '$fork'")
+      GraftSql.sql(spark, s"DELETE FROM '$fork' WHERE k = 100")
+      assert(GraftSql.sql(spark,
+          s"SELECT count(*) AS n FROM '$fork' LATEST").head().getLong(0) + 1 ==
+        GraftSql.sql(spark,
+          s"SELECT count(*) AS n FROM '$tbl' LATEST").head().getLong(0))
     } finally spark.stop()
   }
 
