@@ -2436,6 +2436,77 @@ object Graft {
           .as("slope"))
   }
 
+  /** Theil–Sen robust trend per key: the MEDIAN of pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) over observation pairs at rank distance
+    * 1..`maxLag`, per key — the estimator that shrugs off the outliers
+    * that drag [[linearTrend]]'s OLS slope (one bad sensor reading moves
+    * OLS by O(residual); it moves a median of slopes not at all). The
+    * full Theil–Sen is all O(n²) pairs; bounding pairs to a rank band is
+    * the standard scale variant and keeps the work O(n·maxLag) per key.
+    *
+    * Shape: rank rows per key (one keyed window), explode each row into
+    * `maxLag` (rank+lag) probes, equi-join back on (key, rank) — a hash
+    * join, never a theta/banded join — then one exact-median aggregate.
+    * Ties in x (duplicate timestamps) drop that pair (slope undefined).
+    */
+  def theilSenSlopes(df: DataFrame, key: Column, x: Column, y: Column,
+      tieBreak: Column, maxLag: Int = 8, minPairs: Long = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val ranked = df
+      .select(key.as("k"), x.cast(DoubleType).as("__x"),
+        y.cast(DoubleType).as("__y"), tieBreak.as("__tb"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("__x"), col("__tb"))))
+    val probes = ranked.select(col("k"), col("__rn"), col("__x"),
+        col("__y"),
+        explode(sequence(col("__rn") + 1, col("__rn") + maxLag))
+          .as("__rn2"))
+    val pairs = probes.join(
+        ranked.select(col("k").as("k2"), col("__rn").as("__rnr"),
+          col("__x").as("__x2"), col("__y").as("__y2")),
+        col("k") === col("k2") && col("__rn2") === col("__rnr"))
+      .where(col("__x2") =!= col("__x"))
+      .select(col("k"),
+        ((col("__y2") - col("__y")) / (col("__x2") - col("__x")))
+          .as("__slope"))
+    pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.Exact.round6(
+          expr("percentile(__slope, 0.5)")).as("ts_slope"))
+      .where(col("n_pairs") >= minPairs)
+  }
+
+  /** Two-sided LINEAR interpolation of missing values per key: each null
+    * takes the straight line between its nearest known neighbors (by
+    * `ord`) on either side; a leading gap back-fills from the next known
+    * value, a trailing gap carries the last known forward (LOCF), so
+    * only an all-null key stays null — the time-series imputation step
+    * one notch above [[resampleFfill]]'s step function. Two keyed
+    * windows (forward + backward accumulation), no joins, no state:
+    * the same one-shuffle cost profile as LOCF at any scale.
+    */
+  def interpolateLinear(df: DataFrame, key: Column, ord: Column,
+      value: Column, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fwd = Window.partitionBy(key).orderBy(ord, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(key).orderBy(ord, tieBreak)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val o = ord.cast(DoubleType)
+    val v = value.cast(DoubleType)
+    val known = when(v.isNotNull, o)
+    val pv = last(v, ignoreNulls = true).over(fwd)
+    val po = last(known, ignoreNulls = true).over(fwd)
+    val nv = first(v, ignoreNulls = true).over(bwd)
+    val no = first(known, ignoreNulls = true).over(bwd)
+    df.withColumn("interp",
+      when(v.isNotNull, v)
+        .when(pv.isNull, nv)                 // leading gap: back-fill
+        .when(nv.isNull, pv)                 // trailing gap: LOCF
+        .otherwise(pv + (nv - pv) * (o - po) / (no - po)))
+  }
+
   /** TTL dedup (rate limiting): per key, keep a row only if ≥ `ttlSeconds`
     * elapsed since the last KEPT row — the anchor semantics behind
     * "at most one alert/snapshot per user per hour". This is genuinely

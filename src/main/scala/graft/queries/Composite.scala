@@ -1820,6 +1820,118 @@ object Composite {
       },
       Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
              |WHERE NOT (c_acctbal < 0.0)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Q158 — two-sided LINEAR interpolation (Graft.interpolateLinear):
+    // sensor-style imputation one notch above LOCF (q118) — each
+    // synthetic gap (value < 10 masked) takes the straight line between
+    // its nearest good readings on either side, leading gaps back-fill,
+    // trailing gaps carry forward. Two keyed windows, no joins; raw
+    // doubles both sides (identical op order), the harness normalizer
+    // rounds once for both engines.
+    Q("q158_interp",
+      (s, d) => {
+        val masked = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("value") >= 10, col("value")).as("v"))
+        graft.api.Graft.interpolateLinear(masked, key = col("user_id"),
+            ord = unix_micros(col("ts")), value = col("v"),
+            tieBreak = col("event_id"))
+          .select(col("event_id"), col("user_id"), col("interp"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id,
+             |    CAST(epoch_us(ts) AS DOUBLE) AS o,
+             |    CASE WHEN value >= 10 THEN value END AS v
+             |  FROM events),
+             |w AS (
+             |  SELECT event_id, user_id, o, v,
+             |    last_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY o, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN o END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY o, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS po,
+             |    first_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY o, event_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN o END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY o, event_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS no_
+             |  FROM b)
+             |SELECT event_id, user_id,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN pv IS NULL THEN nv
+             |       WHEN nv IS NULL THEN pv
+             |       ELSE pv + (nv - pv) * (o - po) / (no_ - po) END
+             |    AS interp
+             |FROM w ORDER BY event_id""".stripMargin)),
+
+    // Q159 — Theil–Sen robust trend (Graft.theilSenSlopes): per-user
+    // median of pairwise slopes at rank distance <= 8 over (days, value)
+    // — the robust dual of q90's OLS trend (one outlier reading moves
+    // OLS by O(residual), a median of slopes not at all). Rank window +
+    // explode-to-lag equi-join (O(n·maxLag) pairs, never the O(n²)
+    // full Theil–Sen) + one exact-median aggregate.
+    Q("q159_theilsen",
+      (s, d) => {
+        graft.api.Graft.theilSenSlopes(Tables(s, d, "events"),
+            key = col("user_id"),
+            x = unix_micros(col("ts")).cast(DoubleType) /
+              lit(86400000000.0),
+            y = col("value"), tieBreak = col("event_id"),
+            maxLag = 8, minPairs = 3)
+          .select(col("k").as("user_id"), col("n_pairs"), col("ts_slope"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id,
+             |    CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x,
+             |    CAST(value AS DOUBLE) AS y,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0,
+             |        event_id) AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS slope
+             |  FROM r a JOIN r b
+             |    ON a.user_id = b.user_id
+             |    AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+             |  WHERE b.x <> a.x)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(quantile_cont(slope, 0.5), 6) + 0.0 AS ts_slope
+             |FROM p GROUP BY user_id HAVING count(*) >= 3
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q161 — l-diversity audit, the companion gate to q140's
+    // k-anonymity: a quasi-identifier group can be large (k-anonymous)
+    // yet still leak if everyone in it shares the SENSITIVE value —
+    // here, distinct users per (event_type, day) cell, flagged below
+    // l = 5. One scan-shaped aggregate with a distinct count.
+    Q("q161_ldiversity",
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("user_id"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("k"),
+            count_distinct(col("user_id")).as("l"))
+          .select(col("event_type"), col("day"), col("k"), col("l"),
+            when(col("l") < 5, 1L).otherwise(0L).as("at_risk"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day,
+             |  CAST(count(*) AS BIGINT) AS k,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS l,
+             |  CAST(CASE WHEN count(DISTINCT user_id) < 5 THEN 1 ELSE 0
+             |    END AS BIGINT) AS at_risk
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1345,5 +1345,75 @@ object LlmOps {
              |  FROM rec r JOIN ordered o
              |    ON o.user_id = r.user_id AND o.rn = r.rn + 1)
              |SELECT event_id, user_id, level, trend
-             |FROM rec ORDER BY event_id""".stripMargin)))
+             |FROM rec ORDER BY event_id""".stripMargin)),
+
+    // Q157 — corpus-level source similarity: pairwise Jaccard between
+    // data SOURCES over their distinct 5-token shingle sets — the
+    // dataset-curation readout ("how much does source A re-serve source
+    // B's content?") that decides dedup priorities and mixture weights
+    // before a 100 TB ingest. Shape: one distinct (source, shingle)
+    // projection (partial-aggregated; shingles hash-shuffle once), one
+    // equi-join on the shingle across sources for intersections, and a
+    // tiny all-pairs frame over the source dimension (|sources|², not
+    // |docs|²) — never a document-level cross product.
+    Q("q157_corpus_sim",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val sh = docs.select(col("source"),
+            explode(Graft.shingleSet(col("text"), 5)).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        val srcs = docs.select(col("source")).distinct()
+        val pairs = srcs.as("x").join(srcs.as("y"),
+            col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        pairs.join(inter, Seq("src_a", "src_b"), "left")
+          .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+          .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+            Seq("src_a"))
+          .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+            Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            (col("n_common").cast(DoubleType) /
+              (col("n_a") + col("n_b") - col("n_common"))
+                .cast(DoubleType)).as("jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH sh0 AS (
+             |  SELECT source, list_distinct(
+             |    [array_to_string(ts[i:i+4], ' ')
+             |     FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)]) AS shs
+             |  FROM (SELECT source, string_split(text, ' ') AS ts
+             |        FROM documents)),
+             |sh AS (SELECT DISTINCT source, unnest(shs) AS sh FROM sh0),
+             |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |          FROM sh GROUP BY source),
+             |inter AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(count(*) AS BIGINT) AS n_common
+             |  FROM sh a JOIN sh b
+             |    ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT x.source AS src_a, y.source AS src_b
+             |  FROM (SELECT DISTINCT source FROM documents) x
+             |  JOIN (SELECT DISTINCT source FROM documents) y
+             |    ON x.source < y.source)
+             |SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b,
+             |  COALESCE(i.n_common, 0) AS n_common,
+             |  CAST(COALESCE(i.n_common, 0) AS DOUBLE) /
+             |    CAST(sa.n + sb.n - COALESCE(i.n_common, 0) AS DOUBLE)
+             |    AS jaccard
+             |FROM pairs p
+             |LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+             |JOIN sizes sa ON sa.source = p.src_a
+             |JOIN sizes sb ON sb.source = p.src_b
+             |ORDER BY p.src_a, p.src_b""".stripMargin)))
 }

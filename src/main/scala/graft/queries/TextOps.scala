@@ -5,7 +5,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Text-analysis operators for training-data pipelines (builder-prompt
   * extension of SURVEY.md §2B Q33): language identification, quality
@@ -719,6 +719,55 @@ object TextOps {
              |    AS slope,
              |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
              |    / n, 6) + 0.0 AS intercept
-             |FROM s ORDER BY lang""".stripMargin))
+             |FROM s ORDER BY lang""".stripMargin)),
+
+    // Q160 — readability scoring (Flesch-reading-ease proxy): per-doc
+    // words/sentence and vowel-groups/word (the syllable proxy that
+    // needs no dictionary) folded into the standard FRE formula — the
+    // document-difficulty facet of quality filtering (q33_quality gates
+    // on shape; this gates on reading level). Sentence count via
+    // terminal-punctuation stripping, vowel groups via one regex
+    // collapse — pure per-row projections, scan-shaped at any scale.
+    // Raw doubles both sides (identical op order).
+    Q("q160_readability",
+      (s, d) => {
+        val words = size(split(col("text"), " ")).cast(LongType)
+        val sentences = greatest(lit(1L),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.!?]", "")))
+            .cast(LongType))
+        val vgroups =
+          (length(regexp_replace(lower(col("text")), "[aeiou]+", "#")) -
+            length(regexp_replace(lower(col("text")), "[aeiou]+", "")))
+            .cast(LongType)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), words.as("words"),
+            sentences.as("sentences"), vgroups.as("vgroups"))
+          .select(col("doc_id"), col("lang"), col("words"),
+            col("sentences"), col("vgroups"),
+            (lit(206.835) -
+              lit(1.015) * (col("words").cast(DoubleType) /
+                col("sentences").cast(DoubleType)) -
+              lit(84.6) * (col("vgroups").cast(DoubleType) /
+                col("words").cast(DoubleType))).as("fre"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             |    greatest(1, CAST(length(text) -
+             |      length(regexp_replace(text, '[.!?]', '', 'g'))
+             |      AS BIGINT)) AS sentences,
+             |    CAST(length(regexp_replace(lower(text), '[aeiou]+',
+             |        '#', 'g')) -
+             |      length(regexp_replace(lower(text), '[aeiou]+', '',
+             |        'g')) AS BIGINT) AS vgroups
+             |  FROM documents)
+             |SELECT doc_id, lang, words, sentences, vgroups,
+             |  206.835 - 1.015 * (CAST(words AS DOUBLE) /
+             |      CAST(sentences AS DOUBLE)) -
+             |    84.6 * (CAST(vgroups AS DOUBLE) / CAST(words AS DOUBLE))
+             |    AS fre
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

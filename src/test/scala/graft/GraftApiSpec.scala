@@ -1266,4 +1266,46 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(got == Set("a", "b", "e", "f"), got.toString)
   }
+
+  test("interpolateLinear fills gaps on the line; edges backfill/carry") {
+    import spark.implicits._
+    // key 1: interior gap between (1,10) and (4,40) -> 20, 30; leading
+    // gap backfills; trailing gap carries forward. key 2: all-null stays
+    // null. Interpolation follows ord DISTANCE, not row count.
+    val df = Seq(
+      (1L, 0.0, Option.empty[Double]), // leading -> backfill 10
+      (1L, 1.0, Some(10.0)),
+      (1L, 2.0, None),                 // -> 10 + 30*(2-1)/(4-1) = 20
+      (1L, 3.0, None),                 // -> 30
+      (1L, 4.0, Some(40.0)),
+      (1L, 5.0, None),                 // trailing -> 40
+      (2L, 1.0, None)                  // all-null key -> null
+    ).toDF("k", "o", "v")
+    val got = Graft.interpolateLinear(df, col("k"), col("o"),
+        col("v"), tieBreak = col("o"))
+      .orderBy(col("k"), col("o"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1L, 0.0, Some(10.0)), (1L, 1.0, Some(10.0)), (1L, 2.0, Some(20.0)),
+      (1L, 3.0, Some(30.0)), (1L, 4.0, Some(40.0)), (1L, 5.0, Some(40.0)),
+      (2L, 1.0, None)))
+  }
+
+  test("theilSenSlopes ignores the outlier that drags OLS") {
+    import spark.implicits._
+    // y = 2x exactly, except one wild outlier at x=5. OLS moves far from
+    // 2; the median of pairwise slopes stays exactly 2.
+    val pts = (0 to 9).map(i =>
+      (1L, i.toDouble, if (i == 5) 1000.0 else 2.0 * i))
+    val df = pts.toDF("k", "x", "y")
+    val ts = Graft.theilSenSlopes(df, col("k"), col("x"),
+        col("y"), tieBreak = col("x"), maxLag = 8)
+      .head()
+    assert(ts.getDouble(2) == 2.0, s"robust slope: $ts")
+    val ols = Graft.linearTrend(df, col("k"), col("x"), col("y"),
+      minPoints = 2).head().getDouble(2)
+    assert(math.abs(ols - 2.0) > 5.0, s"OLS should be dragged: $ols")
+  }
 }

@@ -1421,6 +1421,7 @@ class SinksSpec extends SparkSpec {
       assert(VersionedTable.readVersion(spark, t, v).count() >= 1L))
   }
 
+
   test("overwriteWhere atomically replaces exactly the predicate region") {
     import graft.sources.{GraftSql, VersionedTable}
     import spark.implicits._
