@@ -2598,6 +2598,56 @@ object Graft {
       .toDF().drop("__h_k", "__h_t", "__h_y")
   }
 
+  /** Capped sessionization: label each row with a per-key session id
+    * that breaks on EITHER rule web analytics actually uses — an idle
+    * gap > `gapSeconds` since the previous event, OR total session span
+    * > `maxSeconds` since the session's FIRST event (the GA-style 4-hour
+    * cap that keeps a lunch-break tab from becoming one endless
+    * session). The cap makes this genuinely sequential — whether a row
+    * starts a new session depends on where earlier rows placed the
+    * session start, so no window/gaps-and-islands formulation exists
+    * (q99's gap-only dual IS a window). Same scale shape as
+    * [[dedupWithinTtl]]: one keyed shuffle, secondary-sorted streaming
+    * iterator, O(1) state per key, no per-group materialization.
+    * Session ids are 1-based in (time, tieBreak) order.
+    */
+  def sessionizeCapped(df: DataFrame, key: Column, time: Column,
+      tieBreak: Column, gapSeconds: Long, maxSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be > 0: $gapSeconds")
+    require(maxSeconds >= gapSeconds,
+      s"maxSeconds ($maxSeconds) must be >= gapSeconds ($gapSeconds) — " +
+        "a cap below the idle gap would break before the gap rule can")
+    val prep = df.withColumn("__s_k", key.cast(StringType))
+      .withColumn("__s_t", time.cast(LongType))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      prep.schema.fields :+
+        StructField("session_id", org.apache.spark.sql.types.LongType,
+          nullable = false))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[
+      org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    import org.apache.spark.sql.Encoders
+    val kIdx = prep.schema.fieldIndex("__s_k")
+    val tIdx = prep.schema.fieldIndex("__s_t")
+    prep.groupByKey(_.getString(kIdx))(Encoders.STRING)
+      .flatMapSortedGroups(col("__s_t"), tieBreak) { (_, it) =>
+        var sid = 0L
+        var sessionStart = 0L
+        var lastT = 0L
+        it.map { r =>
+          val t = r.getLong(tIdx)
+          if (sid == 0L || t - lastT > gapSeconds ||
+              t - sessionStart > maxSeconds) {
+            sid += 1L
+            sessionStart = t
+          }
+          lastT = t
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sid)
+        }
+      }
+      .toDF().drop("__s_k", "__s_t")
+  }
+
   /** Interval-overlap JOIN: pairs of closed intervals (same key, one from
     * each side) that overlap in time — the interval-interval sibling of
     * [[rangeJoin]]'s point-in-interval. Candidates come from an equi-join

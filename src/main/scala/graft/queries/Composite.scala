@@ -1932,6 +1932,42 @@ object Composite {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS l,
              |  CAST(CASE WHEN count(DISTINCT user_id) < 5 THEN 1 ELSE 0
              |    END AS BIGINT) AS at_risk
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Q162 — capped sessionization (Graft.sessionizeCapped): sessions
+    // break on idle gap > 12 h OR total span > 48 h since the session's
+    // FIRST event — the GA-style duration cap q99's gap-only window
+    // cannot express (where a new session starts depends on where
+    // earlier rows placed the session START, so the recurrence is
+    // genuinely sequential: flatMapSortedGroups, O(1) state per user).
+    // Oracle: recursive-CTE anchor walk of the same recurrence.
+    Q("q162_capped_sessions",
+      (s, d) => {
+        graft.api.Graft.sessionizeCapped(Tables(s, d, "events"),
+            key = col("user_id"), time = col("ts"),
+            tieBreak = col("event_id"),
+            gapSeconds = 43200L, maxSeconds = 172800L)
+          .select(col("event_id"), col("user_id"), col("session_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |rec AS (
+             |  SELECT event_id, user_id, t, rn,
+             |    CAST(1 AS BIGINT) AS session_id, t AS sstart
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.event_id, o.user_id, o.t, o.rn,
+             |    CASE WHEN o.t - r.t > 43200 OR o.t - r.sstart > 172800
+             |         THEN r.session_id + 1 ELSE r.session_id END,
+             |    CASE WHEN o.t - r.t > 43200 OR o.t - r.sstart > 172800
+             |         THEN o.t ELSE r.sstart END
+             |  FROM rec r JOIN o
+             |    ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT event_id, user_id, session_id
+             |FROM rec ORDER BY event_id""".stripMargin))
   )
 }

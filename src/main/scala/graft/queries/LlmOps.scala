@@ -1351,11 +1351,13 @@ object LlmOps {
     // data SOURCES over their distinct 5-token shingle sets — the
     // dataset-curation readout ("how much does source A re-serve source
     // B's content?") that decides dedup priorities and mixture weights
-    // before a 100 TB ingest. Shape: one distinct (source, shingle)
-    // projection (partial-aggregated; shingles hash-shuffle once), one
-    // equi-join on the shingle across sources for intersections, and a
-    // tiny all-pairs frame over the source dimension (|sources|², not
-    // |docs|²) — never a document-level cross product.
+    // before a 100 TB ingest. Shape: ONE pass over the corpus — distinct
+    // (source, shingle) projection (partial-aggregated), then per-shingle
+    // source SETS (bounded by |sources|, not |docs|) exploded into
+    // ordered pairs for the intersection counts; no self-join, so the
+    // corpus is shingled once, and the only large shuffles are the two
+    // keyed aggregates (Catalyst reuses the distinct's exchange for
+    // both consumers). The pair frame lives in |sources|² space.
     Q("q157_corpus_sim",
       (s, d) => {
         val docs = Tables(s, d, "documents")
@@ -1363,11 +1365,13 @@ object LlmOps {
             explode(Graft.shingleSet(col("text"), 5)).as("sh"))
           .distinct()
         val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") &&
-              col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"),
-            col("b.source").as("src_b"))
+        val inter = sh.groupBy(col("sh"))
+          .agg(collect_set(col("source")).as("srcs"))
+          .where(size(col("srcs")) >= 2)
+          .select(explode(col("srcs")).as("src_a"), col("srcs"))
+          .select(col("src_a"), explode(col("srcs")).as("src_b"))
+          .where(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
           .agg(count(lit(1)).as("n_common"))
         val srcs = docs.select(col("source")).distinct()
         val pairs = srcs.as("x").join(srcs.as("y"),

@@ -1308,4 +1308,22 @@ class GraftApiSpec extends SparkSpec {
       minPoints = 2).head().getDouble(2)
     assert(math.abs(ols - 2.0) > 5.0, s"OLS should be dragged: $ols")
   }
+
+  test("sessionizeCapped breaks on idle gap OR span cap from session start") {
+    import spark.implicits._
+    // gap = 10, cap = 25. Events at t = 0, 8, 16, 24, 32: every gap is
+    // 8 <= 10, but t=32 sits 32 > 25 past the session start -> the CAP
+    // breaks it (a gap-only sessionizer would keep one session). The
+    // new session's start RESETS to 32: t=40 continues it. t=60 then
+    // breaks by GAP (20 > 10). Second key is independent.
+    val df = Seq((1L, 0L), (1L, 8L), (1L, 16L), (1L, 24L), (1L, 32L),
+      (1L, 40L), (1L, 60L), (2L, 0L)).toDF("k", "t")
+    val got = Graft.sessionizeCapped(df, col("k"), col("t"), col("t"),
+        gapSeconds = 10L, maxSeconds = 25L)
+      .orderBy(col("k"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L, 1L), (1L, 8L, 1L), (1L, 16L, 1L),
+      (1L, 24L, 1L), (1L, 32L, 2L), (1L, 40L, 2L), (1L, 60L, 3L),
+      (2L, 0L, 1L)))
+  }
 }
