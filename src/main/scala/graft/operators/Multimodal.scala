@@ -112,6 +112,57 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** REAL (non-stub) JPEG dimension parse — and unlike PNG/WAV, a JPEG's
+    * SOF marker sits at NO fixed offset: the header is a chain of
+    * variable-length segments (APPn/EXIF, quantization tables, comments)
+    * that must be WALKED. The walk is a bounded `aggregate` higher-order
+    * function over up to 32 segment steps — state (offset, w, h), each
+    * step either captures SOF0/1/2 dimensions, advances by the segment's
+    * big-endian length, or aborts on a standalone/invalid marker — so an
+    * iterative binary parse still runs as one codegen'd expression at
+    * scan speed, no UDF. 32 segments covers real encoders comfortably
+    * (EXIF is ONE segment however large); an SOS before any SOF aborts
+    * to null, never misparses entropy-coded bytes. Same posture as
+    * [[pngDims]]: cheap header pass first, full decode only after
+    * pruning.
+    */
+  def jpegDims(content: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    val isJpeg = hex(substring(content, 1, 2)) === lit("FFD8")
+    def be16(off: Column) =
+      conv(hex(substring(content, off.cast("int"), lit(2))), 16, 10)
+        .cast("long")
+    def st(o: Column, w: Column, h: Column) =
+      struct(o.cast("long").as("off"), w.cast("long").as("w"),
+        h.cast("long").as("h"))
+    // markers with NO length field (or that legally end the header scan):
+    // stray SOI, EOI, SOS (entropy data follows — dims must precede it),
+    // TEM, RST0-7
+    val standalone = Seq("FFD8", "FFD9", "FFDA", "FF01",
+      "FFD0", "FFD1", "FFD2", "FFD3", "FFD4", "FFD5", "FFD6", "FFD7")
+    val walk = aggregate(
+      sequence(lit(1), lit(32)),
+      st(lit(3), lit(-1), lit(-1)),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val w = acc.getField("w")
+        val mk = hex(substring(content, off.cast("int"), lit(2)))
+        when(w >= 0 || off < 0 || off + 3 > length(content), acc)
+          .when(mk.isin("FFC0", "FFC1", "FFC2"),
+            when(off + 8 <= length(content),
+              st(lit(-1), be16(off + 7), be16(off + 5)))
+              .otherwise(st(lit(-1), lit(-1), lit(-1))))
+          .when(mk.startsWith("FF") && !mk.isin(standalone: _*),
+            st(off + 2 + be16(off + 2), lit(-1), lit(-1)))
+          .otherwise(st(lit(-1), lit(-1), lit(-1)))
+      })
+    when(isJpeg && walk.getField("w") >= 0,
+      struct(walk.getField("w").as("width"),
+        walk.getField("h").as("height")))
+      .otherwise(lit(null))
+  }
+
   /** Attach a fake binary payload to the documents table (in production the
     * payload column arrives from the source parquet; text bytes stand in).
     * The metadata struct keeps scan-time pruning possible: filters on

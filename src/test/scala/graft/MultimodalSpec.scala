@@ -124,4 +124,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getStruct(1).isNullAt(4), "zero rate must null duration")
     assert(rows(3).isNullAt(1) && rows(4).isNullAt(1))
   }
+
+  test("jpegDims walks the segment chain to SOF; aborts on SOS/invalid") {
+    import spark.implicits._
+    def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte) ++ be16(payload.length + 2) ++
+        payload
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    // SOF payload: precision(1), height(2), width(2), components...
+    def sof(marker: Int, w: Int, h: Int): Array[Byte] =
+      seg(marker, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val app0 = seg(0xE0, "JFIF".getBytes ++ Array[Byte](0, 1, 2, 0, 0,
+      0, 1, 0, 1, 0, 0))
+    val bigExif = seg(0xE1, Array.fill[Byte](1000)(0x42)) // one LONG segment
+    val dqt = seg(0xDB, Array.fill[Byte](65)(7))
+    val rows = Seq(
+      // baseline: SOI + JFIF + DQT + SOF0
+      (1L, soi ++ app0 ++ dqt ++ sof(0xC0, 640, 480)),
+      // progressive (SOF2) behind a 1 KB EXIF blob — the walk must jump
+      // the whole segment in one step, not scan bytes
+      (2L, soi ++ bigExif ++ sof(0xC2, 1920, 1080)),
+      // SOS before any SOF: abort to null, never read entropy bytes
+      (3L, soi ++ app0 ++ seg(0xDA, Array[Byte](1, 1, 0)) ++
+        Array[Byte](0x12, 0xFF.toByte, 0xC0.toByte, 0x34)),
+      // truncated mid-segment-chain
+      (4L, soi ++ app0.take(6)),
+      (5L, "GIF89a".getBytes)) // not a JPEG
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.jpegDims(col("payload")).as("dims"))
+      .orderBy("id").collect()
+    def dims(i: Int) = (rows(i).getStruct(1).getLong(0),
+      rows(i).getStruct(1).getLong(1))
+    assert(dims(0) == (640L, 480L), s"baseline: ${rows(0)}")
+    assert(dims(1) == (1920L, 1080L), s"behind exif: ${rows(1)}")
+    assert(rows(2).isNullAt(1) && rows(3).isNullAt(1) && rows(4).isNullAt(1))
+  }
 }
