@@ -1253,7 +1253,7 @@ class SinksSpec extends SparkSpec {
     VersionedTable.commit(spark, seed.toSeq.toDF("k", "v"), t)
     history :+= seed
     (1 to 30).foreach { step =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // append fresh keys (O(new-data) insert)
           val base = 1000L * step
           val rows = (0 until 1 + rnd.nextInt(3))
@@ -1288,6 +1288,13 @@ class SinksSpec extends SparkSpec {
           val target = 1 + rnd.nextInt(history.size)
           VersionedTable.restore(spark, t, target.toLong)
           history :+= history(target - 1)
+        case 6 => // atomic predicate-region overwrite (replaceWhere)
+          val m = rnd.nextInt(4) + 2
+          val rows = model.keys.filter(_ % m == 0).toSeq.sorted
+            .map(k => (k, rnd.nextLong(100)))
+          VersionedTable.overwriteWhere(spark, t, col("k") % m === 0,
+            rows.toDF("k", "v"))
+          history :+= model.filter(_._1 % m != 0) ++ rows.toMap
       }
       val got = VersionedTable.readLatest(spark, t).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
