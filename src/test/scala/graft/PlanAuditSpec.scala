@@ -333,6 +333,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q157: the shingle-distinct exchange is computed once and reused") {
+    // The one-pass claim: `sizes` (per-source shingle counts) and `inter`
+    // (pairwise intersection counts) both hang off the SAME distinct
+    // (source, shingle) frame. If exchange reuse breaks, the corpus is
+    // re-shingled and re-deduplicated twice — at 100 TB that doubles the
+    // dominant explode+distinct cost. The physical plan must carry a
+    // ReusedExchange pointing back at the distinct's shuffle.
+    // AQE resolves reuse at runtime (the initial plan prints
+    // isFinalPlan=false with plain Exchanges), so execute and read the
+    // re-planned tree: reuse materializes as a ReusedQueryStage (or a
+    // ReusedExchange when AQE is off) over the distinct's shuffle.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q157_corpus_sim")(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan
+      .collectFirst { case a: AdaptiveSparkPlanExec => a }
+      .map(_.executedPlan.toString)
+      .getOrElse(df.queryExecution.executedPlan.toString)
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+      s"shingle-distinct exchange not reused — corpus shingled twice:\n$p")
+    // the only nested-loop join allowed is the tiny distinct-sources pair
+    // generator (bounded by |sources|², dozens of rows); the shingle
+    // intersection itself must stay an equi-keyed aggregation
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
     // The hot-key commentary at q55_boilerplate / q70_pmi promises AQE's
     // skew-join handles stop-word-grade key skew; this proves the rewrite
