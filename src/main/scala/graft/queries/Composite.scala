@@ -1968,6 +1968,447 @@ object Composite {
              |  FROM rec r JOIN o
              |    ON o.user_id = r.user_id AND o.rn = r.rn + 1)
              |SELECT event_id, user_id, session_id
-             |FROM rec ORDER BY event_id""".stripMargin))
+             |FROM rec ORDER BY event_id""".stripMargin)),
+
+    // Q163 — Mann-Whitney U (rank-sum) test, the non-parametric
+    // companion to q129_ab_lift: per day, are 'click' values
+    // stochastically larger than 'view' values? Ranks average over ties
+    // in the pooled sample, U comes from the click rank-sum, and z uses
+    // the normal approximation WITHOUT tie correction (documented —
+    // values are continuous doubles, ties are measure-zero). Scale
+    // posture: both windows are DAY-keyed (days parallelize across the
+    // cluster, no global sort task), then one keyed aggregate.
+    Q("q163_mannwhitney",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val base = Tables(s, d, "events")
+          .where(col("event_type").isin("click", "view") &&
+            col("value").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value"), col("event_id"))
+        val ranked = base
+          .withColumn("rn", row_number().over(w.partitionBy(col("day"))
+            .orderBy(col("value"), col("event_id"))))
+          .withColumn("ar", avg(col("rn").cast(DoubleType))
+            .over(w.partitionBy(col("day"), col("value"))))
+        ranked.groupBy(col("day"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("n_click"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("n_view"),
+            sum(when(col("event_type") === "click", col("ar"))
+              .otherwise(0.0)).as("r_click"))
+          .where(col("n_click") > 0 && col("n_view") > 0)
+          .withColumn("n1", col("n_click").cast(DoubleType))
+          .withColumn("n2", col("n_view").cast(DoubleType))
+          .withColumn("u_click",
+            col("r_click") - col("n1") * (col("n1") + 1) / 2.0)
+          .select(col("day"), col("n_click"), col("n_view"),
+            col("u_click"),
+            ((col("u_click") - col("n1") * col("n2") / 2.0) /
+              sqrt(col("n1") * col("n2") *
+                (col("n1") + col("n2") + 1) / 12.0)).as("z"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(ts AS DATE) AS day, event_type, value, event_id
+             |  FROM events
+             |  WHERE event_type IN ('click', 'view')
+             |    AND value IS NOT NULL),
+             |r AS (
+             |  SELECT day, event_type, value,
+             |    row_number() OVER (PARTITION BY day
+             |      ORDER BY value, event_id) AS rn
+             |  FROM base),
+             |ar AS (
+             |  SELECT day, event_type,
+             |    avg(CAST(rn AS DOUBLE)) OVER (PARTITION BY day, value)
+             |      AS ar
+             |  FROM r),
+             |g AS (
+             |  SELECT day,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_click,
+             |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_view,
+             |    sum(CASE WHEN event_type = 'click' THEN ar ELSE 0.0 END)
+             |      AS r_click
+             |  FROM ar GROUP BY day)
+             |SELECT day, n_click, n_view,
+             |  r_click - n_click * (n_click + 1) / 2.0 AS u_click,
+             |  (r_click - n_click * (n_click + 1) / 2.0
+             |      - n_click * n_view / 2.0) /
+             |    sqrt(CAST(n_click AS DOUBLE) * n_view *
+             |      (n_click + n_view + 1) / 12.0) AS z
+             |FROM g WHERE n_click > 0 AND n_view > 0
+             |ORDER BY day""".stripMargin)),
+
+    // Q164 — Kendall rank correlation (tau-a) per user over the daily
+    // value series: scale-free monotone-trend strength, the rank dual
+    // of q159's Theil-Sen slope. x = day is strictly increasing within
+    // a user, so there are no x-ties and tau-a is exact. Pairs come
+    // from a per-user self-join over the daily rollup whose width is
+    // calendar-bounded (~30 fixture days → ≤435 pairs/user) — the pair
+    // count scales with days², never with raw event count.
+    Q("q164_kendall",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, d, "events")
+          .where(col("value").isNotNull)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("v"))
+          .withColumn("rn", row_number().over(
+            w.partitionBy(col("user_id")).orderBy(col("day"))))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.rn") > col("a.rn"))
+          .select(col("a.user_id").as("user_id"),
+            (col("b.v") - col("a.v")).as("dv"))
+        pairs.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dv") > 0, 1L).otherwise(0L)).as("concordant"),
+            sum(when(col("dv") < 0, 1L).otherwise(0L)).as("discordant"))
+          .where(col("n_pairs") >= 10)
+          .select(col("user_id"), col("n_pairs"), col("concordant"),
+            col("discordant"),
+            ((col("concordant") - col("discordant")).cast(DoubleType) /
+              col("n_pairs").cast(DoubleType)).as("tau"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d0 AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+             |  FROM events WHERE value IS NOT NULL
+             |  GROUP BY user_id, CAST(ts AS DATE)),
+             |daily AS (
+             |  SELECT user_id, day, v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |      AS rn
+             |  FROM d0),
+             |p AS (
+             |  SELECT a.user_id, b.v - a.v AS dv
+             |  FROM daily a JOIN daily b
+             |    ON a.user_id = b.user_id AND b.rn > a.rn)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS concordant,
+             |  CAST(sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS discordant,
+             |  CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) -
+             |       sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    count(*) AS tau
+             |FROM p GROUP BY user_id HAVING count(*) >= 10
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q165 — cross-source quantile normalization of document lengths:
+    // rank each doc into a decile WITHIN its source (source-keyed
+    // window), average the per-source decile means ACROSS sources (a
+    // 10-row broadcast table), and map every doc to its decile's
+    // cross-source target — the microarray-normalization classic,
+    // decile-bucketed so unequal source sizes stay well-defined. One
+    // keyed window + one broadcast join; nothing corpus-global.
+    Q("q165_quantile_norm",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val ranked = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("decile", ntile(10).over(w.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))).cast(LongType))
+        val target = ranked.groupBy(col("source"), col("decile"))
+          .agg(avg(col("n_chars").cast(DoubleType)).as("m"))
+          .groupBy(col("decile")).agg(avg(col("m")).as("qnorm"))
+        ranked.join(broadcast(target), Seq("decile"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("decile"), col("qnorm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(ntile(10) OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+             |  FROM documents),
+             |t0 AS (
+             |  SELECT source, decile, avg(CAST(n_chars AS DOUBLE)) AS m
+             |  FROM ranked GROUP BY source, decile),
+             |target AS (
+             |  SELECT decile, avg(m) AS qnorm FROM t0 GROUP BY decile)
+             |SELECT r.doc_id, r.source, r.n_chars, r.decile, t.qnorm
+             |FROM ranked r JOIN target t ON r.decile = t.decile
+             |ORDER BY r.doc_id""".stripMargin)),
+
+    // Q166 — supplier market-concentration audit per nation: revenue
+    // share within the nation, the Herfindahl-Hirschman index (sum of
+    // squared shares = sumsq/total²) and the CR1 top share. The dim
+    // join broadcasts; shares reduce over the supplier-level rollup (a
+    // |suppliers|-row frame, never lineitem twice), so the whole query
+    // is one fact-side aggregate plus a dim-sized reaggregation.
+    Q("q166_hhi",
+      (s, d) => {
+        val srev = Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), col("s_suppkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+        srev.groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("rev")).as("total"),
+            sum(col("rev") * col("rev")).as("sumsq"),
+            max(col("rev")).as("maxrev"))
+          .select(col("s_nationkey"), col("n_suppliers"),
+            (col("sumsq") / (col("total") * col("total"))).as("hhi"),
+            (col("maxrev") / col("total")).as("cr1"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""WITH srev AS (
+             |  SELECT s.s_nationkey, s.s_suppkey,
+             |    sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev
+             |  FROM lineitem l JOIN supplier s
+             |    ON l.l_suppkey = s.s_suppkey
+             |  GROUP BY s.s_nationkey, s.s_suppkey)
+             |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             |  sum(rev * rev) / (sum(rev) * sum(rev)) AS hhi,
+             |  max(rev) / sum(rev) AS cr1
+             |FROM srev GROUP BY s_nationkey
+             |ORDER BY s_nationkey""".stripMargin)),
+
+    // Q168 — Wald-Wolfowitz runs test on the daily-revenue step
+    // direction: too few runs of consecutive up/down moves means
+    // momentum, too many means oscillation. The series is the
+    // calendar-day rollup (the one bounded `Window.orderBy` this query
+    // adds sits over ~30 day rows — same documented family as
+    // q85/q90), then one global aggregate with the exact run-count
+    // mean/variance and the normal-approximation z.
+    Q("q168_runs_test",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        val steps = Tables(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice")).as("rev"))
+          .withColumn("diff", col("rev") - lag(col("rev"), 1).over(w))
+          .where(col("diff").isNotNull && col("diff") =!= 0.0)
+          .withColumn("up",
+            (col("diff") > 0).cast(IntegerType).cast(LongType))
+          .withColumn("chg",
+            when(lag(col("up"), 1).over(w).isNull ||
+              col("up") =!= lag(col("up"), 1).over(w), 1L).otherwise(0L))
+        steps.agg(sum(col("chg")).as("runs"), sum(col("up")).as("n_up"),
+            sum(lit(1L) - col("up")).as("n_down"))
+          .withColumn("d1", col("n_up").cast(DoubleType))
+          .withColumn("d2", col("n_down").cast(DoubleType))
+          .withColumn("expected",
+            lit(2.0) * col("d1") * col("d2") / (col("d1") + col("d2")) + 1)
+          .withColumn("variance",
+            lit(2.0) * col("d1") * col("d2") *
+              (lit(2.0) * col("d1") * col("d2") - col("d1") - col("d2")) /
+              ((col("d1") + col("d2")) * (col("d1") + col("d2")) *
+                (col("d1") + col("d2") - 1)))
+          .select(col("runs"), col("n_up"), col("n_down"),
+            col("expected"),
+            ((col("runs") - col("expected")) / sqrt(col("variance")))
+              .as("z"))
+          .orderBy(col("runs"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    sum(o_totalprice) AS rev
+             |  FROM orders GROUP BY 1),
+             |st0 AS (
+             |  SELECT day, rev - lag(rev) OVER (ORDER BY day) AS diff
+             |  FROM daily),
+             |st AS (
+             |  SELECT day, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up
+             |  FROM st0 WHERE diff IS NOT NULL AND diff <> 0),
+             |ch AS (
+             |  SELECT up, CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+             |    OR up <> lag(up) OVER (ORDER BY day)
+             |    THEN 1 ELSE 0 END AS chg
+             |  FROM st),
+             |g AS (
+             |  SELECT CAST(sum(chg) AS BIGINT) AS runs,
+             |    CAST(sum(up) AS BIGINT) AS n_up,
+             |    CAST(sum(1 - up) AS BIGINT) AS n_down
+             |  FROM ch)
+             |SELECT runs, n_up, n_down,
+             |  2.0 * n_up * n_down / (n_up + n_down) + 1 AS expected,
+             |  (runs - (2.0 * n_up * n_down / (n_up + n_down) + 1)) /
+             |    sqrt(2.0 * n_up * n_down *
+             |      (2.0 * n_up * n_down - n_up - n_down) /
+             |      ((n_up + n_down) * (n_up + n_down) *
+             |        (n_up + n_down - 1))) AS z
+             |FROM g ORDER BY runs""".stripMargin)),
+
+    // Q171 — Tukey-fence outlier audit per event type: exact
+    // interpolated quartiles (the established cross-engine `percentile`
+    // ≡ `quantile_cont` pairing from q11), fences at 1.5·IQR, and the
+    // count outside each fence. The quartile table is 5 rows and
+    // broadcasts back over the fact scan — the robust complement to
+    // q63's z-score outliers, immune to the outliers it hunts.
+    Q("q171_iqr_outliers",
+      (s, d) => {
+        val ev = Tables(s, d, "events").where(col("value").isNotNull)
+        val fences = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.25)").as("q1"),
+            expr("percentile(value, 0.75)").as("q3"))
+          .withColumn("lo",
+            col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi",
+            col("q3") + (col("q3") - col("q1")) * 1.5)
+        ev.join(broadcast(fences), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+              .as("n_low"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+              .as("n_high"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH f AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.25) AS q1,
+             |    quantile_cont(value, 0.75) AS q3
+             |  FROM events WHERE value IS NOT NULL
+             |  GROUP BY event_type)
+             |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  any_value(f.q1) AS q1, any_value(f.q3) AS q3,
+             |  CAST(sum(CASE WHEN e.value <
+             |      f.q1 - (f.q3 - f.q1) * 1.5 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_low,
+             |  CAST(sum(CASE WHEN e.value >
+             |      f.q3 + (f.q3 - f.q1) * 1.5 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_high
+             |FROM events e JOIN f ON e.event_type = f.event_type
+             |WHERE e.value IS NOT NULL
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // Q172 — Wilson score interval per source for the share of English
+    // documents: the confidence bound a mixture-weighting step should
+    // rank sources by instead of the raw proportion (small sources stop
+    // winning on luck). One scan-shaped aggregate; the interval is
+    // per-group arithmetic, operation order mirrored in the oracle.
+    Q("q172_wilson_ci",
+      (s, d) => {
+        val z = lit(1.96)
+        Tables(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+          .withColumn("nn", col("n").cast(DoubleType))
+          .withColumn("p", col("k").cast(DoubleType) / col("nn"))
+          .withColumn("denom", lit(1.0) + z * z / col("nn"))
+          .withColumn("center",
+            (col("p") + z * z / (col("nn") * 2)) / col("denom"))
+          .withColumn("margin",
+            z * sqrt(col("p") * (lit(1.0) - col("p")) / col("nn") +
+              z * z / (col("nn") * col("nn") * 4)) / col("denom"))
+          .select(col("source"), col("n"), col("k"), col("p"),
+            (col("center") - col("margin")).as("wilson_lo"),
+            (col("center") + col("margin")).as("wilson_hi"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH g AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS k
+             |  FROM documents GROUP BY source),
+             |m AS (
+             |  SELECT source, n, k,
+             |    CAST(n AS DOUBLE) AS nn,
+             |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             |    1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE) AS denom
+             |  FROM g)
+             |SELECT source, n, k, p,
+             |  (p + 1.96 * 1.96 / (nn * 2)) / denom -
+             |    1.96 * sqrt(p * (1.0 - p) / nn +
+             |      1.96 * 1.96 / (nn * nn * 4)) / denom AS wilson_lo,
+             |  (p + 1.96 * 1.96 / (nn * 2)) / denom +
+             |    1.96 * sqrt(p * (1.0 - p) / nn +
+             |      1.96 * 1.96 / (nn * nn * 4)) / denom AS wilson_hi
+             |FROM m ORDER BY source""".stripMargin)),
+
+    // Q173 — inter-arrival burstiness per user: B = (σ−μ)/(σ+μ) over
+    // the gaps between consecutive events — B→−1 periodic, B≈0 Poisson,
+    // B→1 bursty; the temporal texture q121's velocity windows don't
+    // capture. One user-keyed lag window + one keyed aggregate.
+    Q("q173_burstiness",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .withColumn("gap",
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+              .cast(DoubleType) / 1000000.0)
+          .where(col("gap").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"), avg(col("gap")).as("mean_gap"),
+            stddev_samp(col("gap")).as("sd_gap"))
+          .where(col("n_gaps") >= 5)
+          .select(col("user_id"), col("n_gaps"), col("mean_gap"),
+            col("sd_gap"),
+            ((col("sd_gap") - col("mean_gap")) /
+              (col("sd_gap") + col("mean_gap"))).as("burstiness"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g0 AS (
+             |  SELECT user_id,
+             |    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS DOUBLE) / 1000000.0 AS gap
+             |  FROM events),
+             |st AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    avg(gap) AS mean_gap, stddev_samp(gap) AS sd_gap
+             |  FROM g0 WHERE gap IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_gaps, mean_gap, sd_gap,
+             |  (sd_gap - mean_gap) / (sd_gap + mean_gap) AS burstiness
+             |FROM st WHERE n_gaps >= 5
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q174 — event-type transition entropy per user: Shannon entropy of
+    // the (prev → next) transition distribution — low entropy = scripted
+    // sessions, high = erratic; the per-user dual of q75's global
+    // transition matrix and q66's token entropy. One user-keyed lag
+    // window, one (user, pair) count, one keyed reduce; the per-user
+    // total comes from a window over the COUNTS frame (pair-bounded,
+    // ≤|event_types|² rows per user), never the raw events.
+    Q("q174_transition_entropy",
+      (s, d) => {
+        val wSeq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+        Tables(s, d, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(wSeq))
+          .where(col("prev").isNotNull)
+          .groupBy(col("user_id"), col("prev"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("t", sum(col("c")).over(wUser))
+          .withColumn("p", col("c").cast(DoubleType) / col("t"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("c")).as("n_transitions"),
+            count(lit(1)).as("n_pairs"),
+            (-sum(col("p") * log(col("p")))).as("entropy"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, prev, event_type,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM seq WHERE prev IS NOT NULL
+             |  GROUP BY user_id, prev, event_type),
+             |p AS (
+             |  SELECT user_id, c,
+             |    CAST(c AS DOUBLE) /
+             |      sum(c) OVER (PARTITION BY user_id) AS p
+             |  FROM c)
+             |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_transitions,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  -sum(p * ln(p)) AS entropy
+             |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

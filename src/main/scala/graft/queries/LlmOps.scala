@@ -5,7 +5,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** LLM-data-pipeline operators: exact/near dedup, similarity top-k, text
   * analysis, multimodal struct columns (SURVEY.md §2B Q30–Q34).
@@ -1419,5 +1419,35 @@ object LlmOps {
              |LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
              |JOIN sizes sa ON sa.source = p.src_a
              |JOIN sizes sb ON sb.source = p.src_b
-             |ORDER BY p.src_a, p.src_b""".stripMargin)))
+             |ORDER BY p.src_a, p.src_b""".stripMargin)),
+
+    // Q32h — embedding-dimension health audit: per dimension, the
+    // corpus mean and sample variance plus a dead-dimension flag
+    // (variance below 1e-4 → the encoder collapsed that coordinate).
+    // posexplode then ONE dim-keyed partial aggregate — |dims| output
+    // rows regardless of corpus size; the audit that catches a broken
+    // embedding export before it poisons every downstream ANN,
+    // clustering, or quantization job.
+    Q("q169_embed_dims",
+      (s, d) => {
+        Tables(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim").cast(LongType).as("dim"),
+            col("x").cast(DoubleType).as("x"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), avg(col("x")).as("mean"),
+            var_samp(col("x")).as("variance"))
+          .withColumn("dead",
+            (col("variance") < 0.0001).cast(IntegerType))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings)
+             |SELECT CAST(dim AS BIGINT) AS dim,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  avg(x) AS mean, var_samp(x) AS variance,
+             |  CASE WHEN var_samp(x) < 0.0001 THEN 1 ELSE 0 END AS dead
+             |FROM ex GROUP BY dim ORDER BY dim""".stripMargin)))
 }

@@ -5,7 +5,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Text-analysis operators for training-data pipelines (builder-prompt
   * extension of SURVEY.md §2B Q33): language identification, quality
@@ -768,6 +768,81 @@ object TextOps {
              |      CAST(sentences AS DOUBLE)) -
              |    84.6 * (CAST(vgroups AS DOUBLE) / CAST(words AS DOUBLE))
              |    AS fre
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Q33s — blocklist screening: score each document by the fraction
+    // of tokens that hit a curated blocklist — the pre-train content
+    // filter every corpus pipeline runs before anything reaches a
+    // tokenizer. Pure per-row codegen (split + higher-order filter
+    // against a literal array): no explode, no shuffle, no UDF — the
+    // scorer rides the scan at full speed and the flag threshold is a
+    // plain pushable predicate if a pipeline filters on it.
+    Q("q167_blocklist",
+      (s, d) => {
+        val terms = array(Seq("slow", "merge", "dup").map(lit): _*)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+            size(filter(split(col("text"), " "),
+              t => array_contains(terms, t))).cast(LongType).as("hits"))
+          .withColumn("hit_rate",
+            col("hits").cast(DoubleType) / col("n_tokens"))
+          .withColumn("blocked",
+            (col("hit_rate") > 0.08).cast(IntegerType))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    t -> list_contains(['slow', 'merge', 'dup'], t)))
+             |    AS BIGINT) AS hits,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |      t -> list_contains(['slow', 'merge', 'dup'], t)))
+             |      AS DOUBLE) /
+             |    len(string_split(text, ' ')) AS hit_rate,
+             |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+             |        t -> list_contains(['slow', 'merge', 'dup'], t)))
+             |        AS DOUBLE) /
+             |      len(string_split(text, ' ')) > 0.08
+             |    THEN 1 ELSE 0 END AS blocked
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q33t — novelty growth curve: 5-token shingles are attributed to
+    // the ingest batch (doc_id DIV 50) where they FIRST appear;
+    // new-shingle counts per batch plus the cumulative shingle-
+    // vocabulary size trace the Heaps-law curve that tells a curation
+    // pipeline when a source stops contributing novelty. First-seen is
+    // one shingle-keyed min aggregate; the cumulative rides
+    // Graft.prefixSumExclusive's two-level chunked scan, so no window
+    // ever holds the batch dimension in a single task.
+    Q("q170_vocab_growth",
+      (s, d) => {
+        val perBatch = Tables(s, d, "documents")
+          .select(floor(col("doc_id") / 50).cast(LongType).as("batch"),
+            explode(Graft.shingleSet(col("text"), 5)).as("sh"))
+          .groupBy(col("sh")).agg(min(col("batch")).as("batch"))
+          .groupBy(col("batch")).agg(count(lit(1)).as("new_shingles"))
+        Graft.prefixSumExclusive(perBatch, col("batch"),
+            col("new_shingles"), "prev_vocab")
+          .select(col("batch"), col("new_shingles"),
+            (col("prev_vocab") + col("new_shingles")).as("vocab_size"))
+          .orderBy(col("batch"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT sh, min(batch) AS batch FROM (
+             |    SELECT doc_id // 50 AS batch, unnest(list_distinct(
+             |      [array_to_string(ts[i:i+4], ' ')
+             |       FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)]))
+             |      AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |          FROM documents))
+             |  GROUP BY sh),
+             |pb AS (
+             |  SELECT batch, CAST(count(*) AS BIGINT) AS new_shingles
+             |  FROM fs GROUP BY batch)
+             |SELECT batch, new_shingles,
+             |  CAST(sum(new_shingles) OVER (ORDER BY batch) AS BIGINT)
+             |    AS vocab_size
+             |FROM pb ORDER BY batch""".stripMargin))
   )
 }
