@@ -2238,6 +2238,55 @@ object Composite {
              |        (n_up + n_down - 1))) AS z
              |FROM g ORDER BY runs""".stripMargin)),
 
+    // Q175 — merge-on-read deletes (VersionedTable.deleteWhereLazy):
+    // commit orders, stack two DEFERRED deletes (pure metadata — no byte
+    // of the table is rewritten), append rows that MATCH the first
+    // predicate (out of scope: they arrived after it), then read latest.
+    // The oracle replays the three statements relationally, including
+    // SQL DELETE's NULL-keeps semantics and the scoping rule. OPTIMIZE
+    // then materializes and the result must be identical — both states
+    // are returned union-tagged so the oracle checks lazy == compacted.
+    Q("q175_lazy_delete",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = scratchDir("graft-vtable-lazy")
+        VersionedTable.commit(s,
+          Tables(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice")),
+          dir)
+        VersionedTable.deleteWhereLazy(s, dir, "o_totalprice < 30000.0")
+        VersionedTable.deleteWhereLazy(s, dir, "o_orderstatus = 'F'")
+        VersionedTable.append(s, dir,
+          Tables(s, d, "orders")
+            .where(col("o_orderkey") % 10 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_orderstatus"),
+              lit(1000.0).as("o_totalprice")))
+        val lazyState = VersionedTable.readLatest(s, dir)
+        VersionedTable.optimize(s, dir, targetFileBytes = 1L << 30)
+        val compacted = VersionedTable.readLatest(s, dir)
+        lazyState.select(lit("lazy").as("path"), col("*"))
+          .unionByName(
+            compacted.select(lit("compacted").as("path"), col("*")))
+          .orderBy(col("path"), col("o_orderkey"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice
+             |  FROM orders
+             |  WHERE NOT (o_totalprice < 30000.0)
+             |    AND NOT (o_orderstatus = 'F')),
+             |appended AS (
+             |  SELECT o_orderkey + 10000000 AS o_orderkey,
+             |    o_orderstatus, 1000.0 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |state AS (
+             |  SELECT * FROM kept UNION ALL SELECT * FROM appended)
+             |SELECT 'lazy' AS path, * FROM state
+             |UNION ALL
+             |SELECT 'compacted' AS path, * FROM state
+             |ORDER BY path, o_orderkey""".stripMargin)),
+
     // Q171 — Tukey-fence outlier audit per event type: exact
     // interpolated quartiles (the established cross-engine `percentile`
     // ≡ `quantile_cont` pairing from q11), fences at 1.5·IQR, and the

@@ -35,6 +35,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `_cdf/` mirror; returns the versions backfilled now);
   *  - `MERGE INTO '<table-path>' USING <source> ON <key> WHEN ... THEN ...`
   *    compiles to [[VersionedTable.mergeInto]] (one atomic commit);
+  *  - `DELETE FROM '<table-path>' WHERE <cond> DEFERRED` — merge-on-read
+  *    delete ([[VersionedTable.deleteWhereLazy]]): O(metadata), no rewrite
   *  - `DELETE FROM '<table-path>' WHERE <cond>` / `UPDATE '<table-path>'
   *    SET c = expr[, ...] WHERE <cond>` compile to the copy-on-write
   *    [[VersionedTable.deleteWhere]]/[[VersionedTable.updateWhere]]
@@ -140,6 +142,11 @@ object GraftSql {
   private val ExpireAgeRe =
     ("""(?is)\s*EXPIRE\s+VERSIONS\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+OLDER\s+THAN\s+(\d+)\s+HOURS\s*;?\s*""").r
+  // matched BEFORE DeleteRe: the trailing DEFERRED keyword selects the
+  // merge-on-read verb (deleteWhereLazy — O(metadata), no rewrite)
+  private val DeleteLazyRe =
+    ("""(?is)\s*DELETE\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+WHERE\s+(.+?)\s+DEFERRED\s*;?\s*""").r
   private val DeleteRe =
     ("""(?is)\s*DELETE\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+WHERE\s+(.+?)\s*;?\s*""").r
@@ -295,6 +302,9 @@ object GraftSql {
         VersionedTable.expireVersionsOlderThan(spark,
             Option(p1).getOrElse(p2), maxAgeMs = hours.toLong * 3600L * 1000L)
           .toDF("expired_version")
+      case DeleteLazyRe(p1, p2, cond) =>
+        Seq(VersionedTable.deleteWhereLazy(spark,
+          Option(p1).getOrElse(p2), cond)).toDF("version")
       case DeleteRe(p1, p2, cond) =>
         Seq(VersionedTable.deleteWhere(spark, Option(p1).getOrElse(p2),
           expr(cond))).toDF("version")

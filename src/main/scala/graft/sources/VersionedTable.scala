@@ -286,7 +286,8 @@ object VersionedTable {
       version: Long, dataDirName: String,
       batchId: Option[Long] = None,
       op: String = "commit",
-      mergeKey: Option[String] = None): Unit = {
+      mergeKey: Option[String] = None,
+      delRef: Option[String] = None): Unit = {
     val (hfs, root) = fs(spark, table)
     val manifest = new Path(root, s"_manifests/${manifestName(version)}")
     hfs.mkdirs(manifest.getParent)
@@ -295,10 +296,14 @@ object VersionedTable {
     // "op": which verb committed the version, for the history audit;
     // "key": the merge key a merge commit identified rows by — the fact
     // [[refreshRollup]] needs to recover each change row's PRE-image
-    // (which stored row the change replaced) from the v-1 snapshot
+    // (which stored row the change replaced) from the v-1 snapshot;
+    // "del": the del-state sidecar this version's deferred deletes live
+    // in ([[deleteWhereLazy]]) — written complete BEFORE this publish,
+    // so a version is never visible without its delete filters
     val body = s"""{"version":$version,"dir":"$dataDirName",""" +
       batchId.map(b => s""""batch":$b,""").getOrElse("") +
       mergeKey.map(k => s""""key":"$k",""").getOrElse("") +
+      delRef.map(r => s""""del":"$r",""").getOrElse("") +
       s""""op":"$op","writer":"${UUID.randomUUID}"}"""
     // Two-phase atomic publish (the Delta LogStore recipe, one impl per
     // store class): write the FULL body to a writer-unique temp, then
@@ -400,8 +405,105 @@ object VersionedTable {
     // appended versions name several dirs (`;`-joined); all dirs of one
     // version share an identical schema (append enforces it), so the
     // multi-path read needs no schema merging
-    spark.read.parquet(splitDirs(dir).map(d =>
-      new Path(root, d).toString): _*)
+    val dirs = splitDirs(dir)
+    // deferred deletes ([[deleteWhereLazy]]): each dir takes the keep
+    // filter of the predicates scoped to it — a codegen'd filter pushed
+    // into the scans, so the merge-on-read price is predicate evaluation,
+    // never an extra pass. Dirs one version shares have one column order
+    // (the append contract), so the positional union is sound.
+    val preds = delStateOf(spark, table, version)
+    if (preds.isEmpty)
+      spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
+    else dirs.map { d =>
+      val df = spark.read.parquet(new Path(root, d).toString)
+      delKeepFilter(preds, d).map(df.where).getOrElse(df)
+    }.reduce(_ union _)
+  }
+
+  // -------------------------------------------- merge-on-read del state
+
+  private val delField = """"del"\s*:\s*"([^"]+)"""".r
+
+  /** One deferred-delete predicate: SQL text (re-parsed at read time)
+    * scoped to the data dirs that existed when the delete committed —
+    * later-appended dirs are out of scope, so a lazy delete never touches
+    * rows inserted after it (exactly what a CoW delete at the same point
+    * would have removed, no more).
+    */
+  private final case class DelPred(pred: String, dirs: Set[String])
+
+  /** The del-sidecar name `version`'s manifest references — None for
+    * del-free versions, including versions whose per-version manifest a
+    * checkpoint folded ([[compactManifests]] never retires a del-carrying
+    * manifest, so manifest-absent implies del-free).
+    */
+  private def delRefOf(spark: SparkSession, table: String,
+      version: Long): Option[String] = {
+    val (hfs, root) = fs(spark, table)
+    val m = new Path(root, s"_manifests/${manifestName(version)}")
+    if (!hfs.exists(m)) None
+    else {
+      val in = hfs.open(m)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      delField.findFirstMatchIn(body).map(_.group(1))
+    }
+  }
+
+  private val delEntryRe =
+    """\{"p":"((?:[^"\\]|\\.)*)","d":\[([^\]]*)\]\}""".r
+  private val delDirRe = """"([^"]+)"""".r
+
+  /** The accumulated deferred-delete predicates active at `version`. */
+  private def delStateOf(spark: SparkSession, table: String,
+      version: Long): Seq[DelPred] =
+    delRefOf(spark, table, version).map { ref =>
+      val (hfs, root) = fs(spark, table)
+      val in = hfs.open(new Path(root, s"_manifests/$ref"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
+      delEntryRe.findAllMatchIn(body).map { m =>
+        DelPred(unesc(m.group(1)),
+          delDirRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSet)
+      }.toSeq
+    }.getOrElse(Nil)
+
+  /** Persist a del-state sidecar (immutable, writer-unique name) under
+    * `_manifests/`; returns the name manifests reference it by. Several
+    * manifests may share one sidecar ([[appendFrom]] propagates the
+    * base's by name); a sidecar orphaned by a failed publish is inert
+    * kilobytes. The name matches neither the `v<NNNNNNNN>.json` version
+    * pattern nor vacuum's `.tmp-` reclaim prefix, so version discovery
+    * and temp cleanup both ignore it.
+    */
+  private def writeDelSidecar(spark: SparkSession, table: String,
+      state: Seq[DelPred]): String = {
+    val (hfs, root) = fs(spark, table)
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = state.map { p =>
+      s"""{"p":"${esc(p.pred)}","d":[${p.dirs.toSeq.sorted
+        .map(d => s""""$d"""").mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val name = s"del-${UUID.randomUUID}.json"
+    hfs.mkdirs(new Path(root, "_manifests"))
+    val out = hfs.create(new Path(root, s"_manifests/$name"),
+      /* overwrite = */ false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    name
+  }
+
+  /** The keep filter `preds` impose on rows of data dir `dirRel` (None =
+    * none scope to it). SQL DELETE semantics per predicate: TRUE deletes,
+    * NULL keeps — exactly [[deleteWhere]]'s contract.
+    */
+  private def delKeepFilter(preds: Seq[DelPred],
+      dirRel: String): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val applicable = preds.filter(_.dirs.contains(dirRel))
+    if (applicable.isEmpty) None
+    else Some(applicable.map(p =>
+      not(coalesce(expr(p.pred), lit(false)))).reduce(_ && _))
   }
 
   /** The dirs a manifest's `dir` field names: one for snapshot/merge/DML
@@ -582,6 +684,14 @@ object VersionedTable {
     */
   def readChanges(spark: SparkSession, table: String,
       version: Long): DataFrame = {
+    // a deferred delete wrote NO dir: its last dir is the base's, whose
+    // _changes (if any) belongs to an EARLIER merge — refusing here
+    // beats silently attributing that batch to this version
+    if (opOf(spark, table, version).contains("lazydelete"))
+      throw new IllegalArgumentException(
+        s"version $version of $table is a deferred delete — it has no " +
+          "change log (enumerating its rows would cost the scan the verb " +
+          "exists to avoid); use diffVersions")
     // the LAST dir is the one this version itself wrote — where a merge
     // commit put its change log (merge versions are single-dir anyway;
     // for append/snapshot versions the probe correctly finds nothing)
@@ -793,8 +903,12 @@ object VersionedTable {
     val baseDirs = resolveDir(hfs, root, base).getOrElse(
       throw new IllegalArgumentException(
         s"version $base of $table was never committed"))
+    // deferred deletes travel with the append (by sidecar NAME — the
+    // sidecar is immutable): the new dir is outside every recorded
+    // predicate's scope, so appended rows are never retro-deleted, while
+    // the base dirs keep their filters
     publish(spark, table, base + 1L, s"$baseDirs;$dirName", batchId,
-      op = "insert")
+      op = "insert", delRef = delRefOf(spark, table, base))
     base + 1L
   }
 
@@ -1059,7 +1173,12 @@ object VersionedTable {
       hfs.delete(new Path(root, s"_manifests/${checkpointName(v)}"), false))
     vs.dropRight(keepRecent).count { v =>
       val m = new Path(root, s"_manifests/${manifestName(v)}")
-      hfs.exists(m) && hfs.delete(m, false)
+      // del-carrying manifests survive compaction: the checkpoint folds
+      // only (version → dir), and retiring the manifest would drop the
+      // del reference — silently resurrecting lazily-deleted rows. They
+      // retire with their versions ([[expireVersions]]) instead.
+      hfs.exists(m) && delRefOf(spark, table, v).isEmpty &&
+        hfs.delete(m, false)
     }
   }
 
@@ -1420,7 +1539,16 @@ object VersionedTable {
           new Path(tgtRoot, f), /* deleteSource = */ false,
           spark.sparkContext.hadoopConfiguration)
     }
-    publish(spark, targetTable, 1L, dirs.mkString(";"), op = "clone")
+    // deferred deletes travel with the clone, rewritten to the ABSOLUTE
+    // dir names this manifest uses (the source recorded them relative to
+    // ITS root — the raw strings must match what splitDirs yields here)
+    val srcState = delStateOf(spark, sourceTable, v)
+    val delRef =
+      if (srcState.isEmpty) None
+      else Some(writeDelSidecar(spark, targetTable, srcState.map(p =>
+        p.copy(dirs = p.dirs.map(d => new Path(srcRoot, d).toString)))))
+    publish(spark, targetTable, 1L, dirs.mkString(";"), op = "clone",
+      delRef = delRef)
     1L
   }
 
@@ -1514,6 +1642,77 @@ object VersionedTable {
       .where(not(coalesce(cond, lit(false))))
     commitPinned(spark, kept, table, base, op = "delete",
       maxRecordsPerFile = maxRecordsPerFile)
+  }
+
+  /** MERGE-ON-READ delete: commit "rows matching `predicate` are gone" as
+    * PURE METADATA — no data file is read or written. The new version
+    * references the base dirs unchanged and records the predicate (in an
+    * immutable sidecar its manifest names), which every read of this and
+    * descendant versions applies as a keep filter. The Delta
+    * deletion-vector idea at predicate granularity:
+    *
+    *  - delete cost is O(metadata) regardless of table size — CoW
+    *    [[deleteWhere]] rewrites every surviving byte, which at 100 TB
+    *    makes a 0.1%-row delete an hours-long job; this is one sidecar
+    *    plus one manifest write;
+    *  - reads pay one codegen'd filter, pushed into the parquet scans;
+    *    stacked lazy deletes conjoin, and any copy-on-write verb
+    *    ([[optimize]], DML, merge, [[restore]]) materializes the
+    *    filtered state into clean dirs and resets the stack;
+    *  - the predicate is SCOPED to the dirs present at delete time:
+    *    rows [[append]]ed later are out of scope even when they match —
+    *    exactly the rows a CoW delete at the same point would have
+    *    removed, no more (the zone-map/Bloom sidecars of the scoped dirs
+    *    stay valid: deletion only narrows content, so pruning bounds
+    *    remain conservative supersets);
+    *  - semantics are [[deleteWhere]]'s exactly (SQL DELETE: predicate
+    *    TRUE deletes, NULL keeps), and every consumer — time travel,
+    *    DML, OPTIMIZE, [[refreshRollup]], [[diffVersions]] — sees the
+    *    filtered state because all of them read through [[readVersion]]
+    *    / [[readVersionPruned]];
+    *  - [[refreshRollup]] treats a lazy-delete version as an uncovered
+    *    range (no change feed can enumerate the deleted rows without a
+    *    scan — [[readChanges]] refuses it) and falls back to the full
+    *    recompute: never a wrong answer;
+    *  - no constraint pass: removing rows cannot violate a row-level
+    *    CHECK, so the gate every rewriting verb pays is skipped;
+    *  - the predicate must ANALYZE against the base schema and be
+    *    DETERMINISTIC (it re-evaluates at every read) — both are
+    *    validated before anything publishes.
+    *
+    * Statement: `DELETE FROM '<path>' WHERE <pred> DEFERRED`.
+    */
+  def deleteWhereLazy(spark: SparkSession, table: String,
+      predicate: String): Long =
+    deleteWhereLazyFrom(spark, table,
+      latestVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no committed versions")), predicate)
+
+  /** [[deleteWhereLazy]] against a pinned base — the concurrency seam;
+    * publishes at exactly base+1, so a racing commit conflicts instead
+    * of being lost.
+    */
+  private[graft] def deleteWhereLazyFrom(spark: SparkSession, table: String,
+      base: Long, predicate: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    val (hfs, root) = fs(spark, table)
+    val baseDirs = resolveDir(hfs, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $base of $table was never committed"))
+    // validate BEFORE any write: unresolvable columns fail analysis here
+    // (AnalysisException), and a nondeterministic predicate would delete
+    // DIFFERENT rows on every read — refuse both up front
+    val probe = readVersion(spark, table, base).where(expr(predicate))
+    require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"lazy-delete predicate must be deterministic (it re-evaluates at " +
+        s"every read): $predicate")
+    val state = delStateOf(spark, table, base) :+
+      DelPred(predicate, splitDirs(baseDirs).toSet)
+    val ref = writeDelSidecar(spark, table, state)
+    publish(spark, table, base + 1L, baseDirs, op = "lazydelete",
+      delRef = Some(ref))
+    base + 1L
   }
 
   /** Copy-on-write UPDATE: rows matching `cond` get each column in `set`
@@ -2084,9 +2283,23 @@ object VersionedTable {
         // kept entries are table-root-relative (they may span several
         // dirs for appended versions)
         val (_, root) = fs(spark, table)
-        spark.read.schema(full.schema)
-          .parquet(kept.map(f => new Path(root, f).toString): _*)
-          .where(residual)
+        val preds = delStateOf(spark, table, version)
+        if (preds.isEmpty)
+          spark.read.schema(full.schema)
+            .parquet(kept.map(f => new Path(root, f).toString): _*)
+            .where(residual)
+        else {
+          // deferred deletes scope per dir — group the surviving files
+          // back under their dirs so each group takes its keep filter
+          // (the unpruned branches above go through readVersion, which
+          // already applies them)
+          kept.groupBy(f => f.take(f.lastIndexOf('/'))).toSeq.sortBy(_._1)
+            .map { case (dirRel, files) =>
+              val df = spark.read.schema(full.schema)
+                .parquet(files.map(f => new Path(root, f).toString): _*)
+              delKeepFilter(preds, dirRel).map(df.where).getOrElse(df)
+            }.reduce(_ union _).where(residual)
+        }
     }
   }
 

@@ -359,6 +359,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q167/q165/q171: blocklist stays scan-shaped; stat tables broadcast") {
+    // blocklist scoring is a pure per-row projection: the only exchange
+    // allowed is the final presentation sort — a hash shuffle here means
+    // the HOF filter fell out of codegen into an aggregate somewhere
+    // (the AQE pre-execution printout shows no WholeStageCodegen spans,
+    // so the scan shape — projections only, no hash exchange — is the
+    // assertable property; the HOF filter is builtin-codegen by design)
+    val pBlock = plan("q167_blocklist")
+    assert(!pBlock.contains("Exchange hashpartitioning"),
+      s"blocklist scoring must not shuffle:\n$pBlock")
+    assert(!pBlock.contains("BatchEvalPython") && !pBlock.contains("UDF"),
+      pBlock)
+    // quantile-norm targets (10 rows) and IQR fences (|event_types| rows)
+    // must come back over the fact side as broadcasts, never a sort-merge
+    val pQn = plan("q165_quantile_norm")
+    assert(pQn.contains("BroadcastHashJoin") && !pQn.contains("SortMergeJoin"),
+      pQn)
+    val pIqr = plan("q171_iqr_outliers")
+    assert(pIqr.contains("BroadcastHashJoin") &&
+      !pIqr.contains("SortMergeJoin"), pIqr)
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
     // The hot-key commentary at q55_boilerplate / q70_pmi promises AQE's
     // skew-join handles stop-word-grade key skew; this proves the rewrite

@@ -109,4 +109,101 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(direct - exact) / exact.toDouble < 0.05,
       s"estimate $direct too far from exact $exact")
   }
+
+  test("rank-stat laws: Mann-Whitney U bounds, Kendall tau identity") {
+    // U ∈ [0, n1·n2] is the rank-sum identity U_click + U_view = n1·n2
+    // restated from the output columns alone; z must be finite
+    SparkEntry.queries("q163_mannwhitney")(spark, sfDir).collect()
+      .foreach { r =>
+        val (n1, n2) = (r.getLong(1), r.getLong(2))
+        val u = r.getDouble(3)
+        assert(u >= 0 && u <= n1.toDouble * n2, s"U=$u outside [0,${n1 * n2}]")
+        assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+      }
+    // tau = (C−D)/n_pairs ∈ [−1,1]; C+D ≤ n_pairs; n_pairs = C(n,2) for
+    // integral n (8·n_pairs+1 is an odd perfect square)
+    SparkEntry.queries("q164_kendall")(spark, sfDir).collect().foreach { r =>
+      val (np, c, dd, tau) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(c + dd <= np && math.abs(tau) <= 1.0)
+      assert(math.abs((c - dd).toDouble / np - tau) < 1e-12)
+      val s = math.sqrt(8.0 * np + 1).round
+      assert(s * s == 8 * np + 1, s"n_pairs=$np is not a binomial C(n,2)")
+    }
+  }
+
+  test("concentration laws: 1/n ≤ HHI ≤ CR1 ≤ 1; Wilson brackets p") {
+    SparkEntry.queries("q166_hhi")(spark, sfDir).collect().foreach { r =>
+      val (n, hhi, cr1) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      // HHI ≥ 1/n at equality only for uniform shares; HHI ≤ CR1 since
+      // sum(s²) ≤ max(s)·sum(s) = CR1
+      assert(hhi >= 1.0 / n - 1e-12 && hhi <= cr1 + 1e-12 && cr1 <= 1.0 + 1e-12,
+        s"n=$n hhi=$hhi cr1=$cr1")
+    }
+    SparkEntry.queries("q172_wilson_ci")(spark, sfDir).collect().foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo >= 0 && hi <= 1 && lo <= p + 1e-12 && p <= hi + 1e-12,
+        s"Wilson [$lo,$hi] does not bracket p=$p in [0,1]")
+    }
+  }
+
+  test("temporal-stat laws: burstiness in [-1,1], entropy in [0, ln k]") {
+    SparkEntry.queries("q173_burstiness")(spark, sfDir).collect().foreach {
+      r =>
+        val b = r.getDouble(4)
+        assert(b >= -1.0 - 1e-12 && b <= 1.0 + 1e-12, s"burstiness $b")
+        assert(r.getDouble(3) >= 0, "stddev must be non-negative")
+    }
+    SparkEntry.queries("q174_transition_entropy")(spark, sfDir).collect()
+      .foreach { r =>
+        val (pairs, h) = (r.getLong(2), r.getDouble(3))
+        assert(h >= -1e-12 && h <= math.log(pairs.toDouble) + 1e-9,
+          s"entropy $h outside [0, ln($pairs)]")
+      }
+  }
+
+  test("curation laws: vocab growth telescopes; blocklist flags consistent") {
+    val vg = SparkEntry.queries("q170_vocab_growth")(spark, sfDir).collect()
+    assert(vg.nonEmpty)
+    var cum = 0L
+    vg.foreach { r =>
+      assert(r.getLong(1) > 0, "every batch must contribute new shingles")
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum,
+        s"vocab_size ${r.getLong(2)} != running sum $cum — the chunked " +
+          "prefix scan disagrees with the per-batch counts")
+    }
+    SparkEntry.queries("q167_blocklist")(spark, sfDir).collect().foreach {
+      r =>
+        val (nt, hits, rate, blocked) =
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))
+        assert(hits <= nt)
+        assert(blocked == (if (rate > 0.08) 1 else 0))
+    }
+  }
+
+  test("IQR fence law: flagged counts match a direct recount") {
+    // recompute the fences from the same exact percentiles and recount —
+    // the query's broadcast-join path must agree with the direct scan
+    val got = SparkEntry.queries("q171_iqr_outliers")(spark, sfDir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    val ev = Tables(spark, sfDir, "events").filter(col("value").isNotNull)
+    got.foreach { case (et, (n, nLow, nHigh)) =>
+      val vs = ev.filter(col("event_type") === et)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      assert(vs.length == n)
+      def interp(p: Double): Double = {
+        val pos = p * (vs.length - 1)
+        val lo = pos.toInt
+        if (lo == vs.length - 1) vs(lo)
+        else vs(lo) + (vs(lo + 1) - vs(lo)) * (pos - lo)
+      }
+      val (q1, q3) = (interp(0.25), interp(0.75))
+      val (fl, fh) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      assert(vs.count(_ < fl) == nLow && vs.count(_ > fh) == nHigh,
+        s"$et: recount (${vs.count(_ < fl)},${vs.count(_ > fh)}) " +
+          s"!= query ($nLow,$nHigh)")
+    }
+  }
 }

@@ -1253,7 +1253,7 @@ class SinksSpec extends SparkSpec {
     VersionedTable.commit(spark, seed.toSeq.toDF("k", "v"), t)
     history :+= seed
     (1 to 30).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // append fresh keys (O(new-data) insert)
           val base = 1000L * step
           val rows = (0 until 1 + rnd.nextInt(3))
@@ -1295,6 +1295,13 @@ class SinksSpec extends SparkSpec {
           VersionedTable.overwriteWhere(spark, t, col("k") % m === 0,
             rows.toDF("k", "v"))
           history :+= model.filter(_._1 % m != 0) ++ rows.toMap
+        case 7 => // merge-on-read delete (pure metadata, stacking)
+          val lo = rnd.nextLong(95)
+          VersionedTable.deleteWhereLazy(spark, t,
+            s"v >= $lo AND v < ${lo + 10L}")
+          history :+= model.filter { case (_, v) =>
+            !(v >= lo && v < lo + 10L)
+          }
       }
       val got = VersionedTable.readLatest(spark, t).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1522,5 +1529,127 @@ class SinksSpec extends SparkSpec {
       VersionedTable.shallowClone(spark, src, src))
     intercept[IllegalArgumentException](
       VersionedTable.shallowClone(spark, tgt, src))
+  }
+
+  test("deleteWhereLazy: merge-on-read delete is O(metadata) and exact") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val t = tmp() + "/vt_lazy"
+    VersionedTable.commit(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0),
+        (4L, "d", 40.0)).toDF("k", "tag", "v"), t)
+    def dataDirs = Option(new java.io.File(t + "/data").listFiles)
+      .toSeq.flatten.filter(_.isDirectory).map(_.getName).toSet
+    val dirsBefore = dataDirs
+
+    // v2: pure metadata — no data dir written; NULL-predicate rows KEPT
+    assert(VersionedTable.deleteWhereLazy(spark, t, "tag = 'a'") == 2L)
+    assert(dataDirs == dirsBefore, "lazy delete must write no data dir")
+    assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+
+    // v3: stacked predicates conjoin; still no data dir
+    assert(VersionedTable.deleteWhereLazy(spark, t, "v >= 40") == 3L)
+    assert(dataDirs == dirsBefore)
+    assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+
+    // time travel is untouched — each version keeps ITS del stack
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 4)
+    assert(VersionedTable.readVersion(spark, t, 2L).count() == 3)
+
+    // v4: rows appended AFTER a lazy delete are out of its scope even
+    // when they match the predicate
+    VersionedTable.append(spark, t,
+      Seq((5L, "a", 40.0)).toDF("k", "tag", "v"))
+    assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L, 5L),
+      "rows inserted after a lazy delete must survive it")
+
+    // validation: unresolvable column fails analysis, nondeterministic
+    // predicates are refused — neither publishes a version
+    intercept[org.apache.spark.sql.AnalysisException](
+      VersionedTable.deleteWhereLazy(spark, t, "ghost = 1"))
+    intercept[IllegalArgumentException](
+      VersionedTable.deleteWhereLazy(spark, t, "rand() < 0.5"))
+    assert(VersionedTable.latestVersion(spark, t).contains(4L))
+
+    // v5: any CoW verb materializes the filtered state into clean dirs
+    VersionedTable.optimize(spark, t, targetFileBytes = 1L << 30)
+    assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L, 5L))
+
+    // base-pinned: a racing commit conflicts, never a lost update
+    val stray = new java.io.File(t + "/_manifests/v00000006.json")
+    assert(stray.createNewFile())
+    intercept[VersionedTable.CommitConflictException](
+      VersionedTable.deleteWhereLazyFrom(spark, t, 5L, "k = 2"))
+    assert(stray.delete())
+
+    // v6: the statement spelling
+    GraftSql.sql(spark, s"DELETE FROM '$t' WHERE k = 2 DEFERRED").collect()
+    assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 5L))
+
+    // provenance before compaction retires anything
+    assert(VersionedTable.history(spark, t).orderBy("version").collect()
+      .map(_.getString(4)).toSeq == Seq("commit", "lazydelete",
+        "lazydelete", "insert", "optimize", "lazydelete"))
+
+    // a deferred delete has no change log — refusing beats attributing
+    // the base dir's earlier batch to it
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, t, 2L))
+
+    // del-carrying manifests survive manifest compaction (the checkpoint
+    // folds only version→dir; retiring them would resurrect the rows)
+    VersionedTable.compactManifests(spark, t, keepRecent = 1)
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 4,
+      "del-free manifest folds into the checkpoint and stays readable")
+    assert(VersionedTable.readVersion(spark, t, 2L).count() == 3,
+      "del-carrying manifest must survive compaction")
+    assert(VersionedTable.readVersion(spark, t, 3L).count() == 2)
+    assert(VersionedTable.readLatest(spark, t).count() == 2)
+  }
+
+  test("deleteWhereLazy filters survive the file-pruned read path") {
+    import graft.sources.VersionedTable
+    val t = tmp() + "/vt_lazy_prune"
+    // clustered commit → several files with zone maps on k, so a narrow
+    // bound takes readVersionPruned's kept-files branch — the one that
+    // re-reads file lists directly and must re-apply the del filters
+    VersionedTable.commitClustered(spark,
+      spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") % 7).as("v")),
+      t, clusterCols = Seq("k"), numFiles = 8)
+    VersionedTable.deleteWhereLazy(spark, t, "k % 2 = 0")
+    val sel = VersionedTable.pruneSelection(spark, t, 2L,
+      Seq(VersionedTable.ColumnBounds("k", Some(100L), Some(299L))))
+    assert(sel.exists { case (kept, total) => kept.size < total },
+      s"bounds must actually prune files: $sel")
+    val got = VersionedTable.readVersionPruned(spark, t, 2L,
+        Seq(VersionedTable.ColumnBounds("k", Some(100L), Some(299L))))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == (101L to 299L by 2).toSeq,
+      "pruned read must apply the deferred-delete filter per dir")
+  }
+
+  test("shallowClone carries deferred deletes; source and clone diverge") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = tmp()
+    val src = dir + "/vt_lzclone_src"
+    val tgt = dir + "/vt_lzclone_tgt"
+    VersionedTable.commit(spark,
+      (1L to 10L).map(k => (k, k * 2L)).toDF("k", "v"), src)
+    VersionedTable.deleteWhereLazy(spark, src, "k <= 3")
+    VersionedTable.shallowClone(spark, tgt, src)
+    assert(VersionedTable.readLatest(spark, tgt).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == (4L to 10L).toSeq,
+      "the clone must inherit the source's deferred deletes")
+    // the clone's own lazy delete does not touch the source
+    VersionedTable.deleteWhereLazy(spark, tgt, "k >= 9")
+    assert(VersionedTable.readLatest(spark, tgt).count() == 5)
+    assert(VersionedTable.readLatest(spark, src).count() == 7)
   }
 }
