@@ -1582,7 +1582,16 @@ object Graft {
     * each key's versions, state O(1) per key.
     */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+      version: String, op: String): DataFrame =
+    applyChanges(base, changes, Seq(key), version, op)
+
+  /** Composite-key [[applyChanges]]: rows are identified by the tuple of
+    * `keys` (one hash shuffle on the tuple, same cost shape as the
+    * single-key form — the key arity never adds a pass).
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
       version: String, op: String): DataFrame = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
     val baseCols = base.columns.toSet
     require(!baseCols.contains(version) && !baseCols.contains(op),
       s"base must not already carry '$version'/'$op'")
@@ -1593,7 +1602,7 @@ object Graft {
       .withColumn(version, lit(Long.MinValue))
       .withColumn(op, lit("u"))
     val merged = dedupExact(b.unionByName(changes),
-      Seq(col(key)), Seq(col(version).desc))
+      keys.map(col), Seq(col(version).desc))
     merged.filter(col(op) =!= "d").drop(version, op)
   }
 
@@ -2504,6 +2513,10 @@ object Graft {
       when(v.isNotNull, v)
         .when(pv.isNull, nv)                 // leading gap: back-fill
         .when(nv.isNull, pv)                 // trailing gap: LOCF
+        // tied ords around the gap (duplicate timestamps): the line is
+        // degenerate ((o-po)/(no-po) = 0/0 → NaN) — fall back to the
+        // previous known value, the LOCF convention
+        .when(no === po, pv)
         .otherwise(pv + (nv - pv) * (o - po) / (no - po)))
   }
 

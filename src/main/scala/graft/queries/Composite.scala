@@ -2287,6 +2287,60 @@ object Composite {
              |SELECT 'compacted' AS path, * FROM state
              |ORDER BY path, o_orderkey""".stripMargin)),
 
+    // Q176 — CDC replication across a DEFERRED delete (r13): a replica
+    // seeded from v1 converges through the change feed alone — a merge
+    // batch (v2, the persisted _changes sidecar) and then a lazy delete
+    // (v3, whose rows readChanges SYNTHESIZES from the predecessor
+    // snapshot; before r13 a deferred delete stalled every CDC consumer
+    // until a CoW verb materialized). Each feed batch applies through
+    // replicaBatchIfNew — the real replica-sink body — so the pipeline
+    // moves O(churn) bytes and never diffs a table. Source and replica
+    // latest are returned union-tagged; the oracle replays the verbs
+    // relationally and emits the state twice, so the hash check proves
+    // replica == source cross-engine.
+    Q("q176_cdc_lazy_delete",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = scratchDir("graft-vtable-cdc")
+        val src = dir + "/src"
+        val rep = dir + "/rep"
+        VersionedTable.commit(s,
+          Tables(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice")),
+          src)
+        VersionedTable.mergeInto(s, src,
+          Tables(s, d, "orders")
+            .where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              (col("o_totalprice") + 1.0).as("o_totalprice")),
+          key = "o_orderkey")
+        VersionedTable.deleteWhereLazy(s, src, "o_totalprice < 50000.0")
+        VersionedTable.commit(s, VersionedTable.readVersion(s, src, 1L), rep)
+        Seq(2L, 3L).foreach { v =>
+          VersionedTable.replicaBatchIfNew(s, rep,
+            VersionedTable.readChanges(s, src, v),
+            key = "o_orderkey", version = "__ver", op = "__op",
+            batchId = v)
+        }
+        VersionedTable.readLatest(s, src)
+          .select(lit("source").as("side"), col("*"))
+          .unionByName(VersionedTable.readLatest(s, rep)
+            .select(lit("replica").as("side"), col("*")))
+          .orderBy(col("side"), col("o_orderkey"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM orders),
+             |state AS (
+             |  SELECT * FROM merged WHERE NOT (o_totalprice < 50000.0))
+             |SELECT 'source' AS side, * FROM state
+             |UNION ALL
+             |SELECT 'replica' AS side, * FROM state
+             |ORDER BY side, o_orderkey""".stripMargin)),
+
     // Q171 — Tukey-fence outlier audit per event type: exact
     // interpolated quartiles (the established cross-engine `percentile`
     // ≡ `quantile_cont` pairing from q11), fences at 1.5·IQR, and the

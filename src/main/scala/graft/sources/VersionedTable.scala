@@ -383,10 +383,17 @@ object VersionedTable {
         case Some(m) => Some(m.group(1))
         // the two-phase publish makes a partial body impossible, so a
         // manifest without a dir field is a corrupt or foreign file —
-        // fail loud rather than guess at a data dir
-        case None => throw new IllegalStateException(
-          s"manifest for version $version of $root names no data dir — " +
-            "corrupt or foreign file in _manifests/")
+        // UNLESS a pre-writer-unique-layout build committed it, whose
+        // fixed `data/v=N` dir we can verify on disk: degrade to that
+        // layout when the dir actually exists, fail loud otherwise
+        // (never guess at a dir that isn't there)
+        case None =>
+          val legacy = s"data/v=$version"
+          if (hfs.exists(new Path(root, legacy))) Some(legacy)
+          else throw new IllegalStateException(
+            s"manifest for version $version of $root names no data dir " +
+              "and no legacy data/v=N dir exists — corrupt or foreign " +
+              "file in _manifests/")
       }
     } else cp().get(version)
   }
@@ -620,6 +627,21 @@ object VersionedTable {
       baseVersion: Long, changes: DataFrame,
       key: String, version: String, op: String,
       maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long =
+    commitMergeFromKeys(spark, table, baseVersion, changes, Seq(key),
+      version, op, maxRecordsPerFile, batchId)
+
+  /** Composite-key [[commitMergeFrom]]: rows are identified by the tuple
+    * of `keys`. The manifest records the merge key only in the
+    * single-key case — [[refreshRollup]]'s pre-image recovery semi-joins
+    * the feed on that recorded column, and a composite identity has no
+    * single column to record, so multi-key-merged bases simply take the
+    * full-recompute fallback (never a wrong answer).
+    */
+  private[graft] def commitMergeFromKeys(spark: SparkSession, table: String,
+      baseVersion: Long, changes: DataFrame,
+      keys: Seq[String], version: String, op: String,
+      maxRecordsPerFile: Long = 5000000L,
       batchId: Option[Long] = None): Long = {
     val base = readVersion(spark, table, baseVersion)
     // the version/op names partition `changes` into metadata vs data
@@ -643,7 +665,7 @@ object VersionedTable {
       b.withColumn(c, org.apache.spark.sql.functions.lit(null)
         .cast(changes.schema(c).dataType)))
     val merged = graft.api.Graft.applyChanges(
-      widened, changes, key, version, op)
+      widened, changes, keys, version, op)
     val dirName = writeSnapshot(spark, merged, table, maxRecordsPerFile)
     validateConstraints(spark, table, dirName)
     // merges inherit the table's skipping policy: a drip-merged table
@@ -658,7 +680,7 @@ object VersionedTable {
       .option("compression", "zstd")
       .parquet(new Path(new Path(table), s"$dirName/$changesDirName").toString)
     publish(spark, table, baseVersion + 1L, dirName, batchId, op = "merge",
-      mergeKey = Some(key))
+      mergeKey = if (keys.size == 1) Some(keys.head) else None)
     // streaming change feed (opt-in via enableChangeFeed): mirror the
     // committed batch into _cdf/ for file-stream subscribers. The commit
     // above STANDS regardless — a mirror failure here self-heals on the
@@ -684,14 +706,24 @@ object VersionedTable {
     */
   def readChanges(spark: SparkSession, table: String,
       version: Long): DataFrame = {
-    // a deferred delete wrote NO dir: its last dir is the base's, whose
-    // _changes (if any) belongs to an EARLIER merge — refusing here
-    // beats silently attributing that batch to this version
+    // a deferred delete wrote NO dir (its last dir is the base's, whose
+    // _changes — if any — belongs to an EARLIER merge); its change batch
+    // is nonetheless fully DERIVABLE: the rows its new predicate removed
+    // from the predecessor snapshot. Synthesize them so CDC consumers
+    // (replica sink, incremental rollup, the _cdf mirror) ride through
+    // DELETE ... DEFERRED instead of stalling until a CoW verb lands.
     if (opOf(spark, table, version).contains("lazydelete"))
+      return lazyDeleteChanges(spark, table, version)
+    // zero-copy bootstraps (clone/convert) wrote no dir either: their v1
+    // references the SOURCE's dirs, and a _changes sidecar found there
+    // belongs to a SOURCE merge — returning it would double-apply that
+    // batch to any CDC consumer polling the clone. Same refusal shape.
+    if (opOf(spark, table, version).exists(o => o == "clone" || o == "convert"))
       throw new IllegalArgumentException(
-        s"version $version of $table is a deferred delete — it has no " +
-          "change log (enumerating its rows would cost the scan the verb " +
-          "exists to avoid); use diffVersions")
+        s"version $version of $table is a zero-copy ${opOf(spark, table,
+          version).get} bootstrap — its referenced dirs (and any _changes " +
+          "sidecar in them) belong to the source table; it has no change " +
+          "log of its own; use diffVersions")
     // the LAST dir is the one this version itself wrote — where a merge
     // commit put its change log (merge versions are single-dir anyway;
     // for append/snapshot versions the probe correctly finds nothing)
@@ -702,6 +734,48 @@ object VersionedTable {
       s"version $version of $table has no change log (full-snapshot " +
         "commit) — use diffVersions for snapshot-level CDC")
     spark.read.parquet(p.toString)
+  }
+
+  /** Synthesize the change batch of a deferred-delete version: the rows
+    * its newly added predicate(s) removed from the PREDECESSOR snapshot,
+    * tagged `__op = "d"` / `__ver = 1` (the [[mergeInto]] feed
+    * convention, so [[replicaBatchIfNew]] and [[graft.api.Graft.applyChanges]]
+    * consume them unchanged). The verb itself stays O(metadata) — only
+    * the CDC consumer pays this enumeration, and only when it asks:
+    * one predicate-filtered pass over the dirs the delete was scoped
+    * to, with both the old keep-filters and the new predicate pushed
+    * into the parquet scans. Per-dir evaluation mirrors [[readVersion]]
+    * exactly: a dir outside a predicate's scope contributes nothing,
+    * rows an EARLIER delete already removed never re-report, and NULL
+    * predicate rows were kept (SQL DELETE), so they are not deletions.
+    */
+  private def lazyDeleteChanges(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, not}
+    val (hfs, root) = fs(spark, table)
+    val dirStr = resolveDir(hfs, root, version - 1L).getOrElse(
+      throw new IllegalArgumentException(
+        s"predecessor version ${version - 1} of $table is expired — the " +
+          "deferred delete's rows can no longer be enumerated; use " +
+          "diffVersions over surviving versions"))
+    val oldState = delStateOf(spark, table, version - 1L)
+    // del-state is append-only between consecutive versions (a CoW verb
+    // that resets it also changes the op away from "lazydelete"), so the
+    // suffix beyond the predecessor's entries is exactly what v added
+    val added = delStateOf(spark, table, version).drop(oldState.size)
+    val deleted = splitDirs(dirStr).map { d =>
+      val df = spark.read.parquet(new Path(root, d).toString)
+      val visible = delKeepFilter(oldState, d).map(df.where).getOrElse(df)
+      delKeepFilter(added, d) match {
+        case Some(keep) => visible.where(not(keep))
+        case None => visible.limit(0)
+      }
+    }.reduce(_ union _)
+    require(!deleted.columns.contains("__ver") &&
+      !deleted.columns.contains("__op"),
+      s"$table carries reserved columns __ver/__op — its deferred " +
+        "deletes cannot synthesize a change feed")
+    deleted.withColumn("__op", lit("d")).withColumn("__ver", lit(1L))
   }
 
   private val cdfDirName = "_cdf"
@@ -749,7 +823,11 @@ object VersionedTable {
         "first (the _cdf/ dir is the opt-in marker)")
     import org.apache.spark.sql.functions.lit
     versions(spark, table).filter { v =>
-      opOf(spark, table, v).contains("merge") && {
+      // merges mirror their persisted _changes batch; deferred deletes
+      // mirror their synthesized delete rows (readChanges derives them
+      // from the predecessor snapshot) — so one DELETE ... DEFERRED no
+      // longer silently vanishes from every downstream subscription
+      opOf(spark, table, v).exists(o => o == "merge" || o == "lazydelete") && {
         val target = new Path(cdfRoot, cdfVersionDirName(v))
         !hfs.exists(target) && {
           val tmp = new Path(cdfRoot, s".tmp-${UUID.randomUUID}")
@@ -763,13 +841,19 @@ object VersionedTable {
           try { fc.rename(tmp, target,
             org.apache.hadoop.fs.Options.Rename.NONE); true }
           catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.io.IOException =>
-              // lost a concurrent-mirror race (or the slot filled
-              // between probe and rename): theirs is complete, ours is
-              // surplus
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              // lost a concurrent-mirror race: theirs is complete, ours
+              // is surplus
               hfs.delete(tmp, true)
               hfs.exists(target)
+            case e: java.io.IOException =>
+              hfs.delete(tmp, true)
+              // only a FILLED slot proves a race; an empty slot means the
+              // rename genuinely failed (permissions, quota) — surface it
+              // rather than report the version as quietly unmirrored
+              // forever (the merge-path caller swallows NonFatal by
+              // design, but an explicit mirrorChangeFeed call must see it)
+              if (hfs.exists(target)) true else throw e
           }
         }
       }
@@ -798,14 +882,34 @@ object VersionedTable {
       deleteWhen: org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.lit(false),
       maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long =
+    mergeIntoKeys(spark, table, source, Seq(key), deleteWhen,
+      maxRecordsPerFile, batchId)
+
+  /** Composite-key [[mergeInto]]: the matched row is identified by the
+    * TUPLE of `keys` (same contract otherwise — ≤ 1 source row per key
+    * tuple, full-row upsert, conditional delete). Same one-hash-shuffle
+    * plan: the key arity changes the shuffle expression, never the pass
+    * count. What lets multi-key rollups ([[refreshRollup]]) ride the
+    * incremental path.
+    */
+  def mergeIntoKeys(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String],
+      deleteWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(false),
+      maxRecordsPerFile: Long = 5000000L,
       batchId: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{lit, when}
+    require(keys.nonEmpty, "mergeIntoKeys needs at least one key column")
     require(!source.columns.contains("__ver") && !source.columns.contains("__op"),
       "source must not carry reserved columns __ver/__op")
     val changes = source
       .withColumn("__op", when(deleteWhen, "d").otherwise("u"))
       .withColumn("__ver", lit(1L))
-    commitMerge(spark, table, changes, key, version = "__ver", op = "__op",
+    val baseVersion = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    commitMergeFromKeys(spark, table, baseVersion, changes, keys,
+      version = "__ver", op = "__op",
       maxRecordsPerFile = maxRecordsPerFile, batchId = batchId)
   }
 
@@ -1212,6 +1316,12 @@ object VersionedTable {
     * target version committed, or None when already current. Affected
     * keys whose groups vanished are deleted from the rollup.
     */
+  /** How one pending version proves its delta to [[refreshRollup]]. */
+  private sealed trait RollupDelta
+  private final case class AppendDelta(newDir: String) extends RollupDelta
+  private final case class MergeDelta(mergeKey: String) extends RollupDelta
+  private case object LazyDeleteDelta extends RollupDelta
+
   def refreshRollup(spark: SparkSession, baseTable: String,
       targetTable: String, keys: Seq[String],
       sumCols: Seq[String]): Option[Long] = {
@@ -1231,10 +1341,11 @@ object VersionedTable {
 
     val snapshot = readVersion(spark, baseTable, cur)
     val pending = applied.map(a => ((a + 1L) to cur).toSeq).getOrElse(Seq.empty)
-    // the incremental merge path rides mergeInto, whose replace-by-key
-    // contract is single-column; multi-key rollups stay correct via the
-    // full-recompute path every refresh
-    val rollupKey = keys.headOption.getOrElse("")
+    // composite rollups ride the same incremental path (r13): the target
+    // maintains by mergeIntoKeys over the key TUPLE, and every delta
+    // frame below selects all key columns — arity changes the shuffle
+    // expression, never the number of passes
+    val keyCols = keys.map(col)
     // Each pending version must prove its DELTA:
     //  - an appended version's delta IS its newly written dir (appends
     //    replace no rows, so no pre-image groups exist), provided the
@@ -1242,35 +1353,51 @@ object VersionedTable {
     //  - a merge version needs its change feed, its recorded merge key,
     //    the rollup key as a feed data column, and — when the merge key
     //    is NOT the rollup key — its PREDECESSOR snapshot (pre-image
-    //    recovery reads v-1) carrying both columns.
+    //    recovery reads v-1) carrying both columns;
+    //  - a deferred-delete version's delta is its SYNTHESIZED feed
+    //    ([[lazyDeleteChanges]]: the rows the new predicate removed from
+    //    v-1) — deletions only, so every touched group value comes from
+    //    an actual stored row (pre-image by construction, no stale-group
+    //    hazard); needs v-1 resolvable and a synthesizable schema.
     // Any gap means the range cannot be proven, so recompute everything —
     // never trust a feed that does not cover the range.
-    val deltaInfo: Seq[Option[(Long, Either[String, String])]] =
+    val deltaInfo: Seq[Option[(Long, RollupDelta)]] =
       pending.map { v =>
         resolveDir(hfs, baseRoot, v).flatMap { dirStr =>
           val newDir = splitDirs(dirStr).last
           if (opOf(spark, baseTable, v).contains("insert")) {
             val cols = spark.read.parquet(
               new Path(baseRoot, newDir).toString).columns.toSet
-            if (cols.contains(rollupKey)) Some((v, Left(newDir))) else None
+            if (keys.forall(cols.contains)) Some((v, AppendDelta(newDir)))
+            else None
+          } else if (opOf(spark, baseTable, v).contains("lazydelete")) {
+            if (resolveDir(hfs, baseRoot, v - 1L).isDefined &&
+                !snapshot.columns.contains("__ver") &&
+                !snapshot.columns.contains("__op"))
+              Some((v, LazyDeleteDelta))
+            else None
           } else if (!hfs.exists(
               new Path(new Path(baseRoot, newDir), changesDirName))) None
           else mergeKeyOf(spark, baseTable, v).flatMap { mk =>
             val feedCols = readChanges(spark, baseTable, v).columns.toSet
-            val preOk = mk == rollupKey || (resolveDir(hfs, baseRoot, v - 1L)
+            // pre-image recovery is unnecessary exactly when the rollup
+            // is keyed by the merge identity itself (a row can then
+            // never change group without being a feed post-image)
+            val preOk = keys == Seq(mk) || (resolveDir(hfs, baseRoot, v - 1L)
               .isDefined && {
                 val prevCols =
                   readVersion(spark, baseTable, v - 1L).columns.toSet
-                prevCols.contains(mk) && prevCols.contains(rollupKey)
+                prevCols.contains(mk) && keys.forall(prevCols.contains)
               })
-            if (feedCols.contains(rollupKey) && feedCols.contains(mk) && preOk)
-              Some((v, Right(mk)))
+            if (keys.forall(feedCols.contains) && feedCols.contains(mk) &&
+                preOk)
+              Some((v, MergeDelta(mk)))
             else None
           }
         }
       }
-    val plan: Option[Seq[(Long, Either[String, String])]] =
-      if (keys.size == 1 && pending.nonEmpty && deltaInfo.forall(_.isDefined))
+    val plan: Option[Seq[(Long, RollupDelta)]] =
+      if (pending.nonEmpty && deltaInfo.forall(_.isDefined))
         Some(deltaInfo.flatten)
       else None
     val feedsCover = plan.isDefined
@@ -1278,14 +1405,18 @@ object VersionedTable {
       case None => aggOf(snapshot) // first refresh / uncovered range
       case Some(entries) =>
         val touched = entries.map {
-          case (_, Left(newDir)) =>
+          case (_, AppendDelta(newDir)) =>
             // appended delta: the new dir's rows are exactly the change
             spark.read.parquet(new Path(baseRoot, newDir).toString)
-              .select(col(rollupKey))
-          case (v, Right(mk)) =>
+              .select(keyCols: _*)
+          case (v, LazyDeleteDelta) =>
+            // deferred delete: the synthesized feed names the touched
+            // groups exactly (the deleted rows' own group values)
+            readChanges(spark, baseTable, v).select(keyCols: _*)
+          case (v, MergeDelta(mk)) =>
           val feed = readChanges(spark, baseTable, v)
-          val post = feed.select(col(rollupKey))
-          if (mk == rollupKey) post
+          val post = feed.select(keyCols: _*)
+          if (keys == Seq(mk)) post
           else {
             // PRE-image groups: the stored rows this batch replaced or
             // deleted may sit in a DIFFERENT group than the change rows
@@ -1311,11 +1442,11 @@ object VersionedTable {
                 // the IN-list residual filter IS the semi-join here
                 readVersionPruned(spark, baseTable, v - 1L, Nil, Nil,
                     Seq(ColumnIn(mk, keyVals)))
-                  .select(col(rollupKey))
+                  .select(keyCols: _*)
               else readVersion(spark, baseTable, v - 1L)
-                .select(col(mk), col(rollupKey))
+                .select((keys :+ mk).distinct.map(col): _*)
                 .join(feed.select(col(mk)).distinct(), Seq(mk), "left_semi")
-                .select(col(rollupKey))
+                .select(keyCols: _*)
             post.unionByName(pre)
           }
         }.reduce(_ unionByName _).distinct()
@@ -1335,8 +1466,8 @@ object VersionedTable {
         Some(commitPinned(spark, fresh.where(col("n") > 0L), targetTable,
           base = tv, op = "rollup", batchId = Some(cur)))
       case Some(_) =>
-        Some(mergeInto(spark, targetTable, fresh,
-          key = keys.head, deleteWhen = col("n") === 0L,
+        Some(mergeIntoKeys(spark, targetTable, fresh,
+          keys, deleteWhen = col("n") === 0L,
           batchId = Some(cur)))
     }
   }
@@ -1670,10 +1801,14 @@ object VersionedTable {
     *    DML, OPTIMIZE, [[refreshRollup]], [[diffVersions]] — sees the
     *    filtered state because all of them read through [[readVersion]]
     *    / [[readVersionPruned]];
-    *  - [[refreshRollup]] treats a lazy-delete version as an uncovered
-    *    range (no change feed can enumerate the deleted rows without a
-    *    scan — [[readChanges]] refuses it) and falls back to the full
-    *    recompute: never a wrong answer;
+    *  - CDC consumers ride THROUGH a lazy-delete version:
+    *    [[readChanges]] synthesizes its delete rows on demand (the rows
+    *    the new predicate removed from the predecessor —
+    *    [[lazyDeleteChanges]]), the `_cdf` mirror publishes them to
+    *    streaming subscribers, and [[refreshRollup]] re-aggregates
+    *    exactly the deleted rows' groups incrementally; only the
+    *    consumer that asks pays the enumeration scan — the verb itself
+    *    stays O(metadata);
     *  - no constraint pass: removing rows cannot violate a row-level
     *    CHECK, so the gate every rewriting verb pays is skipped;
     *  - the predicate must ANALYZE against the base schema and be
@@ -1712,6 +1847,14 @@ object VersionedTable {
     val ref = writeDelSidecar(spark, table, state)
     publish(spark, table, base + 1L, baseDirs, op = "lazydelete",
       delRef = Some(ref))
+    // feed-enabled tables mirror the synthesized delete rows now (same
+    // self-healing tail as commitMerge's) — this is the one place a
+    // deferred delete pays an enumeration scan in the WRITE path, and
+    // only because the table opted into streaming CDC; the commit above
+    // stands regardless
+    if (hfs.exists(new Path(root, cdfDirName)))
+      try mirrorChangeFeed(spark, table)
+      catch { case scala.util.control.NonFatal(_) => () }
     base + 1L
   }
 

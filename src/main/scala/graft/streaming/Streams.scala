@@ -261,7 +261,13 @@ object Streams {
       : DataFrame = {
     val glob = s"$table/_cdf/v*"
     val s = schema.getOrElse {
-      try spark.read.parquet(glob).schema
+      // mergeSchema: unify across ALL mirrored batches, not whichever
+      // one the sampler picks — after an additive widening merge the
+      // newest batches carry columns the oldest lack, and a file stream
+      // pins its schema for life. (Columns added by merges AFTER the
+      // stream starts still need a restart — a file source cannot
+      // evolve; pass the target schema explicitly to front-run that.)
+      try spark.read.option("mergeSchema", "true").parquet(glob).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(

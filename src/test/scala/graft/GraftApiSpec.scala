@@ -1293,6 +1293,24 @@ class GraftApiSpec extends SparkSpec {
       (2L, 1.0, None)))
   }
 
+  test("interpolateLinear: tied ords around a gap fall back, never NaN") {
+    import spark.implicits._
+    // duplicate timestamp 1.0 carries both the null and its bounding
+    // known neighbors: the line is degenerate (0/0) — the null must take
+    // the previous known value, not NaN/Infinity
+    val df = Seq(
+      (1L, 1.0, 0L, Some(10.0)),
+      (1L, 1.0, 1L, Option.empty[Double]),
+      (1L, 1.0, 2L, Some(30.0))
+    ).toDF("k", "o", "tb", "v")
+    val got = Graft.interpolateLinear(df, col("k"), col("o"),
+        col("v"), tieBreak = col("tb"))
+      .orderBy(col("tb"))
+      .collect().map(_.getDouble(4))
+    assert(!got.exists(x => x.isNaN || x.isInfinite), got.mkString(","))
+    assert(got.toSeq == Seq(10.0, 10.0, 30.0), got.mkString(","))
+  }
+
   test("theilSenSlopes ignores the outlier that drags OLS") {
     import spark.implicits._
     // y = 2x exactly, except one wild outlier at x=5. OLS moves far from

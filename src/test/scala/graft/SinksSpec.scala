@@ -1096,6 +1096,42 @@ class SinksSpec extends SparkSpec {
     assert(gotB.getLong(1) == 2L && gotB.getLong(2) == 15L)
   }
 
+  test("two-key rollup group-move refresh rides the incremental path") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val base = tmp() + "/vt_mk_base"
+    val roll = tmp() + "/vt_mk_roll"
+    VersionedTable.commit(spark,
+      Seq((1L, "a", "x", 10L), (2L, "a", "y", 5L), (3L, "b", "x", 7L))
+        .toDF("id", "g1", "g2", "v"), base)
+    VersionedTable.refreshRollup(spark, base, roll,
+      Seq("g1", "g2"), Seq("v"))
+    assert(VersionedTable.readLatest(spark, roll).count() == 3L)
+    // a merge MOVES id=1 from (a,x) to (b,y): the pre-image group (a,x)
+    // must re-aggregate (and vanish), the post-image (b,y) must appear,
+    // untouched groups stay — all through the incremental path
+    VersionedTable.mergeInto(spark, base,
+      Seq((1L, "b", "y", 11L)).toDF("id", "g1", "g2", "v"), key = "id")
+    VersionedTable.refreshRollup(spark, base, roll,
+      Seq("g1", "g2"), Seq("v"))
+    val lastOp = VersionedTable.history(spark, roll)
+      .orderBy(col("version").desc).head().getString(4)
+    assert(lastOp == "merge", s"expected incremental path, got op=$lastOp")
+    val got = VersionedTable.readLatest(spark, roll)
+      .orderBy("g1", "g2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "y", 1L, 5L), ("b", "x", 1L, 7L),
+      ("b", "y", 1L, 11L)), got.mkString(","))
+    // and it stays exactly the full recompute (the IVM contract)
+    val scratch = tmp() + "/vt_mk_scratch"
+    VersionedTable.refreshRollup(spark, base, scratch,
+      Seq("g1", "g2"), Seq("v"))
+    val full = VersionedTable.readLatest(spark, scratch)
+      .orderBy("g1", "g2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(full.toSeq == got.toSeq)
+  }
+
   test("optimize and restore conflict instead of clobbering a racing commit") {
     import graft.sources.VersionedTable
     import spark.implicits._
@@ -1651,5 +1687,108 @@ class SinksSpec extends SparkSpec {
     VersionedTable.deleteWhereLazy(spark, tgt, "k >= 9")
     assert(VersionedTable.readLatest(spark, tgt).count() == 5)
     assert(VersionedTable.readLatest(spark, src).count() == 7)
+  }
+
+  test("deferred deletes synthesize an exact, scoped change feed") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_lazy_cdc"
+    VersionedTable.commit(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v"), t)
+    VersionedTable.deleteWhereLazy(spark, t, "k <= 2")           // v2
+    // v2's feed is exactly the deleted rows, mergeInto-tagged
+    val f2 = VersionedTable.readChanges(spark, t, 2L)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(f2.toSeq == Seq((1L, 10L, "d"), (2L, 20L, "d")), f2.mkString(","))
+    // an append lands a row MATCHING the first predicate (k=0 — out of
+    // its scope, so it survives), then a second delete spans both dirs:
+    // its feed reports ONLY the newly deleted rows — k=1,2 are already
+    // gone and never re-report; (4,40) falls in dir1, (0,60) in dir2
+    VersionedTable.append(spark, t,
+      Seq((0L, 60L), (5L, 1L)).toDF("k", "v"))                   // v3
+    VersionedTable.deleteWhereLazy(spark, t, "v >= 40")          // v4
+    val f4 = VersionedTable.readChanges(spark, t, 4L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(f4.toSeq == Seq((0L, "d"), (4L, "d")), f4.mkString(","))
+    assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 5L))
+    // the _cdf mirror now carries deferred-delete versions too
+    VersionedTable.enableChangeFeed(spark, t)
+    val mirrored = new java.io.File(t + "/_cdf").listFiles
+      .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(mirrored == Seq("v00000002", "v00000004"), mirrored)
+  }
+
+  test("refreshRollup rides the incremental path across a deferred delete") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val base = tmp() + "/vt_lazy_roll_base"
+    val roll = tmp() + "/vt_lazy_roll_tgt"
+    VersionedTable.commit(spark,
+      Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L))
+        .toDF("id", "grp", "v"), base)
+    VersionedTable.refreshRollup(spark, base, roll, Seq("grp"), Seq("v"))
+    VersionedTable.deleteWhereLazy(spark, base, "v <= 5")
+    VersionedTable.refreshRollup(spark, base, roll, Seq("grp"), Seq("v"))
+    // incremental (op merge), not full recompute (op rollup)
+    val lastOp = VersionedTable.history(spark, roll)
+      .orderBy(col("version").desc).head().getString(4)
+    assert(lastOp == "merge", s"expected incremental path, got op=$lastOp")
+    val got = VersionedTable.readLatest(spark, roll).orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L, 10L), ("b", 1L, 7L)), got.mkString(","))
+    // a delete that ERASES a whole group must drop it from the rollup
+    VersionedTable.deleteWhereLazy(spark, base, "grp = 'b'")
+    VersionedTable.refreshRollup(spark, base, roll, Seq("grp"), Seq("v"))
+    val after = VersionedTable.readLatest(spark, roll).orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSeq == Seq(("a", 1L, 10L)), after.mkString(","))
+  }
+
+  test("readChanges refuses zero-copy bootstraps (clone/convert)") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = tmp()
+    val src = dir + "/vt_attr_src"
+    val tgt = dir + "/vt_attr_tgt"
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), src)
+    VersionedTable.mergeInto(spark, src,
+      Seq((2L, "b")).toDF("k", "v"), key = "k")
+    // src v2's dir carries a _changes sidecar from the SOURCE merge; a
+    // clone of v2 references that dir as its own v1 — handing that batch
+    // to a CDC consumer polling the clone would double-apply it
+    VersionedTable.shallowClone(spark, tgt, src)
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, tgt, 1L))
+    assert(e.getMessage.contains("clone"), e.getMessage)
+    // convert: the adopted dir is foreign by the same argument
+    val raw = dir + "/raw_parquet"
+    Seq((5L, "x")).toDF("k", "v").write.parquet(raw)
+    val cvt = dir + "/vt_attr_cvt"
+    VersionedTable.convert(spark, cvt, raw)
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, cvt, 1L))
+  }
+
+  test("resolveDir: legacy dir-less manifest degrades iff data/v=N exists") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_legacy"
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    // a pre-writer-unique-layout build committed v2: manifest body has
+    // no dir field, data lives at the fixed data/v=2
+    Seq((2L, "b")).toDF("k", "v").write.parquet(t + "/data/v=2")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_manifests", "v00000002.json"),
+      """{"version": 2}""".getBytes("UTF-8"))
+    assert(VersionedTable.readVersion(spark, t, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "b")))
+    // a dir-less manifest with NO legacy dir on disk stays a loud error
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_manifests", "v00000003.json"),
+      """{"version": 3}""".getBytes("UTF-8"))
+    intercept[IllegalStateException](
+      VersionedTable.readVersion(spark, t, 3L))
   }
 }

@@ -532,5 +532,19 @@ class StreamingSpec extends SparkSpec {
     val before = VersionedTable.versions(spark, silver)
     replicate()
     assert(VersionedTable.versions(spark, silver) == before)
+    // a DEFERRED delete upstream flows through the feed too: its rows
+    // are synthesized (not persisted — the verb is O(metadata)), the
+    // mirror publishes them, and the replica converges across the mixed
+    // merge + lazy-delete backlog in one drain
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((4L, 40L), (5L, 50L)).toDF("k", "v"), key = "k")
+    VersionedTable.deleteWhereLazy(spark, bronze, "v >= 50")
+    replicate()
+    val bronzeState = VersionedTable.readLatest(spark, bronze)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bronzeState == Set((1L, 12L), (4L, 40L)), bronzeState)
+    assert(VersionedTable.readLatest(spark, silver)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == bronzeState)
   }
 }
