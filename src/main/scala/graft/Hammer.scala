@@ -12,21 +12,35 @@ import graft.sources.VersionedTable
   * claims (the spec-sized version lives in SinksSpec; this one runs a
   * larger mixed-verb brawl and records the evidence).
   *
-  * Shape: N merge writers each upsert THEIR OWN key `perWriter` times
-  * (read-modify-write against latest, so any lost update shows up as a
-  * final count below `perWriter`); one DML writer bumps a dedicated row
-  * through copy-on-write `updateWhere`; one append writer drip-inserts
-  * fresh rows through O(new-data) `append`; one maintenance thread loops
-  * `optimize` + `compactManifests` + `vacuum` against the churn. Every
-  * verb retries on [[VersionedTable.CommitConflictException]] — the
-  * protocol's contract is "conflict, retry", never "silently lose".
+  * Phase 1 (the brawl): N merge writers each upsert THEIR OWN key
+  * `perWriter` times (read-modify-write against latest, so any lost
+  * update shows up as a final count below `perWriter`); one DML writer
+  * bumps a dedicated row through copy-on-write `updateWhere`; one
+  * OVERWRITE writer bumps its own one-row region through
+  * `overwriteWhere` (replaceWhere semantics — the r12 verb a publish
+  * race would now hide in); one append writer drip-inserts fresh rows
+  * through O(new-data) `append`; one LAZY-DELETE writer appends a
+  * sacrificial row then `deleteWhereLazy`s it (racing OPTIMIZE's
+  * materialize-and-reset of the del stack); one maintenance thread
+  * loops `optimize` + `compactManifests` + `vacuum` against the churn.
+  * Every verb retries on [[VersionedTable.CommitConflictException]] —
+  * the protocol's contract is "conflict, retry", never "silently lose".
   *
-  * Invariants checked after the brawl (exit non-zero on any failure):
-  *  - the version chain is GAP-FREE 1..latest: every successful verb
+  * Phase 2 (restore contention): with writers quiesced, racing
+  * `restore(latest)` threads brawl over the tail — every restore
+  * replays identical content, so ANY interleaving must leave the state
+  * bit-identical while each success claims exactly one version.
+  *
+  * Phase 3 (clone-then-race): `shallowClone` the table, then race merge
+  * writers on the CLONE against append writers on the SOURCE — the
+  * zero-copy fork must give complete isolation both ways.
+  *
+  * Invariants checked after all phases (exit non-zero on any failure):
+  *  - both version chains are GAP-FREE 1..latest: every successful verb
   *    claimed exactly one version, no manifest was overwritten or lost;
-  *  - zero lost updates: each merge writer's final count == perWriter,
-  *    the DML row's count == its successful updates, the appended row
-  *    count == successful appends;
+  *  - zero lost updates across every verb's dedicated region;
+  *  - lazy-deleted rows stay deleted (whether a concurrent OPTIMIZE
+  *    materialized them or the read path still filters);
   *  - every version still resolves and reads after compaction + vacuum
   *    ran concurrently with the writers;
   *  - conflicts were actually OBSERVED (a race that never collided
@@ -52,22 +66,40 @@ object Hammer {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val t = java.nio.file.Files.createTempDirectory("graft-hammer")
-      .toString + "/table"
+    val root = java.nio.file.Files.createTempDirectory("graft-hammer")
+      .toString
+    val t = root + "/table"
     val DmlKey = -999L
+    val OwKey = -5000L
     VersionedTable.commit(spark,
-      Seq((DmlKey, 0L)).toDF("writer", "commits"), t)
+      Seq((DmlKey, 0L), (OwKey, 0L)).toDF("writer", "commits"), t)
 
     val conflicts = new AtomicLong(0)
     val updates = new AtomicLong(0)
+    val overwrites = new AtomicLong(0)
     val appends = new AtomicLong(0)
+    val sacAppends = new AtomicLong(0)
+    val lazyDeletes = new AtomicLong(0)
     val optimizes = new AtomicLong(0)
+    val restores = new AtomicLong(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val stopMaint = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def guarded(body: => Unit): Unit =
       try body catch { case e: Throwable => failures.add(e) }
+    def retrying(counter: AtomicLong)(body: => Unit): Unit = {
+      var done = false
+      while (!done && failures.isEmpty) {
+        try { body; done = true }
+        catch {
+          case _: VersionedTable.CommitConflictException =>
+            conflicts.incrementAndGet()
+        }
+      }
+      if (done) { counter.incrementAndGet(); () }
+    }
 
+    // ---- phase 1: the mixed-verb brawl --------------------------------
     val mergeThreads = (0 until writers).map { w =>
       new Thread(() => guarded {
         var done = 0
@@ -88,31 +120,57 @@ object Hammer {
       }, s"merge-$w")
     }
     val dmlThread = new Thread(() => guarded {
-      var done = 0
-      while (done < perWriter && failures.isEmpty) {
-        try {
+      (0 until perWriter).foreach { _ =>
+        retrying(updates) {
           VersionedTable.updateWhere(spark, t, col("writer") === DmlKey,
             Map("commits" -> (col("commits") + lit(1L))))
-          done += 1; updates.incrementAndGet()
-        } catch {
-          case _: VersionedTable.CommitConflictException =>
-            conflicts.incrementAndGet()
         }
       }
     }, "dml")
+    val overwriteThread = new Thread(() => guarded {
+      // replaceWhere the one-row OwKey region with its incremented dual:
+      // the read-increment-swap is the same lost-update shape as the DML
+      // row, but through the r12 overwrite path
+      (0 until perWriter).foreach { _ =>
+        var done = false
+        while (!done && failures.isEmpty) {
+          val cur = VersionedTable.readLatest(spark, t)
+            .where(col("writer") === OwKey).head().getLong(1)
+          try {
+            VersionedTable.overwriteWhere(spark, t,
+              col("writer") === OwKey,
+              Seq((OwKey, cur + 1L)).toDF("writer", "commits"))
+            done = true; overwrites.incrementAndGet()
+          } catch {
+            case _: VersionedTable.CommitConflictException =>
+              conflicts.incrementAndGet()
+          }
+        }
+      }
+    }, "overwrite")
     val appendThread = new Thread(() => guarded {
-      var done = 0
-      while (done < perWriter && failures.isEmpty) {
-        try {
+      (0 until perWriter).foreach { _ =>
+        retrying(appends) {
           VersionedTable.append(spark, t,
             Seq((1000L + appends.get(), 0L)).toDF("writer", "commits"))
-          done += 1; appends.incrementAndGet()
-        } catch {
-          case _: VersionedTable.CommitConflictException =>
-            conflicts.incrementAndGet()
         }
       }
     }, "append")
+    val lazyThread = new Thread(() => guarded {
+      // append a sacrificial row, then deferred-delete it — racing the
+      // maintenance thread's OPTIMIZE, which materializes the del stack
+      // and resets it mid-flight
+      (0 until perWriter).foreach { i =>
+        val k = 2000L + i
+        retrying(sacAppends) {
+          VersionedTable.append(spark, t,
+            Seq((k, 0L)).toDF("writer", "commits"))
+        }
+        retrying(lazyDeletes) {
+          VersionedTable.deleteWhereLazy(spark, t, s"writer = $k")
+        }
+      }
+    }, "lazydelete")
     val maintThread = new Thread(() => guarded {
       while (!stopMaint.get() && failures.isEmpty) {
         try {
@@ -129,12 +187,67 @@ object Hammer {
     }, "maintenance")
 
     val t0 = System.nanoTime()
-    val all = mergeThreads ++ Seq(dmlThread, appendThread)
+    val all = mergeThreads ++
+      Seq(dmlThread, overwriteThread, appendThread, lazyThread)
     all.foreach(_.start()); maintThread.start()
     all.foreach(_.join(600000))
     stopMaint.set(true); maintThread.join(600000)
+
+    // ---- phase 2: restore contention (quiesced writers) ---------------
+    // every racer restores the CURRENT latest: content is identical no
+    // matter who wins which version slot, so the state must come out
+    // bit-identical while the chain grows by exactly the success count
+    val stateBefore = VersionedTable.readLatest(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val restoreThreads = (0 until 4).map { i =>
+      new Thread(() => guarded {
+        (0 until 2).foreach { _ =>
+          retrying(restores) {
+            val latest = VersionedTable.latestVersion(spark, t).get
+            VersionedTable.restore(spark, t, latest)
+          }
+        }
+      }, s"restore-$i")
+    }
+    restoreThreads.foreach(_.start()); restoreThreads.foreach(_.join(600000))
+
+    // ---- phase 3: clone-then-race --------------------------------------
+    val c = root + "/clone"
+    VersionedTable.shallowClone(spark, c, t)
+    val cloneMergers = (0 until 4).map { w =>
+      new Thread(() => guarded {
+        var done = 0
+        while (done < perWriter && failures.isEmpty) {
+          val key = 9000L + w
+          val mine = VersionedTable.readLatest(spark, c)
+            .where(col("writer") === key).collect()
+          val cur = if (mine.isEmpty) 0L else mine.head.getLong(1)
+          try {
+            VersionedTable.mergeInto(spark, c,
+              Seq((key, cur + 1L)).toDF("writer", "commits"),
+              key = "writer")
+            done += 1
+          } catch {
+            case _: VersionedTable.CommitConflictException =>
+              conflicts.incrementAndGet()
+          }
+        }
+      }, s"clone-merge-$w")
+    }
+    val srcAppends = new AtomicLong(0)
+    val srcAppender = new Thread(() => guarded {
+      (0 until perWriter).foreach { _ =>
+        retrying(srcAppends) {
+          VersionedTable.append(spark, t,
+            Seq((3000L + srcAppends.get(), 0L)).toDF("writer", "commits"))
+        }
+      }
+    }, "src-append")
+    (cloneMergers :+ srcAppender).foreach(_.start())
+    (cloneMergers :+ srcAppender).foreach(_.join(600000))
     val wallS = (System.nanoTime() - t0) / 1e9
 
+    // ---- invariants -----------------------------------------------------
     var failed = failures.size()
     failures.forEach(e => System.err.println(s"[hammer] writer died: $e"))
     def check(name: String, ok: Boolean, detail: => String): Unit =
@@ -142,9 +255,11 @@ object Hammer {
 
     val vs = VersionedTable.versions(spark, t)
     val expectVersions =
-      1L + writers * perWriter + updates.get() + appends.get() + optimizes.get()
+      1L + writers * perWriter + updates.get() + overwrites.get() +
+        appends.get() + sacAppends.get() + lazyDeletes.get() +
+        optimizes.get() + restores.get() + srcAppends.get()
     check("gap-free chain", vs == (1L to vs.last) && vs.last == expectVersions,
-      s"versions=$vs expected 1..$expectVersions")
+      s"versions=${vs.last} expected 1..$expectVersions")
     val finalRows = VersionedTable.readLatest(spark, t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     check("no lost merge updates",
@@ -153,20 +268,53 @@ object Hammer {
       s"final=$finalRows")
     check("no lost DML updates",
       finalRows.get(DmlKey).contains(updates.get()), s"final=$finalRows")
+    check("no lost overwrites",
+      finalRows.get(OwKey).contains(overwrites.get()), s"final=$finalRows")
     check("no lost appends",
-      finalRows.keys.count(_ >= 1000L) == appends.get(), s"final=$finalRows")
+      finalRows.keys.count(k => k >= 1000L && k < 2000L) == appends.get(),
+      s"final=$finalRows")
+    check("lazy-deleted rows stay deleted",
+      finalRows.keys.count(k => k >= 2000L && k < 3000L) ==
+        sacAppends.get() - lazyDeletes.get(),
+      s"final=$finalRows sac=${sacAppends.get()} del=${lazyDeletes.get()}")
+    check("restore contention left state bit-identical",
+      finalRows.filter(_._1 < 3000L) == stateBefore.filter(_._1 < 3000L),
+      s"before=$stateBefore after=$finalRows")
     check("every version reads post-compaction",
       vs.forall(v => VersionedTable.readVersion(spark, t, v).count() >= 1L),
       "a compacted/vacuumed version failed to resolve")
+    // clone isolation both ways
+    val cvs = VersionedTable.versions(spark, c)
+    check("clone chain gap-free",
+      cvs == (1L to cvs.last) && cvs.last == 1L + 4L * perWriter,
+      s"clone versions=$cvs")
+    val cloneRows = VersionedTable.readLatest(spark, c).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check("clone merges all landed",
+      (0 until 4).forall(w => cloneRows.get(9000L + w)
+        .contains(perWriter.toLong)),
+      s"clone=$cloneRows")
+    check("source appends invisible to clone",
+      !cloneRows.keys.exists(_ >= 3000L) || cloneRows.keys
+        .filter(k => k >= 3000L && k < 4000L).isEmpty,
+      s"clone=$cloneRows")
+    check("clone merges invisible to source",
+      !finalRows.keys.exists(_ >= 9000L), s"final=$finalRows")
     check("races actually collided", conflicts.get() > 0,
       "zero conflicts observed — raise writers/commits")
 
     val lost = (0 until writers).count(w =>
       !finalRows.get(w.toLong).contains(perWriter.toLong)) +
-      (if (finalRows.get(DmlKey).contains(updates.get())) 0 else 1)
+      (if (finalRows.get(DmlKey).contains(updates.get())) 0 else 1) +
+      (if (finalRows.get(OwKey).contains(overwrites.get())) 0 else 1)
     val json = s"""{"writers":$writers,"per_writer":$perWriter,""" +
       s""""merges":${writers * perWriter},"dml_updates":${updates.get()},""" +
-      s""""appends":${appends.get()},"optimizes":${optimizes.get()},""" +
+      s""""overwrites":${overwrites.get()},""" +
+      s""""appends":${appends.get() + srcAppends.get()},""" +
+      s""""lazy_deletes":${lazyDeletes.get()},""" +
+      s""""restores":${restores.get()},""" +
+      s""""clone_merges":${4 * perWriter},""" +
+      s""""optimizes":${optimizes.get()},""" +
       s""""conflicts":${conflicts.get()},"versions":${vs.last},""" +
       s""""lost_updates":$lost,"failures":$failed,""" +
       f""""wall_s":$wallS%.1f}"""

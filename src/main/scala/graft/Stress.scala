@@ -36,14 +36,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Stress {
 
-  /** The stress set: the 10 heaviest operators by bench cost, covering
+  /** The stress set: the heaviest operators by bench cost, covering
     * every join-explosion-prone family (banded/blocked pair generation,
-    * iterated CC, exploded shingles, per-key spines, basket self-join).
+    * iterated CC, exploded shingles, per-key spines, basket self-join)
+    * plus the r12/r13 heavies: the one-pass corpus-similarity shingle
+    * plan, the chunked-scan vocabulary growth curve, the churn-bound
+    * rollup pre-image recovery, and the merge-on-read lazy-delete read
+    * path (pushed keep-filters over a multi-dir snapshot).
     */
   val heavyQueries: Seq[String] = Seq(
     "q31_simhash_hamming", "q50_resample", "q74_survivorship",
     "q69_containment", "q31_ngram_jaccard", "q31_minhash_lsh",
-    "q31_dup_clusters", "q55_boilerplate", "q88_itemsets", "q30_decontam")
+    "q31_dup_clusters", "q55_boilerplate", "q88_itemsets", "q30_decontam",
+    "q157_corpus_sim", "q170_vocab_growth", "q153_rollup_move",
+    "q175_lazy_delete")
 
   private val IdStride = 1000000000L
 

@@ -1933,6 +1933,250 @@ object Analytics {
              |FROM x
              |WHERE prev IS NOT NULL AND next IS NOT NULL
              |  AND n > prev AND n > next
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // Q178 — winsorized mean per event type (r13): clamp at the exact
+    // p05/p95 percentiles (the established percentile ≡ quantile_cont
+    // pairing), then compare the raw and winsorized means — the robust
+    // location estimate an A/B readout should quote when q171's fences
+    // say the tails are wild; clamping keeps n (unlike trimming), so
+    // downstream weights are undisturbed. The 5-row bounds table
+    // broadcasts back over the fact scan.
+    Q("q178_winsorize",
+      (s, d) => {
+        val ev = Tables(s, d, "events").where(col("value").isNotNull)
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.05)").as("lo"),
+            expr("percentile(value, 0.95)").as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .withColumn("wv", when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+            Exact.round6(Exact.davg(col("value"))).as("raw_mean"),
+            Exact.round6(Exact.davg(col("wv"))).as("winsor_mean"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH b AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.05) AS lo,
+             |    quantile_cont(value, 0.95) AS hi
+             |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+             |w AS (
+             |  SELECT e.event_type, e.value, b.lo, b.hi,
+             |    CASE WHEN e.value < b.lo THEN b.lo
+             |         WHEN e.value > b.hi THEN b.hi
+             |         ELSE e.value END AS wv
+             |  FROM events e JOIN b USING (event_type)
+             |  WHERE e.value IS NOT NULL)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_lo,
+             |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hi,
+             |  ${Exact.sqlRound6(Exact.sqlAvg("value"))} AS raw_mean,
+             |  ${Exact.sqlRound6(Exact.sqlAvg("wv"))} AS winsor_mean
+             |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q180 — funnel step latency (r13): q30_funnel counts who converts,
+    // this measures HOW FAST — per user, first view, first click AT OR
+    // AFTER it, first purchase at or after that (the order-respecting
+    // chain, not min-per-type), then the median seconds per step. Each
+    // step is one type-filtered scan (the filter pushes down) hash-joined
+    // on user — no window over raw events.
+    Q("q180_funnel_latency",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, Seq("user_id")).where(col("ts") >= col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).where(col("ts") >= col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (unix_micros(col("t_click")) - unix_micros(col("t_view")))
+              .as("vc_us"),
+            (unix_micros(col("t_buy")) - unix_micros(col("t_click")))
+              .as("cb_us"))
+          .agg(count(lit(1)).as("n_view_users"),
+            count(col("vc_us")).as("n_clicked"),
+            count(col("cb_us")).as("n_purchased"),
+            Exact.round6(expr("percentile(vc_us, 0.5)") / 1000000.0)
+              .as("med_view_click_s"),
+            Exact.round6(expr("percentile(cb_us, 0.5)") / 1000000.0)
+              .as("med_click_buy_s"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t_click
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t_buy
+             |  FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+             |  GROUP BY 1),
+             |lags AS (
+             |  SELECT v.user_id,
+             |    epoch_us(c.t_click) - epoch_us(v.t_view) AS vc_us,
+             |    epoch_us(p.t_buy) - epoch_us(c.t_click) AS cb_us
+             |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+             |SELECT CAST(count(*) AS BIGINT) AS n_view_users,
+             |  CAST(count(vc_us) AS BIGINT) AS n_clicked,
+             |  CAST(count(cb_us) AS BIGINT) AS n_purchased,
+             |  round(quantile_cont(vc_us, 0.5) / 1000000.0, 6) + 0.0
+             |    AS med_view_click_s,
+             |  round(quantile_cont(cb_us, 0.5) / 1000000.0, 6) + 0.0
+             |    AS med_click_buy_s
+             |FROM lags""".stripMargin)),
+
+    // Q181 — seasonal-naive backtest (r13): score the FORECAST BASELINE
+    // every fancier model must beat — predict each day's revenue with the
+    // value 7 days earlier and report MAE/MAPE; the accuracy companion to
+    // q147_holt's smoother and q106's seasonality decomposition. One
+    // calendar-bounded daily rollup + a lag-7 window (documented bounded
+    // family), then one global aggregate.
+    Q("q181_snaive_error",
+      (s, d) => {
+        val w = Window.orderBy(col("day")) // calendar-sized daily rollup
+        Tables(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(Exact.dsum(col("o_totalprice")).as("rev"))
+          .withColumn("pred", lag(col("rev"), 7).over(w))
+          .where(col("pred").isNotNull)
+          .agg(count(lit(1)).as("n_days"),
+            Exact.round6(Exact.davg(abs(col("rev") - col("pred"))))
+              .as("mae"),
+            Exact.round6(
+              Exact.davg(abs(col("rev") - col("pred")) / col("rev")))
+              .as("mape"))
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    ${Exact.sqlSum("o_totalprice")} AS rev
+             |  FROM orders GROUP BY 1),
+             |x AS (
+             |  SELECT day, rev, lag(rev, 7) OVER (ORDER BY day) AS pred
+             |  FROM daily)
+             |SELECT CAST(count(*) AS BIGINT) AS n_days,
+             |  ${Exact.sqlRound6(Exact.sqlAvg("abs(rev - pred)"))} AS mae,
+             |  ${Exact.sqlRound6(Exact.sqlAvg("abs(rev - pred) / rev"))}
+             |    AS mape
+             |FROM x WHERE pred IS NOT NULL""".stripMargin)),
+
+    // Q184 — supplier shipping-lag profile (r13): days from order date to
+    // each line's ship date, per supplier — mean, exact p90, and the
+    // late-rate (> 60 days), the supply-chain SLA readout. One fact-side
+    // hash join on the order key (both sides big — the shuffle is on the
+    // join key and nothing else), then a supplier-keyed aggregate.
+    Q("q184_ship_lag",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("lag_d",
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+              .cast(LongType))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            Exact.round6(Exact.davg(col("lag_d"))).as("mean_lag_d"),
+            Exact.round6(expr("percentile(lag_d, 0.9)")).as("p90_lag_d"),
+            sum(when(col("lag_d") > 60L, 1L).otherwise(0L)).as("n_late"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some(s"""WITH j AS (
+             |  SELECT l_suppkey,
+             |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_d
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+             |  ${Exact.sqlRound6(Exact.sqlAvg("lag_d"))} AS mean_lag_d,
+             |  round(quantile_cont(lag_d, 0.9), 6) + 0.0 AS p90_lag_d,
+             |  CAST(sum(CASE WHEN lag_d > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_late
+             |FROM j GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // Q185 — peak session concurrency per day (r13): sweep-line interval
+    // concurrency — each user-day [first event, last event] contributes a
+    // +1/−1 point, a day-keyed running sum walks the boundary events in
+    // (time, starts-first) order, and the max is the day's peak load (the
+    // capacity-planning number q93's rolling DAU cannot give). Points per
+    // day are 2×users — the window is user-bounded, never event-sized;
+    // starts sort before ends at the same instant so touching intervals
+    // count as overlapping.
+    Q("q185_concurrency",
+      (s, d) => {
+        val iv = Tables(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val pts = iv.select(col("day"), col("st").as("t"),
+            lit(1).as("delta"), col("user_id"))
+          .unionByName(iv.select(col("day"), col("en").as("t"),
+            lit(-1).as("delta"), col("user_id")))
+        val w = Window.partitionBy(col("day"))
+          .orderBy(col("t"), col("delta").desc, col("user_id"))
+        pts.withColumn("conc", sum(col("delta")).over(w))
+          .groupBy(col("day"))
+          .agg(sum(when(col("delta") === 1, 1L).otherwise(0L))
+            .as("n_sessions"),
+            max(col("conc")).as("peak"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    min(ts) AS st, max(ts) AS en
+             |  FROM events GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT day, st AS t, 1 AS delta, user_id FROM iv
+             |  UNION ALL
+             |  SELECT day, en AS t, -1 AS delta, user_id FROM iv),
+             |r AS (
+             |  SELECT day, delta, sum(delta) OVER (
+             |    PARTITION BY day ORDER BY t, delta DESC, user_id) AS conc
+             |  FROM pts)
+             |SELECT day,
+             |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sessions,
+             |  CAST(max(conc) AS BIGINT) AS peak
+             |FROM r GROUP BY day ORDER BY day""".stripMargin)),
+
+    // Q186 — recency-weighted user value (r13): Σ value · 1/(1 + age/7d)
+    // per user against the corpus's newest event — the decayed engagement
+    // score a sampler or mixture-weighter ranks users by, where a plain
+    // sum never forgets. Hyperbolic (rational) decay keeps every term in
+    // exact double arithmetic cross-engine (an exp()-based half-life
+    // would ride libm's last-ulp differences); the decayed sum rides the
+    // exact decimal-sum pairing.
+    Q("q186_decayed_value",
+      (s, d) => {
+        val ev = Tables(s, d, "events").where(col("value").isNotNull)
+        val refUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val age = (lit(refUs) - unix_micros(col("ts"))).cast(DoubleType) /
+          lit(86400000000.0)
+        ev.withColumn("dv",
+            col("value") * (lit(1.0) / (lit(1.0) + age / lit(7.0))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            Exact.round6(Exact.dsum(col("dv"))).as("decayed_value"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH ref AS (
+             |  SELECT max(epoch_us(ts)) AS r FROM events
+             |  WHERE value IS NOT NULL)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  ${Exact.sqlRound6(Exact.sqlSum(
+                  "value * (1.0 / (1.0 + (CAST(r - epoch_us(ts) AS DOUBLE)" +
+                  " / 86400000000.0) / 7.0))"))} AS decayed_value
+             |FROM events, ref WHERE value IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

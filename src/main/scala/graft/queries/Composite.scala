@@ -2512,6 +2512,62 @@ object Composite {
              |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_transitions,
              |  CAST(count(*) AS BIGINT) AS n_pairs,
              |  -sum(p * ln(p)) AS entropy
-             |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q177 — composite-key lakehouse MERGE (r13): a per-(user, event
+    // type) rollup table maintained by `mergeIntoKeys` — rows are
+    // identified by the KEY TUPLE, the generalization that also lets
+    // multi-key rollups ride refreshRollup's incremental path. The
+    // scenario: bootstrap from the first 15 days, then one merge
+    // replaces exactly the pairs active in the remainder with their
+    // full-period aggregates (≤1 source row per tuple by construction).
+    // The oracle replays the replace-by-tuple relationally; same
+    // one-hash-shuffle plan as the single-key merge — arity changes the
+    // shuffle expression, never the pass count.
+    Q("q177_multikey_merge",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = scratchDir("graft-vtable-mkq") + "/t"
+        val ev = Tables(s, d, "events")
+        val splitUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0) +
+          15L * 86400L * 1000000L
+        def roll(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              graft.Exact.round6(graft.Exact.dsum(col("value")))
+                .as("sum_value"))
+        VersionedTable.commit(s,
+          roll(ev.where(unix_micros(col("ts")) < splitUs)), dir)
+        val active = ev.where(unix_micros(col("ts")) >= splitUs)
+          .select(col("user_id"), col("event_type")).distinct()
+        VersionedTable.mergeIntoKeys(s, dir,
+          roll(ev).join(active, Seq("user_id", "event_type"), "left_semi"),
+          Seq("user_id", "event_type"))
+        VersionedTable.readLatest(s, dir)
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some(s"""WITH sp AS (
+             |  SELECT min(epoch_us(ts)) + CAST(15 AS BIGINT) * 86400
+             |    * 1000000 AS s
+             |  FROM events),
+             |fh AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             |    ${graft.Exact.sqlRound6(graft.Exact.sqlSum("value"))}
+             |      AS sum_value
+             |  FROM events, sp WHERE epoch_us(ts) < s GROUP BY 1, 2),
+             |act AS (
+             |  SELECT DISTINCT user_id, event_type FROM events, sp
+             |  WHERE epoch_us(ts) >= s),
+             |fp AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             |    ${graft.Exact.sqlRound6(graft.Exact.sqlSum("value"))}
+             |      AS sum_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT fp.* FROM fp
+             |SEMI JOIN act USING (user_id, event_type)
+             |UNION ALL
+             |SELECT fh.* FROM fh
+             |ANTI JOIN act USING (user_id, event_type)
+             |ORDER BY user_id, event_type""".stripMargin))
   )
 }

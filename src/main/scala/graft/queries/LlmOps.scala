@@ -703,21 +703,37 @@ object LlmOps {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM clean GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    // Q34c — multimodal decode pipeline (engine-verified: the stub codec
-    // has no SQL analog): binary payload columns through the batched
-    // mapPartitions decoder, aggregated per mime type. Exposes
-    // graft.operators.Multimodal through the declared surface.
+    // Q34c — multimodal decode pipeline, REAL bytes end to end (r13): the
+    // pipeline writes a deterministic PNG set with ImageIO (sizes 8+i ×
+    // 4+(i%7), i<24, plus two corrupt payloads), ingests it through the
+    // binaryFile source, and batch-decodes with the real ImageIO codec in
+    // mapPartitions. The oracle is the CLOSED FORM of that construction:
+    // 24 decodable PNGs (min width 8, max height 10) whose 16-bin
+    // luminance histograms each sum to 1 (24.0 total mass), and 2
+    // quarantined corrupt rows (-1 dims, zero mass) — decode dims,
+    // histogram normalization, and the quarantine path all check
+    // cross-engine against the formula.
     Q("q34_decode",
       (s, d) => {
         import s.implicits._
-        val decoded = graft.operators.Multimodal.pipeline(s, d)
-        decoded.toDF()
+        val decoded = graft.operators.Multimodal.pipeline(s, d).toDF()
+        decoded
+          .withColumn("fsum", coalesce(
+            aggregate(col("features"), lit(0.0d),
+              (acc, x) => acc + x.cast(DoubleType)), lit(0.0d)))
           .groupBy(col("mime"))
           .agg(count(lit(1)).as("n_assets"),
-            min(col("width")).as("min_w"), max(col("height")).as("max_h"))
+            min(col("width")).as("min_w"), max(col("height")).as("max_h"),
+            round(sum(col("fsum")), 3).as("hist_mass"))
           .orderBy(col("mime"))
       },
-      None),
+      Some("""SELECT * FROM (VALUES
+             |  ('image/corrupt', CAST(2 AS BIGINT), CAST(-1 AS INTEGER),
+             |   CAST(-1 AS INTEGER), CAST(0.0 AS DOUBLE)),
+             |  ('image/png', CAST(24 AS BIGINT), CAST(8 AS INTEGER),
+             |   CAST(10 AS INTEGER), CAST(24.0 AS DOUBLE)))
+             |  AS t(mime, n_assets, min_w, max_h, hist_mass)
+             |ORDER BY mime""".stripMargin)),
 
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small. The
@@ -1449,5 +1465,40 @@ object LlmOps {
              |  CAST(count(*) AS BIGINT) AS n,
              |  avg(x) AS mean, var_samp(x) AS variance,
              |  CASE WHEN var_samp(x) < 0.0001 THEN 1 ELSE 0 END AS dead
-             |FROM ex GROUP BY dim ORDER BY dim""".stripMargin)))
+             |FROM ex GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // Q183 — per-label embedding-norm health (r13): the row-wise dual of
+    // q169's per-dimension audit — mean/min/max L2 norm and a dead-vector
+    // count per label catches an exporter that zeroed or blew up one
+    // class's vectors (q169 would average the damage away across labels).
+    // The norm is ONE codegen'd array fold per row (elements cast to
+    // double before multiplying, so both engines do identical
+    // arithmetic); then a label-keyed aggregate — |labels| output rows.
+    Q("q183_embed_norms",
+      (s, d) => {
+        Tables(s, d, "embeddings")
+          .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            graft.Exact.round6(graft.Exact.davg(col("norm")))
+              .as("mean_norm"),
+            graft.Exact.round6(min(col("norm"))).as("min_norm"),
+            graft.Exact.round6(max(col("norm"))).as("max_norm"),
+            sum(when(col("norm") < 1e-6, 1L).otherwise(0L)).as("n_dead"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH nr AS (
+             |  SELECT label, sqrt(list_aggregate(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |    AS norm
+             |  FROM embeddings)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |  ${graft.Exact.sqlRound6(graft.Exact.sqlAvg("norm"))}
+             |    AS mean_norm,
+             |  round(min(norm), 6) + 0.0 AS min_norm,
+             |  round(max(norm), 6) + 0.0 AS max_norm,
+             |  CAST(sum(CASE WHEN norm < 0.000001 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dead
+             |FROM nr GROUP BY label ORDER BY label""".stripMargin)))
 }

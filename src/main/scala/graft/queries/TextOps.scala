@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.api.Graft
-import graft.{Q, Tables}
+import graft.{Exact, Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -843,6 +843,126 @@ object TextOps {
              |SELECT batch, new_shingles,
              |  CAST(sum(new_shingles) OVER (ORDER BY batch) AS BIGINT)
              |    AS vocab_size
-             |FROM pb ORDER BY batch""".stripMargin))
+             |FROM pb ORDER BY batch""".stripMargin)),
+
+    // Q179 — adjacent-batch vocabulary drift (r13): Jaccard similarity of
+    // 5-token shingle sets between ingest batch b and b+1 — the drift
+    // SERIES a pipeline alerts on (q170 answers "is novelty flattening",
+    // this answers "did the distribution jump between two drops"; q157
+    // compares SOURCES, not time order). One distinct (batch, shingle)
+    // projection; intersections via a shingle equi-join restricted to the
+    // b→b+1 diagonal, |A∪B| recovered from sizes — never a batch×batch
+    // product over shingles.
+    Q("q179_batch_drift",
+      (s, d) => {
+        val sh = Tables(s, d, "documents")
+          .select(floor(col("doc_id") / 50).cast(LongType).as("batch"),
+            explode(Graft.shingleSet(col("text"), 5)).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy(col("batch")).agg(count(lit(1)).as("n"))
+        val b = sh.toDF("batch_b", "sh_b")
+        val inter = sh.join(b,
+            col("sh") === col("sh_b") && col("batch_b") === col("batch") + 1)
+          .groupBy(col("batch")).agg(count(lit(1)).as("n_common"))
+        sizes.toDF("batch", "n_a")
+          .join(sizes.toDF("batch_b", "n_b"),
+            col("batch_b") === col("batch") + 1)
+          .join(inter, Seq("batch"), "left")
+          .na.fill(0L, Seq("n_common"))
+          .select(col("batch"), col("n_a"), col("n_b"), col("n_common"),
+            Exact.round6(col("n_common").cast(DoubleType) /
+              (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+              .as("jaccard"))
+          .orderBy(col("batch"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT DISTINCT doc_id // 50 AS batch, sh FROM (
+             |    SELECT doc_id, unnest(list_distinct(
+             |      [array_to_string(ts[i:i+4], ' ')
+             |       FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)]))
+             |      AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |          FROM documents))),
+             |sizes AS (
+             |  SELECT batch, CAST(count(*) AS BIGINT) AS n
+             |  FROM fs GROUP BY batch),
+             |inter AS (
+             |  SELECT a.batch, CAST(count(*) AS BIGINT) AS n_common
+             |  FROM fs a JOIN fs b
+             |    ON a.sh = b.sh AND b.batch = a.batch + 1
+             |  GROUP BY a.batch),
+             |adj AS (
+             |  SELECT sa.batch, sa.n AS n_a, sb.n AS n_b
+             |  FROM sizes sa JOIN sizes sb ON sb.batch = sa.batch + 1)
+             |SELECT adj.batch, n_a, n_b,
+             |  COALESCE(n_common, 0) AS n_common,
+             |  round(CAST(COALESCE(n_common, 0) AS DOUBLE) /
+             |    CAST(n_a + n_b - COALESCE(n_common, 0) AS DOUBLE), 6) + 0.0
+             |    AS jaccard
+             |FROM adj LEFT JOIN inter ON adj.batch = inter.batch
+             |ORDER BY adj.batch""".stripMargin)),
+
+    // Q182 — code-switch screen (r13): q33_langid picks each doc's ONE
+    // best language; this flags docs hitting ≥2 language profiles (top-5
+    // tokens per labeled language, ≥2 distinct-token hits each) — the
+    // mixed-language documents a monolingual training mix should route or
+    // drop, invisible to an argmax classifier. Same broadcast profile
+    // join as langid; TOTAL over the corpus (zero-hit docs come back
+    // unmixed, never vanish).
+    Q("q182_lang_mix",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val byLang = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("tok"))
+        val profiles = docs
+          .select(col("lang"), explode(split(lower(col("text")), " "))
+            .as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(byLang))
+          .filter(col("rn") <= 5)
+          .select(col("lang").as("p_lang"), col("tok"))
+        val perDoc = docs
+          .select(col("doc_id"),
+            explode(array_distinct(split(lower(col("text")), " ")))
+              .as("dtok"))
+          .join(broadcast(profiles), col("dtok") === col("tok"))
+          .groupBy(col("doc_id"), col("p_lang"))
+          .agg(count(lit(1)).as("hits"))
+          .where(col("hits") >= 2)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_langs_hit"),
+            sum(col("hits")).as("total_hits"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_langs_hit", "total_hits"))
+          .withColumn("mixed", col("n_langs_hit") >= 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |prof AS (
+             |  SELECT lang AS p_lang, tok FROM (
+             |    SELECT lang, tok, row_number() OVER (
+             |      PARTITION BY lang ORDER BY c DESC, tok) AS rn
+             |    FROM cnt) WHERE rn <= 5),
+             |dt AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    string_split(lower(text), ' '))) AS dtok
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, p_lang, CAST(count(*) AS BIGINT) AS hits
+             |  FROM dt JOIN prof ON dtok = tok GROUP BY 1, 2),
+             |pd AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_langs_hit,
+             |    CAST(sum(hits) AS BIGINT) AS total_hits
+             |  FROM h WHERE hits >= 2 GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(n_langs_hit, 0) AS n_langs_hit,
+             |  COALESCE(total_hits, 0) AS total_hits,
+             |  COALESCE(n_langs_hit, 0) >= 2 AS mixed
+             |FROM documents d LEFT JOIN pd USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

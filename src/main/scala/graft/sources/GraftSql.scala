@@ -56,12 +56,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    retirement, count- or age-based — pair with
   *    VACUUM for erasure), `RESTORE '<table-path>' TO VERSION <n>`
   *    (roll back as a new forward version), `REFRESH ROLLUP '<target>'
-  *    FROM '<base>' KEY <k> SUM (c, ...)` (churn-bound incremental
-  *    materialized rollup; empty result = already current), `ADD CONSTRAINT
-  *    '<table-path>' <name> CHECK (<expr>)` (additive; later commits
-  *    abort on violation — a read-modify-write of single-administrator
-  *    config, so concurrent ADDs can last-write-win: administer
-  *    constraints from one place, per [[VersionedTable.setConstraints]]),
+  *    FROM '<base>' KEY <k> | KEY (k1, k2, ...) SUM (c, ...)`
+  *    (churn-bound incremental materialized rollup, composite keys ride
+  *    the same path; empty result = already current), `ADD CONSTRAINT
+  *    '<table-path>' <name> CHECK (<expr>)` (additive and ATOMIC; later
+  *    commits abort on violation — racing ADDs both survive via
+  *    [[VersionedTable.addConstraints]]'s generation CAS),
   *    `DESCRIBE CONSTRAINTS '<table-path>'` — the
   *    maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
@@ -129,7 +129,8 @@ object GraftSql {
   private val RollupRe =
     ("""(?is)\s*REFRESH\s+ROLLUP\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
-      """\s+KEY\s+(\w+)\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""").r
+      """\s+KEY\s+(?:\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)|(\w+))""" +
+      """\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+TO\s+VERSION\s+(\d+)\s*;?\s*""").r
@@ -225,19 +226,21 @@ object GraftSql {
         VersionedTable.describeSkipping(spark, Option(p1).getOrElse(p2))
       case AddConstraintRe(p1, p2, name, check) =>
         val tbl = Option(p1).getOrElse(p2)
-        // additive: merge with whatever constraints the table already has
-        VersionedTable.setConstraints(spark, tbl,
-          VersionedTable.constraintsOf(spark, tbl).toMap +
-            (name -> check.trim))
+        // additive AND atomic: racing ADDs both survive (the generation
+        // CAS re-reads and retries the loser — no read-modify-write)
+        VersionedTable.addConstraints(spark, tbl, Map(name -> check.trim))
         Seq(name).toDF("constraint_added")
       case DescConstraintsRe(p1, p2) =>
         VersionedTable.constraintsOf(spark, Option(p1).getOrElse(p2))
           .toDF("name", "expression")
-      case RollupRe(t1, t2, b1, b2, key, sums) =>
+      case RollupRe(t1, t2, b1, b2, keyList, key, sums) =>
+        // KEY k or KEY (k1, k2, ...) — composite rollups ride the same
+        // incremental path since r13
         val v = VersionedTable.refreshRollup(spark,
           baseTable = Option(b1).getOrElse(b2),
           targetTable = Option(t1).getOrElse(t2),
-          keys = Seq(key),
+          keys = Option(keyList).map(_.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq).getOrElse(Seq(key)),
           sumCols = sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         v.map(Seq(_)).getOrElse(Seq.empty[Long]).toDF("version")
       case CreateRe(p1, p2, cluster, select) =>

@@ -31,7 +31,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *                               data), never a table rewrite) and the
   *                               op/writer/batch provenance
   *   _skipping.json              data-skipping policy (mutable config)
-  *   _constraints.json           CHECK constraints (mutable config)
+  *   _constraints/g<NNNNNNNN>.json CHECK constraints (immutable
+  *                               generations, newest wins — updates CAS
+  *                               through put-if-absent; a legacy mutable
+  *                               _constraints.json is read when no
+  *                               generation exists)
   * }}}
   * Underscore-prefixed paths are invisible to Spark's parquet file index,
   * so sidecars never leak into snapshot reads; everything under the uuid
@@ -324,34 +328,53 @@ object VersionedTable {
     //  - S3-class stores need an external put-if-absent (Delta's
     //    DynamoDB LogStore) — out of scope in a zero-egress build.
     val tmp = new Path(root, s"_manifests/.tmp-${UUID.randomUUID}")
+    if (!putIfAbsentFile(spark, hfs, tmp, manifest,
+        body.getBytes(StandardCharsets.UTF_8)))
+      throw new CommitConflictException(version,
+        new java.nio.file.FileAlreadyExistsException(manifest.toString))
+  }
+
+  /** The two-phase put-if-absent primitive [[publish]] documents: write
+    * the FULL `body` to the writer-unique `tmp`, then promote it to
+    * `target` atomically. Returns true when THIS writer created the
+    * target, false when the slot was already occupied (the temp is
+    * cleaned up either way — losers leave nothing behind). Genuine
+    * store failures (permissions, quota — target still absent) rethrow.
+    */
+  private def putIfAbsentFile(spark: SparkSession, hfs: FileSystem,
+      tmp: Path, target: Path, body: Array[Byte]): Boolean = {
     val out = hfs.create(tmp, /* overwrite = */ false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val scheme = manifest.toUri.getScheme
+    try out.write(body) finally out.close()
+    val scheme = target.toUri.getScheme
     if (scheme == null || scheme == "file") {
-      try java.nio.file.Files.createLink(
-        java.nio.file.Paths.get(manifest.toUri.getPath),
-        java.nio.file.Paths.get(tmp.toUri.getPath))
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        hfs.delete(tmp, false) // target holds the remaining link
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
           hfs.delete(tmp, false)
-          throw new CommitConflictException(version, e)
+          false
       }
-      hfs.delete(tmp, false) // manifest holds the remaining link
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        manifest.toUri, spark.sparkContext.hadoopConfiguration)
-      try fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.NONE)
-      catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      try {
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           hfs.delete(tmp, false)
-          throw new CommitConflictException(version, e)
+          false
         case e: java.io.IOException =>
-          // conflict iff the manifest is actually there — some FS impls
+          // occupied iff the target is actually there — some FS impls
           // report the occupied slot as a bare IOException; an exists()
           // probe classifies both
-          if (hfs.exists(manifest)) {
+          if (hfs.exists(target)) {
             hfs.delete(tmp, false)
-            throw new CommitConflictException(version, e)
+            false
           } else throw e
       }
     }
@@ -724,6 +747,21 @@ object VersionedTable {
           version).get} bootstrap — its referenced dirs (and any _changes " +
           "sidecar in them) belong to the source table; it has no change " +
           "log of its own; use diffVersions")
+    // an appended version's change batch IS its newly written dir (the
+    // manifest's LAST dir; appends replace no rows), tagged as upserts —
+    // enumeration costs O(batch), the same bytes the append wrote, so
+    // insert-only ingest streams feed replicas without ever diffing.
+    // Keyed consumers inherit replicaBatchIfNew's contract: append
+    // batches must be key-unique for the upsert interpretation to hold.
+    if (opOf(spark, table, version).contains("insert")) {
+      import org.apache.spark.sql.functions.lit
+      val df = spark.read.parquet(
+        dataPathsOf(spark, table, version).last.toString)
+      require(!df.columns.contains("__ver") && !df.columns.contains("__op"),
+        s"$table carries reserved columns __ver/__op — its appends " +
+          "cannot synthesize a change feed")
+      return df.withColumn("__op", lit("u")).withColumn("__ver", lit(1L))
+    }
     // the LAST dir is the one this version itself wrote — where a merge
     // commit put its change log (merge versions are single-dir anyway;
     // for append/snapshot versions the probe correctly finds nothing)
@@ -782,9 +820,11 @@ object VersionedTable {
   private def cdfVersionDirName(v: Long) = f"v$v%08d"
 
   /** Opt in to the STREAMING change feed: create the root-level `_cdf/`
-    * mirror directory and backfill it from every committed merge version
-    * still carrying a per-version manifest. Once enabled, every later
-    * merge commit mirrors its change batch into `_cdf/v<NNNNNNNN>/`
+    * mirror directory and backfill it from every committed merge and
+    * deferred-delete version still carrying a per-version manifest.
+    * Once enabled, every later merge commit mirrors its change batch —
+    * and every deferred delete its SYNTHESIZED delete rows — into
+    * `_cdf/v<NNNNNNNN>/`
     * (with a `_commit_version` column) right after publish — the
     * directory a Structured Streaming file source can tail
     * ([[graft.streaming.Streams.changeFeedStream]]), which is what turns
@@ -806,6 +846,7 @@ object VersionedTable {
   }
 
   /** Mirror every committed-but-unmirrored merge version's change batch
+    * (and every deferred-delete version's synthesized one)
     * into `_cdf/` (no-op per version already mirrored — idempotent, and
     * the self-heal entry if a writer crashed between publish and its
     * mirror step). Each version dir appears ATOMICALLY via
@@ -825,9 +866,11 @@ object VersionedTable {
     versions(spark, table).filter { v =>
       // merges mirror their persisted _changes batch; deferred deletes
       // mirror their synthesized delete rows (readChanges derives them
-      // from the predecessor snapshot) — so one DELETE ... DEFERRED no
-      // longer silently vanishes from every downstream subscription
-      opOf(spark, table, v).exists(o => o == "merge" || o == "lazydelete") && {
+      // from the predecessor snapshot); appends mirror their new dir as
+      // upserts — so neither a DELETE ... DEFERRED nor an INSERT INTO
+      // silently vanishes from a downstream subscription
+      opOf(spark, table, v).exists(o =>
+        o == "merge" || o == "lazydelete" || o == "insert") && {
         val target = new Path(cdfRoot, cdfVersionDirName(v))
         !hfs.exists(target) && {
           val tmp = new Path(cdfRoot, s".tmp-${UUID.randomUUID}")
@@ -1013,6 +1056,12 @@ object VersionedTable {
     // the base dirs keep their filters
     publish(spark, table, base + 1L, s"$baseDirs;$dirName", batchId,
       op = "insert", delRef = delRefOf(spark, table, base))
+    // feed-enabled tables mirror the appended dir as upsert rows (same
+    // self-healing tail as commitMerge's — the mirror is one O(batch)
+    // copy, paid only when the table opted into streaming CDC)
+    if (hfs.exists(new Path(root, cdfDirName)))
+      try mirrorChangeFeed(spark, table)
+      catch { case scala.util.control.NonFatal(_) => () }
     base + 1L
   }
 
@@ -1191,6 +1240,13 @@ object VersionedTable {
       .filter(st => st.getPath.getName.startsWith(".tmp-"))
       .filter(_.getModificationTime < cutoff)
       .foreach(st => hfs.delete(st.getPath, true))
+    // stale constraint-generation temps (writers that crashed between
+    // temp write and promote); g<NNNNNNNN>.json generations never match
+    val consDir = new Path(root, constraintsDirName)
+    if (hfs.exists(consDir)) hfs.listStatus(consDir).iterator
+      .filter(st => st.getPath.getName.startsWith(".tmp-"))
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => hfs.delete(st.getPath, false))
     val dataDir = new Path(root, "data")
     if (!hfs.exists(dataDir)) return Seq.empty
     val referencedAtListing = referenced()
@@ -1662,14 +1718,19 @@ object VersionedTable {
     // clone table-level metadata so the target's FUTURE commits behave
     // like the source's: CHECK constraints gate, the skipping policy
     // indexes. Copied BEFORE publish — a clone is never visible without
-    // its constraints.
-    Seq("_constraints.json", "_skipping.json").foreach { f =>
+    // its constraints. Constraints copy by RESOLVED state (the newest
+    // generation or the legacy file, whichever governs the source) into
+    // the clone's own first generation.
+    Seq("_skipping.json").foreach { f =>
       val src = new Path(srcRoot, f)
       if (hfs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs,
           new Path(tgtRoot, f), /* deleteSource = */ false,
           spark.sparkContext.hadoopConfiguration)
     }
+    val srcConstraints = constraintsOf(spark, sourceTable)
+    if (srcConstraints.nonEmpty)
+      setConstraints(spark, targetTable, srcConstraints.toMap)
     // deferred deletes travel with the clone, rewritten to the ABSOLUTE
     // dir names this manifest uses (the source recorded them relative to
     // ITS root — the raw strings must match what splitDirs yields here)
@@ -1949,7 +2010,7 @@ object VersionedTable {
       s"CHECK constraint '$name' ($expression) violated by " +
         s"$violations row(s) — commit aborted, nothing published")
 
-  /** Persist CHECK constraints (`_constraints.json` at the table root):
+  /** Persist CHECK constraints (a new `_constraints/` generation):
     * every later commit on ANY path counts rows where the expression is
     * FALSE in the written snapshot (NULL passes, per SQL CHECK) and
     * aborts BEFORE publish on the first violated constraint — the
@@ -1959,43 +2020,91 @@ object VersionedTable {
     */
   def setConstraints(spark: SparkSession, table: String,
       constraints: Map[String, String]): Unit = {
-    // SINGLE-ADMINISTRATOR config, not a commit record: the write goes
-    // temp-then-rename, so a concurrent reader sees the old body, the
-    // new body, or (in the delete→rename gap) no file — never PARTIAL
-    // bytes. Two concurrent writers still last-write-win wholesale
-    // (one ADD's read-modify-write can lose the other's constraint) —
-    // administer constraints from one place.
+    // wholesale REPLACE: racing setConstraints calls serialize through
+    // the generation CAS below, so the final state is one caller's
+    // complete map (never a torn or interleaved file); use
+    // [[addConstraints]] for the additive verb where neither racer may
+    // lose the other's entry
     require(constraints.nonEmpty, "setConstraints needs at least one")
-    require(constraints.keys.forall(_.matches("[A-Za-z0-9_]+")),
-      "constraint names must be simple identifiers")
+    publishConstraintGen(spark, table, _ => constraints)
+  }
+
+  /** Atomically ADD constraints (same-name entries replace): a
+    * read-merge-publish loop through the generation CAS, so two racing
+    * `ADD CONSTRAINT` statements BOTH survive — the loser of the
+    * put-if-absent re-reads (now seeing the winner's entry), re-merges,
+    * and retries at the next generation. The statement verb compiles
+    * here; the single-administrator caveat the RMW spelling carried is
+    * retired.
+    */
+  def addConstraints(spark: SparkSession, table: String,
+      toAdd: Map[String, String]): Unit = {
+    require(toAdd.nonEmpty, "addConstraints needs at least one")
+    publishConstraintGen(spark, table,
+      current => current ++ toAdd)
+  }
+
+  private val constraintsDirName = "_constraints"
+  private val constraintGenRe = """g(\d{8})\.json""".r
+  private def constraintGenName(g: Long) = f"g$g%08d.json"
+
+  /** Constraint state lives in immutable GENERATION files
+    * (`_constraints/g<NNNNNNNN>.json`, newest wins) promoted through the
+    * same put-if-absent primitive as manifests — so a constraint update
+    * is CAS'd: `next` computes the new map from the freshly read current
+    * state, and a lost race re-reads and retries instead of silently
+    * clobbering the winner (the lost-update the old read-modify-write of
+    * one mutable `_constraints.json` allowed). The legacy single file
+    * remains a read fallback for tables written by older builds; the
+    * first generation publish supersedes it.
+    */
+  private def publishConstraintGen(spark: SparkSession, table: String,
+      next: Map[String, String] => Map[String, String]): Unit = {
     val (hfs, root) = fs(spark, table)
-    hfs.mkdirs(root)
+    val dir = new Path(root, constraintsDirName)
+    hfs.mkdirs(dir)
     def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
-    val body = constraints.toSeq.sortBy(_._1)
-      .map { case (n, e) => s"""\"${esc(n)}\":\"${esc(e)}\"""" }
-      .mkString("{", ",", "}")
-    val target = new Path(root, "_constraints.json")
-    val tmp = new Path(root, s"_constraints.json.tmp-${UUID.randomUUID}")
-    val out = hfs.create(tmp, /* overwrite = */ false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // Hadoop rename does not replace an existing target on every FS —
-    // delete first; the brief no-file window reads as "no constraints"
-    if (hfs.exists(target)) hfs.delete(target, false)
-    if (!hfs.rename(tmp, target)) {
-      hfs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"could not publish constraints file for $table (rename failed)")
+    var done = false
+    while (!done) {
+      val gen = latestConstraintGen(hfs, root).getOrElse(0L)
+      val merged = next(constraintsOf(spark, table).toMap)
+      require(merged.nonEmpty, "constraint state must not become empty")
+      require(merged.keys.forall(_.matches("[A-Za-z0-9_]+")),
+        "constraint names must be simple identifiers")
+      val body = merged.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"""\"${esc(n)}\":\"${esc(e)}\"""" }
+        .mkString("{", ",", "}")
+      done = putIfAbsentFile(spark, hfs,
+        new Path(dir, s".tmp-${UUID.randomUUID}"),
+        new Path(dir, constraintGenName(gen + 1L)),
+        body.getBytes(StandardCharsets.UTF_8))
     }
+  }
+
+  private def latestConstraintGen(hfs: FileSystem,
+      root: Path): Option[Long] = {
+    val dir = new Path(root, constraintsDirName)
+    if (!hfs.exists(dir)) None
+    else hfs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case constraintGenRe(n) => n.toLong
+    }.maxOption
   }
 
   private val constraintEntry =
     """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
 
-  /** The persisted constraints, name-ascending; empty when none set. */
+  /** The persisted constraints, name-ascending; empty when none set.
+    * Reads the newest generation file, falling back to the legacy
+    * mutable `_constraints.json` of pre-generation builds.
+    */
   def constraintsOf(spark: SparkSession,
       table: String): Seq[(String, String)] = {
     val (hfs, root) = fs(spark, table)
-    val p = new Path(root, "_constraints.json")
+    val p = latestConstraintGen(hfs, root) match {
+      case Some(g) =>
+        new Path(new Path(root, constraintsDirName), constraintGenName(g))
+      case None => new Path(root, "_constraints.json")
+    }
     if (!hfs.exists(p)) return Nil
     val in = hfs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

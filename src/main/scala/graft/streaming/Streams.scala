@@ -241,7 +241,8 @@ object Streams {
     * SUBSCRIBE to a versioned table's committed change feed as an
     * unbounded DataFrame. Requires
     * [[graft.sources.VersionedTable.enableChangeFeed]] on the table —
-    * every merge commit then mirrors its change batch into `_cdf/
+    * every merge commit then mirrors its change batch (and every
+    * deferred delete its synthesized delete rows) into `_cdf/
     * v<NNNNNNNN>/` (atomic dir rename, committed versions only), and
     * this is a plain file-stream source tailing that directory: rows
     * are the merge batches as written (source columns + the caller's

@@ -4,9 +4,61 @@ import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
 /** The multimodal binary-column plumbing (Q34 extension): schema, batched
-  * decode, frame sampling — with the deterministic stub codec.
+  * decode (REAL ImageIO codec — dims + bounded luminance histogram, typed
+  * quarantine for undecodable bytes), frame sampling.
   */
 class MultimodalSpec extends SparkSpec {
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    pngBytes(img)
+  }
+
+  test("real codec: dims + luminance histogram off real PNG bytes") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/png", 0L, solidPng(20, 10, 0xFFFFFF)),
+      Multimodal.Asset(2L, "image/png", 0L, solidPng(8, 8, 0x000000)),
+      Multimodal.Asset(3L, "image/png", 0L, solidPng(3, 3, 0x808080)),
+      Multimodal.Asset(4L, "image/corrupt", 0L, Array[Byte](9, 9, 9)))
+      .toDS()
+    val d = Multimodal.decodeAll(assets).collect()
+      .map(r => r.doc_id -> r).toMap
+    // true dimensions from the decoder, not header heuristics
+    assert(d(1L).width == 20 && d(1L).height == 10)
+    assert(d(2L).width == 8 && d(2L).height == 8)
+    // solid white -> all mass in the top luminance bin; black -> bin 0;
+    // mid-grey 0x80 -> bin 8; every histogram sums to 1
+    assert(d(1L).features(15) == 1.0f && d(1L).features.sum == 1.0f)
+    assert(d(2L).features(0) == 1.0f)
+    assert(d(3L).features(8) == 1.0f)
+    // undecodable bytes quarantine typed instead of throwing
+    assert(d(4L).width == -1 && d(4L).height == -1 &&
+      d(4L).features.isEmpty)
+  }
+
+  test("huge image: feature pass stays bounded (sampled grid)") {
+    import spark.implicits._
+    // 1024x512 is > 64x64 samples — the histogram must come from the
+    // bounded grid, still normalized
+    val assets = Seq(Multimodal.Asset(7L, "image/png", 0L,
+      solidPng(1024, 512, 0xFFFFFF))).toDS()
+    val d = Multimodal.decodeAll(assets).head()
+    assert(d.width == 1024 && d.height == 512)
+    assert(math.abs(d.features.sum - 1.0f) < 1e-5)
+    assert(d.features(15) > 0.99f)
+  }
 
   test("payload attach produces binary column + prunable metadata") {
     val assets = Multimodal.withPayload(
@@ -18,17 +70,16 @@ class MultimodalSpec extends SparkSpec {
     assert(n > 0)
   }
 
-  test("batched decode is deterministic and preserves row count") {
+  test("batched decode preserves row count; non-images all quarantine") {
     import spark.implicits._
+    // text bytes are not images: every row must surface as the typed
+    // quarantine row — never an exception, never a dropped row
     val assets = Multimodal.withPayload(
       spark.read.parquet(s"$sfDir/documents.parquet")).as[Multimodal.Asset]
     val decoded = Multimodal.decodeAll(assets).cache()
     assert(decoded.count() == assets.count())
-    val d0 = decoded.filter(_.doc_id == 0).head()
-    val d0again = Multimodal.decodeAll(assets).filter(_.doc_id == 0).head()
-    assert(d0.width == d0again.width && d0.height == d0again.height)
-    assert(d0.features.toSeq == d0again.features.toSeq)
-    assert(d0.features.length == 16)
+    assert(decoded.filter(d => d.width != -1 || d.features.nonEmpty)
+      .count() == 0L)
     decoded.unpersist()
   }
 

@@ -442,4 +442,33 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q178: winsor bounds broadcast back; fact side never re-shuffles") {
+    val p = plan("q178_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side re-shuffled:\n$p")
+  }
+
+  test("q179: batch drift joins on the shingle key, no cartesian") {
+    val p = plan("q179_batch_drift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"batch pairing must ride the shingle equi-join:\n$p")
+  }
+
+  test("q182: lang-mix profile join is a broadcast HASH join, not BNLJ") {
+    val p = plan("q182_lang_mix")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q185: sweep-line window is DAY-keyed, never one global task") {
+    // a Window node prints as `Window [exprs], [partition], [order]` —
+    // an unpartitioned one has an empty middle list, which would move
+    // every boundary point to a single task
+    val p = plan("q185_concurrency")
+    assert(p.contains("Window"), p)
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\], \\[.*"),
+      s"unpartitioned window found:\n$p")
+  }
 }

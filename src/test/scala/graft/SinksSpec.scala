@@ -1130,6 +1130,14 @@ class SinksSpec extends SparkSpec {
       .orderBy("g1", "g2").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(full.toSeq == got.toSeq)
+    // the statement spelling takes the composite form: KEY (g1, g2)
+    VersionedTable.mergeInto(spark, base,
+      Seq((4L, "c", "z", 2L)).toDF("id", "g1", "g2", "v"), key = "id")
+    val stmt = graft.sources.GraftSql.sql(spark,
+      s"REFRESH ROLLUP '$roll' FROM '$base' KEY (g1, g2) SUM (v)")
+    assert(stmt.collect().nonEmpty, "refresh must commit a version")
+    assert(VersionedTable.readLatest(spark, roll)
+      .where(col("g1") === "c").head().getLong(3) == 2L)
   }
 
   test("optimize and restore conflict instead of clobbering a racing commit") {
@@ -1632,10 +1640,13 @@ class SinksSpec extends SparkSpec {
       .map(_.getString(4)).toSeq == Seq("commit", "lazydelete",
         "lazydelete", "insert", "optimize", "lazydelete"))
 
-    // a deferred delete has no change log — refusing beats attributing
-    // the base dir's earlier batch to it
-    intercept[IllegalArgumentException](
-      VersionedTable.readChanges(spark, t, 2L))
+    // a deferred delete's change log is SYNTHESIZED (r13): exactly the
+    // rows v2's predicate removed from v1, tagged as deletes — never the
+    // base dir's earlier batch misattributed to it
+    val lazyFeed = VersionedTable.readChanges(spark, t, 2L).collect()
+    assert(lazyFeed.length == 1 &&
+      lazyFeed.head.getString(lazyFeed.head.fieldIndex("__op")) == "d",
+      lazyFeed.mkString(","))
 
     // del-carrying manifests survive manifest compaction (the checkpoint
     // folds only version→dir; retiring them would resurrect the rows)
@@ -1713,11 +1724,15 @@ class SinksSpec extends SparkSpec {
     assert(f4.toSeq == Seq((0L, "d"), (4L, "d")), f4.mkString(","))
     assert(VersionedTable.readLatest(spark, t).orderBy("k").collect()
       .map(_.getLong(0)).toSeq == Seq(3L, 5L))
-    // the _cdf mirror now carries deferred-delete versions too
+    // the APPEND (v3) is enumerable too: its new dir as upsert rows
+    val f3 = VersionedTable.readChanges(spark, t, 3L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(f3.toSeq == Seq((0L, "u"), (5L, "u")), f3.mkString(","))
+    // the _cdf mirror carries deferred-delete AND append versions
     VersionedTable.enableChangeFeed(spark, t)
     val mirrored = new java.io.File(t + "/_cdf").listFiles
       .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
-    assert(mirrored == Seq("v00000002", "v00000004"), mirrored)
+    assert(mirrored == Seq("v00000002", "v00000003", "v00000004"), mirrored)
   }
 
   test("refreshRollup rides the incremental path across a deferred delete") {
@@ -1744,6 +1759,44 @@ class SinksSpec extends SparkSpec {
     val after = VersionedTable.readLatest(spark, roll).orderBy("grp")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(after.toSeq == Seq(("a", 1L, 10L)), after.mkString(","))
+  }
+
+  test("racing ADD CONSTRAINTs all survive (generation CAS)") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val t = tmp() + "/vt_cons_race"
+    VersionedTable.commit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    // legacy single-file tables still read: simulate a pre-generation
+    // build's mutable _constraints.json, then CAS on top of it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_constraints.json"),
+      """{"legacy_pos":"k > 0"}""".getBytes("UTF-8"))
+    assert(VersionedTable.constraintsOf(spark, t).toMap ==
+      Map("legacy_pos" -> "k > 0"))
+    // 8 concurrent ADDs: with the old read-modify-write of one mutable
+    // file, racers could last-write-win and silently drop each other;
+    // the generation CAS makes every one survive (losers re-read and
+    // retry at the next generation)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try VersionedTable.addConstraints(spark, t,
+          Map(s"c_$i" -> s"v >= $i"))
+        catch { case e: Throwable => errs.add(e); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    val names = VersionedTable.constraintsOf(spark, t).map(_._1).toSet
+    assert(names == (0 until 8).map(i => s"c_$i").toSet + "legacy_pos",
+      names)
+    // the merged state gates commits like any other constraint set
+    intercept[VersionedTable.ConstraintViolationException](
+      VersionedTable.append(spark, t, Seq((3L, -1L)).toDF("k", "v")))
+    // and the statement spelling rides the same atomic verb
+    GraftSql.sql(spark, s"ADD CONSTRAINT '$t' c_stmt CHECK (v < 1000)")
+    assert(VersionedTable.constraintsOf(spark, t).toMap
+      .contains("c_stmt"))
   }
 
   test("readChanges refuses zero-copy bootstraps (clone/convert)") {

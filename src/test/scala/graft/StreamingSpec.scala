@@ -546,5 +546,14 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.readLatest(spark, silver)
       .select(col("k"), col("v")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == bronzeState)
+    // an upstream APPEND flows too: the new dir mirrors as upsert rows,
+    // so insert-only drip ingest keeps the replica converged without a
+    // single diff
+    VersionedTable.append(spark, bronze, Seq((6L, 60L)).toDF("k", "v"))
+    replicate()
+    assert(VersionedTable.readLatest(spark, silver)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 12L), (4L, 40L), (6L, 60L)))
   }
 }
