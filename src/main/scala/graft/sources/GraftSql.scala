@@ -43,13 +43,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (base-pinned: a racing commit conflicts instead of being lost);
   *  - `SELECT ... FROM '<table-path>' VERSION AS OF <n> ...` rewrites the
   *    time-travel reference to a temp view over
-  *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`
-  *    (`FROM '<table-path>' LATEST` likewise reads the newest version —
-  *    the LATEST marker is required so string literals that look like
-  *    paths are never rewritten);
+  *    [[VersionedTable.readVersion]] and hands the query to `spark.sql`;
+  *    `FROM '<table-path>' TIMESTAMP AS OF '<ts>'` resolves a wall-clock
+  *    instant to its version ([[VersionedTable.readAsOf]] — monotonicized
+  *    commit stamps, the Delta convention); `FROM '<table-path>' LATEST`
+  *    reads the newest version (the LATEST marker is required so string
+  *    literals that look like paths are never rewritten);
   *  - `VACUUM '<table-path>' RETAIN <n> HOURS`, `COMPACT MANIFESTS
   *    '<table-path>' [KEEP <n>]`, `DESCRIBE HISTORY '<table-path>'`,
-  *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...)]`,
+  *    `OPTIMIZE '<table-path>' [TARGET <n> MB] [CLUSTER BY (c, ...) |
+  *    ZORDER BY (a, b)]` (Z-order rewrites the snapshot on the Morton
+  *    interleave so either dimension prunes — commitZordered's layout,
+  *    available post-hoc),
   *    `SET SKIPPING ON '<table-path>' STATS (c, ...) [BLOOM (c, ...)]
   *    [BITS <n>]`, `DESCRIBE SKIPPING '<table-path>'`, `EXPIRE VERSIONS
   *    '<table-path>' KEEP <n> | OLDER THAN <n> HOURS` (physical version
@@ -107,6 +112,9 @@ object GraftSql {
 
   private val VersionRefRe =
     """(?is)(?:'([^']+)'|`([^`]+)`)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampRefRe =
+    ("""(?is)(?:'([^']+)'|`([^`]+)`)\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF""" +
+      """\s+'([^']+)'""").r
   // the LATEST marker is required: a bare quoted path is indistinguishable
   // from a string literal, and a rewrite inside WHERE s = '/x/y' would
   // corrupt the query
@@ -158,7 +166,8 @@ object GraftSql {
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
-      """(?:\s+CLUSTER\s+BY\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?\s*;?\s*""").r
+      """(?:\s+CLUSTER\s+BY\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?""" +
+      """|\s+ZORDER\s+BY\s+\(?\s*(\w+)\s*,\s*(\w+)\s*\)?)?\s*;?\s*""").r
   private val CreateRe =
     ("""(?is)\s*CREATE\s+VERSIONED\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+CLUSTER\s+BY\s+\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
@@ -215,12 +224,14 @@ object GraftSql {
           statsCols = split(statsC), bloomCols = split(bloomC),
           bloomBitsPerRow = Option(bits).map(_.toInt).getOrElse(10))
         Seq("ok").toDF("skipping_policy")
-      case OptimizeRe(p1, p2, mb, cluster) =>
+      case OptimizeRe(p1, p2, mb, cluster, za, zb) =>
         val v = VersionedTable.optimize(spark, Option(p1).getOrElse(p2),
           targetFileBytes =
             Option(mb).map(_.toLong << 20).getOrElse(128L << 20),
           clusterCols = Option(cluster).toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          zorderCols = (Option(za) zip Option(zb))
+            .map { case (a, b) => Seq(a, b) }.getOrElse(Nil))
         Seq(v).toDF("version")
       case DescSkipRe(p1, p2) =>
         VersionedTable.describeSkipping(spark, Option(p1).getOrElse(p2))
@@ -319,6 +330,7 @@ object GraftSql {
         Seq(VersionedTable.updateWhere(spark, Option(p1).getOrElse(p2),
           expr(cond), set)).toDF("version")
       case s if VersionRefRe.findFirstIn(s).isDefined ||
+          TimestampRefRe.findFirstIn(s).isDefined ||
           LatestRefRe.findFirstIn(s).isDefined =>
         spark.sql(rewriteTimeTravel(spark, s))
       case s => spark.sql(s)
@@ -432,7 +444,22 @@ object GraftSql {
         .createOrReplaceTempView(view)
       view
     })
-    LatestRefRe.replaceAllIn(pinned, m => {
+    val stamped = TimestampRefRe.replaceAllIn(pinned, m => {
+      val table = Option(m.group(1)).getOrElse(m.group(2))
+      // accept `YYYY-MM-DD HH:MM:SS[.fff]` or a bare date; interpreted
+      // in the session's local clock, matching the writer-side
+      // System.currentTimeMillis the manifests record
+      val raw = m.group(3).trim
+      val ts = java.sql.Timestamp.valueOf(
+        if (raw.contains(" ") || raw.contains("T"))
+          raw.replace("T", " ")
+        else s"$raw 00:00:00")
+      val view = s"graft_as_of_${UUID.randomUUID.toString.replace("-", "_")}"
+      VersionedTable.readAsOf(spark, table, ts.getTime)
+        .createOrReplaceTempView(view)
+      view
+    })
+    LatestRefRe.replaceAllIn(stamped, m => {
       val table = Option(m.group(1)).getOrElse(m.group(2))
       val view = s"graft_latest_${UUID.randomUUID.toString.replace("-", "_")}"
       VersionedTable.readLatest(spark, table).createOrReplaceTempView(view)

@@ -304,7 +304,12 @@ object VersionedTable {
     // "del": the del-state sidecar this version's deferred deletes live
     // in ([[deleteWhereLazy]]) — written complete BEFORE this publish,
     // so a version is never visible without its delete filters
+    // "ts": the writer's commit wall-clock (epoch ms) — what TIMESTAMP
+    // AS OF time travel resolves against; clock skew between writers can
+    // reorder it vs the version sequence, so [[readAsOf]] resolves
+    // order-safely (see there)
     val body = s"""{"version":$version,"dir":"$dataDirName",""" +
+      s""""ts":${System.currentTimeMillis()},""" +
       batchId.map(b => s""""batch":$b,""").getOrElse("") +
       mergeKey.map(k => s""""key":"$k",""").getOrElse("") +
       delRef.map(r => s""""del":"$r",""").getOrElse("") +
@@ -450,6 +455,47 @@ object VersionedTable {
     }.reduce(_ union _)
   }
 
+  /** TIMESTAMP AS OF time travel: the table as of wall-clock `tsMillis`
+    * — the newest version whose commit time is at or before it. Commit
+    * times come from the `ts` field [[publish]] records (manifest file
+    * mtime for pre-field builds; checkpoint-folded manifests count as
+    * oldest). Writer clock skew can make raw stamps non-monotone along
+    * the version chain, so stamps are MONOTONICIZED first (running max
+    * in version order, the Delta convention): the answer is always a
+    * clean prefix of history — a skewed-early stamp can make a version
+    * visible sooner, never resurrect an older snapshot over a newer
+    * one. Statement spelling: `SELECT ... FROM '<path>' TIMESTAMP AS OF
+    * '<ts>'`. Throws when the timestamp predates every commit.
+    */
+  def readAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame =
+    readVersion(spark, table, versionAsOf(spark, table, tsMillis))
+
+  private[graft] def versionAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val (hfs, root) = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no committed versions")
+    def stampOf(v: Long): Long = {
+      val m = new Path(root, s"_manifests/${manifestName(v)}")
+      if (!hfs.exists(m)) 0L // folded = among the oldest kept
+      else {
+        val in = hfs.open(m)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        tsField.findFirstMatchIn(body).map(_.group(1).toLong)
+          .getOrElse(hfs.getFileStatus(m).getModificationTime)
+      }
+    }
+    val monotone = vs.map(stampOf).scanLeft(0L)(math.max).drop(1)
+    vs.zip(monotone).takeWhile(_._2 <= tsMillis).lastOption match {
+      case Some((v, _)) => v
+      case None => throw new IllegalArgumentException(
+        s"no version of $table existed at or before timestamp $tsMillis " +
+          s"(earliest commit: ${monotone.headOption.getOrElse(0L)})")
+    }
+  }
+
   // -------------------------------------------- merge-on-read del state
 
   private val delField = """"del"\s*:\s*"([^"]+)"""".r
@@ -580,6 +626,7 @@ object VersionedTable {
 
   private val writerField = """"writer"\s*:\s*"([^"]+)"""".r
   private val opField = """"op"\s*:\s*"([^"]+)"""".r
+  private val tsField = """"ts"\s*:\s*(\d+)""".r
 
   /** One row per committed version, ascending: (version, data_dir,
     * writer, batch) — writer/batch null for versions whose per-version
@@ -600,11 +647,12 @@ object VersionedTable {
           dirField.findFirstMatchIn(body).map(_.group(1)).getOrElse(""),
           writerField.findFirstMatchIn(body).map(_.group(1)),
           batchField.findFirstMatchIn(body).map(_.group(1).toLong),
-          opField.findFirstMatchIn(body).map(_.group(1)))
-      } else (v, cp.getOrElse(v, ""), None, None, None)
+          opField.findFirstMatchIn(body).map(_.group(1)),
+          tsField.findFirstMatchIn(body).map(_.group(1).toLong))
+      } else (v, cp.getOrElse(v, ""), None, None, None, None)
     }
     import spark.implicits._
-    rows.toDF("version", "data_dir", "writer", "batch", "op")
+    rows.toDF("version", "data_dir", "writer", "batch", "op", "commit_ts")
   }
 
   /** MERGE a CDC change batch into the latest snapshot and commit the
@@ -1608,6 +1656,14 @@ object VersionedTable {
     dropped.foreach { v =>
       val m = new Path(root, s"_manifests/${manifestName(v)}")
       if (hfs.exists(m)) hfs.delete(m, false)
+      // the streaming mirror must forget expired versions too: vacuum
+      // erases the table bytes, but a _cdf/v* dir would keep serving the
+      // expired version's rows to NEW subscribers forever — the
+      // right-to-be-forgotten hole a feed-enabled table would otherwise
+      // carry. Already-running subscriptions hold their own checkpoints;
+      // this only stops future replays.
+      val cdf = new Path(new Path(root, cdfDirName), cdfVersionDirName(v))
+      if (hfs.exists(cdf)) hfs.delete(cdf, true)
     }
     val oldCheckpoints = hfs.listStatus(new Path(root, "_manifests"))
       .iterator.map(_.getPath.getName)
@@ -2582,10 +2638,11 @@ object VersionedTable {
     */
   def optimize(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20,
-      clusterCols: Seq[String] = Nil): Long = {
+      clusterCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Long = {
     val v = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    optimizeFrom(spark, table, v, targetFileBytes, clusterCols)
+    optimizeFrom(spark, table, v, targetFileBytes, clusterCols, zorderCols)
   }
 
   /** [[optimize]] against an explicitly pinned base — the seam that makes
@@ -2597,8 +2654,12 @@ object VersionedTable {
     */
   private[graft] def optimizeFrom(spark: SparkSession, table: String,
       base: Long, targetFileBytes: Long,
-      clusterCols: Seq[String]): Long = {
+      clusterCols: Seq[String], zorderCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
+    require(clusterCols.isEmpty || zorderCols.isEmpty,
+      "CLUSTER BY and ZORDER BY are mutually exclusive")
+    require(zorderCols.isEmpty || zorderCols.size == 2,
+      s"ZORDER BY takes exactly two columns: $zorderCols")
     require(targetFileBytes > 0, s"targetFileBytes must be > 0: $targetFileBytes")
     val (hfs, _) = fs(spark, table)
     var bytes = 0L
@@ -2614,13 +2675,26 @@ object VersionedTable {
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val cur = readVersion(spark, table, base)
     val rewritten =
-      if (clusterCols.isEmpty) cur.repartition(n)
+      if (zorderCols.nonEmpty) {
+        // Morton 2-D: range-partition + sort on the bit interleave, so
+        // each rewritten file covers a compact square in (a, b) space and
+        // a range on EITHER dimension prunes (the commitZordered layout,
+        // available post-hoc as an OPTIMIZE)
+        val z = graft.api.Graft.zorderKey(
+          col(zorderCols.head).cast("long"), col(zorderCols(1)).cast("long"))
+        cur.withColumn("__graft_z", z)
+          .repartitionByRange(n, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+      }
+      else if (clusterCols.isEmpty) cur.repartition(n)
       else cur.repartitionByRange(n, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
-    // clustered rewrites default their zone-map stats to the cluster
-    // columns (the commitClustered contract); unclustered ones fall back
-    // to the table's skipping policy inside the shared tail
+    // clustered/z-ordered rewrites default their zone-map stats to the
+    // layout columns (the commitClustered/commitZordered contract);
+    // unclustered ones fall back to the table's skipping policy inside
+    // the shared tail
     commitPinned(spark, rewritten, table, base, op = "optimize",
-      statsCols = clusterCols)
+      statsCols = if (zorderCols.nonEmpty) zorderCols else clusterCols)
   }
 }

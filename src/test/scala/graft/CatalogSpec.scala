@@ -296,15 +296,16 @@ class CatalogSpec extends AnyFunSuite {
       val skip = GraftSql.sql(spark, s"DESCRIBE SKIPPING '$tbl2'").head()
       assert(skip.getBoolean(1) && skip.getString(2) == "k",
         s"clustered create must write the k sidecar: $skip")
-      // ENABLE CHANGE FEED backfills nothing yet (no merges), then a
-      // textual MERGE mirrors its batch — statement-only CDF opt-in
-      assert(GraftSql.sql(spark, s"ENABLE CHANGE FEED '$tbl'").count() == 0L)
+      // ENABLE CHANGE FEED backfills the table's two INSERT versions
+      // (appends are enumerable since r13), then a textual MERGE mirrors
+      // its batch — statement-only CDF opt-in
+      assert(GraftSql.sql(spark, s"ENABLE CHANGE FEED '$tbl'").count() == 2L)
       spark.sql("SELECT 100 AS k, CAST(9.9 AS DOUBLE) AS v")
         .createOrReplaceTempView("cdf_src")
       GraftSql.sql(spark, s"MERGE INTO '$tbl' USING cdf_src ON k " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       assert(new java.io.File(s"$tbl/_cdf").listFiles
-        .count(_.getName.startsWith("v")) == 1,
+        .count(_.getName.startsWith("v")) == 3,
         "textual MERGE must mirror its batch into the enabled feed")
       // INSERT OVERWRITE replaces exactly the predicate's region
       GraftSql.sql(spark, s"INSERT OVERWRITE '$tbl' WHERE k >= 100 " +

@@ -748,6 +748,30 @@ class SinksSpec extends SparkSpec {
       Seq(ColumnBounds("y", Some(0L), Some(12L))))
     val ey = full.where(col("y").between(0L, 12L))
     assert(py.exceptAll(ey).isEmpty && ey.exceptAll(py).isEmpty)
+
+    // OPTIMIZE ... ZORDER BY re-imposes the layout POST-HOC: scramble
+    // the table with an unclustered rewrite, z-order it back, and either
+    // dimension prunes again on the new version
+    VersionedTable.optimize(spark, t, targetFileBytes = 1L << 16)
+    val v3 = VersionedTable.optimize(spark, t,
+      targetFileBytes = 1L << 9, zorderCols = Seq("x", "y"))
+    assert(v3 == 3L)
+    def kept3(b: ColumnBounds) =
+      VersionedTable.pruneSelection(spark, t, v3, Seq(b)).get match {
+        case (k, total) => (k.size, total)
+      }
+    val (k3x, tot) = kept3(ColumnBounds("x", Some(0L), Some(12L)))
+    val (k3y, _) = kept3(ColumnBounds("y", Some(0L), Some(12L)))
+    assert(tot > 1 && k3x < tot && k3y < tot,
+      s"post-hoc zorder must prune both dims: x=$k3x y=$k3y of $tot")
+    val p3 = VersionedTable.readVersionPruned(spark, t, v3,
+      Seq(ColumnBounds("y", Some(0L), Some(12L))))
+    assert(p3.exceptAll(ey).isEmpty && ey.exceptAll(p3).isEmpty)
+    // and the statement spelling drives the same verb
+    val v4 = graft.sources.GraftSql.sql(spark,
+      s"OPTIMIZE '$t' TARGET 1 MB ZORDER BY (x, y)").head().getLong(0)
+    assert(v4 == 4L)
+    assert(VersionedTable.readVersion(spark, t, 4L).count() == 10000L)
   }
 
   test("skipping policy persists across merge and streaming commit paths") {
@@ -1759,6 +1783,42 @@ class SinksSpec extends SparkSpec {
     val after = VersionedTable.readLatest(spark, roll).orderBy("grp")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(after.toSeq == Seq(("a", 1L, 10L)), after.mkString(","))
+  }
+
+  test("TIMESTAMP AS OF resolves versions; expire forgets the mirror") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val t = tmp() + "/vt_asof"
+    val t0 = System.currentTimeMillis() - 5L
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    VersionedTable.mergeInto(spark, t, Seq((2L, "b")).toDF("k", "v"), "k")
+    // at `mid` only v1 existed; now = v2; before t0 = nothing
+    assert(VersionedTable.readAsOf(spark, t, mid).count() == 1L)
+    assert(VersionedTable.readAsOf(spark, t,
+      System.currentTimeMillis()).count() == 2L)
+    intercept[IllegalArgumentException](
+      VersionedTable.readAsOf(spark, t, t0 - 60000L))
+    // history surfaces the commit stamp; the statement spelling resolves
+    val hist = VersionedTable.history(spark, t).orderBy("version").collect()
+    assert(hist.forall(r => !r.isNullAt(5) && r.getLong(5) >= t0),
+      hist.mkString(","))
+    val midTs = new java.sql.Timestamp(mid)
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM '$t' TIMESTAMP AS OF '$midTs'")
+      .head().getLong(0) == 1L)
+    // expire retires the _cdf mirror dirs of expired versions: the bytes
+    // vacuum erases must not keep replaying to new feed subscribers
+    VersionedTable.enableChangeFeed(spark, t)
+    VersionedTable.mergeInto(spark, t, Seq((3L, "c")).toDF("k", "v"), "k")
+    assert(new java.io.File(t + "/_cdf/v00000002").exists)
+    VersionedTable.expireVersions(spark, t, keepLast = 1)
+    assert(!new java.io.File(t + "/_cdf/v00000002").exists,
+      "expired version's mirror dir must be forgotten")
+    assert(new java.io.File(t + "/_cdf/v00000003").exists,
+      "kept version's mirror dir must survive")
   }
 
   test("racing ADD CONSTRAINTs all survive (generation CAS)") {
