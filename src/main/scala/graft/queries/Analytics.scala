@@ -2177,6 +2177,161 @@ object Analytics {
                   "value * (1.0 / (1.0 + (CAST(r - epoch_us(ts) AS DOUBLE)" +
                   " / 86400000000.0) / 7.0))"))} AS decayed_value
              |FROM events, ref WHERE value IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q187 — cohort LTV triangle (r13): customers grouped by FIRST-order
+    // month, cumulative revenue per months-since-first — the lifetime-
+    // value readout next to q49_cohort's retention counts. One customer-
+    // keyed min, a broadcast-back join, a (cohort, k) aggregate, and the
+    // cumulative rides a cohort-keyed window over the calendar-bounded
+    // months axis (documented bounded family — ~80 cells per cohort).
+    Q("q187_ltv_cohort",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val first = o.groupBy(col("o_custkey"))
+          .agg(min(trunc(col("o_orderdate"), "month")).as("cohort"))
+        val w = Window.partitionBy(col("cohort")).orderBy(col("k"))
+        o.join(first, Seq("o_custkey"))
+          .withColumn("k",
+            months_between(trunc(col("o_orderdate"), "month"),
+              col("cohort")).cast(LongType))
+          .groupBy(col("cohort"), col("k"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice")).as("rev"))
+          .withColumn("cum_rev",
+            Exact.round6(sum(col("rev")).over(w)))
+          .select(col("cohort"), col("k"), col("n_orders"),
+            Exact.round6(col("rev")).as("rev"), col("cum_rev"))
+          .orderBy(col("cohort"), col("k"))
+      },
+      Some(s"""WITH first AS (
+             |  SELECT o_custkey,
+             |    min(date_trunc('month', o_orderdate)) AS cohort
+             |  FROM orders GROUP BY 1),
+             |cell AS (
+             |  SELECT cohort,
+             |    CAST(datediff('month', cohort,
+             |      date_trunc('month', o_orderdate)) AS BIGINT) AS k,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    ${Exact.sqlSum("o_totalprice")} AS rev
+             |  FROM orders JOIN first USING (o_custkey)
+             |  GROUP BY 1, 2)
+             |SELECT CAST(cohort AS DATE) AS cohort, k, n_orders,
+             |  round(rev, 6) + 0.0 AS rev,
+             |  round(sum(rev) OVER (PARTITION BY cohort ORDER BY k), 6)
+             |    + 0.0 AS cum_rev
+             |FROM cell ORDER BY cohort, k""".stripMargin)),
+
+    // Q189 — repeat-purchase cadence (r13): per customer the MEDIAN days
+    // between consecutive orders, then the cross-customer quartiles of
+    // those medians — the cadence distribution a replenishment or churn
+    // model calibrates against; the orders-side dual of q173's event
+    // burstiness. One customer-keyed lag window, one keyed exact median,
+    // one global quartile aggregate.
+    Q("q189_order_gaps",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables(s, d, "orders")
+          .withColumn("gap_d",
+            datediff(to_date(col("o_orderdate")),
+              to_date(lag(col("o_orderdate"), 1).over(w))).cast(LongType))
+          .where(col("gap_d").isNotNull)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_d, 0.5)").as("med_gap"))
+          .agg(count(lit(1)).as("n_customers"),
+            Exact.round6(expr("percentile(med_gap, 0.25)")).as("p25"),
+            Exact.round6(expr("percentile(med_gap, 0.5)")).as("p50"),
+            Exact.round6(expr("percentile(med_gap, 0.75)")).as("p75"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_custkey,
+             |    CAST(datediff('day',
+             |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d
+             |  FROM orders),
+             |med AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    quantile_cont(gap_d, 0.5) AS med_gap
+             |  FROM g WHERE gap_d IS NOT NULL GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             |  round(quantile_cont(med_gap, 0.25), 6) + 0.0 AS p25,
+             |  round(quantile_cont(med_gap, 0.5), 6) + 0.0 AS p50,
+             |  round(quantile_cont(med_gap, 0.75), 6) + 0.0 AS p75
+             |FROM med""".stripMargin)),
+
+    // Q190 — unit-price dispersion per part (r13): coefficient of
+    // variation of l_extendedprice/l_quantity across a part's line items
+    // — the price-consistency audit (q166's HHI measures seller
+    // concentration; this measures price spread). Exact decimal moments
+    // (the q11_stats posture: built-in stddev is partition-order
+    // nondeterministic), variance from E[x²]−E[x]² with identical
+    // operation order in the oracle; parts under 5 lines are skipped.
+    Q("q190_price_dispersion",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .withColumn("up", col("l_extendedprice") / col("l_quantity"))
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"),
+            Exact.davg(col("up")).as("mx"),
+            Exact.davg(col("up") * col("up")).as("mx2"))
+          .where(col("n") >= 5L)
+          .select(col("l_partkey"), col("n"),
+            // 4dp, not the usual 6: `up` is a double DIVISION, and its
+            // per-row DECIMAL(25,6) cast can land exactly on a .5e-6
+            // boundary where the engines' rounding modes diverge — 4dp
+            // absorbs that last-digit noise on both sides
+            (round(col("mx"), 4) + lit(0d)).as("mean_price"),
+            (round(
+              sqrt(greatest(col("mx2") - col("mx") * col("mx"), lit(0.0))) /
+                col("mx"), 4) + lit(0d)).as("cv"))
+          .orderBy(col("l_partkey"))
+      },
+      Some(s"""WITH up AS (
+             |  SELECT l_partkey, l_extendedprice / l_quantity AS up
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             |    ${Exact.sqlAvg("up")} AS mx,
+             |    ${Exact.sqlAvg("up * up")} AS mx2
+             |  FROM up GROUP BY 1)
+             |SELECT l_partkey, n,
+             |  round(mx, 4) + 0.0 AS mean_price,
+             |  round(sqrt(greatest(mx2 - mx * mx, 0.0)) / mx, 4) + 0.0
+             |    AS cv
+             |FROM m WHERE n >= 5 ORDER BY l_partkey""".stripMargin)),
+
+    // Q191 — top event paths (r13): the 10 most frequent 3-step event-
+    // type sequences across user timelines — the sequence-mining readout
+    // q75's pairwise transition matrix and q174's entropy summarize away;
+    // two lags over one user-keyed window, a path count, and a top-k
+    // that compiles to TakeOrderedAndProject (never a global sort).
+    Q("q191_top_paths",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .withColumn("p1", lag(col("event_type"), 2).over(w))
+          .withColumn("p2", lag(col("event_type"), 1).over(w))
+          .where(col("p1").isNotNull)
+          .select(concat_ws(">", col("p1"), col("p2"), col("event_type"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type, 2) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS p1,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS p2
+             |  FROM events)
+             |SELECT p1 || '>' || p2 || '>' || event_type AS path,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM seq WHERE p1 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin))
   )
 }

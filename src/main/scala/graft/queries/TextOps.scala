@@ -963,6 +963,87 @@ object TextOps {
              |  COALESCE(total_hits, 0) AS total_hits,
              |  COALESCE(n_langs_hit, 0) >= 2 AS mixed
              |FROM documents d LEFT JOIN pd USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Q188 — top-token rank churn between corpus halves (r13): the
+    // top-20 tokens of the first doc-id half vs the second, full-outer
+    // joined — entered/dropped/moved tokens are the cheapest drift alarm
+    // there is (q179's shingle Jaccard weighs ALL vocabulary; this
+    // watches the head, where a template or spam infusion shows first).
+    // Ranks are deterministic (count desc, token asc); each half's
+    // top-20 comes off one hash aggregate + rank filter.
+    Q("q188_rank_churn",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        def top(half: org.apache.spark.sql.DataFrame, rcol: String) = {
+          val w = Window.orderBy(col("n").desc, col("tok"))
+          half.select(explode(split(lower(col("text")), " ")).as("tok"))
+            .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+            .withColumn(rcol, row_number().over(w)) // 1 task: vocab-sized
+            .where(col(rcol) <= 20)
+            .select(col("tok"), col(rcol))
+        }
+        top(docs.where(col("doc_id") <= cut), "rank_a")
+          .join(top(docs.where(col("doc_id") > cut), "rank_b"),
+            Seq("tok"), "full_outer")
+          .select(col("tok"), col("rank_a"), col("rank_b"),
+            when(col("rank_a").isNotNull && col("rank_b").isNotNull, "both")
+              .when(col("rank_a").isNotNull, "dropped")
+              .otherwise("entered").as("status"))
+          .orderBy(col("tok"))
+      },
+      Some("""WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+             |ta AS (
+             |  SELECT tok, row_number() OVER (ORDER BY n DESC, tok)
+             |    AS rank_a
+             |  FROM (SELECT tok, count(*) AS n FROM (
+             |      SELECT unnest(string_split(lower(text), ' ')) AS tok
+             |      FROM documents, cut WHERE doc_id <= c) GROUP BY tok)
+             |  QUALIFY rank_a <= 20),
+             |tb AS (
+             |  SELECT tok, row_number() OVER (ORDER BY n DESC, tok)
+             |    AS rank_b
+             |  FROM (SELECT tok, count(*) AS n FROM (
+             |      SELECT unnest(string_split(lower(text), ' ')) AS tok
+             |      FROM documents, cut WHERE doc_id > c) GROUP BY tok)
+             |  QUALIFY rank_b <= 20)
+             |SELECT COALESCE(ta.tok, tb.tok) AS tok,
+             |  CAST(rank_a AS INTEGER) AS rank_a,
+             |  CAST(rank_b AS INTEGER) AS rank_b,
+             |  CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+             |    THEN 'both' WHEN rank_a IS NOT NULL THEN 'dropped'
+             |    ELSE 'entered' END AS status
+             |FROM ta FULL OUTER JOIN tb ON ta.tok = tb.tok
+             |ORDER BY tok""".stripMargin)),
+
+    // Q192 — bytes-per-token by language (r13): UTF-8 bytes per
+    // whitespace token per language — the capacity-planning number for a
+    // multilingual mix (a fixed token budget buys different byte volumes
+    // per language; CJK and diacritic-heavy scripts skew it). Pure
+    // scan-shaped per-row projections + one keyed aggregate.
+    Q("q192_bytes_per_token",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("lang"),
+            octet_length(col("text")).cast(LongType).as("bytes"),
+            size(split(col("text"), " ")).cast(LongType).as("toks"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bytes")).as("total_bytes"),
+            sum(col("toks")).as("total_tokens"))
+          .withColumn("bytes_per_token",
+            Exact.round6(col("total_bytes").cast(DoubleType) /
+              col("total_tokens").cast(DoubleType)))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |    AS total_tokens,
+             |  round(CAST(sum(strlen(text)) AS DOUBLE) /
+             |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+             |    + 0.0 AS bytes_per_token
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
