@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.LlmOps.qs ++
       graft.queries.TextOps.qs ++
       graft.queries.Analytics.qs ++
+      graft.queries.StatTests.qs ++
       graft.queries.Composite.qs ++
       graft.queries.Typed.qs ++
       graft.queries.Extensibility.qs ++
