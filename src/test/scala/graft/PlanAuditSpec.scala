@@ -471,4 +471,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\], \\[.*"),
       s"unpartitioned window found:\n$p")
   }
+
+  test("q194: source-pair JSD rides the tok equi-join, no cartesian") {
+    // the pair frame must come from the tok-keyed join (|sources|²-bounded
+    // fanout per token); a cartesian/BNLJ here is the doc×doc product the
+    // design exists to avoid
+    val p = plan("q194_jsd")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"JSD pairing must ride the tok equi-join:\n$p")
+  }
+
+  test("q197: median/MAD thresholds broadcast back to the part side") {
+    val p = plan("q197_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side re-shuffled:\n$p")
+  }
+
+  test("q198: both KS ECDFs ride the chunked prefix-scan") {
+    // the data-sized cumulative counts must run as __chunk-PARTITIONED
+    // windows (prefixSumExclusive's shape: the only unpartitioned window
+    // it owns is over the one-row-per-chunk carry frame); a plan without
+    // any __chunk-keyed window means the ECDF fell back to one global
+    // task over all distinct order totals
+    val p = plan("q198_ks_test")
+    assert(p.contains("partitionby(__chunk") ||
+      p.matches("(?s).*Window \\[[^\\]]*\\], \\[__chunk[^\\]]*\\], \\[.*"),
+      s"no __chunk-partitioned window — chunked scan missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
