@@ -2568,6 +2568,49 @@ object Composite {
              |UNION ALL
              |SELECT fh.* FROM fh
              |ANTI JOIN act USING (user_id, event_type)
-             |ORDER BY user_id, event_type""".stripMargin))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Q203 — O(metadata) schema evolution, end to end through the SQL
+    // surface: ADD COLUMN (default backfill), RENAME COLUMN, an INSERT
+    // through the active mapping (so the final table mixes pre- and
+    // post-evolution dirs), then DROP COLUMN — none of which rewrites a
+    // byte of the original snapshot (the chain lives in a manifest
+    // sidecar; readers map each dir by what IT is missing). The oracle
+    // replays the evolution relationally: the final read must be
+    // value-identical to a projection that never evolved at all. The
+    // mixed-vintage read path, time travel, CoW materialization, and
+    // guard rails are pinned in SchemaEvolutionSpec.
+    Q("q203_schema_evolution",
+      (s, d) => {
+        import graft.sources.GraftSql
+        Tables.views(s, d)
+        val dir = scratchDir("graft-vtable-schevo") + "/t"
+        GraftSql.sql(s,
+          s"""CREATE VERSIONED TABLE '$dir' AS
+             |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+             |FROM customer""".stripMargin)
+        GraftSql.sql(s,
+          s"ALTER TABLE '$dir' ADD COLUMN loyalty_tier INT DEFAULT 1")
+        GraftSql.sql(s,
+          s"ALTER TABLE '$dir' RENAME COLUMN c_acctbal TO balance")
+        GraftSql.sql(s,
+          s"""INSERT INTO '$dir' VALUES
+             |(90001, 'NEW CUST A', 111.11, 'BUILDING', 5),
+             |(90002, 'NEW CUST B', 222.22, 'MACHINERY', 5)""".stripMargin)
+        GraftSql.sql(s, s"ALTER TABLE '$dir' DROP COLUMN c_mktsegment")
+        GraftSql.sql(s,
+          s"""SELECT c_custkey, c_name, balance, loyalty_tier
+             |FROM '$dir' LATEST ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH evolved AS (
+             |  SELECT c_custkey, c_name, c_acctbal AS balance,
+             |    CAST(1 AS INTEGER) AS loyalty_tier
+             |  FROM customer
+             |  UNION ALL SELECT 90001, 'NEW CUST A', 111.11,
+             |    CAST(5 AS INTEGER)
+             |  UNION ALL SELECT 90002, 'NEW CUST B', 222.22,
+             |    CAST(5 AS INTEGER))
+             |SELECT c_custkey, c_name, balance, loyalty_tier
+             |FROM evolved ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -67,6 +67,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    '<table-path>' <name> CHECK (<expr>)` (additive and ATOMIC; later
   *    commits abort on violation — racing ADDs both survive via
   *    [[VersionedTable.addConstraints]]'s generation CAS),
+  *    `ALTER TABLE '<table-path>' ADD COLUMN <name> <type> [DEFAULT
+  *    <expr>] | RENAME COLUMN <old> TO <new> | DROP COLUMN <name>`
+  *    (O(metadata) schema evolution — [[VersionedTable.addColumn]]/
+  *    [[VersionedTable.renameColumn]]/[[VersionedTable.dropColumn]]: no
+  *    data rewrite; readers map old dirs to the logical schema and any
+  *    copy-on-write verb materializes it),
   *    `DESCRIBE CONSTRAINTS '<table-path>'` — the
   *    maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
@@ -187,6 +193,19 @@ object GraftSql {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val EnableCdfRe =
     """(?is)\s*ENABLE\s+CHANGE\s+FEED\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  private val AlterRenameRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+RENAME\s+""" +
+      """COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*""").r
+  private val AlterDropRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+DROP\s+""" +
+      """COLUMN\s+`?(\w+)`?\s*;?\s*""").r
+  private val AlterAddRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+ADD\s+""" +
+      """COLUMN\s+`?(\w+)`?\s+""" +
+      """([A-Za-z][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?""" +
+      """(?:\s*<[^>]+>)?)""" +
+      """(?:\s+DEFAULT\s+(.+?))?\s*;?\s*""").r
+
   private val SkippingRe =
     ("""(?is)\s*SET\s+SKIPPING\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+STATS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
@@ -244,6 +263,15 @@ object GraftSql {
       case DescConstraintsRe(p1, p2) =>
         VersionedTable.constraintsOf(spark, Option(p1).getOrElse(p2))
           .toDF("name", "expression")
+      case AlterRenameRe(p1, p2, from, to) =>
+        Seq(VersionedTable.renameColumn(spark, Option(p1).getOrElse(p2),
+          from, to)).toDF("version")
+      case AlterDropRe(p1, p2, name) =>
+        Seq(VersionedTable.dropColumn(spark, Option(p1).getOrElse(p2),
+          name)).toDF("version")
+      case AlterAddRe(p1, p2, name, tpe, dflt) =>
+        Seq(VersionedTable.addColumn(spark, Option(p1).getOrElse(p2),
+          name, tpe.trim, Option(dflt).map(_.trim))).toDF("version")
       case RollupRe(t1, t2, b1, b2, keyList, key, sums) =>
         // KEY k or KEY (k1, k2, ...) — composite rollups ride the same
         // incremental path since r13

@@ -36,6 +36,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *                               through put-if-absent; a legacy mutable
   *                               _constraints.json is read when no
   *                               generation exists)
+  *   _manifests/del-<uuid>.json  deferred-delete state ([[deleteWhereLazy]])
+  *   _manifests/schema-<uuid>.json schema-evolution chain
+  *                               ([[addColumn]]/[[renameColumn]]/
+  *                               [[dropColumn]] — O(metadata) ALTERs;
+  *                               readers map each dir to the logical
+  *                               schema, copy-on-write materializes)
   * }}}
   * Underscore-prefixed paths are invisible to Spark's parquet file index,
   * so sidecars never leak into snapshot reads; everything under the uuid
@@ -291,7 +297,8 @@ object VersionedTable {
       batchId: Option[Long] = None,
       op: String = "commit",
       mergeKey: Option[String] = None,
-      delRef: Option[String] = None): Unit = {
+      delRef: Option[String] = None,
+      schemaRef: Option[String] = None): Unit = {
     val (hfs, root) = fs(spark, table)
     val manifest = new Path(root, s"_manifests/${manifestName(version)}")
     hfs.mkdirs(manifest.getParent)
@@ -313,6 +320,11 @@ object VersionedTable {
       batchId.map(b => s""""batch":$b,""").getOrElse("") +
       mergeKey.map(k => s""""key":"$k",""").getOrElse("") +
       delRef.map(r => s""""del":"$r",""").getOrElse("") +
+      // "schema": the evolution-chain sidecar active at this version
+      // ([[addColumn]]/[[renameColumn]]/[[dropColumn]]) — like "del",
+      // written complete BEFORE this publish and propagated by the
+      // dir-reusing verbs (append/clone), dropped by materializing ones
+      schemaRef.map(r => s""""schema":"$r",""").getOrElse("") +
       s""""op":"$op","writer":"${UUID.randomUUID}"}"""
     // Two-phase atomic publish (the Delta LogStore recipe, one impl per
     // store class): write the FULL body to a writer-unique temp, then
@@ -447,12 +459,26 @@ object VersionedTable {
     // never an extra pass. Dirs one version shares have one column order
     // (the append contract), so the positional union is sound.
     val preds = delStateOf(spark, table, version)
-    if (preds.isEmpty)
+    // schema evolution ([[addColumn]]/[[renameColumn]]/[[dropColumn]]):
+    // the chain applies PER DIR, leniently — dirs written after an op
+    // already have the target shape and pass through. The publish-time
+    // guards forbid a chain and deferred predicates from coexisting on
+    // one version, so filter-then-map order never changes semantics.
+    val chain = schemaStateOf(spark, table, version)
+    if (preds.isEmpty && chain.isEmpty)
       spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
-    else dirs.map { d =>
-      val df = spark.read.parquet(new Path(root, d).toString)
-      delKeepFilter(preds, d).map(df.where).getOrElse(df)
-    }.reduce(_ union _)
+    else {
+      val mapped = dirs.map { d =>
+        val df = spark.read.parquet(new Path(root, d).toString)
+        val kept = delKeepFilter(preds, d).map(df.where).getOrElse(df)
+        if (chain.isEmpty) kept else applySchemaChain(kept, chain)
+      }
+      // dirs of different vintages can disagree on column ORDER once a
+      // mapping is active (an added column sits wherever each dir's
+      // writer put it) — union by NAME, not position
+      if (chain.isEmpty) mapped.reduce(_ union _)
+      else mapped.reduce(_ unionByName _)
+    }
   }
 
   /** TIMESTAMP AS OF time travel: the table as of wall-clock `tsMillis`
@@ -580,6 +606,237 @@ object VersionedTable {
     if (applicable.isEmpty) None
     else Some(applicable.map(p =>
       not(coalesce(expr(p.pred), lit(false)))).reduce(_ && _))
+  }
+
+  // ─────────────────────── schema evolution ───────────────────────────
+  //
+  // ALTER TABLE ADD/RENAME/DROP COLUMN as O(metadata) verbs: a schema
+  // change publishes a new version that REUSES the base's data dirs (the
+  // deferred-delete shape) and records the accumulated evolution chain in
+  // an immutable sidecar the manifest references. Readers apply the chain
+  // PER DIR, leniently (each dir is transformed by what IT is missing —
+  // a dir written after the op already has the target shape and passes
+  // through), so appended dirs of different vintages coexist under one
+  // logical schema without rewriting a byte. Copy-on-write verbs
+  // (UPDATE/DELETE/OPTIMIZE/RESTORE/merge) read the mapped snapshot and
+  // write real parquet columns, which MATERIALIZES the mapping — their
+  // versions carry no chain, exactly like deferred deletes.
+
+  /** One schema-evolution step: `kind` ∈ add|rename|drop. `name` is the
+    * column the op targets (the NEW name for add, the OLD name for
+    * rename); `to` = rename target; `tpe` = add's DDL type string;
+    * `default` = add's SQL expression backfilling EXISTING rows (absent
+    * = NULL).
+    */
+  private final case class SchemaOp(kind: String, name: String,
+      to: String = "", tpe: String = "", default: Option[String] = None)
+
+  private val schemaField = """"schema"\s*:\s*"([^"]+)"""".r
+  // writer emits fields in exactly this order: k, n, [r], [t], [d]
+  private val schemaEntryRe =
+    ("""\{"k":"(add|rename|drop)","n":"((?:[^"\\]|\\.)+)"""" +
+      """(?:,"r":"((?:[^"\\]|\\.)+)")?""" +
+      """(?:,"t":"((?:[^"\\]|\\.)+)")?""" +
+      """(?:,"d":"((?:[^"\\]|\\.)*)")?\}""").r
+
+  /** The schema-sidecar name `version`'s manifest references — None for
+    * unmapped versions (compaction never retires a schema-carrying
+    * manifest, so manifest-absent implies unmapped, the del-ref
+    * argument).
+    */
+  private def schemaRefOf(spark: SparkSession, table: String,
+      version: Long): Option[String] = {
+    val (hfs, root) = fs(spark, table)
+    val m = new Path(root, s"_manifests/${manifestName(version)}")
+    if (!hfs.exists(m)) None
+    else {
+      val in = hfs.open(m)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      schemaField.findFirstMatchIn(body).map(_.group(1))
+    }
+  }
+
+  /** The accumulated evolution chain active at `version` (empty for
+    * unmapped versions — including every version after a copy-on-write
+    * verb, which materializes the mapping into real parquet columns).
+    */
+  private def schemaStateOf(spark: SparkSession, table: String,
+      version: Long): Seq[SchemaOp] =
+    schemaRefOf(spark, table, version).map { ref =>
+      val (hfs, root) = fs(spark, table)
+      val in = hfs.open(new Path(root, s"_manifests/$ref"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
+      schemaEntryRe.findAllMatchIn(body).map { m =>
+        SchemaOp(m.group(1), unesc(m.group(2)),
+          to = Option(m.group(3)).map(unesc).getOrElse(""),
+          tpe = Option(m.group(4)).map(unesc).getOrElse(""),
+          default = Option(m.group(5)).map(unesc))
+      }.toSeq
+    }.getOrElse(Nil)
+
+  /** Persist an evolution-chain sidecar (immutable, writer-unique name,
+    * the [[writeDelSidecar]] pattern: matches neither the version nor
+    * the `.tmp-` reclaim pattern; orphans from failed publishes are
+    * inert kilobytes).
+    */
+  private def writeSchemaSidecar(spark: SparkSession, table: String,
+      chain: Seq[SchemaOp]): String = {
+    val (hfs, root) = fs(spark, table)
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = chain.map { o =>
+      s"""{"k":"${o.kind}","n":"${esc(o.name)}"""" +
+        (if (o.kind == "rename") s""","r":"${esc(o.to)}"""" else "") +
+        (if (o.kind == "add") s""","t":"${esc(o.tpe)}"""" else "") +
+        o.default.map(d => s""","d":"${esc(d)}"""").getOrElse("") + "}"
+    }.mkString("[", ",", "]")
+    val name = s"schema-${UUID.randomUUID}.json"
+    hfs.mkdirs(new Path(root, "_manifests"))
+    val out = hfs.create(new Path(root, s"_manifests/$name"),
+      /* overwrite = */ false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    name
+  }
+
+  /** Apply the chain to one dir's raw frame — LENIENTLY: each op fires
+    * only when the frame still has the pre-op shape, so a dir written
+    * after the op (already logical) passes through untouched, and a
+    * rename followed by a later re-add of the old name composes
+    * correctly (the rename consumes the old column first, then the add
+    * sees it absent and fills the default).
+    */
+  private def applySchemaChain(df: DataFrame,
+      chain: Seq[SchemaOp]): DataFrame =
+    chain.foldLeft(df) { (cur, op) =>
+      op.kind match {
+        case "rename" =>
+          if (cur.columns.contains(op.name) && !cur.columns.contains(op.to))
+            cur.withColumnRenamed(op.name, op.to)
+          else cur
+        case "add" =>
+          if (cur.columns.contains(op.name)) cur
+          else cur.withColumn(op.name,
+            org.apache.spark.sql.functions.expr(op.default.getOrElse("NULL"))
+              .cast(org.apache.spark.sql.types.DataType.fromDDL(op.tpe)))
+        case "drop" =>
+          if (cur.columns.contains(op.name)) cur.drop(op.name) else cur
+      }
+    }
+
+  /** Shared tail of the three ALTER verbs: guard, extend the chain, and
+    * publish at exactly base+1 reusing base's dirs (a racing commit
+    * conflicts instead of having its schema silently remapped).
+    * Deferred deletes must be materialized first — their recorded
+    * predicates bind to the PRE-evolution names and could not resolve
+    * against a mapped read.
+    */
+  private def publishSchemaOp(spark: SparkSession, table: String,
+      op: SchemaOp)(validate: DataFrame => Unit): Long = {
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no committed versions"))
+    require(delStateOf(spark, table, base).isEmpty,
+      s"$table carries deferred deletes at version $base — their " +
+        "predicates bind to the pre-evolution schema; materialize them " +
+        "(any copy-on-write verb, e.g. OPTIMIZE) before evolving")
+    validate(readVersion(spark, table, base))
+    val (hfs, root) = fs(spark, table)
+    val dirs = resolveDir(hfs, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $base of $table was never committed"))
+    val ref = writeSchemaSidecar(spark, table,
+      schemaStateOf(spark, table, base) :+ op)
+    publish(spark, table, base + 1L, dirs, op = "schema",
+      schemaRef = Some(ref))
+    base + 1L
+  }
+
+  /** Refuse renaming/dropping a column that table-level metadata still
+    * references: a CHECK constraint would break every later commit's
+    * validation, and a skipping-policy column would silently stop being
+    * indexed.
+    */
+  private def guardColumnUnreferenced(spark: SparkSession, table: String,
+      colName: String, verb: String): Unit = {
+    val hit = constraintsOf(spark, table).find(_._2
+      .matches(s"(?s).*\\b${java.util.regex.Pattern.quote(colName)}\\b.*"))
+    require(hit.isEmpty,
+      s"cannot $verb column $colName of $table: CHECK constraint " +
+        s"'${hit.map(_._1).getOrElse("")}' references it — replace the " +
+        "constraint first")
+    val inPolicy = skippingPolicy(spark, table).exists {
+      case (s, b, _) => s.contains(colName) || b.contains(colName)
+    }
+    require(!inPolicy,
+      s"cannot $verb column $colName of $table: the skipping policy " +
+        "indexes it — SET SKIPPING without it first")
+  }
+
+  /** ALTER TABLE ADD COLUMN: O(metadata) — no data rewrite. Existing
+    * rows read `default` (a deterministic SQL expression; absent =
+    * NULL) cast to `ddlType`; rows written after the change store the
+    * column physically. Statement spelling: `ALTER TABLE '<path>' ADD
+    * COLUMN <name> <type> [DEFAULT <expr>]`.
+    */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      ddlType: String, default: Option[String] = None): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name must be a simple identifier: $name")
+    require(!name.startsWith("__"),
+      s"names with the __ prefix are reserved for CDC columns: $name")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    publishSchemaOp(spark, table,
+        SchemaOp("add", name, tpe = ddlType, default = default)) { cur =>
+      require(!cur.columns.contains(name),
+        s"column $name already exists on $table")
+      default.foreach { d =>
+        import org.apache.spark.sql.functions.expr
+        val probe = spark.range(1).select(expr(d).cast(dt))
+        require(
+          probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+          s"DEFAULT must be deterministic (it re-evaluates at every " +
+            s"read of the pre-evolution dirs): $d")
+        probe.collect() // force evaluation errors out NOW, not at read
+      }
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN: O(metadata) — the mapping renames at
+    * read time until a copy-on-write verb materializes it. Refused
+    * while a CHECK constraint or the skipping policy references the
+    * old name. Statement spelling: `ALTER TABLE '<path>' RENAME COLUMN
+    * <old> TO <new>`.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Long = {
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name must be a simple identifier: $to")
+    require(!to.startsWith("__"),
+      s"names with the __ prefix are reserved for CDC columns: $to")
+    guardColumnUnreferenced(spark, table, from, "rename")
+    publishSchemaOp(spark, table, SchemaOp("rename", from, to = to)) { cur =>
+      require(cur.columns.contains(from),
+        s"no column $from on $table")
+      require(!cur.columns.contains(to),
+        s"column $to already exists on $table")
+    }
+  }
+
+  /** ALTER TABLE DROP COLUMN: O(metadata) — the column is projected
+    * away at read time; the bytes stay until copy-on-write rewrites
+    * (then vacuum reclaims the old versions). Same reference guard as
+    * rename. Statement spelling: `ALTER TABLE '<path>' DROP COLUMN
+    * <name>`.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    guardColumnUnreferenced(spark, table, name, "drop")
+    publishSchemaOp(spark, table, SchemaOp("drop", name)) { cur =>
+      require(cur.columns.contains(name), s"no column $name on $table")
+      require(cur.columns.length > 1,
+        s"cannot drop the last column of $table")
+    }
   }
 
   /** The dirs a manifest's `dir` field names: one for snapshot/merge/DML
@@ -785,6 +1042,17 @@ object VersionedTable {
     // DELETE ... DEFERRED instead of stalling until a CoW verb lands.
     if (opOf(spark, table, version).contains("lazydelete"))
       return lazyDeleteChanges(spark, table, version)
+    // a schema-evolution version changed METADATA only — zero rows. An
+    // empty batch (in the POST-evolution logical schema) keeps CDC
+    // consumers riding instead of stalling; the last-dir probe below
+    // would otherwise misattribute an older merge's _changes sidecar
+    // (the clone hazard), since a schema version writes no dir of its
+    // own.
+    if (opOf(spark, table, version).contains("schema")) {
+      import org.apache.spark.sql.functions.lit
+      return readVersion(spark, table, version).limit(0)
+        .withColumn("__op", lit("u")).withColumn("__ver", lit(1L))
+    }
     // zero-copy bootstraps (clone/convert) wrote no dir either: their v1
     // references the SOURCE's dirs, and a _changes sidecar found there
     // belongs to a SOURCE merge — returning it would double-apply that
@@ -1103,7 +1371,12 @@ object VersionedTable {
     // predicate's scope, so appended rows are never retro-deleted, while
     // the base dirs keep their filters
     publish(spark, table, base + 1L, s"$baseDirs;$dirName", batchId,
-      op = "insert", delRef = delRefOf(spark, table, base))
+      op = "insert", delRef = delRefOf(spark, table, base),
+      // an active schema mapping travels too (by sidecar NAME): the new
+      // dir was written in the LOGICAL shape (aligned to the mapped base
+      // read above), so the lenient per-dir chain application no-ops on
+      // it while the base dirs keep mapping
+      schemaRef = schemaRefOf(spark, table, base))
     // feed-enabled tables mirror the appended dir as upsert rows (same
     // self-healing tail as commitMerge's — the mirror is one O(batch)
     // copy, paid only when the table opted into streaming CDC)
@@ -1381,11 +1654,13 @@ object VersionedTable {
       hfs.delete(new Path(root, s"_manifests/${checkpointName(v)}"), false))
     vs.dropRight(keepRecent).count { v =>
       val m = new Path(root, s"_manifests/${manifestName(v)}")
-      // del-carrying manifests survive compaction: the checkpoint folds
-      // only (version → dir), and retiring the manifest would drop the
-      // del reference — silently resurrecting lazily-deleted rows. They
-      // retire with their versions ([[expireVersions]]) instead.
+      // del- and schema-carrying manifests survive compaction: the
+      // checkpoint folds only (version → dir), and retiring the manifest
+      // would drop the sidecar reference — silently resurrecting
+      // lazily-deleted rows / un-evolving the schema. They retire with
+      // their versions ([[expireVersions]]) instead.
       hfs.exists(m) && delRefOf(spark, table, v).isEmpty &&
+        schemaRefOf(spark, table, v).isEmpty &&
         hfs.delete(m, false)
     }
   }
@@ -1795,8 +2070,15 @@ object VersionedTable {
       if (srcState.isEmpty) None
       else Some(writeDelSidecar(spark, targetTable, srcState.map(p =>
         p.copy(dirs = p.dirs.map(d => new Path(srcRoot, d).toString)))))
+    // an active schema mapping travels the same way — the chain is
+    // dir-name-free, so it copies verbatim into the clone's OWN sidecar
+    // (the source's sidecar lives under the source's _manifests/)
+    val srcChain = schemaStateOf(spark, sourceTable, v)
+    val schemaRef =
+      if (srcChain.isEmpty) None
+      else Some(writeSchemaSidecar(spark, targetTable, srcChain))
     publish(spark, targetTable, 1L, dirs.mkString(";"), op = "clone",
-      delRef = delRef)
+      delRef = delRef, schemaRef = schemaRef)
     1L
   }
 
@@ -1952,6 +2234,14 @@ object VersionedTable {
     val baseDirs = resolveDir(hfs, root, base).getOrElse(
       throw new IllegalArgumentException(
         s"version $base of $table was never committed"))
+    // a deferred predicate binds to LOGICAL names at read time but is
+    // evaluated against each dir's RAW frame — under an active schema
+    // mapping the two disagree, so refuse until a copy-on-write verb
+    // materializes the mapping (the dual of [[publishSchemaOp]]'s guard)
+    require(schemaStateOf(spark, table, base).isEmpty,
+      s"$table carries an active schema mapping at version $base — " +
+        "deferred predicates cannot bind across it; run a copy-on-write " +
+        "verb (OPTIMIZE, UPDATE, DELETE) to materialize the mapping first")
     // validate BEFORE any write: unresolvable columns fail analysis here
     // (AnalysisException), and a nondeterministic predicate would delete
     // DIFFERENT rows on every read — refuse both up front
@@ -2582,6 +2872,13 @@ object VersionedTable {
     } ++ equalities.map(e => col(e.column) === lit(e.value))
       ++ inLists.map(l => col(l.column).isin(l.values: _*)))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // a version under an active schema mapping reads unpruned: the stats
+    // sidecars and the forced-schema kept-file reads below are keyed by
+    // PHYSICAL column names the mapping may have renamed away — degrade
+    // to the full (correct, mapped) scan until a copy-on-write verb
+    // materializes the mapping
+    if (schemaStateOf(spark, table, version).nonEmpty)
+      return full.where(residual)
     pruneSelection(spark, table, version, bounds, equalities, inLists) match {
       case None => full.where(residual)
       case Some((kept, total)) if kept.size == total => full.where(residual)

@@ -1,0 +1,237 @@
+package graft
+
+import graft.sources.{GraftSql, VersionedTable => VT}
+import org.apache.spark.sql.functions._
+
+/** ALTER TABLE ADD/RENAME/DROP COLUMN — O(metadata) schema evolution on
+  * [[graft.sources.VersionedTable]]: the mapping chain applies at read
+  * time per dir, copy-on-write verbs materialize it, time travel shows
+  * each era's schema, and the guards keep it away from the features it
+  * cannot compose with (deferred deletes, referenced columns).
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-schevo").toString
+
+  /** Raw manifest body of `version` — the test-side observability seam
+    * for materialization (a version under a mapping carries a "schema"
+    * field; a materialized one must not).
+    */
+  private def manifestBody(table: String, version: Long): String = {
+    val p = java.nio.file.Paths.get(table, "_manifests",
+      f"v$version%08d.json")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  private def freshNation(t: String): Long =
+    VT.commit(spark, Tables(spark, sfDir, "nation"), t)
+
+  test("ADD COLUMN backfills the default without rewriting a byte") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    val v2 = VT.addColumn(spark, t, "tier", "INT", Some("7"))
+    assert(v2 == 2L)
+    // the new version reuses v1's dir verbatim — O(metadata)
+    val d1 = manifestBody(t, 1L)
+    val d2 = manifestBody(t, 2L)
+    def dir(s: String) = """"dir":"([^"]+)"""".r.findFirstMatchIn(s).get.group(1)
+    assert(dir(d1) == dir(d2), "schema version must reuse the base dirs")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.columns.contains("tier"))
+    assert(latest.schema("tier").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(latest.filter(col("tier") === 7).count() == latest.count())
+    // time travel: the pre-evolution snapshot has no such column
+    assert(!VT.readVersion(spark, t, 1L).columns.contains("tier"))
+  }
+
+  test("ADD COLUMN without default reads NULL") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.addColumn(spark, t, "note", "STRING")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.filter(col("note").isNull).count() == latest.count())
+  }
+
+  test("RENAME COLUMN maps at read time; old versions keep the old name") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.renameColumn(spark, t, "n_name", "nation_name")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.columns.contains("nation_name") &&
+      !latest.columns.contains("n_name"))
+    // values ride the rename untouched
+    val orig = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation_name"))
+    assert(latest.select("n_nationkey", "nation_name")
+      .exceptAll(orig).isEmpty)
+    assert(VT.readVersion(spark, t, 1L).columns.contains("n_name"))
+  }
+
+  test("DROP COLUMN projects away at read time; history keeps it") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.dropColumn(spark, t, "n_regionkey")
+    assert(!VT.readLatest(spark, t).columns.contains("n_regionkey"))
+    assert(VT.readVersion(spark, t, 1L).columns.contains("n_regionkey"))
+  }
+
+  test("append after rename: mixed-vintage dirs read as one logical table") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.renameColumn(spark, t, "n_name", "nation_name")
+    val extra = spark.createDataFrame(Seq(
+      (900, "ATLANTIS", 0), (901, "LEMURIA", 1)))
+      .toDF("n_nationkey", "nation_name", "n_regionkey")
+    VT.append(spark, t, extra)
+    val latest = VT.readLatest(spark, t)
+    assert(latest.count() == 25 + 2)
+    assert(latest.columns.sorted.toSeq ==
+      Seq("n_nationkey", "n_regionkey", "nation_name"))
+    assert(latest.filter(col("nation_name") === "ATLANTIS").count() == 1)
+    // the pre-rename rows still map: every original name present
+    assert(latest.filter(col("nation_name") === "CANADA").count() ==
+      Tables(spark, sfDir, "nation")
+        .filter(col("n_name") === "CANADA").count())
+  }
+
+  test("chain composes: rename a->b then re-add a reads both correctly") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.renameColumn(spark, t, "n_name", "nation_name")
+    VT.addColumn(spark, t, "n_name", "STRING", Some("'redacted'"))
+    val latest = VT.readLatest(spark, t)
+    assert(latest.filter(col("n_name") === "redacted").count() ==
+      latest.count())
+    assert(latest.filter(col("nation_name").isNotNull).count() ==
+      latest.count())
+  }
+
+  test("copy-on-write materializes the mapping; pruning resumes after") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.renameColumn(spark, t, "n_name", "nation_name")
+    assert(manifestBody(t, 2L).contains("\"schema\""))
+    // CoW UPDATE reads the mapped snapshot and writes real columns
+    val v3 = VT.updateWhere(spark, t, col("n_nationkey") === 0,
+      Map("nation_name" -> lit("ZERO")))
+    assert(!manifestBody(t, v3).contains("\"schema\""),
+      "CoW version must not carry the chain — it materialized it")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.columns.contains("nation_name"))
+    assert(latest.filter(col("nation_name") === "ZERO").count() == 1)
+    // and the mapped INTERMEDIATE version still time-travels correctly
+    assert(VT.readVersion(spark, t, 2L).columns.contains("nation_name"))
+  }
+
+  test("pruned reads degrade (not break) under a mapping, then recover") {
+    val t = tmp() + "/t"
+    VT.commitClustered(spark, Tables(spark, sfDir, "nation"), t,
+      clusterCols = Seq("n_nationkey"), numFiles = 3)
+    VT.renameColumn(spark, t, "n_nationkey", "nation_key")
+    // bounds reference the NEW logical name; the stats sidecar holds the
+    // old physical one — the read must degrade to a full mapped scan and
+    // still answer correctly
+    val got = VT.readLatestPruned(spark, t,
+      bounds = Seq(graft.sources.VersionedTable.ColumnBounds(
+        "nation_key", Some(3), Some(5))))
+    assert(got.count() == 3)
+    assert(got.columns.contains("nation_key"))
+  }
+
+  test("readChanges on a schema version is an EMPTY batch, not a stall") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    val v2 = VT.addColumn(spark, t, "tier", "INT", Some("1"))
+    val ch = VT.readChanges(spark, t, v2)
+    assert(ch.count() == 0)
+    assert(ch.columns.contains("__op") && ch.columns.contains("__ver"))
+    assert(ch.columns.contains("tier"),
+      "the empty batch carries the POST-evolution logical schema")
+  }
+
+  test("shallow clone of an evolved table reads the evolved schema") {
+    val t = tmp() + "/src"
+    val c = tmp() + "/clone"
+    freshNation(t)
+    VT.renameColumn(spark, t, "n_name", "nation_name")
+    VT.shallowClone(spark, c, t)
+    val cloned = VT.readLatest(spark, c)
+    assert(cloned.columns.contains("nation_name"))
+    assert(cloned.count() == 25)
+  }
+
+  test("manifest compaction never retires a schema-carrying manifest") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.addColumn(spark, t, "tier", "INT", Some("3"))
+    // pile on unmapped versions so compaction has something to retire
+    (1 to 4).foreach(_ => VT.append(spark, t,
+      VT.readLatest(spark, t).limit(1)))
+    VT.compactManifests(spark, t, keepRecent = 1)
+    // every version must still read with the mapping intact — the
+    // schema version's manifest (and the append versions propagating
+    // its ref) must have survived
+    assert(VT.readVersion(spark, t, 2L).columns.contains("tier"))
+    assert(VT.readLatest(spark, t).columns.contains("tier"))
+  }
+
+  test("guards: referenced / duplicate / reserved / last-column cases") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.addConstraints(spark, t, Map("key_pos" -> "n_nationkey >= 0"))
+    intercept[IllegalArgumentException] {
+      VT.renameColumn(spark, t, "n_nationkey", "nk")
+    }
+    intercept[IllegalArgumentException] {
+      VT.dropColumn(spark, t, "n_nationkey")
+    }
+    intercept[IllegalArgumentException] { // target name taken
+      VT.renameColumn(spark, t, "n_name", "n_regionkey")
+    }
+    intercept[IllegalArgumentException] { // duplicate add
+      VT.addColumn(spark, t, "n_name", "STRING")
+    }
+    intercept[IllegalArgumentException] { // reserved CDC prefix
+      VT.addColumn(spark, t, "__ver", "INT")
+    }
+    intercept[IllegalArgumentException] { // nondeterministic default
+      VT.addColumn(spark, t, "lucky", "DOUBLE", Some("rand()"))
+    }
+  }
+
+  test("guards: deferred deletes and schema mappings never coexist") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    VT.deleteWhereLazy(spark, t, "n_nationkey = 24")
+    intercept[IllegalArgumentException] {
+      VT.addColumn(spark, t, "tier", "INT")
+    }
+    val t2 = tmp() + "/t2"
+    freshNation(t2)
+    VT.renameColumn(spark, t2, "n_name", "nation_name")
+    intercept[IllegalArgumentException] {
+      VT.deleteWhereLazy(spark, t2, "n_nationkey = 24")
+    }
+    // and the documented escape hatch works: materialize, then proceed
+    VT.optimize(spark, t2)
+    VT.deleteWhereLazy(spark, t2, "n_nationkey = 24")
+    assert(VT.readLatest(spark, t2).count() == 24)
+  }
+
+  test("SQL spellings drive all three ALTERs; history shows the op") {
+    val t = tmp() + "/t"
+    freshNation(t)
+    GraftSql.sql(spark, s"ALTER TABLE '$t' ADD COLUMN score DOUBLE DEFAULT 0.5")
+    GraftSql.sql(spark, s"ALTER TABLE '$t' RENAME COLUMN n_name TO nation_name")
+    GraftSql.sql(spark, s"ALTER TABLE '$t' DROP COLUMN n_regionkey")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.columns.sorted.toSeq ==
+      Seq("n_nationkey", "nation_name", "score"))
+    assert(latest.filter(col("score") === 0.5).count() == 25)
+    val ops = VT.history(spark, t).select("op")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "schema") == 3, ops.toString)
+  }
+}
