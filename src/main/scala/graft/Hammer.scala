@@ -35,6 +35,12 @@ import graft.sources.VersionedTable
   * writers on the CLONE against append writers on the SOURCE — the
   * zero-copy fork must give complete isolation both ways.
   *
+  * Phase 4 (schema brawl, r13): on a fresh table, race ALTER ADD COLUMN
+  * / a RENAME ping-pong against appends (which must realign to whatever
+  * logical schema wins each slot) and a concurrent OPTIMIZE (which
+  * materializes the mapping chain mid-flight) — a lost ALTER shows as a
+  * missing column, a lost append as a missing row.
+  *
   * Invariants checked after all phases (exit non-zero on any failure):
   *  - both version chains are GAP-FREE 1..latest: every successful verb
   *    claimed exactly one version, no manifest was overwritten or lost;
@@ -245,6 +251,81 @@ object Hammer {
     }, "src-append")
     (cloneMergers :+ srcAppender).foreach(_.start())
     (cloneMergers :+ srcAppender).foreach(_.join(600000))
+
+    // ---- phase 4: schema-evolution brawl -------------------------------
+    // ALTERs are O(metadata) base-pinned publishes — race them against
+    // appends (which must realign to whatever logical schema wins each
+    // slot) and a concurrent OPTIMIZE (which MATERIALIZES the chain
+    // mid-flight). A lost ALTER shows as a column missing from the final
+    // schema; a lost append as a missing row; any interleaving must
+    // leave a gap-free chain. The appender also retries on the
+    // schema-mismatch refusal — the application-level retry every
+    // pipeline appending into an evolving table needs.
+    val t2 = root + "/schevo"
+    VersionedTable.commit(spark, Seq((0L, 0L)).toDF("id", "v"), t2)
+    val alters = new AtomicLong(0)
+    val renames = new AtomicLong(0)
+    val evoAppends = new AtomicLong(0)
+    val evoOptimizes = new AtomicLong(0)
+    val stopEvoMaint = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val addThread = new Thread(() => guarded {
+      (0 until perWriter).foreach { i =>
+        retrying(alters) {
+          VersionedTable.addColumn(spark, t2, s"x$i", "INT",
+            Some(i.toString))
+        }
+      }
+    }, "schema-add")
+    val renameThread = new Thread(() => guarded {
+      // ping-pong a scratch column nothing else names: every successful
+      // rename must survive, whether the chain still maps it or a racing
+      // OPTIMIZE materialized it mid-sequence
+      retrying(alters) {
+        VersionedTable.addColumn(spark, t2, "pp0", "INT", Some("0"))
+      }
+      (0 until perWriter).foreach { i =>
+        retrying(renames) {
+          VersionedTable.renameColumn(spark, t2, s"pp$i", s"pp${i + 1}")
+        }
+      }
+    }, "schema-rename")
+    val evoAppender = new Thread(() => guarded {
+      (0 until perWriter).foreach { i =>
+        var done = false
+        while (!done && failures.isEmpty) {
+          try {
+            // clone the seed row under the CURRENT logical schema — an
+            // ALTER landing after this read either conflicts the publish
+            // or fails the width check; both retry with a fresh read
+            val batch = VersionedTable.readLatest(spark, t2).limit(1)
+              .withColumn("id", lit(100L + i))
+            VersionedTable.append(spark, t2, batch)
+            done = true; evoAppends.incrementAndGet()
+          } catch {
+            case _: VersionedTable.CommitConflictException =>
+              conflicts.incrementAndGet()
+            case e: IllegalArgumentException
+                if e.getMessage.contains("schema must match") =>
+              conflicts.incrementAndGet()
+          }
+        }
+      }
+    }, "schema-append")
+    val evoMaint = new Thread(() => guarded {
+      while (!stopEvoMaint.get() && failures.isEmpty) {
+        try {
+          VersionedTable.optimize(spark, t2, targetFileBytes = 1L << 30)
+          evoOptimizes.incrementAndGet()
+        } catch {
+          case _: VersionedTable.CommitConflictException =>
+            conflicts.incrementAndGet()
+        }
+      }
+    }, "schema-maint")
+    val evoThreads = Seq(addThread, renameThread, evoAppender)
+    evoThreads.foreach(_.start()); evoMaint.start()
+    evoThreads.foreach(_.join(600000))
+    stopEvoMaint.set(true); evoMaint.join(600000)
     val wallS = (System.nanoTime() - t0) / 1e9
 
     // ---- invariants -----------------------------------------------------
@@ -302,6 +383,33 @@ object Hammer {
       !finalRows.keys.exists(_ >= 9000L), s"final=$finalRows")
     check("races actually collided", conflicts.get() > 0,
       "zero conflicts observed — raise writers/commits")
+    // phase-4 invariants: schema brawl
+    val evs = VersionedTable.versions(spark, t2)
+    val expectEvo = 1L + alters.get() + renames.get() + evoAppends.get() +
+      evoOptimizes.get()
+    check("schema-brawl chain gap-free",
+      evs == (1L to evs.last) && evs.last == expectEvo,
+      s"versions=${evs.last} expected 1..$expectEvo")
+    val evoFinal = VersionedTable.readLatest(spark, t2)
+    val evoCols = evoFinal.columns.toSet
+    check("no lost ALTER ADDs",
+      (0 until perWriter).forall(i => evoCols.contains(s"x$i")),
+      s"cols=$evoCols")
+    check("rename ping-pong landed at its final name",
+      evoCols.contains(s"pp${renames.get()}") &&
+        (renames.get() == 0L || !evoCols.contains("pp0")),
+      s"cols=$evoCols renames=${renames.get()}")
+    check("no lost appends through the mapping",
+      evoFinal.where(col("id") >= 100L).count() == evoAppends.get(),
+      s"rows=${evoFinal.where(col("id") >= 100L).count()} " +
+        s"appends=${evoAppends.get()}")
+    check("added defaults backfilled the seed row",
+      {
+        val r = evoFinal.where(col("id") === 0L)
+          .selectExpr((0 until perWriter).map(i => s"x$i"): _*).head()
+        (0 until perWriter).forall(i => !r.isNullAt(i) && r.getInt(i) == i)
+      },
+      "the seed row lost an added column's default")
 
     val lost = (0 until writers).count(w =>
       !finalRows.get(w.toLong).contains(perWriter.toLong)) +
@@ -314,7 +422,9 @@ object Hammer {
       s""""lazy_deletes":${lazyDeletes.get()},""" +
       s""""restores":${restores.get()},""" +
       s""""clone_merges":${4 * perWriter},""" +
-      s""""optimizes":${optimizes.get()},""" +
+      s""""optimizes":${optimizes.get() + evoOptimizes.get()},""" +
+      s""""schema_alters":${alters.get() + renames.get()},""" +
+      s""""schema_appends":${evoAppends.get()},""" +
       s""""conflicts":${conflicts.get()},"versions":${vs.last},""" +
       s""""lost_updates":$lost,"failures":$failed,""" +
       f""""wall_s":$wallS%.1f}"""

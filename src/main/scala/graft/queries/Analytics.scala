@@ -2332,6 +2332,259 @@ object Analytics {
              |SELECT p1 || '>' || p2 || '>' || event_type AS path,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM seq WHERE p1 IS NOT NULL
-             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // Q204 — repeat-purchase (reorder) rate per brand: the share of
+    // (customer, part) pairs bought in ≥2 DISTINCT orders — the loyalty
+    // readout a recommender or replenishment model starts from (q189
+    // measures the cadence of repeats; this measures whether repeats
+    // happen at all). Keyed big-big equi-join + two-level keyed agg; the
+    // pair frame shrinks to distinct pairs before the brand rollup.
+    Q("q204_reorder_rate",
+      (s, d) => {
+        val pairs = Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_partkey"))
+          .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+        pairs.join(Tables(s, d, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("n_ord") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+          .withColumn("reorder_rate",
+            Exact.round6(col("n_repeat").cast(DoubleType) /
+              col("n_pairs").cast(DoubleType)))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT o_custkey, l_partkey,
+             |    count(DISTINCT l_orderkey) AS n_ord
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2)
+             |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_repeat,
+             |  round(CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END)
+             |    AS DOUBLE)/count(*), 6) + 0.0 AS reorder_rate
+             |FROM pairs JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Q205 — tail-ratio (p99/p50) of order totals per priority class:
+    // the tail-heaviness scalar SLO dashboards track (a growing ratio
+    // means the big orders are pulling away from the median). Prices
+    // ride as exact integer cents so both engines' linear interpolation
+    // runs on identical integers (the q84 precedent); groups are the 5
+    // priority classes, so grouped exact percentiles hold at scale.
+    Q("q205_tail_ratio",
+      (s, d) => {
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
+              .cast(LongType).as("cents"))
+          .groupBy(col("pri"))
+          .agg(
+            Exact.round6(expr("percentile(cents, 0.5)")).as("p50"),
+            Exact.round6(expr("percentile(cents, 0.99)")).as("p99"),
+            Exact.round6(expr("percentile(cents, 0.99)") /
+              expr("percentile(cents, 0.5)")).as("tail_ratio"))
+          .orderBy(col("pri"))
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS pri,
+             |    CAST(CAST(o_totalprice AS DECIMAL(25,6))*100 AS BIGINT)
+             |      AS cents
+             |  FROM orders)
+             |SELECT pri, round(quantile_cont(cents, 0.5),6)+0.0 AS p50,
+             |  round(quantile_cont(cents, 0.99),6)+0.0 AS p99,
+             |  round(quantile_cont(cents, 0.99) /
+             |    quantile_cont(cents, 0.5), 6) + 0.0 AS tail_ratio
+             |FROM o GROUP BY pri ORDER BY pri""".stripMargin)),
+
+    // Q206 — duplicate-family size distribution: documents grouped by a
+    // 5-token-prefix fingerprint (boilerplate/template families — raw
+    // exact-dup families are degenerate on deduped corpora), histogram
+    // of family sizes — the dedup-REPORT readout next to the dedup verbs
+    // themselves (q30/q31 remove; this one tells you what the removal
+    // budget looks like before you spend it). Hash-keyed two-level agg.
+    Q("q206_dup_families",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(md5(concat_ws(" ",
+            slice(split(lower(col("text")), " "), 1, 5))).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH fam AS (
+             |  SELECT md5(array_to_string(
+             |      string_split(lower(text),' ')[1:5], ' ')) AS h,
+             |    count(*) AS sz
+             |  FROM documents GROUP BY 1)
+             |SELECT CAST(sz AS BIGINT) AS cluster_size,
+             |  CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sz*count(*) AS BIGINT) AS n_docs
+             |FROM fam GROUP BY sz ORDER BY cluster_size""".stripMargin)),
+
+    // Q207 — supplier share-shift movers: revenue share in the first vs
+    // second half of the ship-date span, top-10 by absolute shift — the
+    // supply-mix drift alarm (q179 does this for vocabulary, this for
+    // the supplier ledger). One broadcast 1-row midpoint, one keyed
+    // aggregate, TakeOrderedAndProject top-k; shares divide exact
+    // decimal sums identically on both engines so the |shift| ordering
+    // is reproducible.
+    Q("q207_share_shift",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        // l_shipdate is TIMESTAMP_NTZ in the fixture: unix_micros takes
+        // TIMESTAMP only, so cast first — the UTC session makes the
+        // NTZ->instant interpretation identical to DuckDB's epoch_us
+        val ship = col("l_shipdate").cast("timestamp")
+        val mid = li.agg(((min(unix_micros(ship)) +
+          max(unix_micros(ship))) / 2).cast(LongType)
+          .as("mid"))
+        val D25 = DecimalType(25, 6)
+        val rev = li.crossJoin(broadcast(mid))
+          .groupBy(col("l_suppkey"))
+          .agg(
+            sum(when(unix_micros(ship) < col("mid"),
+              col("l_extendedprice").cast(D25))
+              .otherwise(lit(0).cast(D25))).as("r1"),
+            sum(when(unix_micros(ship) >= col("mid"),
+              col("l_extendedprice").cast(D25))
+              .otherwise(lit(0).cast(D25))).as("r2"))
+        val tot = rev.agg(sum(col("r1")).as("t1"), sum(col("r2")).as("t2"))
+        val sa = col("r1").cast(DoubleType) / col("t1").cast(DoubleType)
+        val sb = col("r2").cast(DoubleType) / col("t2").cast(DoubleType)
+        rev.crossJoin(broadcast(tot))
+          .select(col("l_suppkey"),
+            Exact.round6(sa).as("share_a"),
+            Exact.round6(sb).as("share_b"),
+            Exact.round6(sb - sa).as("shift"),
+            abs(sb - sa).as("__o"))
+          .orderBy(col("__o").desc, col("l_suppkey"))
+          .limit(10)
+          .drop("__o")
+      },
+      Some("""WITH span AS (SELECT (min(epoch_us(l_shipdate)) +
+             |    max(epoch_us(l_shipdate)))//2 AS mid FROM lineitem),
+             |rev AS (SELECT l_suppkey,
+             |    sum(CASE WHEN epoch_us(l_shipdate) < mid
+             |      THEN CAST(l_extendedprice AS DECIMAL(25,6))
+             |      ELSE CAST(0 AS DECIMAL(25,6)) END) AS r1,
+             |    sum(CASE WHEN epoch_us(l_shipdate) >= mid
+             |      THEN CAST(l_extendedprice AS DECIMAL(25,6))
+             |      ELSE CAST(0 AS DECIMAL(25,6)) END) AS r2
+             |  FROM lineitem, span GROUP BY 1),
+             |tot AS (SELECT sum(r1) AS t1, sum(r2) AS t2 FROM rev)
+             |SELECT l_suppkey,
+             |  round(CAST(r1 AS DOUBLE)/CAST(t1 AS DOUBLE),6)+0.0
+             |    AS share_a,
+             |  round(CAST(r2 AS DOUBLE)/CAST(t2 AS DOUBLE),6)+0.0
+             |    AS share_b,
+             |  round(CAST(r2 AS DOUBLE)/CAST(t2 AS DOUBLE) -
+             |    CAST(r1 AS DOUBLE)/CAST(t1 AS DOUBLE),6)+0.0 AS shift
+             |FROM rev, tot
+             |ORDER BY abs(CAST(r2 AS DOUBLE)/CAST(t2 AS DOUBLE) -
+             |  CAST(r1 AS DOUBLE)/CAST(t1 AS DOUBLE)) DESC, l_suppkey
+             |LIMIT 10""".stripMargin)),
+
+    // Q208 — discount lift on quantity: average quantity per discrete
+    // discount level vs the zero-discount baseline — the crudest
+    // price-elasticity readout there is, and the first thing a pricing
+    // analyst asks of the ledger. One keyed aggregate + a broadcast
+    // 1-row baseline.
+    Q("q208_discount_lift",
+      (s, d) => {
+        val D25 = DecimalType(25, 6)
+        val lv = Tables(s, d, "lineitem")
+          .groupBy(col("l_discount"))
+          .agg(sum(col("l_quantity").cast(D25)).as("sq"),
+            count(lit(1)).as("n"))
+        val base = lv.where(col("l_discount") === 0.0)
+          .select((col("sq").cast(DoubleType) / col("n")).as("avg0"))
+        lv.crossJoin(broadcast(base))
+          .select(col("l_discount"), col("n").as("n_lines"),
+            Exact.round6(col("sq").cast(DoubleType) / col("n"))
+              .as("avg_qty"),
+            Exact.round6((col("sq").cast(DoubleType) / col("n")) /
+              col("avg0")).as("lift"))
+          .orderBy(col("l_discount"))
+      },
+      Some("""WITH lv AS (SELECT l_discount,
+             |    sum(CAST(l_quantity AS DECIMAL(25,6))) AS sq,
+             |    count(*) AS n
+             |  FROM lineitem GROUP BY 1),
+             |base AS (SELECT CAST(sq AS DOUBLE)/n AS avg0 FROM lv
+             |  WHERE l_discount = 0.0)
+             |SELECT l_discount, CAST(n AS BIGINT) AS n_lines,
+             | round(CAST(sq AS DOUBLE)/n, 6)+0.0 AS avg_qty,
+             | round((CAST(sq AS DOUBLE)/n)/avg0, 6)+0.0 AS lift
+             |FROM lv, base ORDER BY l_discount""".stripMargin)),
+
+    // Q209 — basket-size profile: orders histogrammed by line count with
+    // the average order value per bucket — the order-shape distribution
+    // a fulfillment model sizes against (q49_histogram buckets prices;
+    // this buckets STRUCTURE). Two-level keyed agg, exact decimal money.
+    Q("q209_basket_profile",
+      (s, d) => {
+        val D25 = DecimalType(25, 6)
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast(D25)).as("val"))
+          .groupBy(col("n_lines"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.round6(sum(col("val")).cast(DoubleType) /
+              count(lit(1))).as("avg_order_value"))
+          .orderBy(col("n_lines"))
+      },
+      Some("""WITH per AS (SELECT l_orderkey, count(*) AS n_lines,
+             |  sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS val
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(n_lines AS BIGINT) AS n_lines,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(CAST(sum(val) AS DOUBLE)/count(*), 6)+0.0
+             |    AS avg_order_value
+             |FROM per GROUP BY 1 ORDER BY n_lines""".stripMargin)),
+
+    // Q210 — peak-hour concentration per event type: the hour-of-day
+    // with the most events and its share of the type's total — the
+    // diurnal-load readout capacity planning reads first (q106 fits the
+    // whole seasonal shape; this extracts the single planning number).
+    // Hour bucketing is UTC on both engines; ties break to the earliest
+    // hour via the (count desc, hour) rank.
+    Q("q210_peak_hour",
+      (s, d) => {
+        val h = Tables(s, d, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val tot = h.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("hr"))
+        h.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .join(tot, "event_type")
+          .select(col("event_type"),
+            col("hr").cast(LongType).as("peak_hour"),
+            col("n").as("n_events"),
+            Exact.round6(col("n").cast(DoubleType) /
+              col("t").cast(DoubleType)).as("hour_share"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT event_type, hour(ts) AS hr, count(*) AS n
+             |  FROM events GROUP BY 1,2),
+             |tot AS (SELECT event_type, sum(n) AS t FROM h GROUP BY 1),
+             |best AS (SELECT event_type, hr, n, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY n DESC, hr) AS rk
+             |  FROM h)
+             |SELECT best.event_type, CAST(hr AS BIGINT) AS peak_hour,
+             |  CAST(n AS BIGINT) AS n_events,
+             |  round(CAST(n AS DOUBLE)/CAST(t AS DOUBLE),6)+0.0
+             |    AS hour_share
+             |FROM best JOIN tot ON best.event_type = tot.event_type
+             |WHERE rk = 1 ORDER BY best.event_type""".stripMargin))
   )
 }

@@ -153,11 +153,13 @@ object StatTests {
              |ORDER BY source_a, source_b""".stripMargin)),
 
     // Q195 — Cramér's V association between order priority and order
-    // status: the normalized chi-square over the full contingency grid
-    // (including structurally-zero cells — both tiny distinct frames are
-    // broadcast and cross-joined, never a data-sized product). All margins
-    // are exact counts; sqrt is IEEE-correctly-rounded so the final
-    // scalar is bit-identical across engines.
+    // status: the normalized, comparable-across-tables strength measure
+    // q82_chi2's raw statistic lacks — and unlike q82 (observed cells
+    // only), the chi-square here runs over the FULL contingency grid
+    // including structurally-zero cells (both tiny distinct frames are
+    // broadcast and cross-joined, never a data-sized product). All
+    // margins are exact counts; sqrt is IEEE-correctly-rounded so the
+    // final scalar is bit-identical across engines.
     Q("q195_cramers_v",
       (s, d) => {
         val obs = Tables(s, d, "orders")
@@ -343,12 +345,15 @@ object StatTests {
              |GROUP BY dev.p_brand ORDER BY dev.p_brand""".stripMargin)),
 
     // Q198 — two-sample Kolmogorov–Smirnov distance between the order-
-    // total distributions of two customer segments: the standard "did
-    // this batch's distribution drift?" test. D = max|F1−F2| is computed
-    // as EXACT integer cross-products (cum1·N2 − cum2·N1 in
-    // DECIMAL(38,0) — overflow-safe at any N) over per-distinct-value
-    // counts; both cumulative counts ride the chunked prefix-scan keyed
-    // by the unique cents value — no single-task window over orders.
+    // total distributions of two customer segments — the EXACT-RATIONAL
+    // dual of q72_ks_drift (Graft.ksStatistic, double-CDF divisions):
+    // here D = max|F1−F2| is assembled from integer cross-products
+    // (cum1·N2 − cum2·N1 in DECIMAL(38,0) — overflow-safe at any N, no
+    // double op until the final division) over per-distinct-value
+    // counts, and the populations are SEGMENTS (a real cohort compare)
+    // rather than q72's even/odd drift split. Both cumulative counts
+    // ride the chunked prefix-scan keyed by the unique cents value — no
+    // single-task window over orders.
     Q("q198_ks_test",
       (s, d) => {
         val oc = Tables(s, d, "orders")
@@ -406,6 +411,9 @@ object StatTests {
     // Q199 — Cohen's kappa between two cheap document-quality raters
     // (char-length gate vs token-count gate): agreement beyond chance,
     // the calibration check before trusting any single heuristic filter.
+    // The GLOBAL calibration summary with the po/pe decomposition
+    // exposed — q141_kappa is the per-language agreement TABLE of the
+    // same family (different raters, no chance-decomposition columns).
     // Pure scan: one pass, five exact counts, closed-form kappa.
     Q("q199_cohens_kappa",
       (s, d) => {

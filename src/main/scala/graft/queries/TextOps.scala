@@ -1044,6 +1044,50 @@ object TextOps {
              |  round(CAST(sum(strlen(text)) AS DOUBLE) /
              |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
              |    + 0.0 AS bytes_per_token
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Q211 — language-ID confusion matrix: true lang × predicted lang
+    // counts over q33_langid's profile classifier — the error-structure
+    // readout (WHICH languages bleed into which) that q33_langid's
+    // per-document table and q199's agreement scalar both summarize
+    // away. Same broadcast-profile shape as q33_langid plus one keyed
+    // aggregate.
+    Q("q211_langid_confusion",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.api.Graft.languageId(docs, id = col("doc_id"),
+            text = col("text"), langCol = col("lang"))
+          .filter(col("pred_lang").isNotNull)
+          .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some("""WITH profiles AS (
+             |  SELECT lang AS p_lang, tok FROM (
+             |    SELECT lang, tok, count(*) AS cnt,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY count(*) DESC, tok) AS rn
+             |    FROM (SELECT lang,
+             |            unnest(string_split(lower(text), ' ')) AS tok
+             |          FROM documents)
+             |    GROUP BY lang, tok)
+             |  WHERE rn <= 5),
+             |scored AS (
+             |  SELECT d.doc_id, d.lang, p.p_lang, count(*) AS hits
+             |  FROM (SELECT doc_id, lang,
+             |          list_distinct(string_split(lower(text), ' '))
+             |            AS dtoks
+             |        FROM documents) d
+             |  JOIN profiles p ON list_contains(d.dtoks, p.tok)
+             |  GROUP BY d.doc_id, d.lang, p.p_lang),
+             |pred AS (
+             |  SELECT lang, p_lang AS pred_lang FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY hits DESC, p_lang) AS rn FROM scored)
+             |  WHERE rn = 1)
+             |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |FROM pred GROUP BY lang, pred_lang
+             |ORDER BY lang, pred_lang""".stripMargin))
   )
 }

@@ -62,7 +62,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     one create succeeds, and the loser — whose data sits in its own
   *     orphaned dir — gets [[CommitConflictException]] and retries from
   *     step 1. Version DISCOVERY needs only the manifest file's NAME;
-  *     only `readVersion` reads the body.
+  *     only `readVersion` reads the body. A slot whose manifest a
+  *     compaction RETIRED (folded into a checkpoint) is never free:
+  *     publish refuses targets at or below the folded horizon and
+  *     verifies the claim against the newest checkpoint, so a writer
+  *     that straddles a compaction (base read → slow snapshot write →
+  *     publish) conflicts and retries instead of silently committing
+  *     into history (a lost update the 8-writer hammer caught).
   *
   * Readers resolve versions from the manifest listing alone — a
   * kilobyte-scale metadata op no matter how many terabytes the snapshots
@@ -344,11 +350,43 @@ object VersionedTable {
     //    namenode's namespace lock;
     //  - S3-class stores need an external put-if-absent (Delta's
     //    DynamoDB LogStore) — out of scope in a zero-egress build.
+    // Folded-horizon guard (the 8-writer hammer caught this as a LOST
+    // UPDATE): a writer that read its base, then spent seconds writing
+    // its snapshot, can publish AFTER a manifest compaction retired its
+    // target's manifest file — the put-if-absent then "wins" a RETIRED
+    // slot (the file is gone; the version lives on in the checkpoint)
+    // and the commit becomes invisible history: the surviving chain
+    // derives from the slot's ORIGINAL owner, silently dropping this
+    // writer's rows. A retired slot is NEVER free: refuse any target at
+    // or below the newest checkpoint's folded horizon (legit targets are
+    // always latest+1 > every folded key, so no false conflicts; expiry
+    // leaves kept keys ≥ its horizon, so recycled EXPIRED slots are
+    // caught by the same compare).
+    def foldedConflict(detail: String) = new CommitConflictException(version,
+      new java.nio.file.FileAlreadyExistsException(
+        s"$manifest: $detail — the slot was retired by manifest " +
+          "compaction/expiry, not free; re-read latest and retry"))
+    val horizon = checkpointMap(hfs, root).keysIterator
+      .maxOption.getOrElse(0L)
+    if (version <= horizon)
+      throw foldedConflict(s"version $version <= folded horizon $horizon")
     val tmp = new Path(root, s"_manifests/.tmp-${UUID.randomUUID}")
     if (!putIfAbsentFile(spark, hfs, tmp, manifest,
         body.getBytes(StandardCharsets.UTF_8)))
       throw new CommitConflictException(version,
         new java.nio.file.FileAlreadyExistsException(manifest.toString))
+    // post-claim verify: a compaction can fold-and-retire the slot in
+    // the window between the horizon read above and the link — if the
+    // newest checkpoint now binds this version to ANOTHER dir, the claim
+    // recycled a just-retired slot: undo it (no reader depends on a
+    // binding the checkpoint contradicts) and conflict. A checkpoint
+    // binding to OUR dir is the benign fast-fold of a legitimate claim.
+    val after = checkpointMap(hfs, root)
+    if (after.get(version).exists(_ != dataDirName)) {
+      hfs.delete(manifest, false)
+      throw foldedConflict(
+        s"version $version was checkpoint-folded during the claim")
+    }
   }
 
   /** The two-phase put-if-absent primitive [[publish]] documents: write
@@ -471,7 +509,9 @@ object VersionedTable {
       val mapped = dirs.map { d =>
         val df = spark.read.parquet(new Path(root, d).toString)
         val kept = delKeepFilter(preds, d).map(df.where).getOrElse(df)
-        if (chain.isEmpty) kept else applySchemaChain(kept, chain)
+        if (chain.isEmpty) kept
+        else applySchemaChain(kept,
+          chain.ops.drop(chain.pos.getOrElse(d, 0)))
       }
       // dirs of different vintages can disagree on column ORDER once a
       // mapping is active (an added column sits wherever each dir's
@@ -631,6 +671,23 @@ object VersionedTable {
   private final case class SchemaOp(kind: String, name: String,
       to: String = "", tpe: String = "", default: Option[String] = None)
 
+  /** The full evolution state at one version: the op chain plus each
+    * dir's CHAIN POSITION — how many ops were already in force when the
+    * dir joined the version's dir list (0 for dirs predating the whole
+    * chain). A dir only replays `ops.drop(position)`: without the
+    * position, a dir appended mid-chain would re-fire ops it was born
+    * AFTER (the 8-writer hammer caught exactly this — a dir written
+    * under logical name pp1 spuriously replayed the earlier `add pp0`,
+    * growing an extra column; a drop-then-re-add replay would even
+    * overwrite real stored values with the re-add's default).
+    */
+  private final case class SchemaChain(ops: Seq[SchemaOp],
+      pos: Map[String, Int]) {
+    def isEmpty: Boolean = ops.isEmpty
+    def nonEmpty: Boolean = ops.nonEmpty
+  }
+  private val emptyChain = SchemaChain(Nil, Map.empty)
+
   private val schemaField = """"schema"\s*:\s*"([^"]+)"""".r
   // writer emits fields in exactly this order: k, n, [r], [t], [d]
   private val schemaEntryRe =
@@ -638,6 +695,8 @@ object VersionedTable {
       """(?:,"r":"((?:[^"\\]|\\.)+)")?""" +
       """(?:,"t":"((?:[^"\\]|\\.)+)")?""" +
       """(?:,"d":"((?:[^"\\]|\\.)*)")?\}""").r
+  private val schemaPosBlockRe = """"pos":\{([^}]*)\}""".r
+  private val schemaPosEntryRe = """"((?:[^"\\]|\\.)+)"\s*:\s*(\d+)""".r
 
   /** The schema-sidecar name `version`'s manifest references — None for
     * unmapped versions (compaction never retires a schema-carrying
@@ -660,22 +719,30 @@ object VersionedTable {
   /** The accumulated evolution chain active at `version` (empty for
     * unmapped versions — including every version after a copy-on-write
     * verb, which materializes the mapping into real parquet columns).
+    * Sidecar body: `{"ops":[...],"pos":{"<dir>":k,...}}` — a bare
+    * `[...]` (the position-free first cut) parses as ops with an empty
+    * position map.
     */
   private def schemaStateOf(spark: SparkSession, table: String,
-      version: Long): Seq[SchemaOp] =
+      version: Long): SchemaChain =
     schemaRefOf(spark, table, version).map { ref =>
       val (hfs, root) = fs(spark, table)
       val in = hfs.open(new Path(root, s"_manifests/$ref"))
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
-      schemaEntryRe.findAllMatchIn(body).map { m =>
+      val ops = schemaEntryRe.findAllMatchIn(body).map { m =>
         SchemaOp(m.group(1), unesc(m.group(2)),
           to = Option(m.group(3)).map(unesc).getOrElse(""),
           tpe = Option(m.group(4)).map(unesc).getOrElse(""),
           default = Option(m.group(5)).map(unesc))
       }.toSeq
-    }.getOrElse(Nil)
+      val pos = schemaPosBlockRe.findFirstMatchIn(body).map { b =>
+        schemaPosEntryRe.findAllMatchIn(b.group(1))
+          .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap
+      }.getOrElse(Map.empty[String, Int])
+      SchemaChain(ops, pos)
+    }.getOrElse(emptyChain)
 
   /** Persist an evolution-chain sidecar (immutable, writer-unique name,
     * the [[writeDelSidecar]] pattern: matches neither the version nor
@@ -683,15 +750,18 @@ object VersionedTable {
     * inert kilobytes).
     */
   private def writeSchemaSidecar(spark: SparkSession, table: String,
-      chain: Seq[SchemaOp]): String = {
+      chain: SchemaChain): String = {
     val (hfs, root) = fs(spark, table)
     def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
-    val body = chain.map { o =>
+    val opsBody = chain.ops.map { o =>
       s"""{"k":"${o.kind}","n":"${esc(o.name)}"""" +
         (if (o.kind == "rename") s""","r":"${esc(o.to)}"""" else "") +
         (if (o.kind == "add") s""","t":"${esc(o.tpe)}"""" else "") +
         o.default.map(d => s""","d":"${esc(d)}"""").getOrElse("") + "}"
     }.mkString("[", ",", "]")
+    val posBody = chain.pos.toSeq.sortBy(_._1)
+      .map { case (d, k) => s""""${esc(d)}":$k""" }.mkString("{", ",", "}")
+    val body = s"""{"ops":$opsBody,"pos":$posBody}"""
     val name = s"schema-${UUID.randomUUID}.json"
     hfs.mkdirs(new Path(root, "_manifests"))
     val out = hfs.create(new Path(root, s"_manifests/$name"),
@@ -700,12 +770,13 @@ object VersionedTable {
     name
   }
 
-  /** Apply the chain to one dir's raw frame — LENIENTLY: each op fires
-    * only when the frame still has the pre-op shape, so a dir written
-    * after the op (already logical) passes through untouched, and a
-    * rename followed by a later re-add of the old name composes
-    * correctly (the rename consumes the old column first, then the add
-    * sees it absent and fills the default).
+  /** Apply one dir's op SUFFIX (the caller drops the ops the dir was
+    * born after, by its recorded chain position — presence heuristics
+    * alone cannot disambiguate a mid-chain dir from a pre-chain one).
+    * The per-op presence guards stay as defense-in-depth: a correctly
+    * positioned replay always finds the pre-op shape, so they are
+    * no-ops on sound metadata and fail SOFT (skip, not corrupt) on
+    * foreign or hand-edited sidecars.
     */
   private def applySchemaChain(df: DataFrame,
       chain: Seq[SchemaOp]): DataFrame =
@@ -746,8 +817,9 @@ object VersionedTable {
     val dirs = resolveDir(hfs, root, base).getOrElse(
       throw new IllegalArgumentException(
         s"version $base of $table was never committed"))
+    val prior = schemaStateOf(spark, table, base)
     val ref = writeSchemaSidecar(spark, table,
-      schemaStateOf(spark, table, base) :+ op)
+      SchemaChain(prior.ops :+ op, prior.pos))
     publish(spark, table, base + 1L, dirs, op = "schema",
       schemaRef = Some(ref))
     base + 1L
@@ -1370,13 +1442,19 @@ object VersionedTable {
     // sidecar is immutable): the new dir is outside every recorded
     // predicate's scope, so appended rows are never retro-deleted, while
     // the base dirs keep their filters
+    // an active schema mapping travels too — but NOT by bare sidecar
+    // name: the new dir was written in the LOGICAL shape, so it must be
+    // recorded at the chain's CURRENT position (it replays none of the
+    // existing ops, only ones added later); a fresh sidecar carries the
+    // same ops plus that one position entry
+    val evoChain = schemaStateOf(spark, table, base)
+    val evoRef =
+      if (evoChain.isEmpty) None
+      else Some(writeSchemaSidecar(spark, table, SchemaChain(evoChain.ops,
+        evoChain.pos + (dirName -> evoChain.ops.length))))
     publish(spark, table, base + 1L, s"$baseDirs;$dirName", batchId,
       op = "insert", delRef = delRefOf(spark, table, base),
-      // an active schema mapping travels too (by sidecar NAME): the new
-      // dir was written in the LOGICAL shape (aligned to the mapped base
-      // read above), so the lenient per-dir chain application no-ops on
-      // it while the base dirs keep mapping
-      schemaRef = schemaRefOf(spark, table, base))
+      schemaRef = evoRef)
     // feed-enabled tables mirror the appended dir as upsert rows (same
     // self-healing tail as commitMerge's — the mirror is one O(batch)
     // copy, paid only when the table opted into streaming CDC)
@@ -2070,13 +2148,17 @@ object VersionedTable {
       if (srcState.isEmpty) None
       else Some(writeDelSidecar(spark, targetTable, srcState.map(p =>
         p.copy(dirs = p.dirs.map(d => new Path(srcRoot, d).toString)))))
-    // an active schema mapping travels the same way — the chain is
-    // dir-name-free, so it copies verbatim into the clone's OWN sidecar
-    // (the source's sidecar lives under the source's _manifests/)
+    // an active schema mapping travels the same way, into the clone's
+    // OWN sidecar (the source's lives under its _manifests/) — with the
+    // position keys rewritten to the ABSOLUTE dir names this manifest
+    // uses, exactly like the del-state dirs above
     val srcChain = schemaStateOf(spark, sourceTable, v)
     val schemaRef =
       if (srcChain.isEmpty) None
-      else Some(writeSchemaSidecar(spark, targetTable, srcChain))
+      else Some(writeSchemaSidecar(spark, targetTable,
+        SchemaChain(srcChain.ops, srcChain.pos.map { case (d, k) =>
+          new Path(srcRoot, d).toString -> k
+        })))
     publish(spark, targetTable, 1L, dirs.mkString(";"), op = "clone",
       delRef = delRef, schemaRef = schemaRef)
     1L

@@ -220,6 +220,70 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(VT.readLatest(spark, t2).count() == 24)
   }
 
+  test("mid-chain append never replays ops it was born after (hammer bug)") {
+    // add pp0 -> rename pp0->pp1 -> APPEND (dir physically has pp1) ->
+    // rename pp1->pp2: without per-dir chain positions, the appended dir
+    // re-fires `add pp0` (it lacks pp0) and grows an extra column — the
+    // 8-writer hammer caught this as a union-width mismatch. The recorded
+    // position must confine the dir to the ops that postdate it.
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(1).select(col("id"), lit(0L).as("v")), t)
+    VT.addColumn(spark, t, "pp0", "INT", Some("0"))
+    VT.renameColumn(spark, t, "pp0", "pp1")
+    VT.append(spark, t, spark.createDataFrame(Seq((100L, 0L, 42)))
+      .toDF("id", "v", "pp1"))
+    VT.renameColumn(spark, t, "pp1", "pp2")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.columns.sorted.toSeq == Seq("id", "pp2", "v"),
+      latest.columns.mkString(","))
+    // and the appended row's REAL value survived (not a replayed default)
+    assert(latest.filter(col("id") === 100L).head().getAs[Int]("pp2") == 42)
+    assert(latest.filter(col("id") === 0L).head().getAs[Int]("pp2") == 0)
+  }
+
+  test("drop-then-re-add with a mid-chain append keeps real values") {
+    // add c -> APPEND (c=99 stored) -> drop c -> add c default 2 ->
+    // APPEND (c=7 stored): the first appended dir's c was dropped by the
+    // LATER drop (correct — the drop postdates it); the second appended
+    // dir must keep its stored 7 (a positionless replay would re-fire
+    // the drop and overwrite it with the re-add's default)
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(1).select(col("id"), lit(0L).as("v")), t)
+    VT.addColumn(spark, t, "c", "INT", Some("1"))
+    VT.append(spark, t, spark.createDataFrame(Seq((100L, 0L, 99)))
+      .toDF("id", "v", "c"))
+    VT.dropColumn(spark, t, "c")
+    VT.addColumn(spark, t, "c", "INT", Some("2"))
+    VT.append(spark, t, spark.createDataFrame(Seq((200L, 0L, 7)))
+      .toDF("id", "v", "c"))
+    val got = VT.readLatest(spark, t).select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 2, 100L -> 2, 200L -> 7), got.toString)
+  }
+
+  test("a compaction-retired manifest slot is never reclaimable") {
+    // the hammer-caught lost update: a writer reads base v4, spends
+    // "seconds" writing its snapshot, and publishes at v5 AFTER a
+    // compaction folded v5 into the checkpoint and deleted its manifest
+    // file — the bare put-if-absent would win the retired slot and the
+    // commit would vanish into history (the surviving chain derives from
+    // the slot's original owner). The folded-horizon guard must turn
+    // that claim into a conflict and leave the original binding intact.
+    val t = tmp() + "/t"
+    (1 to 8).foreach { i =>
+      VT.commit(spark, spark.range(1)
+        .select(lit(i.toLong).as("writer"), lit(0L).as("commits")), t)
+    }
+    VT.compactManifests(spark, t, keepRecent = 2) // retires manifests <= v6
+    intercept[VT.CommitConflictException] {
+      VT.publish(spark, t, 5L, "data/bogus-recycled-claim")
+    }
+    assert(VT.versions(spark, t) == (1L to 8L))
+    assert(VT.readVersion(spark, t, 5L)
+      .where(col("writer") === 5L).count() == 1,
+      "the retired slot's original binding must survive the stale claim")
+  }
+
   test("SQL spellings drive all three ALTERs; history shows the op") {
     val t = tmp() + "/t"
     freshNation(t)

@@ -556,4 +556,41 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 12L), (4L, 40L), (6L, 60L)))
   }
+
+  test("change feed rides through a schema-evolution version") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replevo")
+      .toString
+    val bronze = s"$dir/bronze"
+    val silver = s"$dir/silver"
+    // merge -> ALTER ADD COLUMN -> merge: the schema version itself is a
+    // zero-row metadata change (it mirrors nothing and readChanges
+    // returns an empty batch), so the feed must carry BOTH merges —
+    // the pre-evolution one null-filling the new column via the
+    // mergeSchema union — and the replica must converge across the
+    // widened backlog in one drain
+    VersionedTable.commit(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      bronze)
+    VersionedTable.enableChangeFeed(spark, bronze)
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((2L, 21L)).toDF("k", "v"), key = "k")
+    VersionedTable.addColumn(spark, bronze, "tier", "INT", Some("7"))
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((3L, 30L, 9)).toDF("k", "v", "tier"), key = "k")
+    val q = Streams.startVersionedReplicaSink(
+      Streams.changeFeedStream(spark, bronze)
+        .select(col("k"), col("v"), col("tier"),
+          col("_commit_version"), col("__op")),
+      silver, "k", s"$dir/_ckpt", "cdc_replica_evo")
+    try q.processAllAvailable() finally q.stop()
+    val got = VersionedTable.readLatest(spark, silver)
+      .select(col("k"), col("v"), col("tier")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    // the pre-ALTER merge row rides with a NULL tier (the feed cannot
+    // retroactively know the default; the replica's own ALTER would) —
+    // the post-ALTER row carries its stored 9
+    assert(got == Set((2L, 21L, -1), (3L, 30L, 9)), got.toString)
+  }
 }
