@@ -49,7 +49,11 @@ object Stress {
     "q69_containment", "q31_ngram_jaccard", "q31_minhash_lsh",
     "q31_dup_clusters", "q55_boilerplate", "q88_itemsets", "q30_decontam",
     "q157_corpus_sim", "q170_vocab_growth", "q153_rollup_move",
-    "q175_lazy_delete")
+    "q175_lazy_delete",
+    // r13 heavies: the tok-keyed source-pair JSD (|sources|²-bounded
+    // fanout per token — the q157 posture in probability space) and the
+    // big-big lineitem⋈orders pair rollup behind the reorder rate
+    "q194_jsd", "q204_reorder_rate")
 
   private val IdStride = 1000000000L
 

@@ -1778,6 +1778,7 @@ object VersionedTable {
   private final case class AppendDelta(newDir: String) extends RollupDelta
   private final case class MergeDelta(mergeKey: String) extends RollupDelta
   private case object LazyDeleteDelta extends RollupDelta
+  private case object EmptyDelta extends RollupDelta
 
   def refreshRollup(spark: SparkSession, baseTable: String,
       targetTable: String, keys: Seq[String],
@@ -1833,6 +1834,22 @@ object VersionedTable {
                 !snapshot.columns.contains("__op"))
               Some((v, LazyDeleteDelta))
             else None
+          } else if (opOf(spark, baseTable, v).contains("schema")) {
+            // a schema-evolution version changed ZERO rows — an empty
+            // delta keeps the refresh incremental, provided the op(s) it
+            // added leave the rollup's own columns untouched (a
+            // rename/drop of a key or summed column changes the rollup's
+            // SHAPE — fall back to the wholesale recompute, which
+            // absorbs the new names). An expired predecessor makes the
+            // added-suffix read conservative (the whole chain), which
+            // can only widen the fallback, never miss a touched column.
+            val prior = schemaStateOf(spark, baseTable, v - 1L).ops.length
+            val added = schemaStateOf(spark, baseTable, v).ops.drop(prior)
+            val watched = (keys ++ sumCols).toSet
+            if (added.forall(o =>
+                !watched.contains(o.name) && !watched.contains(o.to)))
+              Some((v, EmptyDelta))
+            else None
           } else if (!hfs.exists(
               new Path(new Path(baseRoot, newDir), changesDirName))) None
           else mergeKeyOf(spark, baseTable, v).flatMap { mk =>
@@ -1870,6 +1887,9 @@ object VersionedTable {
             // deferred delete: the synthesized feed names the touched
             // groups exactly (the deleted rows' own group values)
             readChanges(spark, baseTable, v).select(keyCols: _*)
+          case (_, EmptyDelta) =>
+            // schema-evolution version: zero rows touched
+            snapshot.select(keyCols: _*).limit(0)
           case (v, MergeDelta(mk)) =>
           val feed = readChanges(spark, baseTable, v)
           val post = feed.select(keyCols: _*)

@@ -261,6 +261,47 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got == Map(0L -> 2, 100L -> 2, 200L -> 7), got.toString)
   }
 
+  test("rollup refresh rides incrementally through an unrelated ALTER") {
+    // merge -> ALTER ADD COLUMN (not a rollup column) -> merge: the
+    // schema version is a zero-row EMPTY delta, so the refresh must stay
+    // on the incremental path (target commits op "merge", never the
+    // wholesale "rollup") and still equal the from-scratch aggregate
+    val base = tmp() + "/base"
+    val roll = tmp() + "/roll"
+    VT.commit(spark, spark.createDataFrame(
+      Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 1.0)))
+      .toDF("id", "grp", "x"), base)
+    VT.refreshRollup(spark, base, roll, keys = Seq("grp"),
+      sumCols = Seq("x"))
+    VT.mergeInto(spark, base, spark.createDataFrame(Seq((4L, 20L, 2.0)))
+      .toDF("id", "grp", "x"), key = "id")
+    VT.addColumn(spark, base, "note", "STRING")
+    VT.mergeInto(spark, base,
+      spark.createDataFrame(Seq((5L, 30L, 9.0, "n")))
+        .toDF("id", "grp", "x", "note"), key = "id")
+    VT.refreshRollup(spark, base, roll, keys = Seq("grp"),
+      sumCols = Seq("x"))
+    val ops = VT.history(spark, roll).select("op").collect()
+      .map(_.getString(0)).toSeq
+    assert(ops.count(_ == "rollup") == 1 && ops.contains("merge"),
+      s"refresh fell back to wholesale recompute: $ops")
+    val got = VT.readLatest(spark, roll).select("grp", "n", "sum_x")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((10L, 2L, 12.0), (20L, 2L, 3.0), (30L, 1L, 9.0)),
+      got.toString)
+    // but an ALTER that RENAMES a rollup column forces (and survives)
+    // the wholesale path under the new name
+    VT.renameColumn(spark, base, "x", "y")
+    VT.refreshRollup(spark, base, roll, keys = Seq("grp"),
+      sumCols = Seq("y"))
+    val afterOps = VT.history(spark, roll).select("op").collect()
+      .map(_.getString(0)).toSeq
+    assert(afterOps.count(_ == "rollup") == 2,
+      s"rename of a summed column must force the wholesale path: $afterOps")
+    assert(VT.readLatest(spark, roll).columns.contains("sum_y"))
+  }
+
   test("a compaction-retired manifest slot is never reclaimable") {
     // the hammer-caught lost update: a writer reads base v4, spends
     // "seconds" writing its snapshot, and publishes at v5 AFTER a
