@@ -79,6 +79,28 @@ object Bench {
       val times = samples.getOrElse(name, Seq.empty)
       name -> (if (times.isEmpty) Double.NaN else times.min)
     }
+    // Machine-drift canary: the ratio of this run's median total over five
+    // STABLE, plan-simple queries to their committed r13 sf0.1 medians
+    // (BENCH_r13/BENCH_FULL.json, commit 85dab69, same box). Round-over-
+    // round totals were only separable into "machine slower" vs "real
+    // regression" by ad-hoc same-day worktree reruns (r13 did one: 1.09×
+    // median on identical code); the canary ships that calibration in
+    // every BENCH_rNN.json instead. drift ≈ 1.0 → box comparable to r13;
+    // drift 1.15 → interpret a +15% total as ambient. Defined only at the
+    // driver's per-round SF (the reference was measured there); null
+    // elsewhere. Uses the main run's medians — zero extra passes.
+    val canaryRef = Map(
+      "q01_scan" -> 0.617, "q04_join_broadcast" -> 0.309,
+      "q11_agg_hash" -> 1.681, "q16_window_rank" -> 0.571,
+      "q33_tokens" -> 0.433)
+    val drift: Option[Double] =
+      if (!sfDir.endsWith("sf0.1")) None
+      else {
+        val got = canaryRef.keys.toSeq
+          .map(k => results.toMap.getOrElse(k, Double.NaN))
+        if (got.exists(_.isNaN)) None
+        else Some(got.sum / canaryRef.values.sum)
+      }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale emits
     // "1,234" and silently corrupts the JSON line the driver parses
     def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -97,7 +119,7 @@ object Bench {
         if (withMins)
           s""","value_min":${fm(totalMin)},"queries_min":${mins.map(entry).mkString("{", ",", "}")}"""
         else ""
-      s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"warmup":$warmup,"agg":"median","queries":${qs.map(entry).mkString("{", ",", "}")}$om$mn,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"warmup":$warmup,"agg":"median","drift":${drift.map(fm).getOrElse("null")},"queries":${qs.map(entry).mkString("{", ",", "}")}$om$mn,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     }
     // The harness keeps only the last ~2000 bytes of stdout and parses the
     // JSON line out of that tail; once the full per-query map outgrows the

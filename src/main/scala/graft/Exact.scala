@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Exact {
   private val D = DecimalType(25, 6)
+  private val DHi = DecimalType(38, 18)
 
   /** Exact, order-independent sum of a (2-dp) double column, as double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
@@ -36,6 +37,30 @@ object Exact {
   /** DuckDB oracle fragment mirroring [[davg]]. */
   def sqlAvg(e: String): String =
     s"(CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE) / COUNT($e))"
+
+  /** High-scale variant of [[dsum]] for COMPUTED per-row double terms
+    * (ratios, sqrt norms, decay products — anything not a stored 2-dp
+    * value). A computed double can land EXACTLY on a scale-6 `.5e-6`
+    * cast boundary (e.g. cents/int ratios with short decimal
+    * expansions), where the two engines' decimal-rounding modes diverge
+    * — the r13 q190 defect. At scale 18 an exact half-landing requires
+    * an 18-digit terminating expansion: impossible for non-dyadic
+    * ratios, and dyadic ones cast losslessly. Residual shortest-repr vs
+    * exact-binary cast drift is bounded ~half an ulp per row — orders
+    * of magnitude below the 4/6-dp compares.
+    */
+  def dsumHi(c: Column): Column = sum(c.cast(DHi)).cast(DoubleType)
+
+  /** High-scale variant of [[davg]]; see [[dsumHi]] for when. */
+  def davgHi(c: Column): Column = sum(c.cast(DHi)).cast(DoubleType) / count(c)
+
+  /** DuckDB oracle fragment mirroring [[dsumHi]]. */
+  def sqlSumHi(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+
+  /** DuckDB oracle fragment mirroring [[davgHi]]. */
+  def sqlAvgHi(e: String): String =
+    s"(CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE) / COUNT($e))"
 
   /** 6-dp rounding with IEEE negative zero normalized away. `round(x, 6)`
     * of a tiny negative value (or of -0.0 itself) can emit -0.0 on one

@@ -35,11 +35,22 @@ import graft.sources.VersionedTable
   * writers on the CLONE against append writers on the SOURCE — the
   * zero-copy fork must give complete isolation both ways.
   *
-  * Phase 4 (schema brawl, r13): on a fresh table, race ALTER ADD COLUMN
-  * / a RENAME ping-pong against appends (which must realign to whatever
-  * logical schema wins each slot) and a concurrent OPTIMIZE (which
-  * materializes the mapping chain mid-flight) — a lost ALTER shows as a
-  * missing column, a lost append as a missing row.
+  * Phase 4 (schema brawl, r13; + widen r14): on a fresh table, race
+  * ALTER ADD COLUMN / a RENAME ping-pong / an add-then-WIDEN against
+  * appends (which must realign to whatever logical schema wins each
+  * slot) and a concurrent OPTIMIZE (which materializes the mapping
+  * chain mid-flight) — a lost ALTER shows as a missing column or a
+  * still-narrow type, a lost append as a missing row.
+  *
+  * Phase 5 (CDC-consumer brawl, r14): on a feed-enabled table, the three
+  * consumers the specs only drive single-threaded — the `_cdf` mirror,
+  * the versioned replica, the incremental rollup — run LIVE against
+  * merge/append/lazy-delete writers and a maintenance loop that
+  * optimizes, compacts, and EXPIRES 30-second-old history mid-
+  * consumption. After quiesce + one catch-up pass each, the replica
+  * must equal the source and the rollup the from-scratch aggregate — a
+  * refresh-vs-compaction or mirror-vs-expiry hole shows as
+  * non-convergence.
   *
   * Invariants checked after all phases (exit non-zero on any failure):
   *  - both version chains are GAP-FREE 1..latest: every successful verb
@@ -289,6 +300,17 @@ object Hammer {
         }
       }
     }, "schema-rename")
+    val widenThread = new Thread(() => guarded {
+      // add-then-WIDEN its own column (r14): the widen races the same
+      // appends/adds/renames/OPTIMIZEs — a lost widen shows as the final
+      // column still narrow, a replay corruption as a changed value
+      retrying(alters) {
+        VersionedTable.addColumn(spark, t2, "wd", "INT", Some("3"))
+      }
+      retrying(alters) {
+        VersionedTable.widenColumn(spark, t2, "wd", "BIGINT")
+      }
+    }, "schema-widen")
     val evoAppender = new Thread(() => guarded {
       (0 until perWriter).foreach { i =>
         var done = false
@@ -322,10 +344,174 @@ object Hammer {
         }
       }
     }, "schema-maint")
-    val evoThreads = Seq(addThread, renameThread, evoAppender)
+    val evoThreads = Seq(addThread, renameThread, widenThread, evoAppender)
     evoThreads.foreach(_.start()); evoMaint.start()
     evoThreads.foreach(_.join(600000))
     stopEvoMaint.set(true); evoMaint.join(600000)
+
+    // ---- phase 5: CDC-consumer brawl (r14) ------------------------------
+    // The consumers the specs only ever run single-threaded — the _cdf
+    // mirror, the versioned replica, the incremental rollup — race LIVE
+    // against merge/append/lazy-delete writers AND a maintenance loop
+    // that optimizes, compacts and EXPIRES history out from under them.
+    // A refresh-vs-compaction or mirror-vs-expiry hole shows as a
+    // replica/rollup that cannot converge once the dust settles; the
+    // commit protocol itself must keep both consumer tables' chains
+    // gap-free (they are single-writer, but their BASE reads race
+    // everything).
+    val t3 = root + "/feedsrc"
+    val t3rep = root + "/feedreplica"
+    val t3roll = root + "/feedrollup"
+    val seed = Seq((-1L, 0L, 0L)).toDF("id", "grp", "x")
+    VersionedTable.commit(spark, seed, t3)
+    VersionedTable.commit(spark, seed, t3rep) // bootstrap = same seed;
+    // everything AFTER v1 reaches the replica through the feed alone
+    VersionedTable.enableChangeFeed(spark, t3)
+    val p5Merges = new AtomicLong(0)
+    val p5Appends = new AtomicLong(0)
+    val p5SacAppends = new AtomicLong(0)
+    val p5LazyDeletes = new AtomicLong(0)
+    val p5Optimizes = new AtomicLong(0)
+    val p5Expiries = new AtomicLong(0)
+    val p5Mirrors = new AtomicLong(0)
+    val p5Refreshes = new AtomicLong(0)
+    val p5ReplicaBatches = new AtomicLong(0)
+    val p5Retries = new AtomicLong(0)
+    val stopP5 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // transient consumer collisions that are DOCUMENTED-inherent (a
+    // version expiring mid-read) retry like commit conflicts do —
+    // anything else is a failure
+    def consuming(counter: AtomicLong)(body: => Unit): Unit =
+      try { body; counter.incrementAndGet(); () }
+      catch {
+        case _: VersionedTable.CommitConflictException =>
+          conflicts.incrementAndGet()
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              (e.getMessage.contains("expired") ||
+                e.getMessage.contains("never committed")) =>
+          p5Retries.incrementAndGet()
+        case e: java.io.FileNotFoundException =>
+          val _ = e; p5Retries.incrementAndGet()
+      }
+    val p5MergeThreads = (0 until 4).map { w =>
+      new Thread(() => guarded {
+        var done = 0
+        while (done < perWriter && failures.isEmpty) {
+          val mine = VersionedTable.readLatest(spark, t3)
+            .where(col("id") === w.toLong).collect()
+          val cur = if (mine.isEmpty) 0L else mine.head.getLong(2)
+          try {
+            VersionedTable.mergeInto(spark, t3,
+              Seq((w.toLong, w.toLong % 2, cur + 1L))
+                .toDF("id", "grp", "x"), key = "id")
+            done += 1; p5Merges.incrementAndGet()
+          } catch {
+            case _: VersionedTable.CommitConflictException =>
+              conflicts.incrementAndGet()
+          }
+        }
+      }, s"p5-merge-$w")
+    }
+    val p5Appender = new Thread(() => guarded {
+      (0 until perWriter).foreach { _ =>
+        retrying(p5Appends) {
+          val k = 500L + p5Appends.get()
+          VersionedTable.append(spark, t3,
+            Seq((k, k % 2, 1L)).toDF("id", "grp", "x"))
+        }
+      }
+    }, "p5-append")
+    val p5Lazy = new Thread(() => guarded {
+      (0 until perWriter).foreach { i =>
+        val k = 600L + i
+        retrying(p5SacAppends) {
+          VersionedTable.append(spark, t3,
+            Seq((k, k % 2, 1L)).toDF("id", "grp", "x"))
+        }
+        retrying(p5LazyDeletes) {
+          VersionedTable.deleteWhereLazy(spark, t3, s"id = $k")
+        }
+      }
+    }, "p5-lazydelete")
+    val p5Maint = new Thread(() => guarded {
+      while (!stopP5.get() && failures.isEmpty) {
+        try {
+          VersionedTable.optimize(spark, t3, targetFileBytes = 1L << 30)
+          p5Optimizes.incrementAndGet()
+        } catch {
+          case _: VersionedTable.CommitConflictException =>
+            conflicts.incrementAndGet()
+        }
+        VersionedTable.compactManifests(spark, t3, keepRecent = 4)
+        // aggressive retention: versions age out FAST, mid-consumption —
+        // the feed-retention-on-expiry path must keep every pending
+        // change batch reachable for the replica
+        p5Expiries.addAndGet(
+          VersionedTable.expireVersionsOlderThan(spark, t3, 30000L).size)
+        VersionedTable.vacuum(spark, t3, graceMs = 3600L * 1000L)
+      }
+    }, "p5-maintenance")
+    // consumer 1: the _cdf mirror, self-healing, racing the writers'
+    // own post-commit mirrors AND expiry's retention mirror
+    val p5Mirror = new Thread(() => guarded {
+      while (!stopP5.get() && failures.isEmpty)
+        consuming(p5Mirrors) {
+          VersionedTable.mirrorChangeFeed(spark, t3); ()
+        }
+    }, "p5-mirror")
+    // consumer 2: the versioned replica, drained from whatever _cdf dirs
+    // exist beyond its high-water mark (the streaming sink's batch body,
+    // driven by hand so it can race without a streaming runtime)
+    val cdfVer = """v(\d{8})""".r
+    val repApplied = new AtomicLong(0L)
+    def drainReplica(): Unit = {
+      val (h3, root3) = (org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(t3, "_cdf"))
+      if (!h3.exists(root3)) return
+      val pend = h3.listStatus(root3).toSeq.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case cdfVer(n) if n.toLong > repApplied.get() => Some((n.toLong, p))
+          case _ => None
+        }).sortBy(_._1)
+      if (pend.isEmpty) return
+      val changes = spark.read.parquet(pend.map(_._2.toString): _*)
+        .select(col("id"), col("grp"), col("x"), col("__op"),
+          col("_commit_version"))
+      VersionedTable.replicaBatchIfNew(spark, t3rep, changes, key = "id",
+        version = "_commit_version", op = "__op", batchId = pend.last._1)
+      repApplied.set(pend.last._1)
+      p5ReplicaBatches.incrementAndGet(); ()
+    }
+    val p5Replica = new Thread(() => guarded {
+      while (!stopP5.get() && failures.isEmpty)
+        consuming(new AtomicLong) { drainReplica() }
+    }, "p5-replica")
+    // consumer 3: the incremental rollup, riding merge/append/lazydelete
+    // deltas while compaction retires the manifests it plans from
+    val p5Rollup = new Thread(() => guarded {
+      while (!stopP5.get() && failures.isEmpty)
+        consuming(p5Refreshes) {
+          VersionedTable.refreshRollup(spark, t3, t3roll,
+            keys = Seq("grp"), sumCols = Seq("x")); ()
+        }
+    }, "p5-rollup")
+    val p5Writers = p5MergeThreads ++ Seq(p5Appender, p5Lazy)
+    val p5Consumers = Seq(p5Mirror, p5Replica, p5Rollup)
+    p5Writers.foreach(_.start()); p5Maint.start()
+    p5Consumers.foreach(_.start())
+    p5Writers.foreach(_.join(600000))
+    stopP5.set(true)
+    p5Maint.join(600000); p5Consumers.foreach(_.join(600000))
+    // quiesced catch-up: one mirror, one drain, one refresh — after this
+    // the consumers must have CONVERGED or the race ate something
+    if (failures.isEmpty) {
+      VersionedTable.mirrorChangeFeed(spark, t3)
+      drainReplica()
+      VersionedTable.refreshRollup(spark, t3, t3roll,
+        keys = Seq("grp"), sumCols = Seq("x"))
+    }
     val wallS = (System.nanoTime() - t0) / 1e9
 
     // ---- invariants -----------------------------------------------------
@@ -410,6 +596,45 @@ object Hammer {
         (0 until perWriter).forall(i => !r.isNullAt(i) && r.getInt(i) == i)
       },
       "the seed row lost an added column's default")
+    check("widen survived the brawl at the wide type with the same value",
+      evoFinal.schema("wd").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        evoFinal.where(col("id") === 0L).head()
+          .getAs[Long]("wd") == 3L,
+      s"wd=${evoFinal.schema("wd").dataType} " +
+        s"rows=${evoFinal.select("id", "wd").collect().take(3).toSeq}")
+    // phase-5 invariants: CDC-consumer brawl
+    val p5vs = VersionedTable.versions(spark, t3)
+    check("p5 source chain gap-free (contiguous surviving suffix)",
+      p5vs == (p5vs.head to p5vs.last),
+      s"versions=$p5vs")
+    val srcFinal = VersionedTable.readLatest(spark, t3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    check("p5 no lost merge updates",
+      (0 until 4).forall(w =>
+        srcFinal.get(w.toLong).map(_._2).contains(perWriter.toLong)),
+      s"src=$srcFinal")
+    check("p5 lazy-deleted rows stay deleted",
+      srcFinal.keys.count(k => k >= 600L && k < 700L) ==
+        p5SacAppends.get() - p5LazyDeletes.get(),
+      s"src=${srcFinal.keys.filter(_ >= 600L)}")
+    val repFinal = VersionedTable.readLatest(spark, t3rep)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    check("p5 replica converged to the source through the brawl",
+      repFinal == srcFinal,
+      s"missing=${(srcFinal.toSet -- repFinal.toSet).take(5)} " +
+        s"surplus=${(repFinal.toSet -- srcFinal.toSet).take(5)}")
+    val rollGot = VersionedTable.readLatest(spark, t3roll)
+      .select("grp", "n", "sum_x").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rollWant = VersionedTable.readLatest(spark, t3)
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    check("p5 rollup converged to the from-scratch aggregate",
+      rollGot == rollWant, s"got=$rollGot want=$rollWant")
 
     val lost = (0 until writers).count(w =>
       !finalRows.get(w.toLong).contains(perWriter.toLong)) +
@@ -425,6 +650,15 @@ object Hammer {
       s""""optimizes":${optimizes.get() + evoOptimizes.get()},""" +
       s""""schema_alters":${alters.get() + renames.get()},""" +
       s""""schema_appends":${evoAppends.get()},""" +
+      s""""cdc_merges":${p5Merges.get()},""" +
+      s""""cdc_appends":${p5Appends.get() + p5SacAppends.get()},""" +
+      s""""cdc_lazy_deletes":${p5LazyDeletes.get()},""" +
+      s""""cdc_optimizes":${p5Optimizes.get()},""" +
+      s""""cdc_expired_versions":${p5Expiries.get()},""" +
+      s""""cdc_mirror_passes":${p5Mirrors.get()},""" +
+      s""""cdc_replica_batches":${p5ReplicaBatches.get()},""" +
+      s""""cdc_rollup_refreshes":${p5Refreshes.get()},""" +
+      s""""cdc_consumer_retries":${p5Retries.get()},""" +
       s""""conflicts":${conflicts.get()},"versions":${vs.last},""" +
       s""""lost_updates":$lost,"failures":$failed,""" +
       f""""wall_s":$wallS%.1f}"""

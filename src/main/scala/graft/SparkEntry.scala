@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.TextOps.qs ++
       graft.queries.Analytics.qs ++
       graft.queries.StatTests.qs ++
+      graft.queries.SeriesOps.qs ++
       graft.queries.Composite.qs ++
       graft.queries.Typed.qs ++
       graft.queries.Extensibility.qs ++

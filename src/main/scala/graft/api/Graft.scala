@@ -398,9 +398,30 @@ object Graft {
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    heavyHittersImpl(df, token, eps, confidence, seed, _ => minCount)
+  }
+
+  /** phi-heavy-hitters: threshold = `phi` fraction of the stream length,
+    * read off the sketch's own `totalCount()` — the stream length rides
+    * the one sketch-building pass for free, so no separate `count()` job
+    * runs (the r13 q33_heavy shape paid an extra full scan for it).
+    */
+  def heavyHittersPhi(df: DataFrame, token: Column, phi: Double = 0.01,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1]: $phi")
+    heavyHittersImpl(df, token, eps, confidence, seed,
+      cms => math.max(1L, math.floor(cms.totalCount() * phi).toLong))
+  }
+
+  private def heavyHittersImpl(df: DataFrame, token: Column, eps: Double,
+      confidence: Double, seed: Int,
+      threshold: org.apache.spark.util.sketch.CountMinSketch => Long)
+      : DataFrame = {
     val s = df.sparkSession
     val toks = df.select(token.as("token"))
     val cms = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
+    val minCount = threshold(cms)
     val cmsB = s.sparkContext.broadcast(cms)
     val estimate = udf((t: String) => cmsB.value.estimateCount(t))
     toks.distinct()

@@ -2053,10 +2053,12 @@ object Analytics {
           .withColumn("pred", lag(col("rev"), 7).over(w))
           .where(col("pred").isNotNull)
           .agg(count(lit(1)).as("n_days"),
-            Exact.round6(Exact.davg(abs(col("rev") - col("pred"))))
+            // davgHi: |rev−pred| and its ratio are COMPUTED doubles —
+            // scale-6 casts can land on .5e-6 boundaries (Exact.dsumHi)
+            Exact.round6(Exact.davgHi(abs(col("rev") - col("pred"))))
               .as("mae"),
             Exact.round6(
-              Exact.davg(abs(col("rev") - col("pred")) / col("rev")))
+              Exact.davgHi(abs(col("rev") - col("pred")) / col("rev")))
               .as("mape"))
       },
       Some(s"""WITH daily AS (
@@ -2067,8 +2069,8 @@ object Analytics {
              |  SELECT day, rev, lag(rev, 7) OVER (ORDER BY day) AS pred
              |  FROM daily)
              |SELECT CAST(count(*) AS BIGINT) AS n_days,
-             |  ${Exact.sqlRound6(Exact.sqlAvg("abs(rev - pred)"))} AS mae,
-             |  ${Exact.sqlRound6(Exact.sqlAvg("abs(rev - pred) / rev"))}
+             |  ${Exact.sqlRound6(Exact.sqlAvgHi("abs(rev - pred)"))} AS mae,
+             |  ${Exact.sqlRound6(Exact.sqlAvgHi("abs(rev - pred) / rev"))}
              |    AS mape
              |FROM x WHERE pred IS NOT NULL""".stripMargin)),
 
@@ -2159,21 +2161,25 @@ object Analytics {
     Q("q186_decayed_value",
       (s, d) => {
         val ev = Tables(s, d, "events").where(col("value").isNotNull)
-        val refUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-        val age = (lit(refUs) - unix_micros(col("ts"))).cast(DoubleType) /
-          lit(86400000000.0)
-        ev.withColumn("dv",
+        // one-row corpus anchor rides a broadcast join (the q78 pattern)
+        // — no eager driver-side .head() scalar job
+        val anchor = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+        val age = (col("ref_us") - unix_micros(col("ts")))
+          .cast(DoubleType) / lit(86400000000.0)
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("dv",
             col("value") * (lit(1.0) / (lit(1.0) + age / lit(7.0))))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"),
-            Exact.round6(Exact.dsum(col("dv"))).as("decayed_value"))
+            // dsumHi: dv is a COMPUTED decay product (Exact.dsumHi)
+            Exact.round6(Exact.dsumHi(col("dv"))).as("decayed_value"))
           .orderBy(col("user_id"))
       },
       Some(s"""WITH ref AS (
              |  SELECT max(epoch_us(ts)) AS r FROM events
              |  WHERE value IS NOT NULL)
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             |  ${Exact.sqlRound6(Exact.sqlSum(
+             |  ${Exact.sqlRound6(Exact.sqlSumHi(
                   "value * (1.0 / (1.0 + (CAST(r - epoch_us(ts) AS DOUBLE)" +
                   " / 86400000000.0) / 7.0))"))} AS decayed_value
              |FROM events, ref WHERE value IS NOT NULL
@@ -2185,9 +2191,14 @@ object Analytics {
     // keyed min, a broadcast-back join, a (cohort, k) aggregate, and the
     // cumulative rides a cohort-keyed window over the calendar-bounded
     // months axis (documented bounded family — ~80 cells per cohort).
+    // The cumulative stays in DecimalType INSIDE the window (r14 fix:
+    // summing per-cell doubles reaches ~2.2e9 at sf0.1 where double ulp
+    // ≈ 4.8e-7 — the 6th decimal is unrepresentable and the engines'
+    // round() diverge); one exact decimal→double cast at the end.
     Q("q187_ltv_cohort",
       (s, d) => {
         val o = Tables(s, d, "orders")
+        val D25 = DecimalType(25, 6)
         val first = o.groupBy(col("o_custkey"))
           .agg(min(trunc(col("o_orderdate"), "month")).as("cohort"))
         val w = Window.partitionBy(col("cohort")).orderBy(col("k"))
@@ -2197,14 +2208,15 @@ object Analytics {
               col("cohort")).cast(LongType))
           .groupBy(col("cohort"), col("k"))
           .agg(count(lit(1)).as("n_orders"),
-            Exact.dsum(col("o_totalprice")).as("rev"))
+            sum(col("o_totalprice").cast(D25)).as("rev_d"))
           .withColumn("cum_rev",
-            Exact.round6(sum(col("rev")).over(w)))
+            sum(col("rev_d")).over(w).cast(DoubleType) + lit(0d))
           .select(col("cohort"), col("k"), col("n_orders"),
-            Exact.round6(col("rev")).as("rev"), col("cum_rev"))
+            (col("rev_d").cast(DoubleType) + lit(0d)).as("rev"),
+            col("cum_rev"))
           .orderBy(col("cohort"), col("k"))
       },
-      Some(s"""WITH first AS (
+      Some("""WITH first AS (
              |  SELECT o_custkey,
              |    min(date_trunc('month', o_orderdate)) AS cohort
              |  FROM orders GROUP BY 1),
@@ -2213,13 +2225,13 @@ object Analytics {
              |    CAST(datediff('month', cohort,
              |      date_trunc('month', o_orderdate)) AS BIGINT) AS k,
              |    CAST(count(*) AS BIGINT) AS n_orders,
-             |    ${Exact.sqlSum("o_totalprice")} AS rev
+             |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_d
              |  FROM orders JOIN first USING (o_custkey)
              |  GROUP BY 1, 2)
              |SELECT CAST(cohort AS DATE) AS cohort, k, n_orders,
-             |  round(rev, 6) + 0.0 AS rev,
-             |  round(sum(rev) OVER (PARTITION BY cohort ORDER BY k), 6)
-             |    + 0.0 AS cum_rev
+             |  CAST(rev_d AS DOUBLE) + 0.0 AS rev,
+             |  CAST(sum(rev_d) OVER (PARTITION BY cohort ORDER BY k)
+             |    AS DOUBLE) + 0.0 AS cum_rev
              |FROM cell ORDER BY cohort, k""".stripMargin)),
 
     // Q189 — repeat-purchase cadence (r13): per customer the MEDIAN days
@@ -2275,14 +2287,16 @@ object Analytics {
           .withColumn("up", col("l_extendedprice") / col("l_quantity"))
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"),
-            Exact.davg(col("up")).as("mx"),
-            Exact.davg(col("up") * col("up")).as("mx2"))
+            // davgHi, not davg: `up` is a COMPUTED double ratio whose
+            // DECIMAL(25,6) cast landed exactly on .5e-6 boundaries at
+            // sf0.1 (r13 defect) — scale 18 makes exact half-landings
+            // impossible for non-dyadic ratios (see Exact.dsumHi)
+            Exact.davgHi(col("up")).as("mx"),
+            Exact.davgHi(col("up") * col("up")).as("mx2"))
           .where(col("n") >= 5L)
           .select(col("l_partkey"), col("n"),
-            // 4dp, not the usual 6: `up` is a double DIVISION, and its
-            // per-row DECIMAL(25,6) cast can land exactly on a .5e-6
-            // boundary where the engines' rounding modes diverge — 4dp
-            // absorbs that last-digit noise on both sides
+            // 4dp, not the usual 6: belt-and-braces headroom for the
+            // residual shortest-repr vs exact-binary cast drift
             (round(col("mx"), 4) + lit(0d)).as("mean_price"),
             (round(
               sqrt(greatest(col("mx2") - col("mx") * col("mx"), lit(0.0))) /
@@ -2294,8 +2308,8 @@ object Analytics {
              |  FROM lineitem),
              |m AS (
              |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
-             |    ${Exact.sqlAvg("up")} AS mx,
-             |    ${Exact.sqlAvg("up * up")} AS mx2
+             |    ${Exact.sqlAvgHi("up")} AS mx,
+             |    ${Exact.sqlAvgHi("up * up")} AS mx2
              |  FROM up GROUP BY 1)
              |SELECT l_partkey, n,
              |  round(mx, 4) + 0.0 AS mean_price,

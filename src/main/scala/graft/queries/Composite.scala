@@ -2529,16 +2529,19 @@ object Composite {
         import graft.sources.VersionedTable
         val dir = scratchDir("graft-vtable-mkq") + "/t"
         val ev = Tables(s, d, "events")
-        val splitUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0) +
-          15L * 86400L * 1000000L
+        // the 15-day split point rides a broadcast one-row bounds frame
+        // (q78 pattern) — no driver-side .head() scalar job
+        val sp = ev.agg((min(unix_micros(col("ts"))) +
+          lit(15L * 86400L * 1000000L)).as("s"))
+        val evS = ev.crossJoin(broadcast(sp))
         def roll(df: org.apache.spark.sql.DataFrame) =
           df.groupBy(col("user_id"), col("event_type"))
             .agg(count(lit(1)).as("n"),
               graft.Exact.round6(graft.Exact.dsum(col("value")))
                 .as("sum_value"))
         VersionedTable.commit(s,
-          roll(ev.where(unix_micros(col("ts")) < splitUs)), dir)
-        val active = ev.where(unix_micros(col("ts")) >= splitUs)
+          roll(evS.where(unix_micros(col("ts")) < col("s"))), dir)
+        val active = evS.where(unix_micros(col("ts")) >= col("s"))
           .select(col("user_id"), col("event_type")).distinct()
         VersionedTable.mergeIntoKeys(s, dir,
           roll(ev).join(active, Seq("user_id", "event_type"), "left_semi"),
@@ -2611,6 +2614,86 @@ object Composite {
              |  UNION ALL SELECT 90002, 'NEW CUST B', 222.22,
              |    CAST(5 AS INTEGER))
              |SELECT c_custkey, c_name, balance, loyalty_tier
-             |FROM evolved ORDER BY c_custkey""".stripMargin))
+             |FROM evolved ORDER BY c_custkey""".stripMargin)),
+
+    // Q212 — ALTER COLUMN TYPE lifecycle (r14): widen an INT counter to
+    // BIGINT as an O(metadata) verb, INSERT rows that only FIT the wide
+    // type (9e9 overflows INT — proof the widening is real, not
+    // cosmetic), then RENAME the widened column so the appended dir
+    // exercises the chain-position pinning (it replays the rename,
+    // never the widen). The final read mixes a narrow-vintage dir with
+    // a wide one under one logical schema; the oracle replays the
+    // evolution relationally.
+    Q("q212_widen_evolution",
+      (s, d) => {
+        import graft.sources.GraftSql
+        Tables.views(s, d)
+        val dir = scratchDir("graft-vtable-widen") + "/t"
+        GraftSql.sql(s,
+          s"""CREATE VERSIONED TABLE '$dir' AS
+             |SELECT c_custkey, c_name,
+             |  CAST(c_nationkey AS INT) AS nation,
+             |  CAST(0 AS INT) AS visits
+             |FROM customer""".stripMargin)
+        GraftSql.sql(s, s"ALTER TABLE '$dir' ALTER COLUMN visits TYPE BIGINT")
+        GraftSql.sql(s,
+          s"""INSERT INTO '$dir' VALUES
+             |(90001, 'NEW CUST A', 7, 9000000000),
+             |(90002, 'NEW CUST B', 8, 9000000001)""".stripMargin)
+        GraftSql.sql(s, s"ALTER TABLE '$dir' RENAME COLUMN visits TO visit_count")
+        GraftSql.sql(s,
+          s"""SELECT c_custkey, c_name, nation, visit_count
+             |FROM '$dir' LATEST ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH evolved AS (
+             |  SELECT c_custkey, c_name,
+             |    CAST(c_nationkey AS INTEGER) AS nation,
+             |    CAST(0 AS BIGINT) AS visit_count
+             |  FROM customer
+             |  UNION ALL SELECT 90001, 'NEW CUST A', CAST(7 AS INTEGER),
+             |    CAST(9000000000 AS BIGINT)
+             |  UNION ALL SELECT 90002, 'NEW CUST B', CAST(8 AS INTEGER),
+             |    CAST(9000000001 AS BIGINT))
+             |SELECT c_custkey, c_name, nation, visit_count
+             |FROM evolved ORDER BY c_custkey""".stripMargin)),
+
+    // Q213 — deferred deletes ride THROUGH schema evolution (r14): a
+    // DELETE ... DEFERRED (O(metadata), predicate-at-read) followed by
+    // ADD + RENAME + an INSERT under the active chain — previously
+    // refused ("materialize first"), now composed: the keep filter
+    // binds to each dir's RAW frame BEFORE the chain maps it, so the
+    // recorded predicate keeps filtering no matter what later renames
+    // do. The oracle replays delete-then-evolve relationally.
+    Q("q213_del_evolution",
+      (s, d) => {
+        import graft.sources.GraftSql
+        Tables.views(s, d)
+        val dir = scratchDir("graft-vtable-delevo") + "/t"
+        GraftSql.sql(s,
+          s"""CREATE VERSIONED TABLE '$dir' AS
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)
+        GraftSql.sql(s,
+          s"DELETE FROM '$dir' WHERE o_orderstatus = 'F' DEFERRED")
+        GraftSql.sql(s,
+          s"ALTER TABLE '$dir' ADD COLUMN src INT DEFAULT 1")
+        GraftSql.sql(s,
+          s"ALTER TABLE '$dir' RENAME COLUMN o_totalprice TO price")
+        GraftSql.sql(s,
+          s"""INSERT INTO '$dir' VALUES
+             |(900000001, 1, 'O', 42.42, 2)""".stripMargin)
+        GraftSql.sql(s,
+          s"""SELECT o_orderkey, o_custkey, o_orderstatus, price, src
+             |FROM '$dir' LATEST ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""WITH kept AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice AS price, CAST(1 AS INTEGER) AS src
+             |  FROM orders
+             |  WHERE o_orderkey % 5 = 0 AND NOT (o_orderstatus = 'F')
+             |  UNION ALL SELECT 900000001, 1, 'O', 42.42,
+             |    CAST(2 AS INTEGER))
+             |SELECT o_orderkey, o_custkey, o_orderstatus, price, src
+             |FROM kept ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -1481,7 +1481,8 @@ object LlmOps {
             (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
-            graft.Exact.round6(graft.Exact.davg(col("norm")))
+            // davgHi: norm is a COMPUTED sqrt (see Exact.dsumHi)
+            graft.Exact.round6(graft.Exact.davgHi(col("norm")))
               .as("mean_norm"),
             graft.Exact.round6(min(col("norm"))).as("min_norm"),
             graft.Exact.round6(max(col("norm"))).as("max_norm"),
@@ -1494,7 +1495,7 @@ object LlmOps {
              |    AS norm
              |  FROM embeddings)
              |SELECT label, CAST(count(*) AS BIGINT) AS n,
-             |  ${graft.Exact.sqlRound6(graft.Exact.sqlAvg("norm"))}
+             |  ${graft.Exact.sqlRound6(graft.Exact.sqlAvgHi("norm"))}
              |    AS mean_norm,
              |  round(min(norm), 6) + 0.0 AS min_norm,
              |  round(max(norm), 6) + 0.0 AS max_norm,

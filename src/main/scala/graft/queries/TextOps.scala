@@ -434,10 +434,9 @@ object TextOps {
       (s, d) => {
         val toks = Tables(s, d, "documents")
           .select(explode(split(lower(col("text")), " ")).as("token"))
-        // standard phi-heavy-hitter threshold: count > 1% of the stream
-        // (the count() is one agg job, like the sketch pass itself)
-        val minCount = math.max(1L, toks.count() / 100)
-        Graft.heavyHitters(toks, col("token"), minCount = minCount)
+        // standard phi-heavy-hitter threshold: count >= 1% of the
+        // stream, read off the sketch's own totalCount (no count() job)
+        Graft.heavyHittersPhi(toks, col("token"), phi = 0.01)
           .orderBy(col("token"))
       },
       None),
@@ -971,21 +970,27 @@ object TextOps {
     // there is (q179's shingle Jaccard weighs ALL vocabulary; this
     // watches the head, where a template or spam infusion shows first).
     // Ranks are deterministic (count desc, token asc); each half's
-    // top-20 comes off one hash aggregate + rank filter.
+    // top-20 comes off one hash aggregate + a TakeOrderedAndProject
+    // (per-partition heaps — r14 fix: the r13 shape ran a row_number
+    // window over the FULL vocab-sized frequency table in one task);
+    // the rank window now runs over exactly 20 rows. The half cut is a
+    // broadcast one-row bounds frame (q78 pattern), not a driver .head().
     Q("q188_rank_churn",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        val cut = docs.agg(
+          floor(max(col("doc_id")) / 2).cast(LongType).as("c"))
+        val withCut = docs.crossJoin(broadcast(cut))
         def top(half: org.apache.spark.sql.DataFrame, rcol: String) = {
-          val w = Window.orderBy(col("n").desc, col("tok"))
+          val w = Window.orderBy(col("n").desc, col("tok")) // 20 rows
           half.select(explode(split(lower(col("text")), " ")).as("tok"))
             .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-            .withColumn(rcol, row_number().over(w)) // 1 task: vocab-sized
-            .where(col(rcol) <= 20)
+            .orderBy(col("n").desc, col("tok")).limit(20)
+            .withColumn(rcol, row_number().over(w))
             .select(col("tok"), col(rcol))
         }
-        top(docs.where(col("doc_id") <= cut), "rank_a")
-          .join(top(docs.where(col("doc_id") > cut), "rank_b"),
+        top(withCut.where(col("doc_id") <= col("c")), "rank_a")
+          .join(top(withCut.where(col("doc_id") > col("c")), "rank_b"),
             Seq("tok"), "full_outer")
           .select(col("tok"), col("rank_a"), col("rank_b"),
             when(col("rank_a").isNotNull && col("rank_b").isNotNull, "both")

@@ -68,12 +68,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    commits abort on violation — racing ADDs both survive via
   *    [[VersionedTable.addConstraints]]'s generation CAS),
   *    `ALTER TABLE '<table-path>' ADD COLUMN <name> <type> [DEFAULT
-  *    <expr>] | RENAME COLUMN <old> TO <new> | DROP COLUMN <name>`
+  *    <expr>] | RENAME COLUMN <old> TO <new> | DROP COLUMN <name>
+  *    | ALTER COLUMN <name> TYPE <type>`
   *    (O(metadata) schema evolution — [[VersionedTable.addColumn]]/
-  *    [[VersionedTable.renameColumn]]/[[VersionedTable.dropColumn]]: no
+  *    [[VersionedTable.renameColumn]]/[[VersionedTable.dropColumn]]/
+  *    [[VersionedTable.widenColumn]] (lossless widenings only): no
   *    data rewrite; readers map old dirs to the logical schema and any
   *    copy-on-write verb materializes it),
-  *    `DESCRIBE CONSTRAINTS '<table-path>'` — the
+  *    `DESCRIBE CONSTRAINTS '<table-path>'`,
+  *    `ENSURE STATS ON '<table-path>' [VERSION <n>] STATS (c, ...)
+  *    [BLOOM (c, ...)] [BITS <n>]` (retro-backfill of the skipping
+  *    sidecars for one committed version),
+  *    `MIRROR CHANGE FEED '<table-path>'` (self-healing `_cdf` catch-up
+  *    pass; returns the versions mirrored now),
+  *    `READ CHANGES '<table-path>' VERSION <n>` (one version's change
+  *    batch, `__op`/`__ver`-tagged) — the
   *    maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
@@ -199,18 +208,39 @@ object GraftSql {
   private val AlterDropRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+DROP\s+""" +
       """COLUMN\s+`?(\w+)`?\s*;?\s*""").r
+  // the type is captured lazily up to the optional DEFAULT keyword / end
+  // of statement and validated by DataType.fromDDL inside addColumn — a
+  // shape grammar here couldn't parse nested types (MAP<STRING,
+  // ARRAY<INT>> has inner '>'s) or multi-word ones (DOUBLE PRECISION),
+  // and silently falling through to the spark.sql passthrough surfaced
+  // as an opaque Spark parse error instead of a Graft ALTER error
   private val AlterAddRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+ADD\s+""" +
-      """COLUMN\s+`?(\w+)`?\s+""" +
-      """([A-Za-z][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?""" +
-      """(?:\s*<[^>]+>)?)""" +
+      """COLUMN\s+`?(\w+)`?\s+(.+?)""" +
       """(?:\s+DEFAULT\s+(.+?))?\s*;?\s*""").r
+  private val AlterWidenRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+ALTER\s+""" +
+      """COLUMN\s+`?(\w+)`?\s+TYPE\s+(.+?)\s*;?\s*""").r
 
   private val SkippingRe =
     ("""(?is)\s*SET\s+SKIPPING\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+STATS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
       """(?:\s+BLOOM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
       """(?:\s+BITS\s+(\d+))?\s*;?\s*""").r
+  // retro-backfill of the zone-map/Bloom sidecars for one committed
+  // version (default: latest) — the statement dual of ensureStats
+  private val EnsureStatsRe =
+    ("""(?is)\s*ENSURE\s+STATS\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """(?:\s+VERSION\s+(\d+))?""" +
+      """\s+STATS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
+      """(?:\s+BLOOM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+BITS\s+(\d+))?\s*;?\s*""").r
+  private val MirrorCdfRe =
+    ("""(?is)\s*MIRROR\s+CHANGE\s+FEED\s+""" +
+      """(?:'([^']+)'|`([^`]+)`)\s*;?\s*""").r
+  private val ReadChangesRe =
+    ("""(?is)\s*READ\s+CHANGES\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+VERSION\s+(\d+)\s*;?\s*""").r
 
   /** Execute one statement; see the object doc for the grammar. The
     * maintenance statements mirror their verbs 1:1:
@@ -243,6 +273,23 @@ object GraftSql {
           statsCols = split(statsC), bloomCols = split(bloomC),
           bloomBitsPerRow = Option(bits).map(_.toInt).getOrElse(10))
         Seq("ok").toDF("skipping_policy")
+      case EnsureStatsRe(p1, p2, ver, statsC, bloomC, bits) =>
+        def split(s: String) = Option(s).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+        val tbl = Option(p1).getOrElse(p2)
+        val v = Option(ver).map(_.toLong).getOrElse(
+          VersionedTable.latestVersion(spark, tbl).getOrElse(
+            fail(s"versioned table '$tbl' has no committed versions")))
+        val rewrote = VersionedTable.ensureStats(spark, tbl, v,
+          cols = split(statsC), bloomCols = split(bloomC),
+          bloomBitsPerRow = Option(bits).map(_.toInt).getOrElse(10))
+        Seq(rewrote).toDF("stats_rewritten")
+      case MirrorCdfRe(p1, p2) =>
+        VersionedTable.mirrorChangeFeed(spark, Option(p1).getOrElse(p2))
+          .toDF("version_mirrored")
+      case ReadChangesRe(p1, p2, ver) =>
+        VersionedTable.readChanges(spark, Option(p1).getOrElse(p2),
+          ver.toLong)
       case OptimizeRe(p1, p2, mb, cluster, za, zb) =>
         val v = VersionedTable.optimize(spark, Option(p1).getOrElse(p2),
           targetFileBytes =
@@ -272,6 +319,9 @@ object GraftSql {
       case AlterAddRe(p1, p2, name, tpe, dflt) =>
         Seq(VersionedTable.addColumn(spark, Option(p1).getOrElse(p2),
           name, tpe.trim, Option(dflt).map(_.trim))).toDF("version")
+      case AlterWidenRe(p1, p2, name, tpe) =>
+        Seq(VersionedTable.widenColumn(spark, Option(p1).getOrElse(p2),
+          name, tpe.trim)).toDF("version")
       case RollupRe(t1, t2, b1, b2, keyList, key, sums) =>
         // KEY k or KEY (k1, k2, ...) — composite rollups ride the same
         // incremental path since r13

@@ -108,25 +108,39 @@ object VersionedTable {
     * retry once on that window; compaction's keep-two retirement policy
     * guarantees the second attempt's newest checkpoint outlives it.
     */
-  private def checkpointMap(hfs: FileSystem, root: Path): Map[Long, String] = {
+  /** The newest checkpoint's id, from one `_manifests` listing — split
+    * out of [[checkpointMap]] so [[publish]]'s post-claim verify can
+    * skip re-reading the checkpoint BODY when the id hasn't moved since
+    * its pre-claim read (the id is the cheap staleness token; a body is
+    * immutable once written, so same id ⇒ same map).
+    */
+  private def newestCheckpointId(hfs: FileSystem, root: Path): Option[Long] = {
     val mDir = new Path(root, "_manifests")
-    if (!hfs.exists(mDir)) return Map.empty
-    def attempt(): Map[Long, String] = {
-      val newest = hfs.listStatus(mDir).iterator
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("checkpoint-v") && n.endsWith(".json") =>
-          n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
-        }.maxOption
-      newest match {
+    if (!hfs.exists(mDir)) None
+    else hfs.listStatus(mDir).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("checkpoint-v") && n.endsWith(".json") =>
+        n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong
+      }.maxOption
+  }
+
+  /** Parse checkpoint `id`'s body into its version→dir map. */
+  private def checkpointBodyMap(hfs: FileSystem, root: Path,
+      id: Long): Map[Long, String] = {
+    val in = hfs.open(new Path(new Path(root, "_manifests"),
+      checkpointName(id)))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    checkpointEntry.findAllMatchIn(body)
+      .map(m => m.group(1).toLong -> m.group(2)).toMap
+  }
+
+  private def checkpointMap(hfs: FileSystem, root: Path): Map[Long, String] = {
+    def attempt(): Map[Long, String] =
+      newestCheckpointId(hfs, root) match {
         case None => Map.empty
-        case Some(v) =>
-          val in = hfs.open(new Path(mDir, checkpointName(v)))
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          checkpointEntry.findAllMatchIn(body)
-            .map(m => m.group(1).toLong -> m.group(2)).toMap
+        case Some(v) => checkpointBodyMap(hfs, root, v)
       }
-    }
     try attempt()
     catch { case _: java.io.FileNotFoundException => attempt() }
   }
@@ -366,8 +380,19 @@ object VersionedTable {
       new java.nio.file.FileAlreadyExistsException(
         s"$manifest: $detail — the slot was retired by manifest " +
           "compaction/expiry, not free; re-read latest and retry"))
-    val horizon = checkpointMap(hfs, root).keysIterator
-      .maxOption.getOrElse(0L)
+    // one listing + at most one body read pre-claim; the post-claim
+    // verify re-LISTS (cheap) but re-reads a checkpoint body only when
+    // the newest id actually moved during the claim — on a never- or
+    // not-recently-compacted table the hot path pays zero extra body
+    // reads (checkpoint bodies are immutable: same id ⇒ same map)
+    val preId = try newestCheckpointId(hfs, root)
+      catch { case _: java.io.FileNotFoundException => None }
+    def mapOf(id: Option[Long]): Map[Long, String] =
+      try id.map(checkpointBodyMap(hfs, root, _)).getOrElse(Map.empty)
+      catch { case _: java.io.FileNotFoundException =>
+        checkpointMap(hfs, root) } // id retired mid-read: re-resolve
+    val preMap = mapOf(preId)
+    val horizon = preMap.keysIterator.maxOption.getOrElse(0L)
     if (version <= horizon)
       throw foldedConflict(s"version $version <= folded horizon $horizon")
     val tmp = new Path(root, s"_manifests/.tmp-${UUID.randomUUID}")
@@ -381,7 +406,9 @@ object VersionedTable {
     // recycled a just-retired slot: undo it (no reader depends on a
     // binding the checkpoint contradicts) and conflict. A checkpoint
     // binding to OUR dir is the benign fast-fold of a legitimate claim.
-    val after = checkpointMap(hfs, root)
+    val postId = try newestCheckpointId(hfs, root)
+      catch { case _: java.io.FileNotFoundException => preId }
+    val after = if (postId == preId) preMap else mapOf(postId)
     if (after.get(version).exists(_ != dataDirName)) {
       hfs.delete(manifest, false)
       throw foldedConflict(
@@ -511,7 +538,12 @@ object VersionedTable {
         val kept = delKeepFilter(preds, d).map(df.where).getOrElse(df)
         if (chain.isEmpty) kept
         else applySchemaChain(kept,
-          chain.ops.drop(chain.pos.getOrElse(d, 0)))
+          // a dir ABSENT from the position map was appended at the
+          // chain's current tip (appends share the base's sidecar by
+          // name and record nothing) — it replays NO ops; every dir
+          // that predates at least one op got an explicit entry from
+          // the ALTER that added that op
+          chain.ops.drop(chain.pos.getOrElse(d, chain.ops.length)))
       }
       // dirs of different vintages can disagree on column ORDER once a
       // mapping is active (an added column sits wherever each dir's
@@ -662,24 +694,30 @@ object VersionedTable {
   // write real parquet columns, which MATERIALIZES the mapping — their
   // versions carry no chain, exactly like deferred deletes.
 
-  /** One schema-evolution step: `kind` ∈ add|rename|drop. `name` is the
-    * column the op targets (the NEW name for add, the OLD name for
-    * rename); `to` = rename target; `tpe` = add's DDL type string;
-    * `default` = add's SQL expression backfilling EXISTING rows (absent
-    * = NULL).
+  /** One schema-evolution step: `kind` ∈ add|rename|drop|widen. `name`
+    * is the column the op targets (the NEW name for add, the OLD name
+    * for rename); `to` = rename target; `tpe` = add's/widen's DDL type
+    * string; `default` = add's SQL expression backfilling EXISTING rows
+    * (absent = NULL).
     */
   private final case class SchemaOp(kind: String, name: String,
       to: String = "", tpe: String = "", default: Option[String] = None)
 
   /** The full evolution state at one version: the op chain plus each
     * dir's CHAIN POSITION — how many ops were already in force when the
-    * dir joined the version's dir list (0 for dirs predating the whole
-    * chain). A dir only replays `ops.drop(position)`: without the
-    * position, a dir appended mid-chain would re-fire ops it was born
-    * AFTER (the 8-writer hammer caught exactly this — a dir written
-    * under logical name pp1 spuriously replayed the earlier `add pp0`,
-    * growing an extra column; a drop-then-re-add replay would even
-    * overwrite real stored values with the re-add's default).
+    * dir joined the version's dir list. A dir only replays
+    * `ops.drop(position)`: without the position, a dir appended
+    * mid-chain would re-fire ops it was born AFTER (the 8-writer hammer
+    * caught exactly this — a dir written under logical name pp1
+    * spuriously replayed the earlier `add pp0`, growing an extra
+    * column; a drop-then-re-add replay would even overwrite real stored
+    * values with the re-add's default).
+    *
+    * A dir ABSENT from the map defaults to the chain TIP (replays
+    * nothing): entries are written only by the ALTER verbs — each ALTER
+    * pins every then-unpinned dir at the pre-op length — so appends
+    * share the base's sidecar by name instead of rewriting an
+    * ever-growing map per batch.
     */
   private final case class SchemaChain(ops: Seq[SchemaOp],
       pos: Map[String, Int]) {
@@ -691,7 +729,7 @@ object VersionedTable {
   private val schemaField = """"schema"\s*:\s*"([^"]+)"""".r
   // writer emits fields in exactly this order: k, n, [r], [t], [d]
   private val schemaEntryRe =
-    ("""\{"k":"(add|rename|drop)","n":"((?:[^"\\]|\\.)+)"""" +
+    ("""\{"k":"(add|rename|drop|widen)","n":"((?:[^"\\]|\\.)+)"""" +
       """(?:,"r":"((?:[^"\\]|\\.)+)")?""" +
       """(?:,"t":"((?:[^"\\]|\\.)+)")?""" +
       """(?:,"d":"((?:[^"\\]|\\.)*)")?\}""").r
@@ -719,9 +757,9 @@ object VersionedTable {
   /** The accumulated evolution chain active at `version` (empty for
     * unmapped versions — including every version after a copy-on-write
     * verb, which materializes the mapping into real parquet columns).
-    * Sidecar body: `{"ops":[...],"pos":{"<dir>":k,...}}` — a bare
-    * `[...]` (the position-free first cut) parses as ops with an empty
-    * position map.
+    * Sidecar body: `{"ops":[...],"pos":{"<dir>":k,...}}`. Every dir
+    * that must replay at least one op has an explicit entry (pinned by
+    * the ALTER that added the op); absent dirs sit at the chain tip.
     */
   private def schemaStateOf(spark: SparkSession, table: String,
       version: Long): SchemaChain =
@@ -756,7 +794,8 @@ object VersionedTable {
     val opsBody = chain.ops.map { o =>
       s"""{"k":"${o.kind}","n":"${esc(o.name)}"""" +
         (if (o.kind == "rename") s""","r":"${esc(o.to)}"""" else "") +
-        (if (o.kind == "add") s""","t":"${esc(o.tpe)}"""" else "") +
+        (if (o.kind == "add" || o.kind == "widen")
+          s""","t":"${esc(o.tpe)}"""" else "") +
         o.default.map(d => s""","d":"${esc(d)}"""").getOrElse("") + "}"
     }.mkString("[", ",", "]")
     val posBody = chain.pos.toSeq.sortBy(_._1)
@@ -793,35 +832,58 @@ object VersionedTable {
               .cast(org.apache.spark.sql.types.DataType.fromDDL(op.tpe)))
         case "drop" =>
           if (cur.columns.contains(op.name)) cur.drop(op.name) else cur
+        case "widen" =>
+          val dt = org.apache.spark.sql.types.DataType.fromDDL(op.tpe)
+          // lossless up-cast in place (withColumn preserves position);
+          // a dir written post-op already stores the wide type — the
+          // equality check is its pass-through
+          if (cur.columns.contains(op.name) &&
+              cur.schema(op.name).dataType != dt)
+            cur.withColumn(op.name,
+              org.apache.spark.sql.functions.col(op.name).cast(dt))
+          else cur
       }
     }
 
-  /** Shared tail of the three ALTER verbs: guard, extend the chain, and
+  /** Shared tail of the ALTER verbs: guard, extend the chain, and
     * publish at exactly base+1 reusing base's dirs (a racing commit
     * conflicts instead of having its schema silently remapped).
-    * Deferred deletes must be materialized first — their recorded
-    * predicates bind to the PRE-evolution names and could not resolve
-    * against a mapped read.
+    *
+    * Pending deferred deletes COMPOSE with evolution (r14): their
+    * sidecar travels forward by name. Sound because [[readVersion]]
+    * applies each dir's keep filter to the dir's RAW frame BEFORE the
+    * chain suffix maps it, and a predicate's scoped dirs all predate
+    * the delete — which predates every op added after it (deletes are
+    * refused while a chain is ACTIVE, so recorded predicates always
+    * bind to their dirs' physical names regardless of later renames/
+    * drops/widens). The reverse direction keeps its refusal in
+    * [[deleteWhereLazyFrom]]: a NEW predicate binds to logical names a
+    * mapping would have to un-map per dir.
     */
   private def publishSchemaOp(spark: SparkSession, table: String,
       op: SchemaOp)(validate: DataFrame => Unit): Long = {
     val base = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(
         s"$table has no committed versions"))
-    require(delStateOf(spark, table, base).isEmpty,
-      s"$table carries deferred deletes at version $base — their " +
-        "predicates bind to the pre-evolution schema; materialize them " +
-        "(any copy-on-write verb, e.g. OPTIMIZE) before evolving")
     validate(readVersion(spark, table, base))
     val (hfs, root) = fs(spark, table)
     val dirs = resolveDir(hfs, root, base).getOrElse(
       throw new IllegalArgumentException(
         s"version $base of $table was never committed"))
     val prior = schemaStateOf(spark, table, base)
+    // positions are recorded HERE, by the ALTER that makes them matter:
+    // any base dir without an entry joined while the chain was at its
+    // current length (pre-chain dirs when the chain is empty; otherwise
+    // dirs appended since the previous ALTER, which shared the base's
+    // sidecar and recorded nothing) — pin them at `prior.ops.length`
+    // before the new op lands. Appends thus never write sidecars and
+    // total sidecar bytes are O(#alters × #dirs), not O(#appends²).
+    val pinned = prior.pos ++ splitDirs(dirs)
+      .filterNot(prior.pos.contains).map(_ -> prior.ops.length)
     val ref = writeSchemaSidecar(spark, table,
-      SchemaChain(prior.ops :+ op, prior.pos))
+      SchemaChain(prior.ops :+ op, pinned))
     publish(spark, table, base + 1L, dirs, op = "schema",
-      schemaRef = Some(ref))
+      schemaRef = Some(ref), delRef = delRefOf(spark, table, base))
     base + 1L
   }
 
@@ -832,8 +894,26 @@ object VersionedTable {
     */
   private def guardColumnUnreferenced(spark: SparkSession, table: String,
       colName: String, verb: String): Unit = {
-    val hit = constraintsOf(spark, table).find(_._2
-      .matches(s"(?s).*\\b${java.util.regex.Pattern.quote(colName)}\\b.*"))
+    // resolve references STRUCTURALLY (parse the expression, collect its
+    // attribute names) — a word-boundary regex over the source text
+    // false-positives on the name inside a string literal (CHECK
+    // (status != 'tier') must not block renaming an unrelated `tier`)
+    def refs(exprText: String): Set[String] =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprText).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+      catch { case scala.util.control.NonFatal(_) =>
+        // unparseable constraint text (foreign/hand-edited): fall back
+        // to the conservative textual match rather than silently allow
+        if (exprText.matches(
+            s"(?s).*\\b${java.util.regex.Pattern.quote(colName)}\\b.*"))
+          Set(colName.toLowerCase(java.util.Locale.ROOT))
+        else Set.empty
+      }
+    val needle = colName.toLowerCase(java.util.Locale.ROOT)
+    val hit = constraintsOf(spark, table).find(c => refs(c._2).contains(needle))
     require(hit.isEmpty,
       s"cannot $verb column $colName of $table: CHECK constraint " +
         s"'${hit.map(_._1).getOrElse("")}' references it — replace the " +
@@ -908,6 +988,55 @@ object VersionedTable {
       require(cur.columns.contains(name), s"no column $name on $table")
       require(cur.columns.length > 1,
         s"cannot drop the last column of $table")
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE: O(metadata) type WIDENING — the most
+    * common evolution after ADD (int→long counters, decimal headroom,
+    * float→double). Pre-op dirs up-cast at read time; rows written after
+    * the change store the wide type physically; a later copy-on-write
+    * verb materializes it. Only Spark's LOSSLESS up-cast set is allowed
+    * (`Cast.canUpCast`: integral widening, float→double, exact
+    * decimal/integral→wider decimal…) — narrowing or lossy casts are
+    * refused, so replaying the chain can never change a stored value.
+    *
+    * CHECK constraints keep working unguarded (their expressions
+    * re-analyze against the widened frame — values are preserved, so
+    * the predicate's verdict is too). The skipping-policy guard is also
+    * unnecessary: pruned reads degrade to the full mapped scan while
+    * any chain is active, and the CoW verb that materializes the type
+    * rewrites the stats sidecars in the wide type. Statement spelling:
+    * `ALTER TABLE '<path>' ALTER COLUMN <name> TYPE <type>`.
+    */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      ddlType: String): Long = {
+    import org.apache.spark.sql.types._
+    val dt = DataType.fromDDL(ddlType)
+    publishSchemaOp(spark, table, SchemaOp("widen", name, tpe = ddlType)) {
+      cur =>
+        require(cur.columns.contains(name), s"no column $name on $table")
+        val from = cur.schema(name).dataType
+        require(from != dt,
+          s"column $name of $table already has type ${dt.sql}")
+        // Cast.canUpCast minus its value-ALTERING escapes: integral→
+        // float/double and →string pass canUpCast but change the stored
+        // representation (long 2⁶³-ish loses low bits in double; string
+        // is a re-encoding, not a widen) — a replayed chain must be able
+        // to promise bit-preserving values, so those route through a
+        // CoW rewrite instead
+        val valuePreserving =
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, dt) &&
+            (dt match {
+              case DoubleType => from == FloatType
+              case FloatType => false
+              case _: StringType => false
+              case _ => true
+            })
+        require(valuePreserving,
+          s"cannot ALTER COLUMN TYPE $name ${from.sql} -> ${dt.sql}: " +
+            "only value-preserving widenings are supported (a lossy or " +
+            "narrowing replay would corrupt stored values); rewrite " +
+            "through a CoW verb for anything else")
     }
   }
 
@@ -1442,16 +1571,14 @@ object VersionedTable {
     // sidecar is immutable): the new dir is outside every recorded
     // predicate's scope, so appended rows are never retro-deleted, while
     // the base dirs keep their filters
-    // an active schema mapping travels too — but NOT by bare sidecar
-    // name: the new dir was written in the LOGICAL shape, so it must be
-    // recorded at the chain's CURRENT position (it replays none of the
-    // existing ops, only ones added later); a fresh sidecar carries the
-    // same ops plus that one position entry
-    val evoChain = schemaStateOf(spark, table, base)
-    val evoRef =
-      if (evoChain.isEmpty) None
-      else Some(writeSchemaSidecar(spark, table, SchemaChain(evoChain.ops,
-        evoChain.pos + (dirName -> evoChain.ops.length))))
+    // an active schema mapping travels the same way — by sidecar NAME:
+    // the new dir was written in the LOGICAL shape and records NO
+    // position entry; readers default an absent dir to the chain tip
+    // (replay nothing), and the NEXT ALTER — the moment a position
+    // starts to matter — pins it at the then-current length. One
+    // sidecar thus serves every append at the same chain length
+    // (drip-append ingest no longer accretes O(N²) sidecar bytes).
+    val evoRef = schemaRefOf(spark, table, base)
     publish(spark, table, base + 1L, s"$baseDirs;$dirName", batchId,
       op = "insert", delRef = delRefOf(spark, table, base),
       schemaRef = evoRef)

@@ -324,6 +324,44 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("maintenance statements: ENSURE STATS, MIRROR CHANGE FEED, READ CHANGES") {
+    val spark = plainSession()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftSql, VersionedTable}
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-sql-maint").toString + "/t"
+      spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+        .createOrReplaceTempView("mseed")
+      GraftSql.sql(spark,
+        s"CREATE VERSIONED TABLE '$tbl' AS SELECT k, v FROM mseed")
+      // ENSURE STATS backfills the sidecar retroactively (true = rewrote);
+      // a repeat covering the same columns is a no-op (false)
+      assert(GraftSql.sql(spark,
+        s"ENSURE STATS ON '$tbl' STATS (k) BLOOM (v) BITS 12")
+        .head().getBoolean(0))
+      assert(!GraftSql.sql(spark, s"ENSURE STATS ON '$tbl' STATS (k)")
+        .head().getBoolean(0))
+      // feed lifecycle through statements alone: enable, merge, mirror,
+      // read one version's change batch
+      GraftSql.sql(spark, s"ENABLE CHANGE FEED '$tbl'")
+      spark.createDataFrame(Seq((3L, 99L), (100L, 1L))).toDF("k", "v")
+        .createOrReplaceTempView("mdelta")
+      GraftSql.sql(spark,
+        s"""MERGE INTO '$tbl' USING mdelta ON k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v2 = VersionedTable.latestVersion(spark, tbl).get
+      // the merge auto-mirrored; the explicit pass finds nothing new
+      assert(GraftSql.sql(spark, s"MIRROR CHANGE FEED '$tbl'").isEmpty)
+      val changes = GraftSql.sql(spark,
+        s"READ CHANGES '$tbl' VERSION $v2").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"),
+          r.getAs[String]("__op"))).toSet
+      assert(changes == Set((3L, 99L, "u"), (100L, 1L, "u")), changes)
+    } finally spark.stop()
+  }
+
   private def interceptMsg(spark: org.apache.spark.sql.SparkSession,
       stmt: String, needle: String): Unit = {
     val e = intercept[IllegalArgumentException](

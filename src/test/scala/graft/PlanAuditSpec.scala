@@ -488,6 +488,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact side re-shuffled:\n$p")
   }
 
+  test("q188: half top-20s are TakeOrderedAndProject, windows post-limit") {
+    // the r13 shape ranked via row_number over the FULL vocab-sized
+    // frequency table in one task; the fix cuts each half to 20 rows
+    // with per-partition heaps FIRST. Both halves must compile to
+    // TakeOrderedAndProject, and every (bounded, 20-row) rank window
+    // must sit ABOVE its half's TakeOrderedAndProject in the tree —
+    // i.e. no Window may appear after the LAST TakeOrderedAndProject,
+    // which is where a vocab-sized window input would print
+    val p = plan("q188_rank_churn")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2,
+      s"both half top-20s must be TakeOrderedAndProject:\n$p")
+    val lastTop = p.lastIndexOf("TakeOrderedAndProject")
+    assert(p.indexOf("Window", lastTop) < 0,
+      s"a Window consumes pre-limit (vocab-sized) input:\n$p")
+  }
+
+  test("q219/q220: series top-k is TakeOrderedAndProject; day windows only") {
+    // the drawdown/CUSUM scans may window ONLY the calendar-bounded
+    // daily rollup; their final cut must be per-partition heaps, never a
+    // global sort of the ranked frame
+    Seq("q219_drawdown", "q220_cusum").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.matches("(?s).*\\bSort \\[[^\\]]*\\], true,.*") ||
+        !p.contains("GlobalLimit"), s"$q global sort:\n$p")
+    }
+  }
+
+  test("q214: lag pairs ride the rn equi-join with a broadcast lag list") {
+    // the 3-row lag list broadcasts (BNLJ over 3 rows is the cheap and
+    // intended shape); the daily×daily pairing itself must be an
+    // EQUI-join on rn, never a cartesian of the day frame with itself
+    val p = plan("q214_acf")
+    assert(!p.contains("CartesianProduct"), s"day-frame cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"rn pairing must be an equi-join:\n$p")
+  }
+
+  test("q217: per-customer trend is pure keyed aggregation — no window") {
+    val p = plan("q217_cust_trend")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q198: both KS ECDFs ride the chunked prefix-scan") {
     // the data-sized cumulative counts must run as __chunk-PARTITIONED
     // windows (prefixSumExclusive's shape: the only unpartitioned window

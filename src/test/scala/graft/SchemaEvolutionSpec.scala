@@ -3,11 +3,13 @@ package graft
 import graft.sources.{GraftSql, VersionedTable => VT}
 import org.apache.spark.sql.functions._
 
-/** ALTER TABLE ADD/RENAME/DROP COLUMN — O(metadata) schema evolution on
-  * [[graft.sources.VersionedTable]]: the mapping chain applies at read
-  * time per dir, copy-on-write verbs materialize it, time travel shows
-  * each era's schema, and the guards keep it away from the features it
-  * cannot compose with (deferred deletes, referenced columns).
+/** ALTER TABLE ADD/RENAME/DROP COLUMN / ALTER COLUMN TYPE — O(metadata)
+  * schema evolution on [[graft.sources.VersionedTable]]: the mapping
+  * chain applies at read time per dir, copy-on-write verbs materialize
+  * it, time travel shows each era's schema, existing deferred deletes
+  * ride THROUGH evolution (the raw-frame filter binds before the
+  * mapping), and the guards keep the directions that cannot compose
+  * refused (a NEW delete under a mapping, referenced columns).
   */
 class SchemaEvolutionSpec extends SparkSpec {
 
@@ -201,13 +203,42 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
-  test("guards: deferred deletes and schema mappings never coexist") {
+  test("deferred deletes COMPOSE with evolution: delete then ALTER") {
+    // r14: the del sidecar travels forward by name through ALTER verbs —
+    // sound because readVersion filters each dir's RAW frame BEFORE the
+    // chain suffix maps it, and recorded predicates always bind to their
+    // scoped dirs' physical names (deletes are refused while a chain is
+    // active, so every predicate predates every op added after it)
     val t = tmp() + "/t"
-    freshNation(t)
+    freshNation(t) // 25 rows
     VT.deleteWhereLazy(spark, t, "n_nationkey = 24")
-    intercept[IllegalArgumentException] {
-      VT.addColumn(spark, t, "tier", "INT")
-    }
+    VT.addColumn(spark, t, "tier", "INT", Some("7"))
+    // renaming the very column the predicate references still binds
+    VT.renameColumn(spark, t, "n_nationkey", "nation_key")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.count() == 24)
+    assert(latest.columns.contains("nation_key") &&
+      latest.columns.contains("tier"))
+    assert(latest.filter(col("nation_key") === 24).count() == 0)
+    assert(latest.filter(col("tier") === 7).count() == 24)
+    // the pruned read path degrades to the mapped scan but stays correct
+    assert(VT.readLatestPruned(spark, t, bounds = Nil).count() == 24)
+    // CDC: the schema versions are empty batches in the mapped schema
+    assert(VT.readChanges(spark, t, 3L).isEmpty)
+    assert(VT.readChanges(spark, t, 4L).columns.contains("nation_key"))
+    // time travel: v2 (delete, pre-chain) filters without mapping
+    assert(VT.readVersion(spark, t, 2L).count() == 24 &&
+      VT.readVersion(spark, t, 2L).columns.contains("n_nationkey"))
+    // a CoW verb materializes BOTH the mapping and the deletes at once
+    val vCow = VT.optimize(spark, t)
+    assert(!manifestBody(t, vCow).contains("\"schema\"") &&
+      !manifestBody(t, vCow).contains("\"del\""))
+    assert(VT.readLatest(spark, t).count() == 24)
+  }
+
+  test("guard kept: a NEW deferred delete under an active mapping refuses") {
+    // the reverse direction cannot compose: the new predicate binds to
+    // LOGICAL names but evaluates against each dir's RAW frame
     val t2 = tmp() + "/t2"
     freshNation(t2)
     VT.renameColumn(spark, t2, "n_name", "nation_name")
@@ -218,6 +249,112 @@ class SchemaEvolutionSpec extends SparkSpec {
     VT.optimize(spark, t2)
     VT.deleteWhereLazy(spark, t2, "n_nationkey = 24")
     assert(VT.readLatest(spark, t2).count() == 24)
+  }
+
+  test("appends under a chain share ONE schema sidecar (O(#alters) bytes)") {
+    // drip-append ingest after an ALTER must not rewrite an ever-growing
+    // position map per batch: appends reference the base's sidecar by
+    // name; the NEXT alter is what pins the since-appended dirs
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(2).select(col("id"), lit(0L).as("v")), t)
+    VT.addColumn(spark, t, "c", "INT", Some("1"))                    // v2
+    VT.append(spark, t, spark.createDataFrame(Seq((100L, 0L, 5)))
+      .toDF("id", "v", "c"))                                         // v3
+    VT.append(spark, t, spark.createDataFrame(Seq((101L, 0L, 6)))
+      .toDF("id", "v", "c"))                                         // v4
+    def ref(v: Long): String =
+      """"schema":"([^"]+)"""".r.findFirstMatchIn(manifestBody(t, v))
+        .get.group(1)
+    assert(ref(2L) == ref(3L) && ref(3L) == ref(4L),
+      "appends must share the ALTER's sidecar by name")
+    VT.renameColumn(spark, t, "c", "c2")                             // v5
+    assert(ref(5L) != ref(4L), "an ALTER writes a fresh sidecar")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.filter(col("c2") === 5).count() == 1)
+    assert(latest.filter(col("c2") === 6).count() == 1)
+    assert(latest.filter(col("c2") === 1).count() == 2) // backfilled base
+  }
+
+  test("ALTER COLUMN TYPE widens at read time; appends store wide") {
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(3).select(col("id"),
+      lit(7).cast("int").as("n")), t)
+    val v2 = VT.widenColumn(spark, t, "n", "BIGINT")
+    assert(v2 == 2L)
+    // O(metadata): v2 reuses v1's dir verbatim
+    def dir(s: String) =
+      """"dir":"([^"]+)"""".r.findFirstMatchIn(s).get.group(1)
+    assert(dir(manifestBody(t, 1L)) == dir(manifestBody(t, 2L)))
+    val latest = VT.readLatest(spark, t)
+    assert(latest.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(latest.filter(col("n") === 7L).count() == 3)
+    // time travel keeps the narrow era narrow
+    assert(VT.readVersion(spark, t, 1L).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a post-widen append stores the wide type physically and the
+    // mixed-vintage read is one logical type
+    VT.append(spark, t, spark.createDataFrame(Seq((100L, 9L)))
+      .toDF("id", "n"))
+    val mixed = VT.readLatest(spark, t)
+    assert(mixed.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(mixed.count() == 4 && mixed.filter(col("n") === 9L).count() == 1)
+    // CDC rides through: the widen version is an empty batch, wide
+    assert(VT.readChanges(spark, t, 2L).isEmpty)
+    assert(VT.readChanges(spark, t, 2L).schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // CoW materializes the wide type into real parquet
+    val vc = VT.optimize(spark, t)
+    assert(!manifestBody(t, vc).contains("\"schema\""))
+    assert(VT.readLatest(spark, t).schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(VT.readLatest(spark, t).count() == 4)
+  }
+
+  test("widen composes mid-chain: positions confine replay (widen era)") {
+    // narrow dir -> widen -> APPEND (wide dir) -> rename: the appended
+    // dir replays only the rename, never the widen (harmless here, but
+    // the position contract must hold for every op kind)
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(1).select(col("id"),
+      lit(3).cast("int").as("n")), t)
+    VT.widenColumn(spark, t, "n", "BIGINT")
+    VT.append(spark, t, spark.createDataFrame(Seq((100L, 8L)))
+      .toDF("id", "n"))
+    VT.renameColumn(spark, t, "n", "m")
+    val got = VT.readLatest(spark, t).select("id", "m").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 100L -> 8L), got.toString)
+  }
+
+  test("widen guards: narrowing, lossy, same-type, decimal headroom") {
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(3).select(col("id"),
+      lit(1.5f).cast("float").as("x"), lit(2).cast("int").as("n"),
+      lit(java.math.BigDecimal.valueOf(100, 2)).cast("decimal(10,2)")
+        .as("d")), t)
+    // narrowing / lossy re-encodings refuse
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "n", "SMALLINT") }       // narrowing
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "n", "STRING") }         // re-encoding
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "id", "DOUBLE") }        // lossy long→dbl
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "d", "DECIMAL(10,4)") }  // headroom shrinks
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "n", "INT") }            // same type
+    // value-preserving widenings pass: float→double, decimal headroom
+    VT.widenColumn(spark, t, "x", "DOUBLE")
+    VT.widenColumn(spark, t, "d", "DECIMAL(20,4)")
+    val sch = VT.readLatest(spark, t).schema
+    assert(sch("x").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(sch("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 4))
+    assert(VT.readLatest(spark, t)
+      .filter(col("d") === lit(new java.math.BigDecimal("1.0000")))
+      .count() == 3)
   }
 
   test("mid-chain append never replays ops it was born after (hammer bug)") {
@@ -325,18 +462,41 @@ class SchemaEvolutionSpec extends SparkSpec {
       "the retired slot's original binding must survive the stale claim")
   }
 
-  test("SQL spellings drive all three ALTERs; history shows the op") {
+  test("SQL spellings drive all four ALTERs; history shows the op") {
     val t = tmp() + "/t"
     freshNation(t)
     GraftSql.sql(spark, s"ALTER TABLE '$t' ADD COLUMN score DOUBLE DEFAULT 0.5")
     GraftSql.sql(spark, s"ALTER TABLE '$t' RENAME COLUMN n_name TO nation_name")
     GraftSql.sql(spark, s"ALTER TABLE '$t' DROP COLUMN n_regionkey")
+    GraftSql.sql(spark, s"ALTER TABLE '$t' ALTER COLUMN n_nationkey TYPE BIGINT")
     val latest = VT.readLatest(spark, t)
     assert(latest.columns.sorted.toSeq ==
       Seq("n_nationkey", "nation_name", "score"))
+    assert(latest.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
     assert(latest.filter(col("score") === 0.5).count() == 25)
     val ops = VT.history(spark, t).select("op")
       .collect().map(_.getString(0)).toSeq
-    assert(ops.count(_ == "schema") == 3, ops.toString)
+    assert(ops.count(_ == "schema") == 4, ops.toString)
+  }
+
+  test("ADD COLUMN statement parses nested and multi-word DDL types") {
+    // the type is validated by DataType.fromDDL, not the statement
+    // grammar — MAP<STRING,ARRAY<INT>> (inner '>'s) and a bad type must
+    // both surface as GRAFT errors, never fall through to spark.sql
+    val t = tmp() + "/t"
+    freshNation(t)
+    GraftSql.sql(spark,
+      s"ALTER TABLE '$t' ADD COLUMN tags MAP<STRING,ARRAY<INT>>")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.schema("tags").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+    // a garbage type errors out of addColumn (fromDDL), not spark.sql
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      GraftSql.sql(spark, s"ALTER TABLE '$t' ADD COLUMN bad NOTATYPE")
+    }
   }
 }

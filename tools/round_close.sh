@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Round-close gate: run the cross-SF correctness sweep (sf0.001 + sf0.1 —
+# the driver's own gate only checks sf0.01) and record the evidence as
+# CROSSSF_r<N>.json in the repo root.
+#
+# Why this exists: r13 shipped two queries (q187, q190) that were green at
+# the sf0.01 gate but WRONG at sf0.1 — cast-boundary/ULP defects only fire
+# at specific data shapes, and tools/cross_sf_check.sh catches them for
+# free (it caught r10's q80/q83/q54 the same way). This script makes the
+# sweep part of every round close instead of an ad-hoc habit; see
+# CHECKLIST.md.
+#
+# Usage: tools/round_close.sh <round-number>
+set -u
+cd "$(dirname "$0")/.."
+round="${1:?usage: tools/round_close.sh <round-number>}"
+out="CROSSSF_r$(printf '%02d' "$round").json"
+declare -A pass fail engine
+status=0
+for sf in /root/testdata/sf0.001 /root/testdata/sf0.1; do
+  name=$(basename "$sf")
+  dump="/tmp/graft_roundclose_$name"
+  echo "== $name: verify dump"
+  sbt -batch "set fork := true" "runMain graft.Verify $sf $dump" \
+    > "/tmp/graft_roundclose_$name.log" 2>&1 \
+    || { echo "== $name: VERIFY DRIVER FAILED"; status=1; continue; }
+  echo "== $name: oracle compare"
+  summary=$(python3 tools/oracle_check.py "$dump" "$sf" | tee \
+    "/tmp/graft_roundclose_${name}_oracle.log" | tail -1)
+  echo "== $name: $summary"
+  pass[$name]=$(echo "$summary" | sed -E 's/^([0-9]+) pass.*/\1/')
+  fail[$name]=$(echo "$summary" | sed -E 's/.* ([0-9]+) fail.*/\1/')
+  engine[$name]=$(echo "$summary" | sed -E 's/.* ([0-9]+) engine-only.*/\1/')
+  [ "${fail[$name]}" = "0" ] || status=1
+done
+{
+  printf '{'
+  first=1
+  for name in sf0.001 sf0.1; do
+    [ $first -eq 1 ] || printf ','
+    first=0
+    printf '"%s":{"pass":%s,"fail":%s,"engine_only":%s}' \
+      "$name" "${pass[$name]:-null}" "${fail[$name]:-null}" \
+      "${engine[$name]:-null}"
+  done
+  printf ',"ok":%s}\n' "$([ $status -eq 0 ] && echo true || echo false)"
+} > "$out"
+echo "== wrote $out"
+cat "$out"
+exit $status
