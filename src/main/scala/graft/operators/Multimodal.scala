@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * true dimensions plus a bounded 16-bin luminance histogram; payloads no
   * installed reader understands come back as a typed UNDECODABLE row
   * (width/height −1, empty features) so a media lake quarantines bad
-  * bytes instead of crashing the job. Audio/video full decode would slot
-  * into the same [[decodeAll]] seam (ffmpeg-class codecs are not in this
-  * container); their metadata passes are the real header parsers below.
+  * bytes instead of crashing the job. AUDIO decode is real too (r14):
+  * `javax.sound.sampled` decodes WAV/AIFF/AU PCM to loudness features
+  * with the same typed quarantine ([[AudioCodec]]); only compressed
+  * video still stops at the metadata pass (ffmpeg-class codecs are not
+  * in this container) — its header parsers are the real ones below.
   */
 object Multimodal {
 
@@ -70,6 +72,140 @@ object Multimodal {
         Decoded(a.doc_id, a.mime, w, h, hist)
       }
     }
+  }
+
+  /** Decoded audio features for one asset. `n_frames` is per-channel
+    * sample count; `rms`/`peak` are normalized to int16 full scale;
+    * `silence_ratio` is the share of samples at or below ~1% full scale.
+    */
+  case class DecodedAudio(doc_id: Long, mime: String, sample_rate: Int,
+      channels: Int, n_frames: Long, rms: Float, silence_ratio: Float,
+      peak: Float)
+
+  /** REAL audio decoder over the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM out of the box — like ImageIO, zero added dependencies; an
+    * ffmpeg-class codec for compressed formats would replace only this
+    * object, the [[decodeAllAudio]] seam is unchanged). Features are the
+    * loudness triple every audio-curation pipeline filters on first: RMS
+    * level, silence ratio, and peak — all single-pass over the PCM
+    * stream in exact integer arithmetic (sample² sums fit a Long up to
+    * ~2^32 samples), with the irrational sqrt applied once per asset.
+    * Undecodable or non-16-bit payloads quarantine as a typed row
+    * (−1 everywhere) — one corrupt asset must never kill the stage.
+    */
+  object AudioCodec {
+    /** |sample| at or below this (≈1% of int16 full scale) is silence. */
+    val SilenceThreshold = 327
+
+    def decode(a: Asset): DecodedAudio = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"unsupported encoding ${fmt.getEncoding}")
+          val bytes = in.readAllBytes()
+          val big = fmt.isBigEndian
+          var i = 0
+          var sumSq = 0L
+          var silent = 0L
+          var peak = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+              else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+            val m = math.abs(s)
+            sumSq += s.toLong * s
+            if (m <= SilenceThreshold) silent += 1
+            if (m > peak) peak = m
+            i += 2
+          }
+          val nSamples = bytes.length / 2
+          val frames = nSamples / fmt.getChannels
+          DecodedAudio(a.doc_id, a.mime, fmt.getSampleRate.toInt,
+            fmt.getChannels, frames,
+            (math.sqrt(sumSq.toDouble / nSamples) / 32768.0).toFloat,
+            (silent.toDouble / nSamples).toFloat,
+            (peak.toDouble / 32768.0).toFloat)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        DecodedAudio(a.doc_id, a.mime, -1, -1, -1L, -1f, -1f, -1f)
+      }
+    }
+  }
+
+  /** Batched audio decode — the [[decodeAll]] shape for sound: codec
+    * probing happens per partition, features stay columnar downstream.
+    */
+  def decodeAllAudio(assets: Dataset[Asset]): Dataset[DecodedAudio] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(AudioCodec.decode))
+  }
+
+  /** End-to-end AUDIO decode pipeline over REAL bytes — the audio dual of
+    * [[pipeline]]: synthesize a deterministic WAV set (half-silent square
+    * waves: sample rate 8000+1000·(i%3), channels 1+(i%2), 800+50·i
+    * frames, amplitude 1000·(i+1) — every decoded feature is a CLOSED
+    * FORM of i, which is what lets a cross-engine oracle check a real
+    * codec), write them with the JDK's own WAV writer, ingest through the
+    * `binaryFile` source, and batch-decode with [[AudioCodec]]. Two
+    * corrupt payloads ride along to prove the quarantine path.
+    */
+  def pipelineAudio(spark: SparkSession, dir: String): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    val media = java.nio.file.Files.createTempDirectory("graft-media-au")
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(media.toFile)
+    }
+    (0 until 12).foreach { i =>
+      val sr = 8000 + 1000 * (i % 3)
+      val ch = 1 + (i % 2)
+      val frames = 800 + 50 * i
+      val amp = 1000 * (i + 1)
+      val silentFrames = frames / 2
+      val data = new Array[Byte](frames * ch * 2)
+      var k = 0
+      while (k < frames) {
+        val s =
+          if (k < silentFrames) 0
+          else if (((k - silentFrames) / 8) % 2 == 0) amp
+          else -amp
+        var c = 0
+        while (c < ch) {
+          val idx = (k * ch + c) * 2
+          data(idx) = (s & 0xff).toByte
+          data(idx + 1) = ((s >> 8) & 0xff).toByte
+          c += 1
+        }
+        k += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sr.toFloat, 16, ch, /* signed = */ true, /* bigEndian = */ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        media.resolve(f"au$i%03d.wav").toFile)
+    }
+    java.nio.file.Files.write(media.resolve("bad900.wav"),
+      Array[Byte](9, 9, 9, 9))
+    java.nio.file.Files.write(media.resolve("bad901.wav"),
+      "definitely not audio".getBytes("UTF-8"))
+    val assets = readMediaDir(spark, media.toString, glob = "*.wav")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.wav$", 1).cast("long")
+          .as("doc_id"),
+        when(col("path").contains("bad"), "audio/corrupt")
+          .otherwise("audio/wav").as("mime"),
+        col("length").as("n_bytes"),
+        col("content").as("payload"))
+      .as[Asset]
+    decodeAllAudio(assets)
   }
 
   /** Media-directory ingestion via Spark's built-in `binaryFile` source —

@@ -735,6 +735,50 @@ object LlmOps {
              |  AS t(mime, n_assets, min_w, max_h, hist_mass)
              |ORDER BY mime""".stripMargin)),
 
+    // Q34d — multimodal AUDIO decode, REAL bytes end to end (r14): the
+    // pipeline writes deterministic half-silent square-wave WAVs with the
+    // JDK's own writer (rate/channels/frames/amplitude all closed forms
+    // of the index), ingests through binaryFile, and batch-decodes with
+    // the real javax.sound codec — RMS, silence ratio, and peak from
+    // exact integer sample sums with ONE sqrt per asset, plus two corrupt
+    // payloads proving the typed quarantine. The oracle rebuilds every
+    // per-file feature row from the construction formulas — a real audio
+    // codec checked cross-engine, row by row.
+    Q("q223_audio_decode",
+      (s, d) => {
+        graft.operators.Multimodal.pipelineAudio(s, d).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT i,
+             |    8000 + 1000 * (i % 3) AS sample_rate,
+             |    1 + (i % 2) AS channels,
+             |    800 + 50 * i AS frames,
+             |    1000 * (i + 1) AS amp
+             |  FROM range(0, 12) t(i)),
+             |e AS (
+             |  SELECT CAST(i AS BIGINT) AS doc_id, 'audio/wav' AS mime,
+             |    CAST(sample_rate AS INTEGER) AS sample_rate,
+             |    CAST(channels AS INTEGER) AS channels,
+             |    CAST(frames AS BIGINT) AS n_frames,
+             |    CAST(sqrt(CAST((frames - frames // 2) * channels * amp
+             |        * amp AS DOUBLE) / CAST(frames * channels AS DOUBLE))
+             |      / 32768.0 AS REAL) AS rms,
+             |    CAST(CAST((frames // 2) * channels AS DOUBLE) /
+             |         CAST(frames * channels AS DOUBLE) AS REAL)
+             |      AS silence_ratio,
+             |    CAST(amp / 32768.0 AS REAL) AS peak
+             |  FROM f
+             |  UNION ALL SELECT 900, 'audio/corrupt', CAST(-1 AS INTEGER),
+             |    CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+             |    CAST(-1.0 AS REAL), CAST(-1.0 AS REAL), CAST(-1.0 AS REAL)
+             |  UNION ALL SELECT 901, 'audio/corrupt', CAST(-1 AS INTEGER),
+             |    CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+             |    CAST(-1.0 AS REAL), CAST(-1.0 AS REAL), CAST(-1.0 AS REAL))
+             |SELECT doc_id, mime, sample_rate, channels, n_frames, rms,
+             |  silence_ratio, peak
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small. The
     // at-scale swap is the REGISTERED dual q33_token_freq_approx

@@ -369,6 +369,184 @@ object SeriesOps {
              |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
              |  FROM lineitem GROUP BY 1)
              |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
-             |FROM w GROUP BY n_lines ORDER BY n_lines""".stripMargin))
+             |FROM w GROUP BY n_lines ORDER BY n_lines""".stripMargin)),
+
+    // Q224 — corpus composition grid: doc count and char mass per
+    // (lang, length bucket) — the mix a training-data sampler balances
+    // against (q192 gives bytes/token per language; this gives the
+    // joint SHAPE). Buckets are exact integer floor-division (never an
+    // ntile, which would funnel the corpus through one ranking task).
+    Q("q224_len_lang_grid",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .groupBy(col("lang"),
+            least(floor(col("n_chars") / 256), lit(20))
+              .cast(LongType).as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast(LongType).as("total_chars"))
+          .orderBy(col("lang"), col("len_bucket"))
+      },
+      Some("""SELECT lang,
+             |  CAST(least(n_chars // 256, 20) AS BIGINT) AS len_bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY 1, 2
+             |ORDER BY lang, len_bucket""".stripMargin)),
+
+    // Q225 — order-priority mix shift: monthly share per priority, top-5
+    // month-over-month swings — the workload-mix drift alarm (q207 does
+    // this for the supplier ledger, q179 for vocabulary). Shares divide
+    // exact counts; the lag window is priority-keyed over the
+    // calendar-bounded month axis; top-5 via TakeOrderedAndProject with
+    // a full (|swing|, mon, pri) tiebreak.
+    Q("q225_priority_shift",
+      (s, d) => {
+        val m = Tables(s, d, "orders")
+          .groupBy(trunc(col("o_orderdate"), "month").as("mon"),
+            col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).as("n"))
+        val tot = m.groupBy(col("mon")).agg(sum(col("n")).as("t"))
+        val w = Window.partitionBy(col("pri")).orderBy(col("mon"))
+        m.join(tot, "mon")
+          .select(col("mon"), col("pri"),
+            (round(col("n").cast(DoubleType) / col("t").cast(DoubleType),
+              6) + lit(0d)).as("share"))
+          .withColumn("swing",
+            round(col("share") - lag(col("share"), 1).over(w), 6) + lit(0d))
+          .where(col("swing").isNotNull)
+          .select(to_date(col("mon")).as("mon"), col("pri"), col("share"),
+            col("swing"))
+          .orderBy(abs(col("swing")).desc, col("mon"), col("pri"))
+          .limit(5)
+      },
+      Some("""WITH m AS (
+             |  SELECT date_trunc('month', o_orderdate) AS mon,
+             |    o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |tot AS (SELECT mon, CAST(sum(n) AS BIGINT) AS t
+             |        FROM m GROUP BY 1),
+             |sh AS (
+             |  SELECT m.mon, pri,
+             |    round(CAST(n AS DOUBLE)/CAST(t AS DOUBLE), 6) + 0.0
+             |      AS share
+             |  FROM m JOIN tot ON m.mon = tot.mon),
+             |sw AS (
+             |  SELECT CAST(mon AS DATE) AS mon, pri, share,
+             |    round(share - lag(share)
+             |      OVER (PARTITION BY pri ORDER BY mon), 6) + 0.0 AS swing
+             |  FROM sh)
+             |SELECT mon, pri, share, swing FROM sw
+             |WHERE swing IS NOT NULL
+             |ORDER BY abs(swing) DESC, mon, pri LIMIT 5""".stripMargin)),
+
+    // Q226 — nation→nation trade-flow matrix (TPC-H Q7's readout,
+    // generalized to the full 25×25 grid): supplier nation × customer
+    // nation line count and exact-cents revenue. Five joins — the two
+    // fact joins shuffle on their keys once each, the three dimension
+    // joins broadcast — then one 625-row aggregate; the canonical
+    // multiway-join shape at any scale.
+    Q("q226_nation_flow",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables(s, d, "nation")
+            .select(col("n_nationkey").as("snk"),
+              col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+          .join(broadcast(Tables(s, d, "nation")
+            .select(col("n_nationkey").as("cnk"),
+              col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cnk"))
+          .groupBy(col("supp_nation"), col("cust_nation"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(cents(col("l_extendedprice"))).cast(LongType)
+              .as("rev_cents"))
+          .orderBy(col("supp_nation"), col("cust_nation"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |GROUP BY 1, 2 ORDER BY supp_nation, cust_nation"""
+        .stripMargin)),
+
+    // Q227 — cross-source duplicate-family audit: fingerprint-family
+    // pairs whose members live in DIFFERENT sources — the contamination
+    // DIRECTION readout q206's size histogram aggregates away (which
+    // source pairs share content decides which to de-prioritize). Same
+    // 5-token-prefix fingerprint as q206; family sizes are tiny so the
+    // signature equi-join never quadratic-blows.
+    Q("q227_cross_source_dups",
+      (s, d) => {
+        val sig = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat_ws(" ",
+              slice(split(lower(col("text")), " "), 1, 5))).as("h"))
+        val a = sig.select(col("h"), col("doc_id").as("id_a"),
+          col("source").as("src_a"))
+        val b = sig.select(col("h"), col("doc_id").as("id_b"),
+          col("source").as("src_b"))
+        a.join(b, Seq("h"))
+          .where(col("id_a") < col("id_b") && col("src_a") =!= col("src_b"))
+          .select(least(col("src_a"), col("src_b")).as("src_1"),
+            greatest(col("src_a"), col("src_b")).as("src_2"))
+          .groupBy(col("src_1"), col("src_2"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("src_1"), col("src_2"))
+      },
+      Some("""WITH sig AS (
+             |  SELECT doc_id, source,
+             |    md5(array_to_string(string_split(lower(text), ' ')[1:5],
+             |      ' ')) AS h
+             |  FROM documents),
+             |p AS (
+             |  SELECT least(a.source, b.source) AS src_1,
+             |    greatest(a.source, b.source) AS src_2
+             |  FROM sig a JOIN sig b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  WHERE a.source <> b.source)
+             |SELECT src_1, src_2, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p GROUP BY 1, 2 ORDER BY src_1, src_2""".stripMargin)),
+
+    // Q228 — month-of-year seasonal index: each calendar month's revenue
+    // share times 12 (1.0 = no seasonality) — the coarse seasonal
+    // profile q106's daily decomposition refines; exact cents, one
+    // division per output row, broadcast 1-row total.
+    Q("q228_seasonal_index",
+      (s, d) => {
+        val m = Tables(s, d, "orders")
+          .groupBy(month(col("o_orderdate")).cast(LongType).as("mon"))
+          .agg(sum(cents(col("o_totalprice"))).cast(LongType).as("c"))
+        val tot = m.agg(sum(col("c")).cast(LongType).as("tc"))
+        m.crossJoin(broadcast(tot))
+          .select(col("mon"), col("c").as("rev_cents"),
+            (round(lit(12.0) * col("c").cast(DoubleType) /
+              col("tc").cast(DoubleType), 6) + lit(0d))
+              .as("seasonal_index"))
+          .orderBy(col("mon"))
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM m)
+             |SELECT mon, c AS rev_cents,
+             |  round(12.0 * CAST(c AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+             |    + 0.0 AS seasonal_index
+             |FROM m CROSS JOIN t ORDER BY mon""".stripMargin))
   )
 }

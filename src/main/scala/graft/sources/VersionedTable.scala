@@ -98,7 +98,16 @@ object VersionedTable {
   private def manifestName(v: Long) = f"v$v%08d.json"
   private def checkpointName(v: Long) = f"checkpoint-v$v%08d.json"
 
-  private val checkpointEntry = """\{"v":(\d+),"dir":"([^"]+)"\}""".r
+  // entries may carry the version's del-/schema-sidecar refs (r14): the
+  // checkpoint preserves them so compaction can retire sidecar-carrying
+  // manifests too — without the refs, retiring such a manifest would
+  // silently resurrect lazily-deleted rows / un-evolve the schema, which
+  // is why they used to be permanently compaction-exempt (an unbounded
+  // un-compactable listing on drip-append evolved tables). Old-format
+  // entries (no refs) still parse.
+  private val checkpointEntry =
+    ("""\{"v":(\d+),"dir":"([^"]+)"""" +
+      """(?:,"del":"([^"]+)")?(?:,"schema":"([^"]+)")?\}""").r
 
   /** The newest checkpoint's folded (version → dir) map, or empty. One
     * body read; see [[compactManifests]] for the write side. A racing
@@ -133,6 +142,29 @@ object VersionedTable {
       finally in.close()
     checkpointEntry.findAllMatchIn(body)
       .map(m => m.group(1).toLong -> m.group(2)).toMap
+  }
+
+  /** The newest checkpoint's folded version → (delRef, schemaRef) pairs
+    * — how [[delRefOf]]/[[schemaRefOf]] keep answering after
+    * [[compactManifests]] retires a sidecar-carrying manifest.
+    */
+  private def checkpointRefs(hfs: FileSystem, root: Path)
+      : Map[Long, (Option[String], Option[String])] = {
+    def attempt(): Map[Long, (Option[String], Option[String])] =
+      newestCheckpointId(hfs, root) match {
+        case None => Map.empty
+        case Some(id) =>
+          val in = hfs.open(new Path(new Path(root, "_manifests"),
+            checkpointName(id)))
+          val body = try scala.io.Source
+            .fromInputStream(in, "UTF-8").mkString finally in.close()
+          checkpointEntry.findAllMatchIn(body).map { m =>
+            m.group(1).toLong ->
+              (Option(m.group(3)), Option(m.group(4)))
+          }.toMap
+      }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
   }
 
   private def checkpointMap(hfs: FileSystem, root: Path): Map[Long, String] = {
@@ -615,13 +647,19 @@ object VersionedTable {
       version: Long): Option[String] = {
     val (hfs, root) = fs(spark, table)
     val m = new Path(root, s"_manifests/${manifestName(version)}")
-    if (!hfs.exists(m)) None
-    else {
-      val in = hfs.open(m)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      delField.findFirstMatchIn(body).map(_.group(1))
-    }
+    // manifest-absent (or retired between exists and open — a racing
+    // compaction): the newest checkpoint carries the folded refs
+    if (!hfs.exists(m))
+      checkpointRefs(hfs, root).get(version).flatMap(_._1)
+    else
+      try {
+        val in = hfs.open(m)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        delField.findFirstMatchIn(body).map(_.group(1))
+      } catch { case _: java.io.FileNotFoundException =>
+        checkpointRefs(hfs, root).get(version).flatMap(_._1)
+      }
   }
 
   private val delEntryRe =
@@ -737,21 +775,24 @@ object VersionedTable {
   private val schemaPosEntryRe = """"((?:[^"\\]|\\.)+)"\s*:\s*(\d+)""".r
 
   /** The schema-sidecar name `version`'s manifest references — None for
-    * unmapped versions (compaction never retires a schema-carrying
-    * manifest, so manifest-absent implies unmapped, the del-ref
-    * argument).
+    * unmapped versions. A retired manifest (compaction folds sidecar
+    * refs into the checkpoint, r14) answers from the newest checkpoint.
     */
   private def schemaRefOf(spark: SparkSession, table: String,
       version: Long): Option[String] = {
     val (hfs, root) = fs(spark, table)
     val m = new Path(root, s"_manifests/${manifestName(version)}")
-    if (!hfs.exists(m)) None
-    else {
-      val in = hfs.open(m)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      schemaField.findFirstMatchIn(body).map(_.group(1))
-    }
+    if (!hfs.exists(m))
+      checkpointRefs(hfs, root).get(version).flatMap(_._2)
+    else
+      try {
+        val in = hfs.open(m)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        schemaField.findFirstMatchIn(body).map(_.group(1))
+      } catch { case _: java.io.FileNotFoundException =>
+        checkpointRefs(hfs, root).get(version).flatMap(_._2)
+      }
   }
 
   /** The accumulated evolution chain active at `version` (empty for
@@ -1836,8 +1877,17 @@ object VersionedTable {
     val cp = checkpointMap(hfs, root)
     val pairs = vs.flatMap(v =>
       resolveDirWith(hfs, root, v, () => cp).map(v -> _))
-    val body = pairs.map { case (v, d) => s"""{"v":$v,"dir":"$d"}""" }
-      .mkString("[", ",", "]")
+    // fold each version's sidecar refs alongside its dir (delRefOf/
+    // schemaRefOf answer from the live manifest or, for already-folded
+    // versions, from the prior checkpoint — so refs survive every
+    // compaction generation)
+    val body = pairs.map { case (v, d) =>
+      val del = delRefOf(spark, table, v)
+        .map(r => s""","del":"$r"""").getOrElse("")
+      val sch = schemaRefOf(spark, table, v)
+        .map(r => s""","schema":"$r"""").getOrElse("")
+      s"""{"v":$v,"dir":"$d"$del$sch}"""
+    }.mkString("[", ",", "]")
     val out =
       try hfs.create(target, /* overwrite = */ false)
       catch { case e: java.io.IOException =>
@@ -1859,14 +1909,14 @@ object VersionedTable {
       hfs.delete(new Path(root, s"_manifests/${checkpointName(v)}"), false))
     vs.dropRight(keepRecent).count { v =>
       val m = new Path(root, s"_manifests/${manifestName(v)}")
-      // del- and schema-carrying manifests survive compaction: the
-      // checkpoint folds only (version → dir), and retiring the manifest
-      // would drop the sidecar reference — silently resurrecting
-      // lazily-deleted rows / un-evolving the schema. They retire with
-      // their versions ([[expireVersions]]) instead.
-      hfs.exists(m) && delRefOf(spark, table, v).isEmpty &&
-        schemaRefOf(spark, table, v).isEmpty &&
-        hfs.delete(m, false)
+      // del-/schema-carrying manifests retire like any other (r14): the
+      // checkpoint written above folded their sidecar REFS next to the
+      // dirs, so delStateOf/schemaStateOf keep answering for folded
+      // versions — previously these manifests were permanently exempt,
+      // an unbounded un-compactable listing on drip-append evolved
+      // tables. The sidecar FILES themselves are immutable _manifests
+      // residents no GC touches.
+      hfs.exists(m) && hfs.delete(m, false)
     }
   }
 
@@ -2132,8 +2182,15 @@ object VersionedTable {
     val cp = checkpointMap(hfs, root)
     val kept = vs.takeRight(keepLast)
       .flatMap(v => resolveDirWith(hfs, root, v, () => cp).map(v -> _))
-    val body = kept.map { case (v, d) => s"""{"v":$v,"dir":"$d"}""" }
-      .mkString("[", ",", "]")
+    // kept versions carry their sidecar refs into the expiry checkpoint,
+    // same as compaction's (a kept version may itself be folded later)
+    val body = kept.map { case (v, d) =>
+      val del = delRefOf(spark, table, v)
+        .map(r => s""","del":"$r"""").getOrElse("")
+      val sch = schemaRefOf(spark, table, v)
+        .map(r => s""","schema":"$r"""").getOrElse("")
+      s"""{"v":$v,"dir":"$d"$del$sch}"""
+    }.mkString("[", ",", "]")
     val existingStamps = hfs.listStatus(new Path(root, "_manifests"))
       .iterator.map(_.getPath.getName)
       .collect { case n if n.startsWith("checkpoint-v") && n.endsWith(".json") =>

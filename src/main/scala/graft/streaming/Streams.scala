@@ -262,20 +262,54 @@ object Streams {
       : DataFrame = {
     val glob = s"$table/_cdf/v*"
     val s = schema.getOrElse {
-      // mergeSchema: unify across ALL mirrored batches, not whichever
-      // one the sampler picks — after an additive widening merge the
-      // newest batches carry columns the oldest lack, and a file stream
-      // pins its schema for life. (Columns added by merges AFTER the
-      // stream starts still need a restart — a file source cannot
-      // evolve; pass the target schema explicitly to front-run that.)
-      try spark.read.option("mergeSchema", "true").parquet(glob).schema
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"no mirrored change batches under $glob to infer the feed " +
-              "schema from — enableChangeFeed + at least one merge " +
-              "first, or pass the schema explicitly", e)
+      // Unify the schema across ALL mirrored batches, not whichever one
+      // the sampler picks — after an additive widening merge the newest
+      // batches carry columns the oldest lack, and a file stream pins
+      // its schema for life. Parquet's own mergeSchema is NOT enough
+      // here: an ALTER COLUMN TYPE leaves narrow-vintage batches (INT)
+      // next to wide ones (BIGINT) and strict merge refuses — so fields
+      // merge under Cast.canUpCast instead (the widest wins; Spark 4's
+      // parquet readers up-cast narrow files into the wide read schema).
+      // Columns added by merges AFTER the stream starts still need a
+      // restart — a file source cannot evolve; pass the target schema
+      // explicitly to front-run that.
+      import org.apache.spark.sql.types.{StructField, StructType}
+      def widenMerge(a: StructType, b: StructType): StructType = {
+        val bMap = b.fields.map(f => f.name -> f).toMap
+        val merged = a.fields.map { fa =>
+          bMap.get(fa.name) match {
+            case None => fa.copy(nullable = true)
+            case Some(fb) if fb.dataType == fa.dataType =>
+              fa.copy(nullable = fa.nullable || fb.nullable)
+            case Some(fb) if org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(fa.dataType, fb.dataType) =>
+              fb.copy(nullable = fa.nullable || fb.nullable)
+            case Some(fb) if org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(fb.dataType, fa.dataType) =>
+              fa.copy(nullable = fa.nullable || fb.nullable)
+            case Some(fb) => throw new IllegalArgumentException(
+              s"change-feed batches disagree incompatibly on column " +
+                s"${fa.name}: ${fa.dataType.sql} vs ${fb.dataType.sql} — " +
+                "pass the read schema explicitly")
+          }
+        } ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(merged)
       }
+      val cdf = new org.apache.hadoop.fs.Path(s"$table/_cdf")
+      val hfs = cdf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs =
+        if (!hfs.exists(cdf)) Array.empty[String]
+        else hfs.listStatus(cdf).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.matches("v\\d+"))
+          .map(_.toString).sorted
+      if (dirs.isEmpty)
+        throw new IllegalArgumentException(
+          s"no mirrored change batches under $glob to infer the feed " +
+            "schema from — enableChangeFeed + at least one merge " +
+            "first, or pass the schema explicitly")
+      dirs.map(d => spark.read.parquet(d).schema)
+        .reduce(widenMerge)
     }
     spark.readStream.schema(s).parquet(glob)
   }

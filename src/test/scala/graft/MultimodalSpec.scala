@@ -125,6 +125,69 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAll(assets2).count() == 2)
   }
 
+  test("real audio codec: loudness triple off real WAV bytes; quarantine") {
+    import spark.implicits._
+    // constant full-amplitude square: rms == peak == amp/32768 EXACTLY,
+    // silence 0; a half-silent file splits the ratio exactly in half; a
+    // stereo file interleaves without skewing any feature
+    def wav(sr: Int, ch: Int, frames: Int, sample: Int => Int): Array[Byte] = {
+      val data = new Array[Byte](frames * ch * 2)
+      (0 until frames).foreach { k =>
+        val s = sample(k)
+        (0 until ch).foreach { c =>
+          val idx = (k * ch + c) * 2
+          data(idx) = (s & 0xff).toByte
+          data(idx + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, ch,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio/wav", 0L,
+        wav(8000, 1, 1000, k => if (k % 2 == 0) 8192 else -8192)),
+      Multimodal.Asset(2L, "audio/wav", 0L,
+        wav(16000, 2, 500, k => if (k < 250) 0 else 4096)),
+      Multimodal.Asset(3L, "audio/corrupt", 0L, Array[Byte](1, 2, 3)))
+      .toDS()
+    val d = Multimodal.decodeAllAudio(assets).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(d(1L).sample_rate == 8000 && d(1L).channels == 1 &&
+      d(1L).n_frames == 1000L)
+    assert(d(1L).rms == (8192.0 / 32768.0).toFloat &&
+      d(1L).peak == d(1L).rms && d(1L).silence_ratio == 0f, d(1L))
+    assert(d(2L).sample_rate == 16000 && d(2L).channels == 2 &&
+      d(2L).n_frames == 500L)
+    assert(d(2L).silence_ratio == 0.5f && d(2L).peak ==
+      (4096.0 / 32768.0).toFloat, d(2L))
+    // rms of half-silent constant amp = amp/sqrt(2)/32768
+    assert(math.abs(d(2L).rms -
+      (4096.0 / math.sqrt(2.0) / 32768.0)) < 1e-7, d(2L))
+    assert(d(3L).sample_rate == -1 && d(3L).n_frames == -1L &&
+      d(3L).rms == -1f, d(3L))
+  }
+
+  test("audio pipeline: every synthesized WAV decodes to its closed form") {
+    val rows = Multimodal.pipelineAudio(spark, sfDir).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(rows.size == 14)
+    (0 until 12).foreach { i =>
+      val r = rows(i.toLong)
+      assert(r.sample_rate == 8000 + 1000 * (i % 3), r)
+      assert(r.channels == 1 + (i % 2), r)
+      assert(r.n_frames == 800L + 50L * i, r)
+      assert(r.silence_ratio == 0.5f, r)
+      assert(r.peak == (1000.0 * (i + 1) / 32768.0).toFloat, r)
+    }
+    assert(rows(900L).rms == -1f && rows(901L).rms == -1f)
+  }
+
   test("pngDims reads IHDR width/height off real header bytes; non-PNG null") {
     import spark.implicits._
     def be32(v: Int): Array[Byte] = Array(

@@ -532,6 +532,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q226: flow matrix — dims broadcast, facts equi-join, no BNLJ") {
+    val p = plan("q226_nation_flow")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"non-equi join in flow matrix:\n$p")
+  }
+
+  test("q227: cross-source dup pairs ride the fingerprint equi-join") {
+    val p = plan("q227_cross_source_dups")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dup pairing must be the h equi-join:\n$p")
+  }
+
   test("q198: both KS ECDFs ride the chunked prefix-scan") {
     // the data-sized cumulative counts must run as __chunk-PARTITIONED
     // windows (prefixSumExclusive's shape: the only unpartitioned window

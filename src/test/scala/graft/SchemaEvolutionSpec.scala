@@ -164,19 +164,34 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(cloned.count() == 25)
   }
 
-  test("manifest compaction never retires a schema-carrying manifest") {
+  test("compaction retires schema-carrying manifests; mapping survives") {
+    // r14: the checkpoint folds each version's schema-sidecar ref next
+    // to its dir, so the chain keeps applying after the per-version
+    // manifests retire — previously schema-carrying manifests were
+    // permanently compaction-exempt (an unbounded un-compactable
+    // listing on drip-append evolved tables)
     val t = tmp() + "/t"
     freshNation(t)
     VT.addColumn(spark, t, "tier", "INT", Some("3"))
-    // pile on unmapped versions so compaction has something to retire
+    // pile on mapped appends so compaction retires CHAIN-carrying
+    // manifests, not just unmapped ones
     (1 to 4).foreach(_ => VT.append(spark, t,
       VT.readLatest(spark, t).limit(1)))
     VT.compactManifests(spark, t, keepRecent = 1)
-    // every version must still read with the mapping intact — the
-    // schema version's manifest (and the append versions propagating
-    // its ref) must have survived
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_manifests", "v00000002.json")),
+      "the schema version's manifest must fold and retire")
+    // every version still reads with the mapping intact, from the
+    // checkpoint-folded refs
     assert(VT.readVersion(spark, t, 2L).columns.contains("tier"))
+    assert(VT.readVersion(spark, t, 3L).columns.contains("tier"))
     assert(VT.readLatest(spark, t).columns.contains("tier"))
+    assert(VT.readLatest(spark, t).filter(col("tier") === 3).count() ==
+      VT.readLatest(spark, t).count())
+    // and a LATER alter keeps composing on top of the folded chain
+    VT.renameColumn(spark, t, "tier", "tier2")
+    assert(VT.readLatest(spark, t).columns.contains("tier2"))
+    assert(VT.readVersion(spark, t, 2L).columns.contains("tier"))
   }
 
   test("guards: referenced / duplicate / reserved / last-column cases") {

@@ -1672,13 +1672,18 @@ class SinksSpec extends SparkSpec {
       lazyFeed.head.getString(lazyFeed.head.fieldIndex("__op")) == "d",
       lazyFeed.mkString(","))
 
-    // del-carrying manifests survive manifest compaction (the checkpoint
-    // folds only version→dir; retiring them would resurrect the rows)
+    // del-carrying manifests RETIRE under compaction like any other
+    // (r14): the checkpoint folds their del-sidecar refs next to the
+    // dirs, so every folded version keeps filtering — previously they
+    // were permanently compaction-exempt
     VersionedTable.compactManifests(spark, t, keepRecent = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_manifests", "v00000002.json")),
+      "del-carrying manifest must fold into the checkpoint and retire")
     assert(VersionedTable.readVersion(spark, t, 1L).count() == 4,
       "del-free manifest folds into the checkpoint and stays readable")
     assert(VersionedTable.readVersion(spark, t, 2L).count() == 3,
-      "del-carrying manifest must survive compaction")
+      "folded del-carrying version must keep filtering")
     assert(VersionedTable.readVersion(spark, t, 3L).count() == 2)
     assert(VersionedTable.readLatest(spark, t).count() == 2)
   }

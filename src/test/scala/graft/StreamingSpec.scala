@@ -593,4 +593,34 @@ class StreamingSpec extends SparkSpec {
     // the post-ALTER row carries its stored 9
     assert(got == Set((2L, 21L, -1), (3L, 30L, 9)), got.toString)
   }
+
+  test("change feed rides through a WIDEN version at the wide type") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replwiden")
+      .toString
+    val bronze = s"$dir/bronze"
+    val silver = s"$dir/silver"
+    // merge (v INT) -> ALTER COLUMN v TYPE BIGINT -> merge a value that
+    // only FITS the wide type: the narrow-vintage mirror batch and the
+    // wide one must unify under one feed schema (the widened one) and
+    // the replica must land both rows
+    VersionedTable.commit(spark, Seq((1L, 10), (2L, 20)).toDF("k", "v"),
+      bronze)
+    VersionedTable.enableChangeFeed(spark, bronze)
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((2L, 21)).toDF("k", "v"), key = "k")
+    VersionedTable.widenColumn(spark, bronze, "v", "BIGINT")
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((3L, 9000000000L)).toDF("k", "v"), key = "k")
+    val q = Streams.startVersionedReplicaSink(
+      Streams.changeFeedStream(spark, bronze)
+        .select(col("k"), col("v"), col("_commit_version"), col("__op")),
+      silver, "k", s"$dir/_ckpt", "cdc_replica_widen")
+    try q.processAllAvailable() finally q.stop()
+    val got = VersionedTable.readLatest(spark, silver)
+      .select(col("k"), col("v").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 21L), (3L, 9000000000L)), got.toString)
+  }
 }
