@@ -53,7 +53,11 @@ object Stress {
     // r13 heavies: the tok-keyed source-pair JSD (|sources|²-bounded
     // fanout per token — the q157 posture in probability space) and the
     // big-big lineitem⋈orders pair rollup behind the reorder rate
-    "q194_jsd", "q204_reorder_rate")
+    "q194_jsd", "q204_reorder_rate",
+    // r14 heavies: the 5-join 625-cell trade-flow matrix (two big-big
+    // fact joins in one plan) and the full-corpus token explode behind
+    // the hapax rate (vocabulary-sized two-level keyed agg)
+    "q226_nation_flow", "q218_hapax")
 
   private val IdStride = 1000000000L
 
