@@ -343,6 +343,51 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 100L -> 8L), got.toString)
   }
 
+  test("lazy delete composes with a WIDEN of the predicate's own column") {
+    // the recorded predicate binds to the raw (narrow) frames of its
+    // scoped dirs even after the very column it filters is widened
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(6).select(col("id"),
+      lit(5).cast("int").as("n")), t)
+    VT.deleteWhereLazy(spark, t, "n = 5 AND id >= 4") // removes 2 rows
+    VT.widenColumn(spark, t, "n", "BIGINT")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.count() == 4)
+    assert(latest.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a post-widen append is outside the predicate's dir scope: its
+    // id>=4 rows are NOT retro-deleted
+    VT.append(spark, t, spark.createDataFrame(Seq((100L, 9000000000L)))
+      .toDF("id", "n"))
+    assert(VT.readLatest(spark, t).count() == 5)
+    // CoW materializes deletes and widen together
+    VT.optimize(spark, t)
+    assert(VT.readLatest(spark, t).count() == 5)
+    assert(VT.readLatest(spark, t)
+      .filter(col("id") === 100L).head().getLong(1) == 9000000000L)
+  }
+
+  test("MERGE INTO an evolved table reads mapped and materializes") {
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(3).select(col("id"),
+      lit(1).cast("int").as("n")), t)
+    VT.widenColumn(spark, t, "n", "BIGINT")
+    VT.renameColumn(spark, t, "n", "m")
+    VT.mergeInto(spark, t,
+      spark.createDataFrame(Seq((0L, 9000000000L), (10L, 7L)))
+        .toDF("id", "m"), key = "id")
+    val latest = VT.readLatest(spark, t)
+    assert(latest.columns.sorted.toSeq == Seq("id", "m"))
+    assert(latest.schema("m").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(latest.count() == 4)
+    assert(latest.filter(col("id") === 0L).head()
+      .getAs[Long]("m") == 9000000000L)
+    val v = VT.latestVersion(spark, t).get
+    assert(!manifestBody(t, v).contains("\"schema\""),
+      "merge is copy-on-write — it must materialize the chain")
+  }
+
   test("widen guards: narrowing, lossy, same-type, decimal headroom") {
     val t = tmp() + "/t"
     VT.commit(spark, spark.range(3).select(col("id"),
