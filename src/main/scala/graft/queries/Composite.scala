@@ -1688,6 +1688,58 @@ object Composite {
              |FROM final GROUP BY o_custkey
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Q229 — incremental rollup with NON-INVERTIBLE aggregates (r14):
+    // MIN/MAX next to COUNT/SUM, maintained through the same churn-bound
+    // refresh — exact even when a merge HALVES prices (shrinking maxima)
+    // and deletes whole groups, because every touched group re-aggregates
+    // from the snapshot rather than subtracting deltas (the operation a
+    // delta-subtraction IVM design simply cannot do for extrema). Driven
+    // end-to-end through the statement grammar's MIN/MAX clauses; the
+    // oracle is the from-scratch aggregate of the post-merge state.
+    Q("q229_rollup_minmax",
+      (s, d) => {
+        import graft.sources.{GraftSql, VersionedTable}
+        Tables.views(s, d)
+        val base = scratchDir("graft-vtable-mm")
+        val roll = scratchDir("graft-vtable-mm-roll")
+        GraftSql.sql(s,
+          s"""CREATE VERSIONED TABLE '$base' AS
+             |SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders""".stripMargin)
+        def refresh() = GraftSql.sql(s,
+          s"""REFRESH ROLLUP '$roll' FROM '$base' KEY o_custkey
+             |SUM (o_totalprice) MIN (o_totalprice) MAX (o_totalprice)"""
+            .stripMargin)
+        refresh()
+        // halve every 97th order's price (exact binary scaling) and drop
+        // every 50th customer — maxima must SHRINK, minima move, groups
+        // vanish
+        val src = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * lit(0.5)).as("o_totalprice"))
+          .where(col("o_orderkey") % 97 === 0)
+        VersionedTable.mergeInto(s, base, src, key = "o_orderkey",
+          deleteWhen = col("o_custkey") % 50 === 0)
+        refresh()
+        VersionedTable.readLatest(s, roll).orderBy(col("o_custkey"))
+      },
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 0.5
+             |    AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 97 = 0),
+             |final AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM src
+             |  WHERE NOT (o_custkey % 50 = 0))
+             |SELECT o_custkey, count(*) AS n,
+             |  sum(o_totalprice) AS sum_o_totalprice,
+             |  min(o_totalprice) AS min_o_totalprice,
+             |  max(o_totalprice) AS max_o_totalprice
+             |FROM final GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
     // Q152 — SQL-only lifecycle (GraftSql CREATE VERSIONED TABLE /
     // INSERT INTO): bootstrap from a SELECT, append the rest as a second
     // version, read LATEST — all statements, no Scala verbs. The INSERT

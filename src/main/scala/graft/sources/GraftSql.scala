@@ -61,9 +61,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    retirement, count- or age-based — pair with
   *    VACUUM for erasure), `RESTORE '<table-path>' TO VERSION <n>`
   *    (roll back as a new forward version), `REFRESH ROLLUP '<target>'
-  *    FROM '<base>' KEY <k> | KEY (k1, k2, ...) SUM (c, ...)`
+  *    FROM '<base>' KEY <k> | KEY (k1, k2, ...) SUM (c, ...)
+  *    [MIN (c, ...)] [MAX (c, ...)]`
   *    (churn-bound incremental materialized rollup, composite keys ride
-  *    the same path; empty result = already current), `ADD CONSTRAINT
+  *    the same path; MIN/MAX are exact even under deletes because every
+  *    touched group re-aggregates from the snapshot — the refresh never
+  *    subtracts deltas; empty result = already current), `ADD CONSTRAINT
   *    '<table-path>' <name> CHECK (<expr>)` (additive and ATOMIC; later
   *    commits abort on violation — racing ADDs both survive via
   *    [[VersionedTable.addConstraints]]'s generation CAS),
@@ -153,7 +156,9 @@ object GraftSql {
     ("""(?is)\s*REFRESH\s+ROLLUP\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+FROM\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+KEY\s+(?:\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)|(\w+))""" +
-      """\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""").r
+      """\s+SUM\s*\(\s*(\w*(?:\s*,\s*\w+)*)\s*\)""" +
+      """(?:\s+MIN\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+MAX\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+TO\s+VERSION\s+(\d+)\s*;?\s*""").r
@@ -322,15 +327,18 @@ object GraftSql {
       case AlterWidenRe(p1, p2, name, tpe) =>
         Seq(VersionedTable.widenColumn(spark, Option(p1).getOrElse(p2),
           name, tpe.trim)).toDF("version")
-      case RollupRe(t1, t2, b1, b2, keyList, key, sums) =>
+      case RollupRe(t1, t2, b1, b2, keyList, key, sums, mins, maxs) =>
         // KEY k or KEY (k1, k2, ...) — composite rollups ride the same
-        // incremental path since r13
+        // incremental path since r13; MIN/MAX clauses since r14 (SUM ()
+        // is legal when only extrema are wanted)
+        def cols(s: String) = Option(s).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
         val v = VersionedTable.refreshRollup(spark,
           baseTable = Option(b1).getOrElse(b2),
           targetTable = Option(t1).getOrElse(t2),
           keys = Option(keyList).map(_.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq).getOrElse(Seq(key)),
-          sumCols = sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          sumCols = cols(sums), minCols = cols(mins), maxCols = cols(maxs))
         v.map(Seq(_)).getOrElse(Seq.empty[Long]).toDF("version")
       case CreateRe(p1, p2, cluster, select) =>
         val tbl = Option(p1).getOrElse(p2)

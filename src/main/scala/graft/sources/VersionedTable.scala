@@ -1959,8 +1959,10 @@ object VersionedTable {
 
   def refreshRollup(spark: SparkSession, baseTable: String,
       targetTable: String, keys: Seq[String],
-      sumCols: Seq[String]): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+      sumCols: Seq[String],
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     require(keys.nonEmpty, "refreshRollup needs at least one key column")
     val cur = latestVersion(spark, baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no versions"))
@@ -1969,10 +1971,16 @@ object VersionedTable {
     val (hfs, _) = fs(spark, baseTable)
     val baseRoot = new Path(baseTable)
 
+    // MIN/MAX ride the SAME churn-bound path as COUNT/SUM (r14): the
+    // refresh never subtracts deltas — every touched group re-aggregates
+    // from the current snapshot — so non-invertible aggregates are just
+    // more columns, and deletes shrinking a group's extremum stay exact
     def aggOf(df: DataFrame): DataFrame =
       df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"),
-          sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+          sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+            minCols.map(c => min(col(c)).as(s"min_$c")) ++
+            maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
 
     val snapshot = readVersion(spark, baseTable, cur)
     val pending = applied.map(a => ((a + 1L) to cur).toSeq).getOrElse(Seq.empty)
@@ -2022,7 +2030,7 @@ object VersionedTable {
             // can only widen the fallback, never miss a touched column.
             val prior = schemaStateOf(spark, baseTable, v - 1L).ops.length
             val added = schemaStateOf(spark, baseTable, v).ops.drop(prior)
-            val watched = (keys ++ sumCols).toSet
+            val watched = (keys ++ sumCols ++ minCols ++ maxCols).toSet
             if (added.forall(o =>
                 !watched.contains(o.name) && !watched.contains(o.to)))
               Some((v, EmptyDelta))

@@ -1909,4 +1909,45 @@ class SinksSpec extends SparkSpec {
     intercept[IllegalStateException](
       VersionedTable.readVersion(spark, t, 3L))
   }
+
+  test("rollup MIN/MAX stay incremental and shrink exactly under deletes") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val base = tmp() + "/mm_base"
+    val roll = tmp() + "/mm_roll"
+    VersionedTable.commit(spark, Seq(
+      (1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 1.0), (4L, 20L, 9.0))
+      .toDF("id", "grp", "x"), base)
+    def refresh() = GraftSql.sql(spark,
+      s"REFRESH ROLLUP '$roll' FROM '$base' KEY grp " +
+        "SUM (x) MIN (x) MAX (x)")
+    refresh()
+    // delete group 10's MAX row — a delta-subtraction IVM cannot shrink
+    // an extremum; the churn-bound recompute of the touched group must
+    refresh() // already current: no-op
+    VersionedTable.mergeInto(spark, base,
+      Seq((2L, 10L, 7.0)).toDF("id", "grp", "x"), key = "id",
+      deleteWhen = lit(true))
+    refresh()
+    val ops = VersionedTable.history(spark, roll).select("op").collect()
+      .map(_.getString(0)).toSeq
+    assert(ops.count(_ == "rollup") == 1 && ops.contains("merge"),
+      s"MIN/MAX refresh fell back to wholesale recompute: $ops")
+    val got = VersionedTable.readLatest(spark, roll)
+      .select("grp", "n", "sum_x", "min_x", "max_x").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == Map(
+      10L -> (1L, 5.0, 5.0, 5.0),
+      20L -> (2L, 10.0, 1.0, 9.0)), got.toString)
+    // MIN/MAX without any SUM parses too
+    val roll2 = tmp() + "/mm_roll2"
+    GraftSql.sql(spark,
+      s"REFRESH ROLLUP '$roll2' FROM '$base' KEY grp SUM () MAX (x)")
+    val got2 = VersionedTable.readLatest(spark, roll2)
+      .select("grp", "n", "max_x").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got2 == Map(10L -> (1L, 5.0), 20L -> (2L, 9.0)), got2.toString)
+  }
 }
