@@ -547,6 +547,88 @@ object SeriesOps {
              |SELECT mon, c AS rev_cents,
              |  round(12.0 * CAST(c AS DOUBLE) / CAST(tc AS DOUBLE), 6)
              |    + 0.0 AS seasonal_index
-             |FROM m CROSS JOIN t ORDER BY mon""".stripMargin))
+             |FROM m CROSS JOIN t ORDER BY mon""".stripMargin)),
+
+    // Q230 — calendar-gap detection: days in the corpus's date span with
+    // NO orders at all — the ingestion-hole alarm a per-day rollup can
+    // never show (absent days simply aren't rows). The date spine
+    // explodes from ONE broadcast (lo, hi) row — ~2.4k rows regardless
+    // of corpus size — and anti-matches the distinct order days.
+    Q("q230_gap_days",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val b = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        val spine = b.select(explode(sequence(col("lo"), col("hi")))
+          .as("day"))
+        val have = o.select(to_date(col("o_orderdate")).as("day"))
+          .distinct().withColumn("hit", lit(1))
+        spine.join(have, Seq("day"), "left")
+          .agg(count(lit(1)).as("n_days"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L))
+              .as("n_gap_days"),
+            min(when(col("hit").isNull, col("day"))).as("first_gap"))
+      },
+      Some("""WITH b AS (
+             |  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             |    max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM b),
+             |have AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+             |         FROM orders)
+             |SELECT CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(sum(CASE WHEN have.day IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_gap_days,
+             |  CAST(min(CASE WHEN have.day IS NULL THEN spine.day END)
+             |    AS DATE) AS first_gap
+             |FROM spine LEFT JOIN have ON spine.day = have.day"""
+        .stripMargin)),
+
+    // Q231 — character-class hygiene profile per language: alpha/digit/
+    // space/other shares — the encoding-damage and boilerplate-noise
+    // screen that runs before any tokenizer (mojibake and markup inflate
+    // "other"). Per-row counts by the length-difference trick (one
+    // codegen regexp per class, no explode), exact integer sums, one
+    // division per output row.
+    Q("q231_char_classes",
+      (s, d) => {
+        val t = col("text")
+        Tables(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            sum(length(t)).cast(LongType).as("n_chars"),
+            sum(length(t) - length(regexp_replace(t, "[a-zA-Z]", "")))
+              .cast(LongType).as("n_alpha"),
+            sum(length(t) - length(regexp_replace(t, "[0-9]", "")))
+              .cast(LongType).as("n_digit"),
+            sum(length(t) - length(translate(t, " ", "")))
+              .cast(LongType).as("n_space"))
+          .select(col("lang"), col("n_chars"), col("n_alpha"),
+            col("n_digit"), col("n_space"),
+            (col("n_chars") - col("n_alpha") - col("n_digit") -
+              col("n_space")).cast(LongType).as("n_other"),
+            (round(col("n_alpha").cast(DoubleType) /
+              col("n_chars").cast(DoubleType), 6) + lit(0d))
+              .as("alpha_ratio"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(sum(length(text) - length(regexp_replace(text,
+             |      '[a-zA-Z]', '', 'g'))) AS BIGINT) AS n_alpha,
+             |    CAST(sum(length(text) - length(regexp_replace(text,
+             |      '[0-9]', '', 'g'))) AS BIGINT) AS n_digit,
+             |    CAST(sum(length(text) - length(replace(text, ' ', '')))
+             |      AS BIGINT) AS n_space
+             |  FROM documents GROUP BY lang)
+             |SELECT lang, n_chars, n_alpha, n_digit, n_space,
+             |  CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT)
+             |    AS n_other,
+             |  round(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+             |    + 0.0 AS alpha_ratio
+             |FROM c ORDER BY lang""".stripMargin))
   )
 }
