@@ -1711,9 +1711,10 @@ object Composite {
              |SUM (o_totalprice) MIN (o_totalprice) MAX (o_totalprice)"""
             .stripMargin)
         refresh()
-        // halve every 97th order's price (exact binary scaling) and drop
-        // every 50th customer — maxima must SHRINK, minima move, groups
-        // vanish
+        // halve every 97th order's price (exact binary scaling); within
+        // that merge batch, rows of every-50th customers are deleted
+        // instead of updated — maxima must SHRINK, minima move, and any
+        // group whose only surviving rows were in the batch vanishes
         val src = Tables(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             (col("o_totalprice") * lit(0.5)).as("o_totalprice"))

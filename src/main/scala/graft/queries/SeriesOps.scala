@@ -30,7 +30,11 @@ object SeriesOps {
 
   private val D25 = DecimalType(25, 6)
   private val D19 = DecimalType(19, 0)
-  private val D25i = DecimalType(25, 0)
+  // cross-product accumulator width: daily cents grow with scale factor
+  // (~1.5e10·SF), so Σx² ≈ 2.4e3 · (1.5e10·SF)² ≈ 5.4e23·SF² — 33 digits
+  // hold past SF 40,000, and 33 (not 38) keeps the oracle-side
+  // DECIMAL(5,0) × sum product within DuckDB's 38-digit multiply cap
+  private val D33 = DecimalType(33, 0)
   private val D5 = DecimalType(5, 0)
 
   /** Exact per-row cents of a 2-dp monetary double. */
@@ -70,9 +74,9 @@ object SeriesOps {
           .agg(count(lit(1)).as("n"),
             sum(col("x").cast(D19)).cast(D19).as("sx"),
             sum(col("y").cast(D19)).cast(D19).as("sy"),
-            sum(col("x").cast(D19) * col("y").cast(D19)).cast(D25i).as("sxy"),
-            sum(col("x").cast(D19) * col("x").cast(D19)).cast(D25i).as("sxx"),
-            sum(col("y").cast(D19) * col("y").cast(D19)).cast(D25i).as("syy"))
+            sum(col("x").cast(D19) * col("y").cast(D19)).cast(D33).as("sxy"),
+            sum(col("x").cast(D19) * col("x").cast(D19)).cast(D33).as("sxx"),
+            sum(col("y").cast(D19) * col("y").cast(D19)).cast(D33).as("syy"))
         st.select(col("lg").as("lag_d"), col("n"),
           (round(
             (col("n").cast(D5) * col("sxy") - col("sx") * col("sy"))
@@ -100,11 +104,11 @@ object SeriesOps {
              |    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
              |    CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sy,
              |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-             |      AS DECIMAL(25,0)) AS sxy,
+             |      AS DECIMAL(33,0)) AS sxy,
              |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
-             |      AS DECIMAL(25,0)) AS sxx,
+             |      AS DECIMAL(33,0)) AS sxx,
              |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-             |      AS DECIMAL(25,0)) AS syy
+             |      AS DECIMAL(33,0)) AS syy
              |  FROM pairs GROUP BY lg)
              |SELECT lg AS lag_d, n,
              |  round(CAST(CAST(n AS DECIMAL(5,0)) * sxy - sx * sy AS DOUBLE) /
@@ -290,19 +294,26 @@ object SeriesOps {
     // a level shift most plausibly happened (q106 decomposes seasonality;
     // this localizes breaks). Scale-free exactness trick: instead of
     // cum(rev − mean) (a division), accumulate cum(rev·N − total) —
-    // the same curve times N, entirely in integer cents. The global
+    // the same curve times N, entirely exact. The per-term product sits
+    // ~1e13·2.4e3 ≈ 2.4e16·SF, so the CUMULATIVE rides DECIMAL(38,0)
+    // (the house pattern q83/q80/q196 use, and what this query's own
+    // oracle does) — a LongType window sum would brush the int64 edge on
+    // a long adverse run at large SF. One cast to BIGINT at the end,
+    // AFTER the abs-ordering, mirrors the oracle exactly. The global
     // (N, total) pair rides a broadcast one-row frame.
     Q("q220_cusum",
       (s, d) => {
+        val D38 = DecimalType(38, 0)
         val daily = dailyCents(s, d)
         val tot = daily.agg(count(lit(1)).cast(LongType).as("nd"),
           sum(col("c")).cast(LongType).as("tc"))
         val w = Window.orderBy(col("day")) // calendar-bounded daily frame
         daily.crossJoin(broadcast(tot))
-          .withColumn("cusum_scaled",
-            sum(col("c") * col("nd") - col("tc")).over(w).cast(LongType))
-          .select(col("day"), col("cusum_scaled"))
-          .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+          .withColumn("cusum",
+            sum((col("c") * col("nd") - col("tc")).cast(D38)).over(w)
+              .cast(D38))
+          .orderBy(abs(col("cusum")).desc, col("day"))
+          .select(col("day"), col("cusum").cast(LongType).as("cusum_scaled"))
           .limit(5)
       },
       Some("""WITH daily AS (

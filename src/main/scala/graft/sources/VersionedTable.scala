@@ -558,9 +558,14 @@ object VersionedTable {
     val preds = delStateOf(spark, table, version)
     // schema evolution ([[addColumn]]/[[renameColumn]]/[[dropColumn]]):
     // the chain applies PER DIR, leniently — dirs written after an op
-    // already have the target shape and pass through. The publish-time
-    // guards forbid a chain and deferred predicates from coexisting on
-    // one version, so filter-then-map order never changes semantics.
+    // already have the target shape and pass through. Filter-then-map
+    // order is sound even when a chain and deferred predicates COEXIST
+    // (they compose since r14): each keep filter binds to its dir's RAW
+    // frame before the chain suffix maps it, and a predicate's scoped
+    // dirs all predate the delete — which predates every op added after
+    // it, because NEW deferred deletes are still refused while a chain
+    // is active ([[deleteWhereLazy]]'s guard), so recorded predicates
+    // always bind to their dirs' physical column names.
     val chain = schemaStateOf(spark, table, version)
     if (preds.isEmpty && chain.isEmpty)
       spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
@@ -574,8 +579,9 @@ object VersionedTable {
           // chain's current tip (appends share the base's sidecar by
           // name and record nothing) — it replays NO ops; every dir
           // that predates at least one op got an explicit entry from
-          // the ALTER that added that op
-          chain.ops.drop(chain.pos.getOrElse(d, chain.ops.length)))
+          // the ALTER that added that op. Legacy (fmt 1) sidecars
+          // default to 0 instead — see [[SchemaChain.posOf]]
+          chain.ops.drop(chain.posOf(d)))
       }
       // dirs of different vintages can disagree on column ORDER once a
       // mapping is active (an added column sits wherever each dir's
@@ -756,11 +762,24 @@ object VersionedTable {
     * pins every then-unpinned dir at the pre-op length — so appends
     * share the base's sidecar by name instead of rewriting an
     * ever-growing map per batch.
+    *
+    * `fmt` versions the sidecar's DEFAULT-POSITION semantics: fmt >= 2
+    * (pinning writers) default absent dirs to the chain tip as above;
+    * fmt 1 (legacy pre-pinning sidecars, which never wrote a pos map at
+    * all) default to 0 — their readers replayed the FULL chain on every
+    * dir, and flipping that default would silently read an old evolved
+    * table un-evolved (a single-dir table with ADD COLUMN loses the
+    * column without error). Marker-less sidecars are classified by the
+    * exact on-disk difference: a pinning writer always pins the base
+    * snapshot's dirs, so marker-less + empty pos map ⇒ legacy.
     */
   private final case class SchemaChain(ops: Seq[SchemaOp],
-      pos: Map[String, Int]) {
+      pos: Map[String, Int], fmt: Int = 2) {
     def isEmpty: Boolean = ops.isEmpty
     def nonEmpty: Boolean = ops.nonEmpty
+    /** The op-suffix start for dir `d` (see class doc for the default). */
+    def posOf(d: String): Int =
+      pos.getOrElse(d, if (fmt >= 2) ops.length else 0)
   }
   private val emptyChain = SchemaChain(Nil, Map.empty)
 
@@ -773,6 +792,7 @@ object VersionedTable {
       """(?:,"d":"((?:[^"\\]|\\.)*)")?\}""").r
   private val schemaPosBlockRe = """"pos":\{([^}]*)\}""".r
   private val schemaPosEntryRe = """"((?:[^"\\]|\\.)+)"\s*:\s*(\d+)""".r
+  private val schemaFmtRe = """"fmt"\s*:\s*(\d+)""".r
 
   /** The schema-sidecar name `version`'s manifest references — None for
     * unmapped versions. A retired manifest (compaction folds sidecar
@@ -820,7 +840,12 @@ object VersionedTable {
         schemaPosEntryRe.findAllMatchIn(b.group(1))
           .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap
       }.getOrElse(Map.empty[String, Int])
-      SchemaChain(ops, pos)
+      // marker-less sidecars: a pinning (r14) writer always pinned the
+      // base dirs, so an empty pos map identifies a true legacy sidecar
+      // whose readers replayed the full chain on every dir (default 0)
+      val fmt = schemaFmtRe.findFirstMatchIn(body).map(_.group(1).toInt)
+        .getOrElse(if (pos.isEmpty) 1 else 2)
+      SchemaChain(ops, pos, fmt)
     }.getOrElse(emptyChain)
 
   /** Persist an evolution-chain sidecar (immutable, writer-unique name,
@@ -841,7 +866,9 @@ object VersionedTable {
     }.mkString("[", ",", "]")
     val posBody = chain.pos.toSeq.sortBy(_._1)
       .map { case (d, k) => s""""${esc(d)}":$k""" }.mkString("{", ",", "}")
-    val body = s"""{"ops":$opsBody,"pos":$posBody}"""
+    // fmt: default-position semantics marker (see [[SchemaChain]]) —
+    // preserved verbatim so cloning a legacy chain stays legacy
+    val body = s"""{"fmt":${chain.fmt},"ops":$opsBody,"pos":$posBody}"""
     val name = s"schema-${UUID.randomUUID}.json"
     hfs.mkdirs(new Path(root, "_manifests"))
     val out = hfs.create(new Path(root, s"_manifests/$name"),
@@ -919,8 +946,13 @@ object VersionedTable {
     // sidecar and recorded nothing) — pin them at `prior.ops.length`
     // before the new op lands. Appends thus never write sidecars and
     // total sidecar bytes are O(#alters × #dirs), not O(#appends²).
+    // a LEGACY (fmt 1) prior chain never pinned anything and its readers
+    // replayed the full chain on every dir — extending it pins the
+    // unpinned dirs at 0 (their legacy position), and the new sidecar is
+    // fmt 2 with every dir explicit, upgrading the table in place
+    val defaultPos = if (prior.fmt >= 2) prior.ops.length else 0
     val pinned = prior.pos ++ splitDirs(dirs)
-      .filterNot(prior.pos.contains).map(_ -> prior.ops.length)
+      .filterNot(prior.pos.contains).map(_ -> defaultPos)
     val ref = writeSchemaSidecar(spark, table,
       SchemaChain(prior.ops :+ op, pinned))
     publish(spark, table, base + 1L, dirs, op = "schema",
@@ -1059,19 +1091,26 @@ object VersionedTable {
         val from = cur.schema(name).dataType
         require(from != dt,
           s"column $name of $table already has type ${dt.sql}")
-        // Cast.canUpCast minus its value-ALTERING escapes: integral→
-        // float/double and →string pass canUpCast but change the stored
-        // representation (long 2⁶³-ish loses low bits in double; string
-        // is a re-encoding, not a widen) — a replayed chain must be able
-        // to promise bit-preserving values, so those route through a
-        // CoW rewrite instead
+        // WHITELIST inside Cast.canUpCast, not a blacklist: canUpCast's
+        // non-numeric escapes are all value-altering or session-dependent
+        // — integral→float/double loses low bits near 2⁶³, →string is a
+        // re-encoding, and DATE→TIMESTAMP / TIMESTAMP↔TIMESTAMP_NTZ
+        // replay through spark.sql.session.timeZone, so the same stored
+        // bytes would read as DIFFERENT values in sessions with different
+        // TZs. A replayed chain must promise bit-preserving values, so
+        // only integral widening, float→double, and exact decimal/
+        // integral→wider-decimal pass; everything else routes through a
+        // CoW rewrite
+        def integral(t: DataType) = t == ByteType || t == ShortType ||
+          t == IntegerType || t == LongType
         val valuePreserving =
           org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, dt) &&
-            (dt match {
-              case DoubleType => from == FloatType
-              case FloatType => false
-              case _: StringType => false
-              case _ => true
+            ((from, dt) match {
+              case (FloatType, DoubleType) => true
+              case (f, t) if integral(f) && integral(t) => true
+              case (f, _: DecimalType) if integral(f) => true
+              case (_: DecimalType, _: DecimalType) => true
+              case _ => false
             })
         require(valuePreserving,
           s"cannot ALTER COLUMN TYPE $name ${from.sql} -> ${dt.sql}: " +
@@ -2370,7 +2409,7 @@ object VersionedTable {
       else Some(writeSchemaSidecar(spark, targetTable,
         SchemaChain(srcChain.ops, srcChain.pos.map { case (d, k) =>
           new Path(srcRoot, d).toString -> k
-        })))
+        }, srcChain.fmt))) // fmt travels: a legacy source clones legacy
     publish(spark, targetTable, 1L, dirs.mkString(";"), op = "clone",
       delRef = delRef, schemaRef = schemaRef)
     1L

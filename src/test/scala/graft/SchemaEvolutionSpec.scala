@@ -417,6 +417,62 @@ class SchemaEvolutionSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("widen guards: session-TZ-dependent casts refuse (date/timestamp)") {
+    // DATE→TIMESTAMP and TIMESTAMP↔TIMESTAMP_NTZ pass Cast.canUpCast but
+    // replay through spark.sql.session.timeZone — the same stored bytes
+    // would read as DIFFERENT values in sessions with different TZs,
+    // breaking the chain's bit-preservation promise. The whitelist must
+    // route them to a CoW rewrite.
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(3).select(col("id"),
+      lit(java.sql.Date.valueOf("2024-03-01")).as("d"),
+      lit(java.sql.Timestamp.valueOf("2024-03-01 12:00:00")).as("ts"),
+      expr("timestamp_ntz '2024-03-01 12:00:00'").as("tsn")), t)
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "d", "TIMESTAMP") }      // TZ-dependent
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "tsn", "TIMESTAMP") }    // NTZ→instant
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "ts", "TIMESTAMP_NTZ") } // instant→NTZ
+  }
+
+  test("legacy (marker-less, pos-less) sidecars keep replay-all semantics") {
+    // Pre-pinning builds wrote sidecars with NO pos map and NO fmt
+    // marker; their readers replayed the FULL chain on every dir. A
+    // fmt-2 default (absent dir = chain tip) would silently read such a
+    // table UN-evolved — single-dir tables lose their added column
+    // without error. The fmt classifier must keep default-0 for them.
+    val t = tmp() + "/t"
+    freshNation(t)
+    val dir = """"dir":"([^"]+)"""".r
+      .findFirstMatchIn(manifestBody(t, 1L)).get.group(1)
+    // hand-write the legacy artifacts: a marker-less sidecar + a v2
+    // manifest referencing it over v1's dir (what an old build left)
+    val side = s"schema-${java.util.UUID.randomUUID}.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_manifests", side),
+      """{"ops":[{"k":"add","n":"tier","t":"INT","d":"7"}],"pos":{}}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_manifests", "v00000002.json"),
+      (s"""{"version":2,"dir":"$dir","ts":${System.currentTimeMillis()},""" +
+        s""""schema":"$side","op":"schema","writer":"legacy-test"}""")
+        .getBytes("UTF-8"))
+    val latest = VT.readLatest(spark, t)
+    assert(latest.columns.contains("tier"),
+      "legacy sidecar must replay its chain on the (unpinned) base dir")
+    assert(latest.filter(col("tier") === 7).count() == latest.count())
+    // extending a legacy chain pins the unpinned dirs at 0 (their legacy
+    // position) and upgrades the sidecar to fmt 2 — both ops still apply
+    VT.renameColumn(spark, t, "tier", "tier2")
+    val evolved = VT.readLatest(spark, t)
+    assert(evolved.columns.contains("tier2") &&
+      !evolved.columns.contains("tier"))
+    assert(evolved.filter(col("tier2") === 7).count() == evolved.count())
+    // and the pre-extension read is unchanged (time travel to v2)
+    assert(VT.readVersion(spark, t, 2L).columns.contains("tier"))
+  }
+
   test("mid-chain append never replays ops it was born after (hammer bug)") {
     // add pp0 -> rename pp0->pp1 -> APPEND (dir physically has pp1) ->
     // rename pp1->pp2: without per-dir chain positions, the appended dir

@@ -28,9 +28,18 @@ for sf in /root/testdata/sf0.001 /root/testdata/sf0.1; do
   summary=$(python3 tools/oracle_check.py "$dump" "$sf" | tee \
     "/tmp/graft_roundclose_${name}_oracle.log" | tail -1)
   echo "== $name: $summary"
-  pass[$name]=$(echo "$summary" | sed -E 's/^([0-9]+) pass.*/\1/')
-  fail[$name]=$(echo "$summary" | sed -E 's/.* ([0-9]+) fail.*/\1/')
-  engine[$name]=$(echo "$summary" | sed -E 's/.* ([0-9]+) engine-only.*/\1/')
+  # validate the summary shape BEFORE extracting: sed echoes its input on
+  # no-match, which would inject an unquoted string into the JSON exactly
+  # when the oracle output format drifts — the case this gate exists for
+  if echo "$summary" | grep -qE '^[0-9]+ pass.* [0-9]+ fail.* [0-9]+ engine-only'; then
+    pass[$name]=$(echo "$summary" | sed -E 's/^([0-9]+) pass.*/\1/')
+    fail[$name]=$(echo "$summary" | sed -E 's/.* ([0-9]+) fail.*/\1/')
+    engine[$name]=$(echo "$summary" | sed -E 's/.* ([0-9]+) engine-only.*/\1/')
+  else
+    echo "== $name: UNRECOGNIZED SUMMARY FORMAT"
+    pass[$name]=null; fail[$name]=null; engine[$name]=null
+    status=1
+  fi
   [ "${fail[$name]}" = "0" ] || status=1
 done
 {
