@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.sources.VersionedTable
+import graft.sources.{GraftCatalog, GraftSql, VersionedTable}
 
 /** Multi-writer concurrency hammer for the versioned-table commit
   * protocol — the runnable artifact behind the optimistic-concurrency
@@ -23,6 +23,11 @@ import graft.sources.VersionedTable
   * sacrificial row then `deleteWhereLazy`s it (racing OPTIMIZE's
   * materialize-and-reset of the del stack); one maintenance thread
   * loops `optimize` + `compactManifests` + `vacuum` against the churn.
+  * The DML, append, and lazy-delete writers drive their verbs through
+  * the NAME-ADDRESSED statement surface (r15: `UPDATE graft_hammer.t`,
+  * `INSERT INTO graft_hammer.t VALUES`, `DELETE ... DEFERRED` via
+  * [[graft.sources.GraftCatalog]] resolution), so concurrent catalog
+  * lookups race the same commits the path verbs do.
   * Every verb retries on [[VersionedTable.CommitConflictException]] —
   * the protocol's contract is "conflict, retry", never "silently lose".
   *
@@ -90,6 +95,11 @@ object Hammer {
     val OwKey = -5000L
     VersionedTable.commit(spark,
       Seq((DmlKey, 0L), (OwKey, 0L)).toDF("writer", "commits"), t)
+    // name-bind the brawl table: three of the writers below go through
+    // the statement surface by NAME, racing catalog resolution against
+    // the same commit slots the path verbs fight over
+    val tName = "graft_hammer.t"
+    GraftCatalog.create(spark, tName, t)
 
     val conflicts = new AtomicLong(0)
     val updates = new AtomicLong(0)
@@ -139,8 +149,9 @@ object Hammer {
     val dmlThread = new Thread(() => guarded {
       (0 until perWriter).foreach { _ =>
         retrying(updates) {
-          VersionedTable.updateWhere(spark, t, col("writer") === DmlKey,
-            Map("commits" -> (col("commits") + lit(1L))))
+          GraftSql.sql(spark,
+            s"UPDATE $tName SET commits = commits + 1 " +
+              s"WHERE writer = $DmlKey")
         }
       }
     }, "dml")
@@ -168,8 +179,8 @@ object Hammer {
     val appendThread = new Thread(() => guarded {
       (0 until perWriter).foreach { _ =>
         retrying(appends) {
-          VersionedTable.append(spark, t,
-            Seq((1000L + appends.get(), 0L)).toDF("writer", "commits"))
+          GraftSql.sql(spark,
+            s"INSERT INTO $tName VALUES (${1000L + appends.get()}, 0)")
         }
       }
     }, "append")
@@ -180,11 +191,11 @@ object Hammer {
       (0 until perWriter).foreach { i =>
         val k = 2000L + i
         retrying(sacAppends) {
-          VersionedTable.append(spark, t,
-            Seq((k, 0L)).toDF("writer", "commits"))
+          GraftSql.sql(spark, s"INSERT INTO $tName VALUES ($k, 0)")
         }
         retrying(lazyDeletes) {
-          VersionedTable.deleteWhereLazy(spark, t, s"writer = $k")
+          GraftSql.sql(spark,
+            s"DELETE FROM $tName WHERE writer = $k DEFERRED")
         }
       }
     }, "lazydelete")

@@ -2747,6 +2747,77 @@ object Composite {
              |  UNION ALL SELECT 900000001, 1, 'O', 42.42,
              |    CAST(2 AS INTEGER))
              |SELECT o_orderkey, o_custkey, o_orderstatus, price, src
-             |FROM kept ORDER BY o_orderkey""".stripMargin))
+             |FROM kept ORDER BY o_orderkey""".stripMargin)),
+
+    // Q232 — NAME-ADDRESSED lifecycle (r15, the "Spark SQL + Hive
+    // metastore" binding): after CREATE VERSIONED TABLE db.t, not one
+    // statement mentions a filesystem path — bootstrap, INSERT, a
+    // group-moving MERGE, DELETE, and a final read that references the
+    // name TWICE (latest + VERSION AS OF 1) all resolve through the
+    // session catalog (GraftCatalog). The name→path indirection is what
+    // makes tables relocatable and permissions attachable at 100 TB; the
+    // oracle replays the lifecycle relationally. Exactness: prices are
+    // never scaled, so cents stay the exact 2-dp integers; counts exact.
+    Q("q232_named_catalog",
+      (s, d) => {
+        import graft.sources.GraftSql
+        Tables.views(s, d)
+        val loc = scratchDir("graft-vtable-named") + "/t"
+        // the NAME must be fresh per invocation (bench reruns the query
+        // in one session; names never silently rebind) — the location
+        // scratch dir is already unique, the name follows it
+        val name = "graft_cat.t_" +
+          java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        GraftSql.sql(s,
+          s"""CREATE VERSIONED TABLE $name LOCATION '$loc' AS
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+        GraftSql.sql(s,
+          s"""INSERT INTO $name
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 3 = 1""".stripMargin)
+        // group-moving upsert: every 7th order re-keys to the NEXT
+        // customer (matched rows move groups; %3=2 ones are inserts)
+        GraftSql.sql(s,
+          s"""MERGE INTO $name USING (
+             |  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
+             |    o_totalprice
+             |  FROM orders WHERE o_orderkey % 7 = 0) AS src ON o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        GraftSql.sql(s, s"DELETE FROM $name WHERE o_custkey % 19 = 3")
+        val out = GraftSql.sql(s,
+          s"""SELECT b.bucket, b.n, b.cents, v.v1_rows FROM (
+             |  SELECT o_custkey % 10 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM $name GROUP BY o_custkey % 10) b
+             |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS v1_rows
+             |            FROM $name VERSION AS OF 1) v
+             |ORDER BY b.bucket""".stripMargin)
+        // metadata-only unbind keeps the catalog clean across bench
+        // reruns; the returned frame stays evaluable (it binds to the
+        // resolved snapshots, not the name)
+        GraftSql.sql(s, s"DROP VERSIONED TABLE $name")
+        out
+      },
+      Some("""WITH post AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
+             |    o_totalprice
+             |  FROM orders WHERE o_orderkey % 7 = 0),
+             |fin AS (SELECT * FROM post WHERE o_custkey % 19 <> 3),
+             |v1 AS (SELECT CAST(count(*) AS BIGINT) AS v1_rows
+             |       FROM orders WHERE o_orderkey % 3 = 0)
+             |SELECT o_custkey % 10 AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT)) AS BIGINT) AS cents,
+             |  (SELECT v1_rows FROM v1) AS v1_rows
+             |FROM fin GROUP BY o_custkey % 10
+             |ORDER BY bucket""".stripMargin))
   )
 }

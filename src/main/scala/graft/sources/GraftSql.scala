@@ -89,6 +89,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
+  * NAME-ADDRESSED tables ([[GraftCatalog]] — the "Spark SQL + Hive
+  * metastore" binding): `CREATE VERSIONED TABLE <db>.<name>
+  * [CLUSTER BY (...)] [LOCATION '<path>'] AS SELECT ...` commits v1 and
+  * binds the name (LOCATION defaults under the warehouse dir);
+  * `CREATE VERSIONED TABLE <db>.<name> LOCATION '<path>'` (no AS
+  * SELECT) ADOPTS an existing versioned table — the relocation path;
+  * `DROP VERSIONED TABLE <db>.<name> [PURGE]` unbinds (metadata-only
+  * by default, PURGE erases the manifest root); `SHOW VERSIONED TABLES
+  * [IN <db>]` lists bindings. After CREATE, EVERY statement above —
+  * mutation verbs, maintenance verbs, `SELECT ... FROM <db>.<name>
+  * [VERSION|TIMESTAMP AS OF ...]` — takes the bare name in place of the
+  * quoted path: a pre-pass resolves registered names through the
+  * session catalog (in-memory or Hive — same SQL both ways) and
+  * unregistered `a.b` tokens (column refs, foreign metastore tables)
+  * pass through untouched. A name in FROM/JOIN/USING position without a
+  * time-travel suffix reads the LATEST snapshot (names need no LATEST
+  * marker — unlike a quoted path, a name cannot be mistaken for a
+  * string literal).
+  *
   * Deliberately thin: a regex statement grammar, not a full parser — the
   * heavy lifting (atomicity, schema evolution, optimistic concurrency,
   * the one-keyed-shuffle merge plan) lives in the verbs it compiles to.
@@ -247,6 +266,36 @@ object GraftSql {
     ("""(?is)\s*READ\s+CHANGES\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+VERSION\s+(\d+)\s*;?\s*""").r
 
+  // ───────────────── name-addressed tables (GraftCatalog) ─────────────
+  // `CREATE VERSIONED TABLE db.t ...` / `DROP VERSIONED TABLE db.t`
+  // operate on the NAME itself, so they match BEFORE the resolution
+  // pre-pass (which would rewrite a registered name to its path). A
+  // CREATE may bootstrap (AS SELECT — LOCATION optional, defaulting
+  // under the warehouse dir) or ADOPT an existing versioned table
+  // (LOCATION only, no AS SELECT).
+  private val CreateNamedRe =
+    ("""(?is)\s*CREATE\s+VERSIONED\s+TABLE\s+""" +
+      """([A-Za-z_]\w*\.[A-Za-z_]\w*)""" +
+      """(?:\s+CLUSTER\s+BY\s+\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?""" +
+      """(?:\s+AS\s+(SELECT\b.+?))?\s*;?\s*""").r
+  private val DropNamedRe =
+    ("""(?is)\s*DROP\s+VERSIONED\s+TABLE\s+""" +
+      """([A-Za-z_]\w*\.[A-Za-z_]\w*)(\s+PURGE)?\s*;?\s*""").r
+  private val ShowNamedRe =
+    """(?is)\s*SHOW\s+VERSIONED\s+TABLES(?:\s+IN\s+([A-Za-z_]\w*))?\s*;?\s*""".r
+  // candidate db.table tokens for the resolution pre-pass: a qualified
+  // identifier not adjoining a quote/backtick/longer dotted chain
+  private val QualifiedNameRe =
+    """(?<![\w.'`])[A-Za-z_]\w*\.[A-Za-z_]\w*(?![\w.('`])""".r
+  private val TimeTravelSuffixRe =
+    """(?is)^\s+(?:FOR\s+)?(?:VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF|LATEST\b)""".r
+  // the two words before a name decide its position: a read reference
+  // (FROM/JOIN/USING — becomes a snapshot view) vs a verb operand
+  // (DELETE FROM / INSERT INTO / MERGE INTO / ... — becomes the quoted
+  // path the statement grammar takes)
+  private val PrevWordsRe = """(?:(\w+)\s+)?(\w+)\s*$""".r
+
   /** Execute one statement; see the object doc for the grammar. The
     * maintenance statements mirror their verbs 1:1:
     * `VACUUM '<path>' RETAIN <n> HOURS` → [[VersionedTable.vacuum]]
@@ -256,6 +305,28 @@ object GraftSql {
     * committed version, ascending.
     */
   def sql(spark: SparkSession, statement: String): DataFrame = {
+    import spark.implicits._
+    statement match {
+      // name-DEFINING statements first — the resolution pre-pass below
+      // must never rewrite the very name being created or dropped
+      case CreateNamedRe(name, cluster, location, select) =>
+        return createNamed(spark, name, Option(cluster), Option(location),
+          Option(select))
+      case DropNamedRe(name, purge) =>
+        val loc = GraftCatalog.drop(spark, name, purge = purge != null)
+        return Seq(loc).toDF("dropped_location")
+      case ShowNamedRe(db) =>
+        return GraftCatalog.list(spark, Option(db))
+          .toDF("name", "location")
+      case _ => ()
+    }
+    sqlResolved(spark, resolveNames(spark, statement))
+  }
+
+  /** [[sql]] after the name→path pre-pass — every table reference is a
+    * quoted path (or a temp view) from here on.
+    */
+  private def sqlResolved(spark: SparkSession, statement: String): DataFrame = {
     import spark.implicits._
     statement match {
       case MergeRe(p1, p2, source, alias, on, whens) =>
@@ -425,6 +496,101 @@ object GraftSql {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException("GraftSql: " + msg)
+
+  /** `CREATE VERSIONED TABLE db.t [CLUSTER BY (...)] [LOCATION '<path>']
+    * [AS SELECT ...]`: with AS SELECT, commit v1 at the location
+    * (defaulting under the warehouse dir, the Hive layout `<db>.db/<t>`)
+    * and bind the name; without it, ADOPT the existing versioned table
+    * at LOCATION (required) under the name — the relocation/re-bind
+    * path. Either way the name is the only thing later statements type.
+    */
+  private def createNamed(spark: SparkSession, name: String,
+      cluster: Option[String], location: Option[String],
+      select: Option[String]): DataFrame = {
+    import spark.implicits._
+    if (GraftCatalog.resolve(spark, name).isDefined)
+      fail(s"versioned table $name already exists — INSERT INTO it to " +
+        "append, or DROP VERSIONED TABLE first")
+    val loc = location.getOrElse {
+      val Array(db, tbl) = name.split("\\.")
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db/$tbl").toString
+    }
+    val v = select match {
+      case Some(sel) =>
+        if (VersionedTable.latestVersion(spark, loc).isDefined)
+          fail(s"a versioned table already exists at '$loc' — use CREATE " +
+            "VERSIONED TABLE ... LOCATION (without AS SELECT) to adopt it")
+        val df = spark.sql(rewriteTimeTravel(spark,
+          resolveNames(spark, sel)))
+        val clusterCols = cluster.toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        if (clusterCols.isEmpty) VersionedTable.commit(spark, df, loc)
+        else VersionedTable.commitClustered(spark, df, loc, clusterCols)
+      case None =>
+        if (location.isEmpty)
+          fail("CREATE VERSIONED TABLE db.t needs AS SELECT (bootstrap) " +
+            "or LOCATION '<path>' (adopt an existing versioned table)")
+        if (cluster.isDefined)
+          fail("CLUSTER BY needs AS SELECT — adoption never rewrites data")
+        VersionedTable.latestVersion(spark, loc).getOrElse(
+          fail(s"no versioned table at '$loc' to adopt — add AS SELECT " +
+            "to bootstrap one"))
+    }
+    GraftCatalog.create(spark, name, loc)
+    Seq(v).toDF("version")
+  }
+
+  /** The name→path pre-pass: rewrite every REGISTERED `db.table` token
+    * to its bound manifest path — quoted (the existing path grammar
+    * takes over) in verb positions and before a time-travel suffix; as
+    * a fresh temp view over the latest snapshot after FROM/JOIN/USING,
+    * where a bare quoted path would read as a string literal. Tokens
+    * inside string literals and names the catalog doesn't know (column
+    * refs like `s.flag`, foreign tables) pass through verbatim — the
+    * catalog lookup is the disambiguator, so plain Spark SQL over
+    * metastore tables is never disturbed.
+    */
+  private def resolveNames(spark: SparkSession, statement: String): String = {
+    val matches = QualifiedNameRe.findAllMatchIn(statement).toSeq
+    if (matches.isEmpty) return statement
+    val sb = new StringBuilder
+    var last = 0
+    var quoteParity = 0
+    matches.foreach { m =>
+      quoteParity += statement.substring(last, m.start).count(_ == '\'')
+      val inString = quoteParity % 2 == 1
+      val resolved =
+        if (inString) None else GraftCatalog.resolve(spark, m.matched)
+      sb.append(statement.substring(last, m.start))
+      resolved match {
+        case None => sb.append(m.matched)
+        case Some(path) =>
+          val rest = statement.substring(m.end)
+          val beforeTT = TimeTravelSuffixRe.findFirstIn(rest).isDefined
+          val prevTwo = PrevWordsRe
+            .findFirstMatchIn(statement.substring(0, m.start))
+          def up(s: String) =
+            Option(s).map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse("")
+          val prevWord = prevTwo.map(m2 => up(m2.group(2))).getOrElse("")
+          val prevPrev = prevTwo.map(m2 => up(m2.group(1))).getOrElse("")
+          val readPosition = Set("FROM", "JOIN", "USING")(prevWord) &&
+            !(prevWord == "FROM" && prevPrev == "DELETE") // DELETE FROM
+          if (beforeTT || !readPosition)
+            sb.append(s"'$path'")
+          else {
+            val view = s"graft_named_${UUID.randomUUID.toString
+              .replace("-", "_")}"
+            VersionedTable.readLatest(spark, path)
+              .createOrReplaceTempView(view)
+            sb.append(view)
+          }
+      }
+      last = m.end
+    }
+    sb.append(statement.substring(last))
+    sb.toString
+  }
 
   /** Split on commas NOT nested inside parentheses — `SET a = f(x, y),
     * b = 2` has exactly one top-level comma.

@@ -362,6 +362,116 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("name-addressed lifecycle: every verb through db.t, zero paths") {
+    val spark = plainSession()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftCatalog, GraftSql, VersionedTable}
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft-named").toString + "/t"
+      spark.range(5).selectExpr("id AS k", "id * 10 AS v")
+        .createOrReplaceTempView("nseed")
+      // bootstrap: explicit LOCATION so the path-parity asserts can see it
+      GraftSql.sql(spark,
+        s"""CREATE VERSIONED TABLE graft_nb.t LOCATION '$loc'
+           |AS SELECT k, v FROM nseed""".stripMargin)
+      assert(GraftCatalog.resolve(spark, "graft_nb.t").contains(loc))
+      // every statement below names the table — no path anywhere
+      GraftSql.sql(spark,
+        "INSERT INTO graft_nb.t VALUES (100, 1), (101, 2)")
+      spark.createDataFrame(Seq((3L, 999L), (200L, 5L))).toDF("k", "v")
+        .createOrReplaceTempView("ndelta")
+      GraftSql.sql(spark,
+        """MERGE INTO graft_nb.t USING ndelta ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      GraftSql.sql(spark, "DELETE FROM graft_nb.t WHERE k = 101")
+      GraftSql.sql(spark, "UPDATE graft_nb.t SET v = v + 1 WHERE k = 0")
+      // reads: latest needs NO marker in name position; time travel and
+      // history ride the same name; parity with the path-addressed read
+      val byName = GraftSql.sql(spark,
+        "SELECT k, v FROM graft_nb.t ORDER BY k").collect().toSeq
+      val byPath = GraftSql.sql(spark,
+        s"SELECT k, v FROM '$loc' LATEST ORDER BY k").collect().toSeq
+      assert(byName == byPath && byName.nonEmpty)
+      assert(byName.map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((0L, 1L), (1L, 10L), (2L, 20L), (3L, 999L), (4L, 40L),
+          (100L, 1L), (200L, 5L)))
+      assert(GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM graft_nb.t VERSION AS OF 1")
+        .head().getLong(0) == 5L)
+      assert(GraftSql.sql(spark, "DESCRIBE HISTORY graft_nb.t")
+        .count() == 5L) // create + insert + merge + delete + update
+      // a JOIN of two name refs, and a name ref in a subquery source
+      assert(GraftSql.sql(spark,
+        """SELECT count(*) AS n FROM graft_nb.t a
+          |JOIN graft_nb.t VERSION AS OF 1 b ON a.k = b.k""".stripMargin)
+        .head().getLong(0) == 5L)
+      // maintenance verbs resolve names too
+      GraftSql.sql(spark, "COMPACT MANIFESTS graft_nb.t KEEP 2")
+      assert(GraftSql.sql(spark, "SHOW VERSIONED TABLES IN graft_nb")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("graft_nb.t", loc)))
+      // direct catalog read = empty stub with the creation-time schema,
+      // never stale data (the versioned reader is the only real path)
+      assert(spark.table("graft_nb.t").isEmpty)
+      assert(spark.table("graft_nb.t").columns.toSeq == Seq("k", "v"))
+      // unregistered qualified tokens pass through: s.flag in a MERGE
+      // condition, foreign db.table in plain SQL
+      spark.createDataFrame(Seq((3L, 0L))).toDF("k", "v")
+        .createOrReplaceTempView("ndel")
+      GraftSql.sql(spark,
+        """MERGE INTO graft_nb.t USING ndel AS s ON k
+          |WHEN MATCHED AND s.v = 0 THEN DELETE""".stripMargin)
+      assert(GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM graft_nb.t WHERE k = 3")
+        .head().getLong(0) == 0L)
+      // DROP is metadata-only: data survives, adoption re-binds
+      GraftSql.sql(spark, "DROP VERSIONED TABLE graft_nb.t")
+      assert(GraftCatalog.resolve(spark, "graft_nb.t").isEmpty)
+      assert(VersionedTable.latestVersion(spark, loc).isDefined)
+      GraftSql.sql(spark,
+        s"CREATE VERSIONED TABLE graft_nb.t2 LOCATION '$loc'")
+      assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM graft_nb.t2")
+        .head().getLong(0) == 6L)
+      // guards: double-create, adopt-nothing, purge erases
+      interceptMsg(spark,
+        s"CREATE VERSIONED TABLE graft_nb.t2 LOCATION '$loc'",
+        "already exists")
+      interceptMsg(spark,
+        s"CREATE VERSIONED TABLE graft_nb.t3 LOCATION '${loc}_nope'",
+        "no versioned table")
+      GraftSql.sql(spark, "DROP VERSIONED TABLE graft_nb.t2 PURGE")
+      assert(VersionedTable.latestVersion(spark, loc).isEmpty,
+        "PURGE must erase the manifest root")
+    } finally spark.stop()
+  }
+
+  test("name binding persists in a HIVE metastore (multi-session shape)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hive-nb").toString
+    val spark = Catalog.hiveSession(tmp)
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftCatalog, GraftSql}
+      assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+      spark.range(4).selectExpr("id AS k", "id AS v")
+        .createOrReplaceTempView("hseed")
+      // default LOCATION: under the warehouse dir, Hive layout
+      GraftSql.sql(spark,
+        "CREATE VERSIONED TABLE graft_hnb.t AS SELECT k, v FROM hseed")
+      val loc = GraftCatalog.resolve(spark, "graft_hnb.t").get
+      assert(loc.contains("graft_hnb.db"),
+        s"default location should follow the warehouse layout: $loc")
+      GraftSql.sql(spark, "INSERT INTO graft_hnb.t VALUES (9, 9)")
+      assert(GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM graft_hnb.t").head().getLong(0) == 5L)
+      // the binding is a real metastore entry (Derby-persisted), not
+      // session state: the properties survive a catalog cache drop
+      spark.catalog.clearCache()
+      assert(GraftCatalog.resolve(spark, "graft_hnb.t").contains(loc))
+    } finally spark.stop()
+  }
+
   private def interceptMsg(spark: org.apache.spark.sql.SparkSession,
       stmt: String, needle: String): Unit = {
     val e = intercept[IllegalArgumentException](
