@@ -47,15 +47,24 @@ import graft.sources.{GraftCatalog, GraftSql, VersionedTable}
   * chain mid-flight) — a lost ALTER shows as a missing column or a
   * still-narrow type, a lost append as a missing row.
   *
-  * Phase 5 (CDC-consumer brawl, r14): on a feed-enabled table, the three
-  * consumers the specs only drive single-threaded — the `_cdf` mirror,
-  * the versioned replica, the incremental rollup — run LIVE against
-  * merge/append/lazy-delete writers and a maintenance loop that
-  * optimizes, compacts, and EXPIRES 30-second-old history mid-
-  * consumption. After quiesce + one catch-up pass each, the replica
-  * must equal the source and the rollup the from-scratch aggregate — a
-  * refresh-vs-compaction or mirror-vs-expiry hole shows as
-  * non-convergence.
+  * Phase 5 (CDC-consumer brawl, r14; + ALTER cross-phase r15): on a
+  * feed-enabled table, the three consumers the specs only drive
+  * single-threaded — the `_cdf` mirror, the versioned replica, the
+  * incremental rollup — run LIVE against merge/append/lazy-delete
+  * writers, an ALTER ADD/DROP ping-pong (r15: schema evolution races
+  * the live consumers; writers realign-and-retry on mid-flight schema
+  * changes, the way a real pipeline absorbs someone else's ALTER), and
+  * a maintenance loop that optimizes, compacts, and EXPIRES
+  * 30-second-old history mid-consumption. After quiesce + one catch-up
+  * pass each, the replica must equal the source and the rollup the
+  * from-scratch aggregate — a refresh-vs-compaction, mirror-vs-expiry,
+  * or consumer-vs-ALTER hole shows as non-convergence.
+  *
+  * Phase 6 (pure-append fleet, r15): N appenders drip batches with NO
+  * retry wrapper — the blind-append semantic rebase must resolve every
+  * slot collision internally (zero caller-visible conflicts, gap-free
+  * chain, every row exactly once), with the rebase count recorded as
+  * proof the race actually collided.
   *
   * Invariants checked after all phases (exit non-zero on any failure):
   *  - both version chains are GAP-FREE 1..latest: every successful verb
@@ -405,46 +414,97 @@ object Hammer {
         case e: java.io.FileNotFoundException =>
           val _ = e; p5Retries.incrementAndGet()
       }
+    // r15 cross-phase: an ALTER ping-pong (ADD xc / DROP xc) runs INSIDE
+    // the CDC brawl, so schema evolution races the live consumers — the
+    // StreamingSpec widen golden only ever drove this single-threaded.
+    // Writers align their frames to whatever logical schema each
+    // iteration observes and treat a mid-flight schema change exactly
+    // like a commit conflict (re-read, realign, retry) — what a real
+    // multi-writer pipeline does after someone else's ALTER lands.
+    val p5Alters = new AtomicLong(0)
+    def alignedSrc(rows: Seq[(Long, Long, Long)]) = {
+      var df = rows.toDF("id", "grp", "x")
+      VersionedTable.readLatest(spark, t3).schema
+        .filterNot(f => Set("id", "grp", "x")(f.name))
+        .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
+      df
+    }
+    def schemaMoved(e: IllegalArgumentException): Boolean =
+      e.getMessage != null &&
+        (e.getMessage.contains("missing snapshot columns") ||
+          e.getMessage.contains("schema must match") ||
+          e.getMessage.contains("active schema mapping"))
     val p5MergeThreads = (0 until 4).map { w =>
       new Thread(() => guarded {
         var done = 0
         while (done < perWriter && failures.isEmpty) {
           val mine = VersionedTable.readLatest(spark, t3)
-            .where(col("id") === w.toLong).collect()
-          val cur = if (mine.isEmpty) 0L else mine.head.getLong(2)
+            .where(col("id") === w.toLong)
+            .select(col("x")).collect()
+          val cur = if (mine.isEmpty) 0L else mine.head.getLong(0)
           try {
             VersionedTable.mergeInto(spark, t3,
-              Seq((w.toLong, w.toLong % 2, cur + 1L))
-                .toDF("id", "grp", "x"), key = "id")
+              alignedSrc(Seq((w.toLong, w.toLong % 2, cur + 1L))),
+              key = "id")
             done += 1; p5Merges.incrementAndGet()
           } catch {
             case _: VersionedTable.CommitConflictException =>
               conflicts.incrementAndGet()
+            case e: IllegalArgumentException if schemaMoved(e) =>
+              p5Retries.incrementAndGet()
           }
         }
       }, s"p5-merge-$w")
     }
+    // schema-change-aware retry: conflicts count as conflicts; an ALTER
+    // landing between the align and the verb re-aligns and retries
+    def retryingAligned(counter: AtomicLong)(body: => Unit): Unit = {
+      var done = false
+      while (!done && failures.isEmpty) {
+        try { body; done = true }
+        catch {
+          case _: VersionedTable.CommitConflictException =>
+            conflicts.incrementAndGet()
+          case e: IllegalArgumentException if schemaMoved(e) =>
+            p5Retries.incrementAndGet()
+        }
+      }
+      if (done) { counter.incrementAndGet(); () }
+    }
     val p5Appender = new Thread(() => guarded {
       (0 until perWriter).foreach { _ =>
-        retrying(p5Appends) {
+        retryingAligned(p5Appends) {
           val k = 500L + p5Appends.get()
           VersionedTable.append(spark, t3,
-            Seq((k, k % 2, 1L)).toDF("id", "grp", "x"))
+            alignedSrc(Seq((k, k % 2, 1L))))
         }
       }
     }, "p5-append")
     val p5Lazy = new Thread(() => guarded {
       (0 until perWriter).foreach { i =>
         val k = 600L + i
-        retrying(p5SacAppends) {
+        retryingAligned(p5SacAppends) {
           VersionedTable.append(spark, t3,
-            Seq((k, k % 2, 1L)).toDF("id", "grp", "x"))
+            alignedSrc(Seq((k, k % 2, 1L))))
         }
-        retrying(p5LazyDeletes) {
+        // a NEW deferred delete is refused while a chain is active (by
+        // design) — the retry waits out the window until a CoW verb
+        // (any racing merge/optimize) materializes the mapping
+        retryingAligned(p5LazyDeletes) {
           VersionedTable.deleteWhereLazy(spark, t3, s"id = $k")
         }
       }
     }, "p5-lazydelete")
+    val p5Alter = new Thread(() => guarded {
+      (0 until perWriter).foreach { _ =>
+        retrying(p5Alters) {
+          VersionedTable.addColumn(spark, t3, "xc", "INT", Some("5"))
+        }
+        retrying(p5Alters) {
+          VersionedTable.dropColumn(spark, t3, "xc")
+        }
+      }
+    }, "p5-alter")
     val p5Maint = new Thread(() => guarded {
       while (!stopP5.get() && failures.isEmpty) {
         try {
@@ -508,7 +568,7 @@ object Hammer {
             keys = Seq("grp"), sumCols = Seq("x")); ()
         }
     }, "p5-rollup")
-    val p5Writers = p5MergeThreads ++ Seq(p5Appender, p5Lazy)
+    val p5Writers = p5MergeThreads ++ Seq(p5Appender, p5Lazy, p5Alter)
     val p5Consumers = Seq(p5Mirror, p5Replica, p5Rollup)
     p5Writers.foreach(_.start()); p5Maint.start()
     p5Consumers.foreach(_.start())
@@ -516,13 +576,42 @@ object Hammer {
     stopP5.set(true)
     p5Maint.join(600000); p5Consumers.foreach(_.join(600000))
     // quiesced catch-up: one mirror, one drain, one refresh — after this
-    // the consumers must have CONVERGED or the race ate something
+    // the consumers must have CONVERGED or the race ate something. A
+    // merge whose aligned source raced a DROP can legitimately RE-ADD
+    // xc (merge schema-widening is a feature, and full-row sources are
+    // TOCTOU against concurrent ALTERs by design) — one quiesced DROP
+    // settles the schema before the invariants read it
     if (failures.isEmpty) {
+      if (VersionedTable.readLatest(spark, t3).columns.contains("xc"))
+        VersionedTable.dropColumn(spark, t3, "xc")
       VersionedTable.mirrorChangeFeed(spark, t3)
       drainReplica()
       VersionedTable.refreshRollup(spark, t3, t3roll,
         keys = Seq("grp"), sumCols = Seq("x"))
     }
+
+    // ---- phase 6: pure-append fleet (r15 semantic rebase) ---------------
+    // N appenders drip batches with NO application-level retry wrapper:
+    // every slot collision must resolve INTERNALLY (the blind-append
+    // rebase in publishAppendRebasing) or the thread dies and the hammer
+    // fails. r14 measured a 26× retry tax under contention — this phase
+    // pins its removal: zero caller-visible conflicts, full throughput.
+    val t6 = root + "/appendfleet"
+    VersionedTable.commit(spark,
+      Seq((-1L, -1L)).toDF("writer", "seq"), t6)
+    val rebasesBefore = VersionedTable.appendRebases.get()
+    val p6Appenders = (0 until writers).map { w =>
+      new Thread(() => guarded {
+        (0 until perWriter).foreach { i =>
+          // deliberately NOT wrapped in retrying(): a surfaced conflict
+          // here is a protocol regression, recorded as a failure
+          VersionedTable.append(spark, t6,
+            Seq((w.toLong, i.toLong)).toDF("writer", "seq")); ()
+        }
+      }, s"p6-append-$w")
+    }
+    p6Appenders.foreach(_.start()); p6Appenders.foreach(_.join(600000))
+    val p6Rebases = VersionedTable.appendRebases.get() - rebasesBefore
     val wallS = (System.nanoTime() - t0) / 1e9
 
     // ---- invariants -----------------------------------------------------
@@ -646,6 +735,24 @@ object Hammer {
       .toMap
     check("p5 rollup converged to the from-scratch aggregate",
       rollGot == rollWant, s"got=$rollGot want=$rollWant")
+    check("p5 alter ping-pong completed; xc settled dropped",
+      p5Alters.get() == 2L * perWriter &&
+        !VersionedTable.readLatest(spark, t3).columns.contains("xc"),
+      s"alters=${p5Alters.get()} cols=" +
+        VersionedTable.readLatest(spark, t3).columns.mkString(","))
+    // phase-6 invariants: the append fleet
+    val p6vs = VersionedTable.versions(spark, t6)
+    check("p6 append-fleet chain gap-free, one version per append",
+      p6vs == (1L to p6vs.last) &&
+        p6vs.last == 1L + writers.toLong * perWriter,
+      s"versions=$p6vs expected 1..${1L + writers.toLong * perWriter}")
+    val p6Rows = VersionedTable.readLatest(spark, t6)
+      .where(col("writer") >= 0L).count()
+    check("p6 every unretried append landed exactly once",
+      p6Rows == writers.toLong * perWriter,
+      s"rows=$p6Rows expected ${writers.toLong * perWriter}")
+    check("p6 rebases actually happened (the race collided)",
+      p6Rebases > 0, "zero rebases — raise writers/commits")
 
     val lost = (0 until writers).count(w =>
       !finalRows.get(w.toLong).contains(perWriter.toLong)) +
@@ -670,6 +777,9 @@ object Hammer {
       s""""cdc_replica_batches":${p5ReplicaBatches.get()},""" +
       s""""cdc_rollup_refreshes":${p5Refreshes.get()},""" +
       s""""cdc_consumer_retries":${p5Retries.get()},""" +
+      s""""cdc_schema_alters":${p5Alters.get()},""" +
+      s""""fleet_appends":${writers * perWriter},""" +
+      s""""fleet_rebases":$p6Rebases,""" +
       s""""conflicts":${conflicts.get()},"versions":${vs.last},""" +
       s""""lost_updates":$lost,"failures":$failed,""" +
       f""""wall_s":$wallS%.1f}"""

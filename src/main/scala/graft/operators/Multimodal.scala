@@ -330,6 +330,173 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** REAL (non-stub) MP4/ISO-BMFF container metadata parse — the VIDEO
+    * sibling of [[jpegDims]], closing the image/audio/video metadata
+    * matrix within zero-egress (no ffmpeg needed for the CONTAINER walk;
+    * only the entropy-coded samples would need a codec). An ISO-BMFF
+    * file is a chain of `[u32 size][4cc type]` boxes; the movie metadata
+    * lives under `moov`: `mvhd` carries timescale + duration, each
+    * `trak` is one track whose `tkhd` (canonically its first child)
+    * carries 16.16 fixed-point width/height. Two BOUNDED `aggregate`
+    * walks — ≤16 top-level boxes to find `moov`, ≤32 children inside it
+    * — run the whole parse as codegen'd expressions at scan speed, the
+    * [[jpegDims]] precedent. mvhd/tkhd version 1 (64-bit times) shifts
+    * the field offsets and is handled; truncated/corrupt/extended-size
+    * containers gate to a NULL struct (quarantine, never misparse).
+    * Width/height fall back to −1 when the first trak child is not tkhd
+    * (non-canonical muxer) — the duration/track fields still parse.
+    */
+  def mp4Meta(content: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def be32(off: Column) =
+      conv(hex(substring(content, off.cast("int"), lit(4))), 16, 10)
+        .cast("long")
+    def be64(off: Column) =
+      conv(hex(substring(content, off.cast("int"), lit(8))), 16, 10)
+        .cast("long")
+    def u8(off: Column) =
+      conv(hex(substring(content, off.cast("int"), lit(1))), 16, 10)
+        .cast("long")
+    def fourcc(off: Column) =
+      substring(content, (off + lit(4)).cast("int"), lit(4)).cast("string")
+    // the standard sniff: every ISO-BMFF file leads with an ftyp box
+    val isMp4 = length(content) >= 16 && fourcc(lit(1)) === lit("ftyp")
+    def st2(off: Column, moov: Column, end: Column) =
+      struct(off.cast("long").as("off"), moov.cast("long").as("moov"),
+        end.cast("long").as("end"))
+    // walk 1: top-level boxes until moov (size==0/1 = to-EOF/extended —
+    // abort rather than guess; a box must be ≥ 8 bytes to advance)
+    val findMoov = aggregate(
+      sequence(lit(1), lit(16)),
+      st2(lit(1), lit(-1), lit(-1)),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val size = be32(off)
+        when(acc.getField("moov") >= 0 || off < 0 ||
+            off + 7 > length(content), acc)
+          .when(fourcc(off) === "moov" && size >= 16 &&
+            off + size - 1 <= length(content),
+            st2(lit(-1), off, off + size))
+          .when(size >= 8, st2(off + size, lit(-1), lit(-1)))
+          .otherwise(st2(lit(-1), lit(-1), lit(-1)))
+      })
+    val moov = findMoov.getField("moov")
+    val moovEnd = findMoov.getField("end")
+    def st6(off: Column, ts: Column, dur: Column, tracks: Column,
+        w: Column, h: Column) =
+      struct(off.cast("long").as("off"), ts.cast("long").as("ts"),
+        dur.cast("long").as("dur"), tracks.cast("long").as("tracks"),
+        w.cast("long").as("w"), h.cast("long").as("h"))
+    // walk 2: moov children. mvhd v0: timescale @+20, duration @+24;
+    // v1 (64-bit times): @+28 / be64 @+32. tkhd (first child of trak)
+    // v0: 16.16 width @trak+92, height @trak+96; v1: @+104 / @+108.
+    val walk = aggregate(
+      sequence(lit(1), lit(32)),
+      st6(moov + 8, lit(-1), lit(-1), lit(0), lit(-1), lit(-1)),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val ts = acc.getField("ts")
+        val dur = acc.getField("dur")
+        val tracks = acc.getField("tracks")
+        val w = acc.getField("w")
+        val h = acc.getField("h")
+        val size = be32(off)
+        val t = fourcc(off)
+        val next = when(size >= 8, off + size).otherwise(lit(-1L))
+        val v = u8(off + 8) // full-box version byte
+        val tkhdV = u8(off + 16)
+        val isTkhd = fourcc(off + 8) === "tkhd"
+        when(off < 0 || off + 7 > moovEnd - 1, acc)
+          .when(t === "mvhd" && off + 35 <= length(content),
+            st6(next,
+              when(v === 1, be32(off + 28)).otherwise(be32(off + 20)),
+              when(v === 1, be64(off + 32)).otherwise(be32(off + 24)),
+              tracks, w, h))
+          .when(t === "trak",
+            st6(next, ts, dur, tracks + 1,
+              when(w >= 0, w).when(isTkhd && tkhdV === 1 &&
+                  off + 111 <= length(content),
+                  be32(off + 104) / 65536)
+                .when(isTkhd && off + 99 <= length(content),
+                  be32(off + 92) / 65536)
+                .otherwise(lit(-1L)),
+              when(h >= 0, h).when(isTkhd && tkhdV === 1 &&
+                  off + 111 <= length(content),
+                  be32(off + 108) / 65536)
+                .when(isTkhd && off + 99 <= length(content),
+                  be32(off + 96) / 65536)
+                .otherwise(lit(-1L))))
+          .otherwise(st6(next, ts, dur, tracks, w, h))
+      })
+    when(isMp4 && moov >= 0 && walk.getField("ts") > 0,
+      struct(walk.getField("ts").as("timescale"),
+        walk.getField("dur").as("duration_units"),
+        (walk.getField("dur").cast("double") /
+          walk.getField("ts").cast("double")).as("duration_s"),
+        walk.getField("tracks").as("track_count"),
+        walk.getField("w").as("width"),
+        walk.getField("h").as("height")))
+      .otherwise(lit(null))
+  }
+
+  /** Deterministic minimal ISO-BMFF synthesis — the MP4 dual of
+    * [[pipelineAudio]]'s WAV synthesis: every container field is a
+    * CLOSED FORM of the index, which is what lets a cross-engine oracle
+    * check a real binary parser. v0 boxes; only the fields the parser
+    * reads are non-zero.
+    */
+  def synthMp4(timescale: Long, durationUnits: Long, tracks: Int,
+      width: Int, height: Int): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val mvhd = box("mvhd",
+      new Array[Byte](12) ++ be32(timescale) ++ be32(durationUnits) ++
+        new Array[Byte](80)) // rate/volume/matrix/next-id: parser-unread
+    val tkhd = box("tkhd",
+      new Array[Byte](76) ++ be32(width.toLong << 16) ++
+        be32(height.toLong << 16))
+    val trak = box("trak", tkhd)
+    val moov = box("moov",
+      mvhd ++ (0 until tracks).flatMap(_ => trak).toArray)
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ moov ++
+      box("mdat", Array[Byte](1, 2, 3))
+  }
+
+  /** End-to-end VIDEO-container metadata pipeline over REAL bytes — the
+    * [[pipeline]]/[[pipelineAudio]] shape for MP4: synthesize
+    * deterministic containers (timescale 1000, duration (i+1)s,
+    * 1+(i%3) tracks, (160+16i)×(120+8i)), ingest through `binaryFile`,
+    * parse with [[mp4Meta]] at scan speed. Two corrupt payloads prove
+    * the quarantine path (NULL metadata rows, never exceptions).
+    */
+  def pipelineVideo(spark: SparkSession): DataFrame = {
+    val media = java.nio.file.Files.createTempDirectory("graft-media-mp4")
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(media.toFile)
+    }
+    (0 until 12).foreach { i =>
+      java.nio.file.Files.write(media.resolve(f"vid$i%03d.mp4"),
+        synthMp4(1000L, 1000L * (i + 1), 1 + (i % 3),
+          160 + 16 * i, 120 + 8 * i))
+    }
+    java.nio.file.Files.write(media.resolve("vid900.mp4"),
+      Array[Byte](0, 0, 0, 9, 9, 9))
+    java.nio.file.Files.write(media.resolve("vid901.mp4"),
+      "certainly not a movie".getBytes("UTF-8"))
+    readMediaDir(spark, media.toString, glob = "*.mp4")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.mp4$", 1).cast("long")
+          .as("doc_id"),
+        mp4Meta(col("content")).as("meta"))
+  }
+
   /** Attach a fake binary payload to the documents table (in production the
     * payload column arrives from the source parquet; text bytes stand in).
     * The metadata struct keeps scan-time pruning possible: filters on

@@ -2818,6 +2818,61 @@ object Composite {
              |    AS BIGINT)) AS BIGINT) AS cents,
              |  (SELECT v1_rows FROM v1) AS v1_rows
              |FROM fin GROUP BY o_custkey % 10
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // Q233 — NESTED-FIELD schema evolution (r15): ADD / RENAME / DROP
+    // inside a StructType column as O(metadata) chain ops — the shape
+    // every event/crawl corpus has (props.device.os) finally evolves
+    // without rewriting the column. The lifecycle exercises a mid-chain
+    // INSERT (the appended dir stores the evolved struct physically and
+    // replays only later ops) and an add-then-drop of a scratch field
+    // that must net out everywhere. Readers map the TOP-LEVEL column
+    // with withField/dropFields per dir; the oracle replays the
+    // evolution relationally over flattened leaves.
+    Q("q233_nested_evolution",
+      (s, d) => {
+        import graft.sources.{GraftSql, VersionedTable}
+        val dir = scratchDir("graft-vtable-nested") + "/t"
+        val base = Tables(s, d, "orders")
+          .where(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            struct(col("o_custkey").as("cust"),
+              col("o_totalprice").as("price"),
+              col("o_orderstatus").as("status")).as("meta"))
+        VersionedTable.commit(s, base, dir)
+        GraftSql.sql(s,
+          s"ALTER TABLE '$dir' ADD COLUMN meta.src INT DEFAULT 1")
+        GraftSql.sql(s,
+          s"ALTER TABLE '$dir' RENAME COLUMN meta.status TO state")
+        // mid-chain INSERT in the EVOLVED shape (logical field order:
+        // rename moves the field to the struct tail — documented)
+        VersionedTable.append(s, dir,
+          Tables(s, d, "orders").where(col("o_orderkey") % 5 === 1)
+            .select(col("o_orderkey"),
+              struct(col("o_custkey").as("cust"),
+                col("o_totalprice").as("price"),
+                lit(2).cast("int").as("src"),
+                col("o_orderstatus").as("state")).as("meta")))
+        // a scratch field added AFTER the insert and dropped again: the
+        // inserted dir replays exactly (add tmp, drop tmp) — a net no-op
+        GraftSql.sql(s,
+          s"ALTER TABLE '$dir' ADD COLUMN meta.tmp INT DEFAULT 0")
+        GraftSql.sql(s, s"ALTER TABLE '$dir' DROP COLUMN meta.tmp")
+        GraftSql.sql(s,
+          s"""SELECT o_orderkey, meta.cust AS cust, meta.price AS price,
+             |meta.src AS src, meta.state AS state
+             |FROM '$dir' LATEST ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""WITH rows_ AS (
+             |  SELECT o_orderkey, o_custkey AS cust,
+             |    o_totalprice AS price, CAST(1 AS INTEGER) AS src,
+             |    o_orderstatus AS state
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |    CAST(2 AS INTEGER), o_orderstatus
+             |  FROM orders WHERE o_orderkey % 5 = 1)
+             |SELECT o_orderkey, cust, price, src, state
+             |FROM rows_ ORDER BY o_orderkey""".stripMargin))
   )
 }

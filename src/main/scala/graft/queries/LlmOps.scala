@@ -779,6 +779,41 @@ object LlmOps {
              |  silence_ratio, peak
              |FROM e ORDER BY doc_id""".stripMargin)),
 
+    // Q34e — multimodal VIDEO container metadata, REAL bytes (r15): the
+    // pipeline synthesizes deterministic ISO-BMFF/MP4 containers
+    // (timescale 1000, duration (i+1)s, 1+(i%3) tracks, closed-form
+    // dims), ingests through binaryFile, and parses moov/mvhd/tkhd with
+    // TWO bounded codegen `aggregate` box-walks — the jpegDims pattern
+    // at scan speed, no ffmpeg, no UDF. Two corrupt payloads quarantine
+    // as NULL metadata rows. Closes the image/audio/video metadata
+    // matrix within zero-egress; the oracle is the construction formula.
+    Q("q234_video_meta",
+      (s, d) => {
+        graft.operators.Multimodal.pipelineVideo(s)
+          .select(col("doc_id"),
+            col("meta.timescale").as("timescale"),
+            col("meta.duration_units").as("duration_units"),
+            col("meta.duration_s").as("duration_s"),
+            col("meta.track_count").as("track_count"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(i AS BIGINT) AS doc_id,
+             |    CAST(1000 AS BIGINT) AS timescale,
+             |    CAST(1000 * (i + 1) AS BIGINT) AS duration_units,
+             |    CAST(i + 1 AS DOUBLE) AS duration_s,
+             |    CAST(1 + (i % 3) AS BIGINT) AS track_count,
+             |    CAST(160 + 16 * i AS BIGINT) AS width,
+             |    CAST(120 + 8 * i AS BIGINT) AS height
+             |  FROM range(0, 12) t(i)
+             |  UNION ALL SELECT 900, NULL, NULL, NULL, NULL, NULL, NULL
+             |  UNION ALL SELECT 901, NULL, NULL, NULL, NULL, NULL, NULL)
+             |SELECT doc_id, timescale, duration_units, duration_s,
+             |  track_count, width, height
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small. The
     // at-scale swap is the REGISTERED dual q33_token_freq_approx

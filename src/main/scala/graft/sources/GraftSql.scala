@@ -85,7 +85,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `MIRROR CHANGE FEED '<table-path>'` (self-healing `_cdf` catch-up
   *    pass; returns the versions mirrored now),
   *    `READ CHANGES '<table-path>' VERSION <n>` (one version's change
-  *    batch, `__op`/`__ver`-tagged) — the
+  *    batch, `__op`/`__ver`-tagged), `READ CHANGES '<table-path>'
+  *    VERSION <from> TO <to>` (bounded window, `_commit_version`-tagged,
+  *    mirror-first so it crosses compaction horizons —
+  *    [[VersionedTable.readChanges]]) — the
   *    maintenance verbs, statement-spelled;
   *  - anything else passes through to `spark.sql` untouched.
   *
@@ -226,12 +229,14 @@ object GraftSql {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val EnableCdfRe =
     """(?is)\s*ENABLE\s+CHANGE\s+FEED\s+(?:'([^']+)'|`([^`]+)`)\s*;?\s*""".r
+  // column targets accept dotted NESTED paths (r15): `props.device_os`
+  // addresses a field inside a StructType column — the verbs validate
   private val AlterRenameRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+RENAME\s+""" +
-      """COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*""").r
+      """COLUMN\s+`?([\w.]+)`?\s+TO\s+`?(\w+)`?\s*;?\s*""").r
   private val AlterDropRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+DROP\s+""" +
-      """COLUMN\s+`?(\w+)`?\s*;?\s*""").r
+      """COLUMN\s+`?([\w.]+)`?\s*;?\s*""").r
   // the type is captured lazily up to the optional DEFAULT keyword / end
   // of statement and validated by DataType.fromDDL inside addColumn — a
   // shape grammar here couldn't parse nested types (MAP<STRING,
@@ -240,11 +245,11 @@ object GraftSql {
   // as an opaque Spark parse error instead of a Graft ALTER error
   private val AlterAddRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+ADD\s+""" +
-      """COLUMN\s+`?(\w+)`?\s+(.+?)""" +
+      """COLUMN\s+`?([\w.]+)`?\s+(.+?)""" +
       """(?:\s+DEFAULT\s+(.+?))?\s*;?\s*""").r
   private val AlterWidenRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(?:'([^']+)'|`([^`]+)`)\s+ALTER\s+""" +
-      """COLUMN\s+`?(\w+)`?\s+TYPE\s+(.+?)\s*;?\s*""").r
+      """COLUMN\s+`?([\w.]+)`?\s+TYPE\s+(.+?)\s*;?\s*""").r
 
   private val SkippingRe =
     ("""(?is)\s*SET\s+SKIPPING\s+ON\s+(?:'([^']+)'|`([^`]+)`)""" +
@@ -262,6 +267,9 @@ object GraftSql {
   private val MirrorCdfRe =
     ("""(?is)\s*MIRROR\s+CHANGE\s+FEED\s+""" +
       """(?:'([^']+)'|`([^`]+)`)\s*;?\s*""").r
+  private val ReadChangesRangeRe =
+    ("""(?is)\s*READ\s+CHANGES\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+VERSION\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""").r
   private val ReadChangesRe =
     ("""(?is)\s*READ\s+CHANGES\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+VERSION\s+(\d+)\s*;?\s*""").r
@@ -363,6 +371,9 @@ object GraftSql {
       case MirrorCdfRe(p1, p2) =>
         VersionedTable.mirrorChangeFeed(spark, Option(p1).getOrElse(p2))
           .toDF("version_mirrored")
+      case ReadChangesRangeRe(p1, p2, from, to) =>
+        VersionedTable.readChanges(spark, Option(p1).getOrElse(p2),
+          from.toLong, to.toLong)
       case ReadChangesRe(p1, p2, ver) =>
         VersionedTable.readChanges(spark, Option(p1).getOrElse(p2),
           ver.toLong)

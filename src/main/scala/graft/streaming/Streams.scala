@@ -258,7 +258,8 @@ object Streams {
     */
   def changeFeedStream(spark: org.apache.spark.sql.SparkSession,
       table: String,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      startingVersion: Option[Long] = None)
       : DataFrame = {
     val glob = s"$table/_cdf/v*"
     val s = schema.getOrElse {
@@ -302,6 +303,11 @@ object Streams {
         if (!hfs.exists(cdf)) Array.empty[String]
         else hfs.listStatus(cdf).filter(_.isDirectory)
           .map(_.getPath).filter(_.getName.matches("v\\d+"))
+          // a mid-chain subscriber (startingVersion, r15) infers its
+          // schema from ITS window only — pre-window batches may carry
+          // incompatible narrow vintages the subscriber never reads
+          .filter(p => startingVersion.forall(
+            p.getName.stripPrefix("v").toLong >= _))
           .map(_.toString).sorted
       if (dirs.isEmpty)
         throw new IllegalArgumentException(
@@ -311,7 +317,17 @@ object Streams {
       dirs.map(d => spark.read.parquet(d).schema)
         .reduce(widenMerge)
     }
-    spark.readStream.schema(s).parquet(glob)
+    val feed = spark.readStream.schema(s).parquet(glob)
+    // mid-chain subscription (r15): drop batches below the starting
+    // version — the file source still LISTS the whole mirror once, but
+    // every row a subscriber processes is within its window, and the
+    // checkpoint keeps restarts exactly-once as before
+    startingVersion match {
+      case Some(n) =>
+        feed.where(org.apache.spark.sql.functions
+          .col("_commit_version") >= n)
+      case None => feed
+    }
   }
 
   /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user

@@ -275,4 +275,57 @@ class MultimodalSpec extends SparkSpec {
     assert(dims(1) == (1920L, 1080L), s"behind exif: ${rows(1)}")
     assert(rows(2).isNullAt(1) && rows(3).isNullAt(1) && rows(4).isNullAt(1))
   }
+
+  test("mp4Meta walks moov/mvhd/tkhd; corrupt containers quarantine") {
+    import spark.implicits._
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]) =
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val good = Multimodal.synthMp4(600L, 1800L, 2, 320, 240)
+    // moov behind a leading free box — the top-level walk must hop it
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    val hop = ftyp ++ box("free", new Array[Byte](32)) ++
+      good.drop(ftyp.length)
+    // v1 mvhd (64-bit times) + v1 tkhd: shifted offsets must parse
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](16) ++ be32(90000L) ++
+      new Array[Byte](4) ++ be32(450000L) ++ new Array[Byte](80))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](84) ++ be32(1280L << 16) ++ be32(720L << 16))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    // non-canonical trak (first child is edts, not tkhd): duration and
+    // track count still parse; dims fall back to -1
+    val odd = ftyp ++ box("moov",
+      box("mvhd", new Array[Byte](12) ++ be32(1000L) ++ be32(5000L) ++
+        new Array[Byte](80)) ++
+      box("trak", box("edts", new Array[Byte](8))))
+    // truncated moov (declared size beyond the bytes) and extended-size
+    // (size == 1) both quarantine
+    val truncated = ftyp ++ be32(4096L) ++ "moov".getBytes
+    val extended = ftyp ++ be32(1L) ++ "moov".getBytes ++ be32(0) ++ be32(64L)
+    val rows = Seq(
+      (0L, good), (1L, hop), (2L, v1), (3L, odd),
+      (4L, truncated), (5L, extended),
+      (6L, "not even close".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.mp4Meta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    def m(i: Int) = rows(i).getStruct(1)
+    assert((m(0).getLong(0), m(0).getLong(1), m(0).getLong(3),
+      m(0).getLong(4), m(0).getLong(5)) == ((600L, 1800L, 2L, 320L, 240L)),
+      s"good: ${rows(0)}")
+    assert(m(0).getDouble(2) == 3.0)
+    assert((m(1).getLong(0), m(1).getLong(3)) == ((600L, 2L)),
+      s"hop over free: ${rows(1)}")
+    assert((m(2).getLong(0), m(2).getLong(1), m(2).getLong(4),
+      m(2).getLong(5)) == ((90000L, 450000L, 1280L, 720L)),
+      s"v1 boxes: ${rows(2)}")
+    assert((m(3).getLong(0), m(3).getLong(3), m(3).getLong(4)) ==
+      ((1000L, 1L, -1L)), s"non-canonical trak: ${rows(3)}")
+    assert(rows(4).isNullAt(1), s"truncated: ${rows(4)}")
+    assert(rows(5).isNullAt(1), s"extended-size: ${rows(5)}")
+    assert(rows(6).isNullAt(1), s"junk: ${rows(6)}")
+  }
 }

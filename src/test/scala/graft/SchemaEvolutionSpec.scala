@@ -436,6 +436,111 @@ class SchemaEvolutionSpec extends SparkSpec {
       VT.widenColumn(spark, t, "ts", "TIMESTAMP_NTZ") } // instant→NTZ
   }
 
+  test("nested ALTERs: add/rename/widen/drop inside a struct, per-dir") {
+    import org.apache.spark.sql.types._
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(3).select(col("id"),
+      struct(col("id").cast("int").as("n"),
+        concat(lit("u"), col("id")).as("who")).as("props")), t)
+    // ADD with default: existing rows read it; NULL-struct rows stay NULL
+    VT.addColumn(spark, t, "props.score", "INT", Some("7"))
+    val afterAdd = VT.readLatest(spark, t)
+    assert(afterAdd.select(col("props.score")).collect()
+      .forall(_.getInt(0) == 7))
+    // the add is O(metadata): same dir as v1
+    def dir(v: Long) = """"dir":"([^"]+)"""".r
+      .findFirstMatchIn(manifestBody(t, v)).get.group(1)
+    assert(dir(1L) == dir(2L))
+    // WIDEN a nested field in place (position preserved)
+    VT.widenColumn(spark, t, "props.n", "BIGINT")
+    val widened = VT.readLatest(spark, t).schema("props").dataType
+      .asInstanceOf[StructType]
+    assert(widened("n").dataType == LongType)
+    assert(widened.fieldNames.head == "n", "widen must preserve position")
+    // RENAME moves the field to the struct tail (documented withField
+    // semantics); values ride untouched
+    VT.renameColumn(spark, t, "props.who", "owner")
+    val renamed = VT.readLatest(spark, t).schema("props").dataType
+      .asInstanceOf[StructType]
+    assert(renamed.fieldNames.toSeq == Seq("n", "score", "owner"))
+    assert(VT.readLatest(spark, t).where(col("props.owner") === "u1")
+      .count() == 1)
+    // DROP a nested field; time travel shows each era's struct
+    VT.dropColumn(spark, t, "props.score")
+    assert(VT.readLatest(spark, t).schema("props").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("n", "owner"))
+    assert(VT.readVersion(spark, t, 2L).schema("props").dataType
+      .asInstanceOf[StructType].fieldNames.contains("score"))
+    assert(VT.readVersion(spark, t, 1L).schema("props").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("n", "who"))
+    // CoW materializes the whole nested chain (manifest drops "schema")
+    val v = VT.updateWhere(spark, t, col("id") === 0L,
+      Map("id" -> (col("id") + lit(100L))))
+    assert(!manifestBody(t, v).contains("\"schema\""))
+    assert(VT.readLatest(spark, t).schema("props").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("n", "owner"))
+  }
+
+  test("nested mid-chain append replays only its op suffix") {
+    // add props.a -> APPEND (dir physically has a) -> add props.b: the
+    // appended dir must replay ONLY `add b` — a replay of `add a` would
+    // be masked by the presence guard here, so assert through VALUES: the
+    // appended dir stores a=5 physically; a spurious replay of the add
+    // would overwrite it with the default 1
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(2).select(col("id"),
+      struct(col("id").cast("int").as("n")).as("props")), t)
+    VT.addColumn(spark, t, "props.a", "INT", Some("1"))
+    VT.append(spark, t, spark.range(10, 12).select(col("id"),
+      struct(col("id").cast("int").as("n"),
+        lit(5).cast("int").as("a")).as("props")))
+    VT.addColumn(spark, t, "props.b", "INT", Some("2"))
+    val rows = VT.readLatest(spark, t).orderBy("id")
+      .select(col("id"), col("props.a"), col("props.b")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0L, 1, 2), (1L, 1, 2), (10L, 5, 2), (11L, 5, 2)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("nested ALTER guards: shapes, references, and CDC ride-through") {
+    val t = tmp() + "/t"
+    VT.commit(spark, spark.range(2).select(col("id"),
+      struct(col("id").cast("int").as("n")).as("props"),
+      col("id").as("flat")), t)
+    // parent must exist and be a struct
+    intercept[IllegalArgumentException] {
+      VT.addColumn(spark, t, "flat.x", "INT") }
+    intercept[IllegalArgumentException] {
+      VT.addColumn(spark, t, "nope.x", "INT") }
+    // absent leaf / duplicate leaf
+    intercept[IllegalArgumentException] {
+      VT.dropColumn(spark, t, "props.ghost") }
+    intercept[IllegalArgumentException] {
+      VT.addColumn(spark, t, "props.n", "INT") }
+    // cannot drop a struct's last field
+    intercept[IllegalArgumentException] {
+      VT.dropColumn(spark, t, "props.n") }
+    // lossy nested widen refuses like the top-level one
+    intercept[IllegalArgumentException] {
+      VT.widenColumn(spark, t, "props.n", "STRING") }
+    // a CHECK constraint referencing the nested path blocks rename/drop
+    VT.addConstraints(spark, t, Map("pos_n" -> "props.n >= 0"))
+    intercept[IllegalArgumentException] {
+      VT.renameColumn(spark, t, "props.n", "m") }
+    // CDC: a feed-enabled table rides nested ALTERs as skipped (schema)
+    // versions — no phantom change batches
+    VT.enableChangeFeed(spark, t)
+    VT.addColumn(spark, t, "props.extra", "INT", Some("9"))
+    assert(VT.mirrorChangeFeed(spark, t).isEmpty,
+      "a nested ALTER version must not mirror a change batch")
+    // statements drive the nested spellings end-to-end
+    GraftSql.sql(spark, s"ALTER TABLE '$t' RENAME COLUMN props.extra TO ex")
+    GraftSql.sql(spark, s"ALTER TABLE '$t' DROP COLUMN props.ex")
+    assert(VT.readLatest(spark, t).schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("n"))
+  }
+
   test("legacy (marker-less, pos-less) sidecars keep replay-all semantics") {
     // Pre-pinning builds wrote sidecars with NO pos map and NO fmt
     // marker; their readers replayed the FULL chain on every dir. A

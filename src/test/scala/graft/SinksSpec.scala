@@ -1259,11 +1259,19 @@ class SinksSpec extends SparkSpec {
       VersionedTable.append(spark, t, Seq(Tuple1(1L)).toDF("k"))
     }
     assert(VersionedTable.latestVersion(spark, t).contains(3L))
-    // append conflict: a racing commit after the pin must win
-    intercept[VersionedTable.CommitConflictException] {
-      VersionedTable.appendFrom(spark, t, base = 2L,
-        Seq((6000L, "late")).toDF("k", "name"), 5000000L)
-    }
+    // append at a STALE base: the conflict resolves INTERNALLY (r15
+    // semantic rebase) — the already-written dir re-publishes on the
+    // new latest, identical to a serial replay, zero caller retries
+    val rebasesBefore = VersionedTable.appendRebases.get()
+    assert(VersionedTable.appendFrom(spark, t, base = 2L,
+      Seq((6000L, "late")).toDF("k", "name"), 5000000L) == 4L)
+    assert(VersionedTable.appendRebases.get() == rebasesBefore + 1,
+      "the internal rebase must be observable")
+    // rebase == serial replay: v4 = v3 + the late row; v3 untouched
+    assert(VersionedTable.readVersion(spark, t, 4L).count() == 1102L)
+    assert(VersionedTable.readVersion(spark, t, 3L).count() == 1101L)
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("k") === 6000L).head().getString(1) == "late")
     // pruned reads span dirs: every dir carries the policy's sidecar, so
     // a narrow k range keeps a strict subset of ALL files
     val sel = VersionedTable.pruneSelection(spark, t, 3L,
@@ -1273,19 +1281,19 @@ class SinksSpec extends SparkSpec {
       Seq(VersionedTable.ColumnBounds("k", Some(0L), Some(10L))))
     assert(pruned.count() == 11L)
     // vacuum must treat EVERY referenced dir of the multi-dir versions as
-    // live: the ONLY reclaimable dir is the losing appendFrom's orphan
+    // live — and the rebased append left NO orphan (its dir committed)
     Thread.sleep(50)
     val reclaimed = VersionedTable.vacuum(spark, t, graceMs = 10L)
-    assert(reclaimed.size == 1, s"expected just the loser's orphan: $reclaimed")
-    assert((1L to 3L).forall(v =>
+    assert(reclaimed.isEmpty, s"rebased append must not orphan: $reclaimed")
+    assert((1L to 4L).forall(v =>
       VersionedTable.readVersion(spark, t, v).count() >= 1000L),
       "vacuum touched a dir referenced by a live multi-dir version")
-    // optimize compacts the 3-dir version back to one dir, same rows
-    val v4 = VersionedTable.optimize(spark, t, targetFileBytes = 1L << 30)
-    val v4Dirs = VersionedTable.history(spark, t)
+    // optimize compacts the 4-dir version back to one dir, same rows
+    val v5 = VersionedTable.optimize(spark, t, targetFileBytes = 1L << 30)
+    val v5Dirs = VersionedTable.history(spark, t)
       .orderBy(col("version").desc).head().getString(1).split(";")
-    assert(v4 == 4L && v4Dirs.length == 1)
-    assert(VersionedTable.readVersion(spark, t, 4L).count() == 1101L)
+    assert(v5 == 5L && v5Dirs.length == 1)
+    assert(VersionedTable.readVersion(spark, t, 5L).count() == 1102L)
     // rollup rides appended versions incrementally: the new dir IS the
     // delta (no change feed needed)
     val roll = tmp() + "/vt_append_roll"
@@ -1304,6 +1312,146 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m == Map("g1" -> ((2L, 17L)), "g2" -> ((1L, 5L)),
       "g3" -> ((1L, 1L))), s"rollup after append: $m")
+  }
+
+  test("readChanges(from, to): bounded windows, neutral ops, horizons") {
+    import graft.sources.{GraftSql, VersionedTable}
+    import spark.implicits._
+    val t = tmp() + "/vt_range"
+    VersionedTable.commit(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    VersionedTable.mergeInto(spark, t,
+      Seq((2L, 21L), (3L, 30L)).toDF("k", "v"), key = "k")        // v2
+    VersionedTable.append(spark, t, Seq((4L, 40L)).toDF("k", "v")) // v3
+    VersionedTable.deleteWhereLazy(spark, t, "k = 1")              // v4
+    VersionedTable.optimize(spark, t, targetFileBytes = 1L << 30)  // v5
+    VersionedTable.addColumn(spark, t, "tag", "INT", Some("0"))    // v6
+    VersionedTable.mergeInto(spark, t,
+      Seq((5L, 50L, 1)).toDF("k", "v", "tag"), key = "k")          // v7
+    // a mid-chain window unions the merge + insert + synthesized delete
+    val w24 = VersionedTable.readChanges(spark, t, 2L, 4L)
+      .select(col("k"), col("__op"), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(w24 == Set((2L, "u", 2L), (3L, "u", 2L), (4L, "u", 3L),
+      (1L, "d", 4L)), s"got $w24")
+    // neutral versions (optimize v5, schema v6) contribute nothing; the
+    // widened v7 batch unions by name with nulls backfilled
+    val w27 = VersionedTable.readChanges(spark, t, 2L, 7L)
+    assert(w27.where(col("_commit_version").isin(5L, 6L)).isEmpty)
+    assert(w27.where(col("_commit_version") === 7L)
+      .select(col("tag")).head().getInt(0) == 1)
+    assert(w27.where(col("_commit_version") === 2L)
+      .select(col("tag")).collect().forall(_.isNullAt(0)))
+    // an all-neutral window is EMPTY, not an error
+    assert(VersionedTable.readChanges(spark, t, 5L, 6L).isEmpty)
+    // a CoW commit with no row-level log fails the completeness contract
+    VersionedTable.updateWhere(spark, t, col("k") === 2L,
+      Map("v" -> lit(99L)))                                        // v8
+    interceptMsg("no row-level change log")(
+      VersionedTable.readChanges(spark, t, 7L, 8L))
+    // bounds: beyond latest / inverted windows fail typed
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, t, 2L, 99L))
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, t, 4L, 2L))
+    // ACROSS A COMPACTION HORIZON: without a mirror the folded version
+    // cannot be classified (typed error); with the feed enabled the
+    // mirror answers and the same window succeeds
+    val t2 = tmp() + "/vt_range_cdf"
+    VersionedTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), t2)
+    VersionedTable.enableChangeFeed(spark, t2)
+    VersionedTable.mergeInto(spark, t2,
+      Seq((2L, 20L)).toDF("k", "v"), key = "k")                    // v2
+    VersionedTable.mergeInto(spark, t2,
+      Seq((3L, 30L)).toDF("k", "v"), key = "k")                    // v3
+    VersionedTable.mergeInto(spark, t2,
+      Seq((4L, 40L)).toDF("k", "v"), key = "k")                    // v4
+    VersionedTable.compactManifests(spark, t2, keepRecent = 1)
+    val folded = VersionedTable.readChanges(spark, t2, 2L, 4L)
+      .select(col("k"), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == Set((2L, 2L), (3L, 3L), (4L, 4L)),
+      s"mirror must answer across the horizon: $folded")
+    // the statement spelling drives the same window
+    assert(GraftSql.sql(spark, s"READ CHANGES '$t2' VERSION 2 TO 3")
+      .count() == 2L)
+    // the no-mirror horizon: same compaction on a bare table
+    val t3 = tmp() + "/vt_range_bare"
+    VersionedTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), t3)
+    VersionedTable.mergeInto(spark, t3,
+      Seq((2L, 20L)).toDF("k", "v"), key = "k")                    // v2
+    VersionedTable.mergeInto(spark, t3,
+      Seq((3L, 30L)).toDF("k", "v"), key = "k")                    // v3
+    VersionedTable.compactManifests(spark, t3, keepRecent = 1)
+    interceptMsg("checkpoint-folded")(
+      VersionedTable.readChanges(spark, t3, 2L, 3L))
+  }
+
+  private def interceptMsg(needle: String)(body: => Any): Unit = {
+    val e = intercept[IllegalArgumentException](body)
+    assert(e.getMessage != null && e.getMessage.contains(needle),
+      s"expected '$needle' in: ${e.getMessage}")
+  }
+
+  test("append rebase law: disjoint writers == serial replay; guards hold") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    // two writers pinned at the SAME base publish disjoint batches; the
+    // loser's internal rebase must leave exactly the table a serial
+    // replay produces — proven against a twin table replayed serially
+    val t = tmp() + "/vt_rebase"
+    val twin = tmp() + "/vt_rebase_twin"
+    val seed = Seq((1L, "s")).toDF("k", "tag")
+    val a = Seq((10L, "a")).toDF("k", "tag")
+    val b = Seq((20L, "b")).toDF("k", "tag")
+    VersionedTable.commit(spark, seed, t)
+    VersionedTable.appendFrom(spark, t, 1L, a, 5000000L) // wins v2
+    assert(VersionedTable.appendFrom(spark, t, 1L, b, 5000000L) == 3L,
+      "stale-pinned blind append must rebase to the next free slot")
+    VersionedTable.commit(spark, seed, twin)
+    VersionedTable.append(spark, twin, a)
+    VersionedTable.append(spark, twin, b)
+    val got = VersionedTable.readLatest(spark, t)
+      .orderBy("k").collect().toSeq
+    val want = VersionedTable.readLatest(spark, twin)
+      .orderBy("k").collect().toSeq
+    assert(got == want, s"rebase != serial replay: $got vs $want")
+    // versions stay gap-free and each one time-travels consistently
+    assert(VersionedTable.versions(spark, t) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.readVersion(spark, t, 2L).count() == 2L)
+    // guard 1: a schema change between pin and publish REFUSES the
+    // rebase (the written dir has the old logical shape) — the caller's
+    // retry must realign instead
+    val t2 = tmp() + "/vt_rebase_schema"
+    VersionedTable.commit(spark, seed, t2)
+    VersionedTable.addColumn(spark, t2, "extra", "INT", Some("7")) // v2
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.appendFrom(spark, t2, 1L,
+        Seq((30L, "c")).toDF("k", "tag"), 5000000L)
+    }
+    // guard 2: an exactly-once batch token that already won stays
+    // exactly-once — the replayed batch must NOT rebase-commit twice
+    val t3 = tmp() + "/vt_rebase_batch"
+    VersionedTable.commit(spark, seed, t3)
+    assert(VersionedTable.appendBatchIfNew(spark, t3, a, 42L).contains(2L))
+    intercept[VersionedTable.CommitConflictException] {
+      // a stale replica of batch 42 pinned at v1: the slot conflict must
+      // surface (latest already carries the token), never double-apply
+      VersionedTable.appendFrom(spark, t3, 1L, a, 5000000L,
+        batchId = Some(42L))
+    }
+    assert(VersionedTable.readLatest(spark, t3).count() == 2L)
+    // deferred deletes do NOT block a rebase: the predicate's scoped
+    // dirs exclude the rebased dir, same as a serial append
+    val t4 = tmp() + "/vt_rebase_del"
+    VersionedTable.commit(spark, Seq((1L, "dead"), (2L, "live"))
+      .toDF("k", "tag"), t4)
+    VersionedTable.deleteWhereLazy(spark, t4, "tag = 'dead'") // v2
+    assert(VersionedTable.appendFrom(spark, t4, 1L,
+      Seq((3L, "dead")).toDF("k", "tag"), 5000000L) == 3L)
+    val kept = VersionedTable.readLatest(spark, t4)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 3L),
+      s"appended row must be outside the old predicate's scope: $kept")
   }
 
   test("state-machine law: random verb sequences match an in-memory model") {

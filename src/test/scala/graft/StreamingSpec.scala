@@ -478,6 +478,36 @@ class StreamingSpec extends SparkSpec {
       VersionedTable.mirrorChangeFeed(spark, bare))
   }
 
+  test("mid-chain subscriber: changeFeedStream(startingVersion = n)") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-mid").toString
+    val table = s"$dir/t"
+    val out = s"$dir/out"
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), table)
+    VersionedTable.enableChangeFeed(spark, table)
+    VersionedTable.mergeInto(spark, table,
+      Seq((2L, "b")).toDF("k", "v"), key = "k") // v2
+    VersionedTable.mergeInto(spark, table,
+      Seq((3L, "c")).toDF("k", "v"), key = "k") // v3
+    VersionedTable.mergeInto(spark, table,
+      Seq((4L, "d")).toDF("k", "v"), key = "k") // v4
+    // a subscriber joining at version 4 must see ONLY v4's batch — the
+    // bounded-read dual of VersionedTable.readChanges(from, to)
+    val q = Streams.changeFeedStream(spark, table, startingVersion = Some(4L))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(spark.read.parquet(out).select(col("k"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((4L, 4L)),
+      "a mid-chain subscriber must start exactly at its version")
+  }
+
   test("CDC replication: feed stream + replica sink keep a replica converged") {
     import graft.sources.VersionedTable
     import spark.implicits._
