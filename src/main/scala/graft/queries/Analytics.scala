@@ -2599,6 +2599,163 @@ object Analytics {
              |  round(CAST(n AS DOUBLE)/CAST(t AS DOUBLE),6)+0.0
              |    AS hour_share
              |FROM best JOIN tot ON best.event_type = tot.event_type
-             |WHERE rk = 1 ORDER BY best.event_type""".stripMargin))
+             |WHERE rk = 1 ORDER BY best.event_type""".stripMargin)),
+
+    // Q235 — RFM segmentation (r15): the marketing-standard
+    // recency/frequency/monetary quartile grid over customers — the
+    // cohorting step every CRM/value model starts from. Per-customer
+    // facts are exact integers (days, counts, cents); the NINE quartile
+    // thresholds come from ONE aggregate (the established percentile ≡
+    // quantile_cont pairing on identical integers → bit-identical
+    // doubles) and broadcast back as a one-row frame, so bucketing is
+    // scan-shaped — no global ntile window, which would single-partition
+    // the customer set at 100 TB. ≤64 output rows at any scale.
+    Q("q235_rfm",
+      (s, d) => {
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        val maxD = Tables(s, d, "orders")
+          .agg(max(to_date(col("o_orderdate"))).as("maxd"))
+        val cust = Tables(s, d, "orders").crossJoin(broadcast(maxD))
+          .groupBy(col("o_custkey"))
+          .agg(datediff(max(col("maxd")),
+            max(to_date(col("o_orderdate")))).cast(LongType).as("rec"),
+            count(lit(1)).as("freq"),
+            sum(cents).cast(LongType).as("mon"))
+        val q = cust.agg(
+          expr("percentile(rec, 0.25)").as("r1"),
+          expr("percentile(rec, 0.5)").as("r2"),
+          expr("percentile(rec, 0.75)").as("r3"),
+          expr("percentile(freq, 0.25)").as("f1"),
+          expr("percentile(freq, 0.5)").as("f2"),
+          expr("percentile(freq, 0.75)").as("f3"),
+          expr("percentile(mon, 0.25)").as("m1"),
+          expr("percentile(mon, 0.5)").as("m2"),
+          expr("percentile(mon, 0.75)").as("m3"))
+        def bucket(c: String, t1: String, t2: String, t3: String) =
+          (lit(1) + (col(c) > col(t1)).cast("int") +
+            (col(c) > col(t2)).cast("int") +
+            (col(c) > col(t3)).cast("int")).cast(LongType)
+        cust.crossJoin(broadcast(q))
+          .select(bucket("rec", "r1", "r2", "r3").as("r_bucket"),
+            bucket("freq", "f1", "f2", "f3").as("f_bucket"),
+            bucket("mon", "m1", "m2", "m3").as("m_bucket"),
+            col("mon"))
+          .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+          .agg(count(lit(1)).as("customers"),
+            sum(col("mon")).cast(LongType).as("cents"))
+          .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      },
+      Some("""WITH cust AS (
+             |  SELECT o_custkey,
+             |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+             |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+             |      AS BIGINT) AS rec,
+             |    CAST(count(*) AS BIGINT) AS freq,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) AS BIGINT) AS mon
+             |  FROM orders GROUP BY o_custkey),
+             |q AS (SELECT
+             |    quantile_cont(rec, 0.25) AS r1,
+             |    quantile_cont(rec, 0.5) AS r2,
+             |    quantile_cont(rec, 0.75) AS r3,
+             |    quantile_cont(freq, 0.25) AS f1,
+             |    quantile_cont(freq, 0.5) AS f2,
+             |    quantile_cont(freq, 0.75) AS f3,
+             |    quantile_cont(mon, 0.25) AS m1,
+             |    quantile_cont(mon, 0.5) AS m2,
+             |    quantile_cont(mon, 0.75) AS m3
+             |  FROM cust)
+             |SELECT
+             |  CAST(1 + CAST(rec > r1 AS INTEGER)
+             |    + CAST(rec > r2 AS INTEGER)
+             |    + CAST(rec > r3 AS INTEGER) AS BIGINT) AS r_bucket,
+             |  CAST(1 + CAST(freq > f1 AS INTEGER)
+             |    + CAST(freq > f2 AS INTEGER)
+             |    + CAST(freq > f3 AS INTEGER) AS BIGINT) AS f_bucket,
+             |  CAST(1 + CAST(mon > m1 AS INTEGER)
+             |    + CAST(mon > m2 AS INTEGER)
+             |    + CAST(mon > m3 AS INTEGER) AS BIGINT) AS m_bucket,
+             |  CAST(count(*) AS BIGINT) AS customers,
+             |  CAST(sum(mon) AS BIGINT) AS cents
+             |FROM cust CROSS JOIN q
+             |GROUP BY 1, 2, 3
+             |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin)),
+
+    // Q238 — weekly retention cohorts (r15): the activation readout every
+    // growth dashboard leads with — users grouped by FIRST-ACTIVE week,
+    // share still active k weeks later. Cohort assignment is one
+    // user-keyed min aggregate; the matrix is one (cohort, offset)
+    // count-distinct — both scan-shaped, and the output is bounded by
+    // weeks², never by users. date_trunc('week') is Monday-start on both
+    // engines; offsets are exact integer day arithmetic over UTC stamps.
+    Q("q238_retention",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val cohorts = e.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort"))
+        e.join(cohorts, "user_id")
+          .select(to_date(col("cohort")).as("cohort_week"),
+            (datediff(to_date(col("wk")), to_date(col("cohort"))) / 7)
+              .cast(LongType).as("offset_w"),
+            col("user_id"))
+          .groupBy(col("cohort_week"), col("offset_w"))
+          .agg(countDistinct(col("user_id")).as("users"))
+          .orderBy(col("cohort_week"), col("offset_w"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort FROM e
+             |      GROUP BY user_id)
+             |SELECT CAST(cohort AS DATE) AS cohort_week,
+             |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT)
+             |    AS offset_w,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+             |FROM e JOIN c ON e.user_id = c.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_week, offset_w""".stripMargin)),
+
+    // Q239 — discount-band × quantity-band revenue grid (r15): the
+    // elasticity readout pricing actually uses — how revenue-per-unit
+    // moves across the discount ladder and order-size bands. Bands are
+    // exact integer arithmetic (discount% via round on identical doubles,
+    // quantity decades); revenue rides exact cents of the UNDISCOUNTED
+    // price (the discounted product is a 3+dp double — summing it would
+    // reintroduce the cents-cast hazard); one division per output row.
+    // ≤55 rows at any scale; single hash aggregate over the fact scan.
+    Q("q239_discount_grid",
+      (s, d) => {
+        val cents = (col("l_extendedprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        Tables(s, d, "lineitem")
+          .select(round(col("l_discount") * 100, 0).cast(LongType)
+            .as("disc_pct"),
+            ((col("l_quantity").cast(LongType) - 1) / lit(10))
+              .cast(LongType).as("qty_band"),
+            col("l_quantity").cast(LongType).as("qty"), cents.as("c"))
+          .groupBy(col("disc_pct"), col("qty_band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty")).cast(LongType).as("units"),
+            sum(col("c")).cast(LongType).as("cents"),
+            Exact.round6(sum(col("c")).cast(DoubleType) /
+              sum(col("qty")).cast(DoubleType)).as("cents_per_unit"))
+          .orderBy(col("disc_pct"), col("qty_band"))
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(round(l_discount * 100, 0) AS BIGINT)
+             |      AS disc_pct,
+             |    CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT)
+             |      AS qty_band,
+             |    CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT) AS c
+             |  FROM lineitem)
+             |SELECT disc_pct, qty_band, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(qty) AS BIGINT) AS units,
+             |  CAST(sum(c) AS BIGINT) AS cents,
+             |  round(CAST(sum(c) AS DOUBLE) / CAST(sum(qty) AS DOUBLE), 6)
+             |    + 0.0 AS cents_per_unit
+             |FROM t GROUP BY disc_pct, qty_band
+             |ORDER BY disc_pct, qty_band""".stripMargin))
   )
 }

@@ -2873,6 +2873,71 @@ object Composite {
              |    CAST(2 AS INTEGER), o_orderstatus
              |  FROM orders WHERE o_orderkey % 5 = 1)
              |SELECT o_orderkey, cust, price, src, state
-             |FROM rows_ ORDER BY o_orderkey""".stripMargin))
+             |FROM rows_ ORDER BY o_orderkey""".stripMargin)),
+
+    // Q240 — version-trajectory audit (r15): the row-count / value-mass
+    // trail of a table ACROSS ITS HISTORY, joined with each version's
+    // committed op — the "what did that delete actually remove" readout
+    // a governance review runs with time travel. One bounded pass per
+    // committed version (4 here; #versions, never table-sized state),
+    // each a plain snapshot aggregate; the op column comes from the
+    // manifest history. Exact cents; the update is exact binary ×2.
+    Q("q240_version_audit",
+      (s, d) => {
+        import graft.sources.{GraftSql, VersionedTable}
+        Tables.views(s, d)
+        val dir = scratchDir("graft-vtable-audit") + "/t"
+        GraftSql.sql(s,
+          s"""CREATE VERSIONED TABLE '$dir' AS
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 4 = 0""".stripMargin)
+        GraftSql.sql(s,
+          s"""INSERT INTO '$dir'
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 4 = 1""".stripMargin)
+        GraftSql.sql(s, s"DELETE FROM '$dir' WHERE o_custkey % 7 = 3")
+        GraftSql.sql(s,
+          s"UPDATE '$dir' SET o_totalprice = o_totalprice * 2 " +
+            "WHERE o_orderkey % 10 = 0")
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        val perVersion = VersionedTable.versions(s, dir).map { v =>
+          VersionedTable.readVersion(s, dir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(cents).cast(LongType).as("cents"))
+            .select(lit(v).as("version"), col("n_rows"), col("cents"))
+        }.reduce(_ unionByName _)
+        val ops = VersionedTable.history(s, dir)
+          .select(col("version"), col("op"))
+        perVersion.join(broadcast(ops), "version")
+          .select(col("version"), col("op"), col("n_rows"), col("cents"))
+          .orderBy(col("version"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_orderkey % 4 = 0),
+             |v2 AS (SELECT * FROM v1 UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_orderkey % 4 = 1),
+             |v3 AS (SELECT * FROM v2 WHERE NOT (o_custkey % 7 = 3)),
+             |v4 AS (SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS o_totalprice FROM v3),
+             |s AS (
+             |  SELECT 1 AS version, 'commit' AS op, count(*) AS n,
+             |    sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) AS cents FROM v1
+             |  UNION ALL SELECT 2, 'insert', count(*),
+             |    sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) FROM v2
+             |  UNION ALL SELECT 3, 'delete', count(*),
+             |    sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) FROM v3
+             |  UNION ALL SELECT 4, 'update', count(*),
+             |    sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) FROM v4)
+             |SELECT CAST(version AS BIGINT) AS version, op,
+             |  CAST(n AS BIGINT) AS n_rows, CAST(cents AS BIGINT) AS cents
+             |FROM s ORDER BY version""".stripMargin))
   )
 }

@@ -1093,6 +1093,83 @@ object TextOps {
              |  WHERE rn = 1)
              |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
              |FROM pred GROUP BY lang, pred_lang
-             |ORDER BY lang, pred_lang""".stripMargin))
+             |ORDER BY lang, pred_lang""".stripMargin)),
+
+    // Q236 — per-batch duplication trend (r15): the CURATION dashboard
+    // number — what share of each ingest batch was already seen in an
+    // EARLIER batch (first-seen attribution on the q227 5-token-prefix
+    // fingerprint; batches derive from doc_id, the fixture convention).
+    // q206 histograms family sizes and q227 audits cross-source pairs;
+    // this is the third axis — the TREND that says when a source's
+    // novelty collapses and crawling it stops paying. First-seen is one
+    // fingerprint-keyed min aggregate; everything shuffles signatures,
+    // never text.
+    Q("q236_dup_trend",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select((col("doc_id") % 8).as("batch"),
+            array_join(slice(split(lower(col("text")), " "), 1, 5), " ")
+              .as("fp"))
+        val firstSeen = docs.groupBy(col("fp"))
+          .agg(min(col("batch")).as("first_b"))
+        docs.join(firstSeen, "fp")
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("docs"),
+            sum((col("batch") > col("first_b")).cast(LongType))
+              .cast(LongType).as("dups"))
+          .select(col("batch"), col("docs"), col("dups"),
+            Exact.round6(col("dups").cast(DoubleType) /
+              col("docs").cast(DoubleType)).as("dup_share"))
+          .orderBy(col("batch"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id % 8 AS batch,
+             |    array_to_string(string_split(lower(text), ' ')[1:5], ' ')
+             |      AS fp
+             |  FROM documents),
+             |fb AS (SELECT fp, min(batch) AS first_b FROM d GROUP BY fp)
+             |SELECT batch, CAST(count(*) AS BIGINT) AS docs,
+             |  CAST(sum(CASE WHEN batch > first_b THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS dups,
+             |  round(CAST(sum(CASE WHEN batch > first_b THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) + 0.0 AS dup_share
+             |FROM d JOIN fb USING (fp)
+             |GROUP BY batch ORDER BY batch""".stripMargin)),
+
+    // Q237 — token-length histogram (r15): the length DISTRIBUTION per
+    // source on power-of-two buckets — the shape (not just q49-style
+    // moments) that exposes truncation cliffs, boilerplate spikes, and
+    // context-window fit before any tokenizer run. The bucket index is a
+    // SUM OF EXACT INTEGER COMPARISONS (log2/floor on doubles misrounds
+    // at the powers of two — the documented digit-extraction hazard);
+    // one hash aggregate, ≤10 buckets × sources rows at any scale.
+    Q("q237_len_hist",
+      (s, d) => {
+        val n = size(split(col("text"), " ")).cast(LongType)
+        val bucket = Seq(4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+          .map(b => (n >= b).cast(LongType))
+          .reduce(_ + _)
+        Tables(s, d, "documents")
+          .select(col("source"), bucket.as("bucket"), n.as("n"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("docs"),
+            min(col("n")).as("min_tokens"),
+            max(col("n")).as("max_tokens"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT)
+             |    AS n
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(CAST(n >= 4 AS INTEGER) + CAST(n >= 8 AS INTEGER)
+             |    + CAST(n >= 16 AS INTEGER) + CAST(n >= 32 AS INTEGER)
+             |    + CAST(n >= 64 AS INTEGER) + CAST(n >= 128 AS INTEGER)
+             |    + CAST(n >= 256 AS INTEGER) + CAST(n >= 512 AS INTEGER)
+             |    + CAST(n >= 1024 AS INTEGER) AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS docs,
+             |  CAST(min(n) AS BIGINT) AS min_tokens,
+             |  CAST(max(n) AS BIGINT) AS max_tokens
+             |FROM t GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin))
   )
 }

@@ -585,8 +585,15 @@ object GraftSql {
             Option(s).map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse("")
           val prevWord = prevTwo.map(m2 => up(m2.group(2))).getOrElse("")
           val prevPrev = prevTwo.map(m2 => up(m2.group(1))).getOrElse("")
+          // statements whose FROM takes a TABLE OPERAND, not a read ref:
+          // DELETE FROM t, REFRESH ROLLUP r FROM b, CONVERT ... FROM dir
+          val head = """(?s)^\s*(\w+)""".r
+            .findFirstMatchIn(statement).map(m2 => up(m2.group(1)))
+            .getOrElse("")
           val readPosition = Set("FROM", "JOIN", "USING")(prevWord) &&
-            !(prevWord == "FROM" && prevPrev == "DELETE") // DELETE FROM
+            !(prevWord == "FROM" &&
+              (prevPrev == "DELETE" || head == "REFRESH" ||
+                head == "CONVERT"))
           if (beforeTT || !readPosition)
             sb.append(s"'$path'")
           else {

@@ -407,7 +407,21 @@ class CatalogSpec extends AnyFunSuite {
         """SELECT count(*) AS n FROM graft_nb.t a
           |JOIN graft_nb.t VERSION AS OF 1 b ON a.k = b.k""".stripMargin)
         .head().getLong(0) == 5L)
-      // maintenance verbs resolve names too
+      // maintenance verbs resolve names too — incl. REFRESH ROLLUP,
+      // whose FROM takes a table OPERAND (not a read reference): the
+      // bootstrap refresh creates the rollup at a path, adoption binds
+      // it, and the name-addressed refresh drives the same verb
+      val rollLoc = java.nio.file.Files
+        .createTempDirectory("graft-named-roll").toString + "/r"
+      GraftSql.sql(spark,
+        s"REFRESH ROLLUP '$rollLoc' FROM graft_nb.t KEY k SUM (v)")
+      GraftSql.sql(spark,
+        s"CREATE VERSIONED TABLE graft_nb.roll LOCATION '$rollLoc'")
+      GraftSql.sql(spark,
+        "REFRESH ROLLUP graft_nb.roll FROM graft_nb.t KEY k SUM (v)")
+      assert(GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM graft_nb.roll").head().getLong(0) == 7L)
+      GraftSql.sql(spark, "DROP VERSIONED TABLE graft_nb.roll")
       GraftSql.sql(spark, "COMPACT MANIFESTS graft_nb.t KEEP 2")
       assert(GraftSql.sql(spark, "SHOW VERSIONED TABLES IN graft_nb")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
