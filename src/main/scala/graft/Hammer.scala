@@ -413,6 +413,14 @@ object Hammer {
           p5Retries.incrementAndGet()
         case e: java.io.FileNotFoundException =>
           val _ = e; p5Retries.incrementAndGet()
+        case e: org.apache.spark.SparkException
+            if e.getMessage != null &&
+              (e.getMessage.contains("FAILED_READ_FILE") ||
+                e.getMessage.contains("does not exist")) =>
+          // the listing-vs-reclaim window (a file read after vacuum
+          // erased it) — Spark 4 wraps the FileNotFound in
+          // FAILED_READ_FILE; the retry relists and moves on
+          val _ = e; p5Retries.incrementAndGet()
       }
     // r15 cross-phase: an ALTER ping-pong (ADD xc / DROP xc) runs INSIDE
     // the CDC brawl, so schema evolution races the live consumers — the

@@ -2098,6 +2098,22 @@ object VersionedTable {
       .filter(st => st.getPath.getName.startsWith(".tmp-"))
       .filter(_.getModificationTime < cutoff)
       .foreach(st => hfs.delete(st.getPath, true))
+    // EXPIRED versions' feed batches reclaim HERE, not at expiry time
+    // (r15): expiry retires metadata only, so a lagging subscriber keeps
+    // a catch-up window as wide as this grace; vacuum completes the
+    // documented expire-then-vacuum right-to-be-forgotten lifecycle. A
+    // feed dir is reclaimable when its version is no longer committed
+    // and it is older than the grace.
+    if (hfs.exists(cdfDir)) {
+      val live = versions(spark, table).toSet
+      hfs.listStatus(cdfDir).iterator
+        .filter { st =>
+          val n = st.getPath.getName
+          n.matches("v\\d+") && !live.contains(n.stripPrefix("v").toLong) &&
+            st.getModificationTime < cutoff
+        }
+        .foreach(st => hfs.delete(st.getPath, true))
+    }
     // stale constraint-generation temps (writers that crashed between
     // temp write and promote); g<NNNNNNNN>.json generations never match
     val consDir = new Path(root, constraintsDirName)
@@ -2512,14 +2528,15 @@ object VersionedTable {
     dropped.foreach { v =>
       val m = new Path(root, s"_manifests/${manifestName(v)}")
       if (hfs.exists(m)) hfs.delete(m, false)
-      // the streaming mirror must forget expired versions too: vacuum
-      // erases the table bytes, but a _cdf/v* dir would keep serving the
-      // expired version's rows to NEW subscribers forever — the
-      // right-to-be-forgotten hole a feed-enabled table would otherwise
-      // carry. Already-running subscriptions hold their own checkpoints;
-      // this only stops future replays.
-      val cdf = new Path(new Path(root, cdfDirName), cdfVersionDirName(v))
-      if (hfs.exists(cdf)) hfs.delete(cdf, true)
+      // the expired version's _cdf mirror dir is deliberately NOT
+      // deleted here (r15): expiry is the LOGICAL retirement — a feed
+      // subscriber lagging behind the retention window keeps its
+      // catch-up window until [[vacuum]]'s grace expires (the r15 hammer
+      // caught the old immediate delete as a replica that could
+      // permanently lose a batch it had not yet consumed). Physical
+      // erasure — the right-to-be-forgotten step — stays the documented
+      // expire-THEN-vacuum pairing: vacuum reclaims feed dirs of
+      // no-longer-committed versions past its grace.
     }
     val oldCheckpoints = hfs.listStatus(new Path(root, "_manifests"))
       .iterator.map(_.getPath.getName)

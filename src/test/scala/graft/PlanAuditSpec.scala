@@ -558,4 +558,39 @@ class PlanAuditSpec extends SparkSpec {
       s"no __chunk-partitioned window — chunked scan missing:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q235: RFM buckets are scan-shaped — broadcast thresholds, no window") {
+    // the nine quartile thresholds must come back as a broadcast 1-row
+    // frame; a global ntile/row_number window over the customer set
+    // would single-partition it at scale
+    val p = plan("q235_rfm")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+  }
+
+  test("q236: dup trend rides the fingerprint equi-join, text never joins") {
+    val p = plan("q236_dup_trend")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dup attribution must be a fingerprint equi-join:\n$p")
+  }
+
+  test("q237/q239: pure hash aggregation — no window, no generate, no join") {
+    Seq("q237_len_hist", "q239_discount_grid").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q window:\n$p")
+      assert(!p.contains("Generate"), s"$q exploded:\n$p")
+      assert(!p.contains("Join"), s"$q joined:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("q238: retention is two keyed aggregates + one equi-join, no window") {
+    val p = plan("q238_retention")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort attach must be the user_id equi-join:\n$p")
+  }
 }

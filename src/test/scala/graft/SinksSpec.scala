@@ -1962,14 +1962,21 @@ class SinksSpec extends SparkSpec {
     assert(GraftSql.sql(spark,
       s"SELECT count(*) AS n FROM '$t' TIMESTAMP AS OF '$midTs'")
       .head().getLong(0) == 1L)
-    // expire retires the _cdf mirror dirs of expired versions: the bytes
-    // vacuum erases must not keep replaying to new feed subscribers
+    // retention split (r15): EXPIRE retires metadata only — the expired
+    // version's mirror dir keeps serving a lagging subscriber (the r15
+    // hammer caught the old immediate delete losing an unconsumed
+    // replica batch); VACUUM's grace then completes the documented
+    // expire-then-vacuum right-to-be-forgotten erasure
     VersionedTable.enableChangeFeed(spark, t)
     VersionedTable.mergeInto(spark, t, Seq((3L, "c")).toDF("k", "v"), "k")
     assert(new java.io.File(t + "/_cdf/v00000002").exists)
     VersionedTable.expireVersions(spark, t, keepLast = 1)
+    assert(new java.io.File(t + "/_cdf/v00000002").exists,
+      "a lagging subscriber keeps its catch-up window through expiry")
+    Thread.sleep(30)
+    VersionedTable.vacuum(spark, t, graceMs = 10L)
     assert(!new java.io.File(t + "/_cdf/v00000002").exists,
-      "expired version's mirror dir must be forgotten")
+      "vacuum must reclaim the expired version's mirror dir")
     assert(new java.io.File(t + "/_cdf/v00000003").exists,
       "kept version's mirror dir must survive")
   }
