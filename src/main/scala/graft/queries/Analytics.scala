@@ -2756,6 +2756,115 @@ object Analytics {
              |  round(CAST(sum(c) AS DOUBLE) / CAST(sum(qty) AS DOUBLE), 6)
              |    + 0.0 AS cents_per_unit
              |FROM t GROUP BY disc_pct, qty_band
-             |ORDER BY disc_pct, qty_band""".stripMargin))
+             |ORDER BY disc_pct, qty_band""".stripMargin)),
+
+    // Q241 — monthly revenue percentile bands (r15): the p10/p50/p90
+    // envelope per calendar month — the banded trend chart that shows
+    // DISTRIBUTION drift where a mean line (q106/q228) hides it. Exact
+    // integer cents into the established percentile ≡ quantile_cont
+    // pairing; one month-keyed aggregate, ~#months output rows.
+    Q("q241_monthly_bands",
+      (s, d) => {
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        Tables(s, d, "orders")
+          .select(to_date(date_trunc("month", to_date(col("o_orderdate"))))
+            .as("month"), cents.as("c"))
+          .groupBy(col("month"))
+          .agg(count(lit(1)).as("n"),
+            Exact.round6(expr("percentile(c, 0.1)")).as("p10_cents"),
+            Exact.round6(expr("percentile(c, 0.5)")).as("p50_cents"),
+            Exact.round6(expr("percentile(c, 0.9)")).as("p90_cents"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+             |    AS DATE) AS month,
+             |    CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT)
+             |      AS c
+             |  FROM orders)
+             |SELECT month, CAST(count(*) AS BIGINT) AS n,
+             |  round(quantile_cont(c, 0.1), 6) + 0.0 AS p10_cents,
+             |  round(quantile_cont(c, 0.5), 6) + 0.0 AS p50_cents,
+             |  round(quantile_cont(c, 0.9), 6) + 0.0 AS p90_cents
+             |FROM o GROUP BY month ORDER BY month""".stripMargin)),
+
+    // Q242 — new-vs-returning order mix (r15): per month, the share of
+    // orders placed by customers whose FIRST order is that month — the
+    // acquisition-vs-retention revenue split (q238 tracks user events
+    // weekly; this is the order-ledger dual on the customer axis).
+    // First-month is one customer-keyed min; the mix is one month-keyed
+    // aggregate over the customer-keyed join.
+    Q("q242_new_returning",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .select(col("o_custkey"),
+            to_date(date_trunc("month", to_date(col("o_orderdate"))))
+              .as("month"))
+        val firstM = o.groupBy(col("o_custkey"))
+          .agg(min(col("month")).as("first_m"))
+        o.join(firstM, "o_custkey")
+          .groupBy(col("month"))
+          .agg(count(lit(1)).as("orders_"),
+            sum((col("month") === col("first_m")).cast(LongType))
+              .cast(LongType).as("new_cust_orders"))
+          .select(col("month"), col("orders_"), col("new_cust_orders"),
+            Exact.round6(col("new_cust_orders").cast(DoubleType) /
+              col("orders_").cast(DoubleType)).as("new_share"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey,
+             |    CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+             |      AS DATE) AS month
+             |  FROM orders),
+             |f AS (SELECT o_custkey, min(month) AS first_m FROM o
+             |      GROUP BY o_custkey)
+             |SELECT month, CAST(count(*) AS BIGINT) AS orders_,
+             |  CAST(sum(CASE WHEN month = first_m THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS new_cust_orders,
+             |  round(CAST(sum(CASE WHEN month = first_m THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) + 0.0 AS new_share
+             |FROM o JOIN f USING (o_custkey)
+             |GROUP BY month ORDER BY month""".stripMargin)),
+
+    // Q243 — dormancy reactivations (r15): orders arriving after a >90-day
+    // per-customer silence, by month — the win-back readout (q238 cohorts
+    // measure decay; this measures RETURN after decay). The gap is one
+    // CUSTOMER-KEYED lag window (parallel by key; tied same-day orders
+    // yield identical lag VALUES whatever their tie order, so the window
+    // needs no unique tiebreak), then one month-keyed aggregate.
+    Q("q243_reactivation",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d"))
+        Tables(s, d, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+          .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+          .select(to_date(date_trunc("month", col("d"))).as("month"),
+            when(col("gap") > 90, 1L).otherwise(0L).as("react"))
+          .groupBy(col("month"))
+          .agg(count(lit(1)).as("orders_"),
+            sum(col("react")).cast(LongType).as("reactivations"))
+          .select(col("month"), col("orders_"), col("reactivations"),
+            Exact.round6(col("reactivations").cast(DoubleType) /
+              col("orders_").cast(DoubleType)).as("react_share"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+             |  FROM orders),
+             |g AS (SELECT o_custkey, d,
+             |    date_diff('day', lag(d) OVER (PARTITION BY o_custkey
+             |      ORDER BY d), d) AS gap
+             |  FROM o),
+             |m AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+             |    CASE WHEN gap > 90 THEN 1 ELSE 0 END AS react
+             |  FROM g)
+             |SELECT month, CAST(count(*) AS BIGINT) AS orders_,
+             |  CAST(sum(react) AS BIGINT) AS reactivations,
+             |  round(CAST(sum(react) AS DOUBLE) / count(*), 6) + 0.0
+             |    AS react_share
+             |FROM m GROUP BY month ORDER BY month""".stripMargin))
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.api.Graft
-import graft.{Q, Tables}
+import graft.{Exact, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
@@ -813,6 +813,92 @@ object LlmOps {
              |SELECT doc_id, timescale, duration_units, duration_s,
              |  track_count, width, height
              |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // Q244 — kNN label purity (r15): do an embedding's 5 nearest
+    // neighbors share its label? THE intrinsic embedding-quality metric
+    // (before any downstream eval): purity near 1/|labels| means the
+    // export is noise (exactly what these synthetic fixtures show),
+    // near 1.0 means the space separates classes. A deterministic probe
+    // subset (vec_id % 10) runs brute-force exact kNN — the verification
+    // tier; the ANN family (q32_ann_*) is the 100 TB path this metric
+    // validates. Purity aggregates as INTEGER match counts with one
+    // final division (summing per-probe k/5 doubles would reorder ULPs).
+    // Rank determinism: sim ties break by neighbor id; the engine's
+    // codegen cosine is bit-identical to DuckDB's list_cosine_similarity
+    // (the q32 precedent).
+    Q("q244_knn_purity",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val probes = e.where(col("vec_id") % 10 === 0)
+        val top = Graft.cosineTopKBatch(e, id = col("vec_id"),
+          vec = col("embedding"),
+          queries = probes, qid = col("vec_id"),
+          qvec = col("embedding"), k = 6)
+          .where(col("n_id") =!= col("q_id")) // self always ranks first
+        val top5 = Graft.topKPerGroup(top, Seq(col("q_id")),
+          Seq(col("cos_sim").desc, col("n_id")), 5)
+        val labels = e.select(col("vec_id"), col("label"))
+        top5
+          .join(broadcast(labels.toDF("q_id", "q_label")), "q_id")
+          .join(broadcast(labels.toDF("n_id", "n_label")), "n_id")
+          .groupBy(col("q_label"))
+          .agg(countDistinct(col("q_id")).as("n_probes"),
+            sum((col("n_label") === col("q_label")).cast(LongType))
+              .as("matches"))
+          .select(col("q_label").as("label"), col("n_probes"),
+            Exact.round6(col("matches").cast(DoubleType) /
+              (lit(5.0) * col("n_probes").cast(DoubleType)))
+              .as("knn_purity"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |p AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+             |sims AS (
+             |  SELECT p.vec_id AS q_id, p.label AS q_label,
+             |    e.vec_id AS n_id, e.label AS n_label,
+             |    list_cosine_similarity(e.v, p.v) AS sim
+             |  FROM p JOIN e ON e.vec_id <> p.vec_id),
+             |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY sim DESC, n_id) AS rk FROM sims),
+             |agg AS (SELECT q_label, count(DISTINCT q_id) AS n_probes,
+             |    sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+             |      AS matches
+             |  FROM top WHERE rk <= 5 GROUP BY q_label)
+             |SELECT q_label AS label, CAST(n_probes AS BIGINT) AS n_probes,
+             |  round(CAST(matches AS DOUBLE) / (5.0 * n_probes), 6) + 0.0
+             |    AS knn_purity
+             |FROM agg ORDER BY label""".stripMargin)),
+
+    // Q245 — label-balance audit (r15): class distribution + imbalance
+    // ratios over the embedding export — the two-line check that catches
+    // a skewed or truncated label column before it poisons sampling,
+    // k-fold splits, or q244's purity read. Exact counts, two divisions
+    // per output row against a broadcast 1-row total frame.
+    Q("q245_label_balance",
+      (s, d) => {
+        val c = Tables(s, d, "embeddings")
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        val t = c.agg(sum(col("n")).cast(LongType).as("tot"),
+          max(col("n")).cast(LongType).as("mx"))
+        c.crossJoin(broadcast(t))
+          .select(col("label"), col("n"),
+            Exact.round6(col("n").cast(DoubleType) /
+              col("tot").cast(DoubleType)).as("share"),
+            Exact.round6(col("n").cast(DoubleType) /
+              col("mx").cast(DoubleType)).as("ratio_to_max"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH c AS (
+             |  SELECT label, CAST(count(*) AS BIGINT) AS n
+             |  FROM embeddings GROUP BY label),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+             |      CAST(max(n) AS BIGINT) AS mx FROM c)
+             |SELECT label, n,
+             |  round(CAST(n AS DOUBLE) / tot, 6) + 0.0 AS share,
+             |  round(CAST(n AS DOUBLE) / mx, 6) + 0.0 AS ratio_to_max
+             |FROM c CROSS JOIN t ORDER BY label""".stripMargin)),
 
     // Q33 — token frequency: generator (explode) + hash agg + top-k with
     // full tiebreak. Partial aggregation keeps the shuffle small. The

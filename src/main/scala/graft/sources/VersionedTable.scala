@@ -1875,7 +1875,14 @@ object VersionedTable {
     * exactly what a serial replay would have — the conflict resolves
     * INTERNALLY, with no snapshot rewrite and no caller retry (the Delta
     * logical-conflict-detection move, scoped to the verb where
-    * non-overlap is provable by construction). At 100 TB this is the
+    * non-overlap is provable by construction). The CoW verbs
+    * (merge/update/delete/overwrite/optimize) deliberately DON'T rebase
+    * even for provably-disjoint keys: they write FULL derived snapshots
+    * — rebasing one onto a winner it never read would drop the winner's
+    * rows wholesale (Delta can rebase disjoint merges only because its
+    * merges commit delta files against a shared base, not snapshots);
+    * their honest resolution stays conflict-and-rederive. Appends are
+    * the verb where the snapshot IS the delta. At 100 TB this is the
     * difference between N drip-ingest writers throughput-capped by slot
     * serialization (HAMMER r14: 26× retry tax under contention) and N
     * writers whose appends all land first try.

@@ -593,4 +593,30 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"cohort attach must be the user_id equi-join:\n$p")
   }
+
+  test("q241/q242/q245: keyed aggregation shapes, no global window") {
+    Seq("q241_monthly_bands", "q242_new_returning",
+      "q245_label_balance").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q window:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q243: dormancy gap windows by CUSTOMER, never one partition") {
+    val p = plan("q243_reactivation")
+    assert(p.matches("(?s).*Window \\[[^\\]]*\\], \\[o_custkey[^\\]]*\\].*") ||
+      p.contains("partitionby(o_custkey") || p.contains("[o_custkey"),
+      s"gap window must be customer-keyed:\n$p")
+  }
+
+  test("q244: purity probes BROADCAST over the corpus scan") {
+    // the brute-force verification tier must broadcast the probe set —
+    // a shuffled corpus×probe join (or a corpus self-shuffle) would be
+    // the wrong 100 TB shape for a bounded probe sample
+    val p = plan("q244_knn_purity")
+    assert(p.contains("BroadcastExchange"), s"probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast product:\n$p")
+  }
 }
