@@ -79,6 +79,19 @@ object Bench {
       val times = samples.getOrElse(name, Seq.empty)
       name -> (if (times.isEmpty) Double.NaN else times.min)
     }
+    // Variance tripwire (r15's q55 lesson: a 5.83s median over a 2.29s min
+    // meant ≥3 of 5 reps ran under external load, and the skewed median
+    // became the round's committed number with nothing flagging it). A
+    // query whose median exceeds 1.5× its min is flagged in the detail
+    // file so an interference-skewed median reads as suspect, not as a
+    // regression. The min stays the intrinsic-cost estimate.
+    val varianceWarnings = names.flatMap { name =>
+      val med = results.toMap.getOrElse(name, Double.NaN)
+      val mn = mins.toMap.getOrElse(name, Double.NaN)
+      if (!med.isNaN && !mn.isNaN && mn > 0.5 && med / mn > 1.5)
+        Some(f"$name: median ${med}%.2fs vs min ${mn}%.2fs (${med / mn}%.1fx) — rerun on a quiet box before trusting the median")
+      else None
+    }
     // Machine-drift canary: the ratio of this run's median total over five
     // STABLE, plan-simple queries to their committed r13 sf0.1 medians
     // (BENCH_r13/BENCH_FULL.json, commit 85dab69, same box). Round-over-
@@ -117,7 +130,8 @@ object Bench {
       // must stay inside the harness's ~2KB tail window (see below)
       val mn =
         if (withMins)
-          s""","value_min":${fm(totalMin)},"queries_min":${mins.map(entry).mkString("{", ",", "}")}"""
+          s""","value_min":${fm(totalMin)},"queries_min":${mins.map(entry).mkString("{", ",", "}")}""" +
+            s""","variance_warnings":${varianceWarnings.map(jq).mkString("[", ",", "]")}"""
         else ""
       s"""{"metric":"total","value":${fm(total)},"unit":"sec","n":$reps,"warmup":$warmup,"agg":"median","drift":${drift.map(fm).getOrElse("null")},"queries":${qs.map(entry).mkString("{", ",", "}")}$om$mn,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     }

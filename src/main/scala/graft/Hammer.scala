@@ -503,12 +503,35 @@ object Hammer {
         }
       }
     }, "p5-lazydelete")
+    // the alter ping-pong also tolerates "already exists"/"no column":
+    // a racing merge can legitimately materialize-then-lose xc between
+    // this thread's DROP and its next ADD (the diff a CoW verb applies
+    // is the whole mapped snapshot), so a presence mismatch is protocol
+    // noise here, not a failure — mirroring retryingAligned's
+    // schemaMoved handling
+    def retryingAlter(counter: AtomicLong)(body: => Unit): Unit = {
+      var done = false
+      while (!done && failures.isEmpty) {
+        try { body; done = true }
+        catch {
+          case _: VersionedTable.CommitConflictException =>
+            conflicts.incrementAndGet()
+          case e: IllegalArgumentException
+              if Option(e.getMessage).exists(m =>
+                m.contains("already exists") || m.contains("no column")) =>
+            // the ping-pong's TARGET state already holds (or the other
+            // half raced ahead) — count it done and move to the next leg
+            done = true
+        }
+      }
+      if (done) { counter.incrementAndGet(); () }
+    }
     val p5Alter = new Thread(() => guarded {
       (0 until perWriter).foreach { _ =>
-        retrying(p5Alters) {
+        retryingAlter(p5Alters) {
           VersionedTable.addColumn(spark, t3, "xc", "INT", Some("5"))
         }
-        retrying(p5Alters) {
+        retryingAlter(p5Alters) {
           VersionedTable.dropColumn(spark, t3, "xc")
         }
       }

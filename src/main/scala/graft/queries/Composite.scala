@@ -307,6 +307,12 @@ object Composite {
               col("l_quantity").cast(LongType).as("q"),
               col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
               col("l_suppkey"))
+            // LongType cumulative is safe: the sum is PER PARTKEY and
+            // each term is a quantity ≤ 50 — even at SF1e3 (~30 lines
+            // per part) the running total stays ~1e3–1e4, eleven orders
+            // of magnitude under the int64 edge (q220's hazard was a
+            // GLOBAL cumulative of ~1e16-scale products; this is not
+            // that shape)
             .withColumn("cum", sum(col("q")).over(w))
             .select(col("pk"), col("iid"),
               (col("cum") - col("q")).as("lo"),
@@ -1092,6 +1098,10 @@ object Composite {
             .otherwise(-col("l_quantity").cast(LongType))).as("net"))
         val wc = org.apache.spark.sql.expressions.Window
           .partitionBy(col("l_partkey")).orderBy(col("day"))
+        // LongType cumulative is safe: per-partkey running sum of daily
+        // nets, each term bounded by ±50 × that part's lines-per-day —
+        // the per-key total stays ~1e4 at any SF (q220's DECIMAL(38,0)
+        // pattern exists for GLOBAL cumulatives of ~1e16-scale terms)
         val s1 = daily.withColumn("s", sum(col("net")).over(wc))
           .withColumn("smin", min(col("s")).over(wc))
         s1.select(col("l_partkey"), col("day"), col("net"),

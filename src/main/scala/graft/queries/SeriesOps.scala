@@ -267,6 +267,9 @@ object SeriesOps {
     Q("q219_drawdown",
       (s, d) => {
         val w = Window.orderBy(col("day")) // calendar-bounded daily frame
+        // LongType is safe here (unlike q220's DECIMAL(38,0) cumulative):
+        // this window is a running MAX, never a sum — its value is one
+        // day's revenue cents (~1e13·SF), nowhere near the int64 edge
         dailyCents(s, d)
           .withColumn("peak", max(col("c")).over(w).cast(LongType))
           .select(col("day"), col("c").as("rev_cents"),

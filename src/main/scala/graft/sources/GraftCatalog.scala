@@ -78,8 +78,7 @@ object GraftCatalog {
          |TBLPROPERTIES (
          |  'graft.versioned' = 'true',
          |  'graft.location' = '$location',
-         |  'comment' = 'graft versioned table — read/mutate via GraftSql;
-         | direct reads see an empty stub')""".stripMargin)
+         |  'comment' = 'graft versioned table — read/mutate via GraftSql; direct reads see an empty stub')""".stripMargin)
   }
 
   /** The manifest root `name` is bound to — None when the name is not a

@@ -567,10 +567,20 @@ object GraftSql {
     if (matches.isEmpty) return statement
     val sb = new StringBuilder
     var last = 0
-    var quoteParity = 0
+    // in-string tracking covers BOTH quote styles: Spark's default parser
+    // reads double-quoted text as a string literal too, so a registered
+    // db.table token inside "..." must pass through verbatim exactly like
+    // one inside '...'. Two independent states — a quote char inside the
+    // OTHER style's literal is literal text, not a toggle.
+    var inSingle = false
+    var inDouble = false
     matches.foreach { m =>
-      quoteParity += statement.substring(last, m.start).count(_ == '\'')
-      val inString = quoteParity % 2 == 1
+      statement.substring(last, m.start).foreach {
+        case '\'' if !inDouble => inSingle = !inSingle
+        case '"' if !inSingle => inDouble = !inDouble
+        case _ => ()
+      }
+      val inString = inSingle || inDouble
       val resolved =
         if (inString) None else GraftCatalog.resolve(spark, m.matched)
       sb.append(statement.substring(last, m.start))
@@ -597,8 +607,14 @@ object GraftSql {
           if (beforeTT || !readPosition)
             sb.append(s"'$path'")
           else {
-            val view = s"graft_named_${UUID.randomUUID.toString
-              .replace("-", "_")}"
+            // DETERMINISTIC per-(name, path) view name + createOrReplace:
+            // session-catalog growth is bounded by the number of
+            // registered tables (a fresh UUID per resolution leaked one
+            // temp view per statement for the life of the session). The
+            // path hash disambiguates names like `db_x.t` vs `db.x_t`
+            // that flatten to the same underscore spelling.
+            val view = "graft_named_" + m.matched.replace('.', '_') +
+              "_" + (path.hashCode.toLong & 0xffffffffL)
             VersionedTable.readLatest(spark, path)
               .createOrReplaceTempView(view)
             sb.append(view)
@@ -699,17 +715,26 @@ object GraftSql {
     Seq(v).toDF("version")
   }
 
-  /** Swap every `'<path>' VERSION AS OF n` reference for a fresh temp view
+  /** Deterministic temp-view suffix for a reference: bounded
+    * session-catalog growth (createOrReplace re-binds the same name on
+    * every statement instead of leaking a UUID view per resolution — the
+    * long-lived-session fix the resolveNames views share).
+    */
+  private def viewId(parts: String*): String =
+    parts.map(p => p.hashCode.toLong & 0xffffffffL).mkString("_")
+
+  /** Swap every `'<path>' VERSION AS OF n` reference for a temp view
     * over the committed snapshot; the rest of the statement is untouched
     * (plain Spark SQL — filters/joins/aggregates all apply to the
     * time-travel read, and pushdown works because the view IS the
-    * snapshot's parquet scan).
+    * snapshot's parquet scan). View names are deterministic per
+    * reference, so repeated statements reuse one catalog slot.
     */
   private def rewriteTimeTravel(spark: SparkSession, statement: String): String = {
     val pinned = VersionRefRe.replaceAllIn(statement, m => {
       val table = Option(m.group(1)).getOrElse(m.group(2))
       val version = m.group(3).toLong
-      val view = s"graft_time_travel_${UUID.randomUUID.toString.replace("-", "_")}"
+      val view = s"graft_time_travel_${viewId(table)}_$version"
       VersionedTable.readVersion(spark, table, version)
         .createOrReplaceTempView(view)
       view
@@ -724,14 +749,14 @@ object GraftSql {
         if (raw.contains(" ") || raw.contains("T"))
           raw.replace("T", " ")
         else s"$raw 00:00:00")
-      val view = s"graft_as_of_${UUID.randomUUID.toString.replace("-", "_")}"
+      val view = s"graft_as_of_${viewId(table)}_${ts.getTime}"
       VersionedTable.readAsOf(spark, table, ts.getTime)
         .createOrReplaceTempView(view)
       view
     })
     LatestRefRe.replaceAllIn(stamped, m => {
       val table = Option(m.group(1)).getOrElse(m.group(2))
-      val view = s"graft_latest_${UUID.randomUUID.toString.replace("-", "_")}"
+      val view = s"graft_latest_${viewId(table)}"
       VersionedTable.readLatest(spark, table).createOrReplaceTempView(view)
       view
     })

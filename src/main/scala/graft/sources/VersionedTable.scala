@@ -1081,7 +1081,11 @@ object VersionedTable {
     * `props`. Returns the segments.
     */
   private def alterPath(name: String): Seq[String] = {
-    val segs = name.split('.').toSeq
+    // limit -1: String.split drops TRAILING empty segments by default, so
+    // "a." would silently validate as Seq("a") and target top-level `a`
+    // instead of being rejected as malformed — keep empties so the
+    // identifier check below refuses trailing/doubled dots
+    val segs = name.split("\\.", -1).toSeq
     require(segs.nonEmpty && segs.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"column name must be a (dot-separated) identifier path: $name")
     segs.foreach(s => require(!s.startsWith("__"),
@@ -1542,7 +1546,20 @@ object VersionedTable {
       if (hfs.exists(mirrored))
         Some(spark.read.parquet(mirrored.toString).drop("_commit_version"))
       else opOf(spark, table, v) match {
-        case Some("merge") | Some("lazydelete") | Some("insert") =>
+        case Some("lazydelete") =>
+          // an unmirrored deferred delete synthesizes its batch from the
+          // PREDECESSOR snapshot — at the oldest surviving version that
+          // predecessor may itself be expired, and the read would
+          // otherwise surface a raw "never committed" error; raise the
+          // same mirror/remedy message the folded case gets
+          if (resolveDir(hfs, root, v - 1L).isEmpty)
+            throw new IllegalArgumentException(
+              s"version $v of $table is a deferred delete whose " +
+                s"predecessor ${v - 1} is expired and no _cdf mirror " +
+                "exists for it — enable the change feed before " +
+                "compacting/expiring history you want to range-read")
+          Some(readChanges(spark, table, v))
+        case Some("merge") | Some("insert") =>
           Some(readChanges(spark, table, v))
         case Some("schema") | Some("optimize") => None // row-neutral
         case Some(other) => throw new IllegalArgumentException(

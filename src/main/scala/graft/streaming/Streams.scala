@@ -299,23 +299,52 @@ object Streams {
       }
       val cdf = new org.apache.hadoop.fs.Path(s"$table/_cdf")
       val hfs = cdf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val dirs =
-        if (!hfs.exists(cdf)) Array.empty[String]
+      val all =
+        if (!hfs.exists(cdf)) Array.empty[org.apache.hadoop.fs.Path]
         else hfs.listStatus(cdf).filter(_.isDirectory)
           .map(_.getPath).filter(_.getName.matches("v\\d+"))
-          // a mid-chain subscriber (startingVersion, r15) infers its
-          // schema from ITS window only — pre-window batches may carry
-          // incompatible narrow vintages the subscriber never reads
-          .filter(p => startingVersion.forall(
-            p.getName.stripPrefix("v").toLong >= _))
-          .map(_.toString).sorted
-      if (dirs.isEmpty)
+      // a mid-chain subscriber (startingVersion, r15) infers its
+      // schema from ITS window only — pre-window batches may carry
+      // narrow vintages the subscriber never keeps a row of
+      val (pre, dirs) = all.partition(p => startingVersion.exists(
+        p.getName.stripPrefix("v").toLong < _))
+      val sortedDirs = dirs.map(_.toString).sorted
+      if (sortedDirs.isEmpty)
         throw new IllegalArgumentException(
           s"no mirrored change batches under $glob to infer the feed " +
             "schema from — enableChangeFeed + at least one merge " +
             "first, or pass the schema explicitly")
-      dirs.map(d => spark.read.parquet(d).schema)
+      val windowSchema = sortedDirs.map(d => spark.read.parquet(d).schema)
         .reduce(widenMerge)
+      // The file source below still streams the FULL `_cdf/v*` glob (the
+      // window filter is row-level), so pre-window files are READ with
+      // the window-only schema. That is safe exactly when every
+      // pre-window column either matches the window type or up-casts
+      // into it (Spark 4's parquet readers up-cast narrow files; missing
+      // columns read as null). A pre-window vintage the window schema
+      // CANNOT represent would crash the stream at read time — unless
+      // parquet row-group pushdown on _commit_version happens to prune
+      // every row group, which is fragile (pushdown can be disabled, and
+      // very old mirrors lacking _commit_version defeat it). Verify
+      // compatibility NOW and fail with the explicit-schema remedy
+      // instead of a mid-stream read error.
+      pre.map(_.toString).sorted.foreach { d =>
+        val ps = spark.read.parquet(d).schema
+        ps.fields.foreach { pf =>
+          windowSchema.fields.find(_.name == pf.name).foreach { wf =>
+            val ok = pf.dataType == wf.dataType ||
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(pf.dataType, wf.dataType)
+            if (!ok) throw new IllegalArgumentException(
+              s"pre-window change batch $d stores column ${pf.name} as " +
+                s"${pf.dataType.sql}, which the window-inferred type " +
+                s"${wf.dataType.sql} cannot read (the file source streams " +
+                "the whole mirror and filters rows) — pass the read " +
+                "schema explicitly")
+          }
+        }
+      }
+      windowSchema
     }
     val feed = spark.readStream.schema(s).parquet(glob)
     // mid-chain subscription (r15): drop batches below the starting
