@@ -2948,6 +2948,58 @@ object Composite {
              |      AS BIGINT)) FROM v4)
              |SELECT CAST(version AS BIGINT) AS version, op,
              |  CAST(n AS BIGINT) AS n_rows, CAST(cents AS BIGINT) AS cents
-             |FROM s ORDER BY version""".stripMargin))
+             |FROM s ORDER BY version""".stripMargin)),
+
+    // Q246 — FILE-GRANULAR copy-on-write DML (r16): a multi-year table
+    // year-clustered at commit, then UPDATE one year and DELETE another.
+    // The lakehouse property under test: each verb rewrites ONLY the
+    // files whose zone slice holds matched rows and references the rest
+    // in place (kept-file manifest tokens) — O(churn), not O(table); at
+    // 100 TB the difference between repricing one year in minutes and
+    // rewriting the lake. The partial-rewrite property is REQUIRED
+    // in-query (the engine's rewrite counters), and the visible result is
+    // oracle-paired as usual. ×2 repricing is exact in binary doubles;
+    // cents are exact DECIMAL→BIGINT.
+    Q("q246_file_cow",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = scratchDir("graft-vtable-fgcow") + "/t"
+        VersionedTable.commitClustered(s,
+          Tables(s, d, "orders").select(col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("yr"),
+            col("o_totalprice")),
+          dir, clusterCols = Seq("yr"), numFiles = 8,
+          maxRecordsPerFile = 100000L)
+        VersionedTable.updateWhere(s, dir, col("yr") === 1995L,
+          Map("o_totalprice" -> (col("o_totalprice") * lit(2))))
+        val (rewrote, total) = VersionedTable.lastCowRewrite.get()
+        require(rewrote > 0 && rewrote < total,
+          s"UPDATE of one clustered year must rewrite a strict subset " +
+            s"of files: $rewrote of $total")
+        VersionedTable.deleteWhere(s, dir, col("yr") === 1992L)
+        val (rewroteD, totalD) = VersionedTable.lastCowRewrite.get()
+        require(rewroteD < totalD,
+          s"DELETE of one clustered year must keep unmatched files: " +
+            s"$rewroteD of $totalD")
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        VersionedTable.readLatest(s, dir)
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents).cast(LongType).as("cents"))
+          .orderBy(col("yr"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             |    CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995
+             |         THEN o_totalprice * 2 ELSE o_totalprice END
+             |      AS o_totalprice
+             |  FROM orders
+             |  WHERE EXTRACT(YEAR FROM o_orderdate) <> 1992)
+             |SELECT yr, count(*) AS n_orders,
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT)) AS BIGINT) AS cents
+             |FROM t GROUP BY yr ORDER BY yr""".stripMargin))
   )
 }

@@ -548,8 +548,11 @@ object VersionedTable {
         s"version $version of $table was never committed"))
     // appended versions name several dirs (`;`-joined); all dirs of one
     // version share an identical schema (append enforces it), so the
-    // multi-path read needs no schema merging
-    val dirs = splitDirs(dir)
+    // multi-path read needs no schema merging. File-granular CoW versions
+    // additionally name kept FILES of partially-rewritten dirs — grouped
+    // back under their dir scope here, so per-dir metadata binds once and
+    // one dir's kept files read as ONE multi-path scan, not one per file.
+    val groups = groupTokensByScope(splitDirs(dir))
     // deferred deletes ([[deleteWhereLazy]]): each dir takes the keep
     // filter of the predicates scoped to it — a codegen'd filter pushed
     // into the scans, so the merge-on-read price is predicate evaluation,
@@ -568,11 +571,13 @@ object VersionedTable {
     // always bind to their dirs' physical column names.
     val chain = schemaStateOf(spark, table, version)
     if (preds.isEmpty && chain.isEmpty)
-      spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
+      spark.read.parquet(groups.flatMap(_._2)
+        .map(t => new Path(root, t).toString): _*)
     else {
-      val mapped = dirs.map { d =>
-        val df = spark.read.parquet(new Path(root, d).toString)
-        val kept = delKeepFilter(preds, d).map(df.where).getOrElse(df)
+      val mapped = groups.map { case (scope, toks) =>
+        val df = spark.read.parquet(toks.map(t =>
+          new Path(root, t).toString): _*)
+        val kept = delKeepFilter(preds, scope).map(df.where).getOrElse(df)
         if (chain.isEmpty) kept
         else applySchemaChain(kept,
           // a dir ABSENT from the position map was appended at the
@@ -581,7 +586,7 @@ object VersionedTable {
           // that predates at least one op got an explicit entry from
           // the ALTER that added that op. Legacy (fmt 1) sidecars
           // default to 0 instead — see [[SchemaChain.posOf]]
-          chain.ops.drop(chain.posOf(d)))
+          chain.ops.drop(chain.posOf(scope)))
       }
       // dirs of different vintages can disagree on column ORDER once a
       // mapping is active (an added column sits wherever each dir's
@@ -589,6 +594,22 @@ object VersionedTable {
       if (chain.isEmpty) mapped.reduce(_ union _)
       else mapped.reduce(_ unionByName _)
     }
+  }
+
+  /** Group a version's dir-list tokens by their [[dirScopeOf]] scope, in
+    * first-occurrence order: one entry per dir, carrying either the
+    * whole-dir token or every kept-file token of that dir (the two never
+    * co-occur for one dir — a file-granular rewrite replaces the dir
+    * token with its kept files).
+    */
+  private def groupTokensByScope(
+      tokens: Seq[String]): Seq[(String, Seq[String])] = {
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.Builder[String, Seq[String]]]
+    tokens.foreach { t =>
+      order.getOrElseUpdate(dirScopeOf(t), Seq.newBuilder[String]) += t
+    }
+    order.iterator.map { case (s, b) => (s, b.result()) }.toSeq
   }
 
   /** TIMESTAMP AS OF time travel: the table as of wall-clock `tsMillis`
@@ -1008,7 +1029,7 @@ object VersionedTable {
     // unpinned dirs at 0 (their legacy position), and the new sidecar is
     // fmt 2 with every dir explicit, upgrading the table in place
     val defaultPos = if (prior.fmt >= 2) prior.ops.length else 0
-    val pinned = prior.pos ++ splitDirs(dirs)
+    val pinned = prior.pos ++ splitDirs(dirs).map(dirScopeOf).distinct
       .filterNot(prior.pos.contains).map(_ -> defaultPos)
     val ref = writeSchemaSidecar(spark, table,
       SchemaChain(prior.ops :+ op, pinned))
@@ -1257,6 +1278,29 @@ object VersionedTable {
     */
   private def splitDirs(dir: String): Seq[String] =
     dir.split(';').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** True when a dir-list token names a single kept parquet FILE rather
+    * than a whole data dir — how file-granular copy-on-write
+    * ([[updateWhere]]/[[deleteWhere]]) references the untouched files of
+    * a partially-rewritten dir: the rewritten files' replacements live in
+    * the verb's fresh dir, and every file the predicate provably did not
+    * touch is referenced in place, one token per file. The snapshot read
+    * path is unchanged (a parquet scan takes file paths as happily as dir
+    * paths); everything KEYED by dir — deferred-delete scopes, schema
+    * chain positions, stats sidecars, vacuum's referenced set — resolves
+    * through [[dirScopeOf]]. Data files are immutable once committed, so
+    * a file token is exactly as stable a reference as its dir.
+    */
+  private def isFileToken(tok: String): Boolean = tok.endsWith(".parquet")
+
+  /** The data DIR a token belongs to: itself for whole-dir tokens, the
+    * parent dir for kept-file tokens. All per-dir metadata (del-predicate
+    * scopes, chain positions, `_stats` sidecars, reclaim candidacy) is
+    * recorded against the SCOPE, never against a file token — a file and
+    * its dir share one vintage by construction.
+    */
+  private def dirScopeOf(tok: String): String =
+    if (isFileToken(tok)) tok.substring(0, tok.lastIndexOf('/')) else tok
 
   def readLatest(spark: SparkSession, table: String): DataFrame = {
     val v = latestVersion(spark, table).getOrElse(
@@ -1608,13 +1652,16 @@ object VersionedTable {
     // that resets it also changes the op away from "lazydelete"), so the
     // suffix beyond the predecessor's entries is exactly what v added
     val added = delStateOf(spark, table, version).drop(oldState.size)
-    val deleted = splitDirs(dirStr).map { d =>
-      val df = spark.read.parquet(new Path(root, d).toString)
-      val visible = delKeepFilter(oldState, d).map(df.where).getOrElse(df)
-      delKeepFilter(added, d) match {
-        case Some(keep) => visible.where(not(keep))
-        case None => visible.limit(0)
-      }
+    val deleted = groupTokensByScope(splitDirs(dirStr)).map {
+      case (scope, toks) =>
+        val df = spark.read.parquet(toks.map(t =>
+          new Path(root, t).toString): _*)
+        val visible = delKeepFilter(oldState, scope)
+          .map(df.where).getOrElse(df)
+        delKeepFilter(added, scope) match {
+          case Some(keep) => visible.where(not(keep))
+          case None => visible.limit(0)
+        }
     }.reduce(_ union _)
     require(!deleted.columns.contains("__ver") &&
       !deleted.columns.contains("__op"),
@@ -2105,7 +2152,11 @@ object VersionedTable {
       val cp = checkpointMap(hfs, root)
       versions(spark, table)
         .flatMap(v => resolveDirWith(hfs, root, v, () => cp))
-        .flatMap(splitDirs).toSet
+        .flatMap(splitDirs)
+        // a dir referenced only through kept-FILE tokens (file-granular
+        // CoW) is referenced, full stop — normalizing to the scope keeps
+        // it out of the reclaim candidates
+        .map(dirScopeOf).toSet
     }
     val cutoff = System.currentTimeMillis() - graceMs
     // stale publish temps (writers that crashed between temp write and
@@ -2794,10 +2845,135 @@ object VersionedTable {
       base: Long, cond: org.apache.spark.sql.Column,
       maxRecordsPerFile: Long): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    val kept = readVersion(spark, table, base)
-      .where(not(coalesce(cond, lit(false))))
-    commitPinned(spark, kept, table, base, op = "delete",
-      maxRecordsPerFile = maxRecordsPerFile)
+    commitCowGranular(spark, table, base, cond, op = "delete",
+      maxRecordsPerFile = maxRecordsPerFile)(
+      touched => touched.where(not(coalesce(cond, lit(false)))))
+  }
+
+  /** Observability for the last file-granular CoW verb on this process:
+    * (files rewritten, files the base version referenced) — what the
+    * skip-probe law in SinksSpec asserts against. Never read by the
+    * protocol itself.
+    */
+  private[graft] val lastCowRewrite =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** FILE-GRANULAR copy-on-write — the shared tail of [[deleteWhere]] and
+    * [[updateWhere]]. Instead of rewriting the whole snapshot (O(table):
+    * at 100 TB an UPDATE touching 0.1% of rows would rewrite 100 TB),
+    * the verb:
+    *
+    *  1. PROBES for touched files: one scan of the visible snapshot,
+    *     `cond`-filtered, collecting distinct `_metadata.file_path` —
+    *     column-pruned to the predicate's inputs and row-group-pruned by
+    *     parquet stats, so the probe reads a fraction of the table and
+    *     writes nothing;
+    *  2. REWRITES only the touched files through `transform` into one
+    *     fresh writer-unique dir (constraint gate + skipping sidecar as
+    *     on every commit path);
+    *  3. REFERENCES everything else in place: untouched whole dirs keep
+    *     their tokens; partially-touched dirs are replaced by kept-FILE
+    *     tokens (see [[isFileToken]]) — no byte of an untouched file is
+    *     read in step 2 or rewritten, and the published version's cost
+    *     is O(matched files), the same class as the read path's
+    *     zone-map/Bloom pruning. (Reference analogue: `set-value`
+    *     upserts ONE key's entry, hive-task src/primitives.lisp:252–266
+    *     — never a whole-container copy.)
+    *
+    * Deferred-delete predicates PROPAGATE by sidecar name (their scoped
+    * dirs are all kept or subset — the fresh dir is outside every
+    * recorded scope, and the rewritten rows were read through the keep
+    * filters, so nothing double-applies or resurrects). An ACTIVE SCHEMA
+    * MAPPING falls back to the whole-snapshot rewrite, preserving the
+    * documented "CoW verbs materialize the mapping" contract (and the
+    * probe's physical-name binding). A NONDETERMINISTIC predicate also
+    * falls back: file-granular evaluates `cond` twice (probe + rewrite),
+    * which is only sound when both passes select the same rows.
+    *
+    * A no-match verb publishes a metadata-only version referencing the
+    * base's tokens unchanged — version-per-verb semantics at zero data
+    * cost. Base-pinned publish like every derived-snapshot verb.
+    */
+  private def commitCowGranular(spark: SparkSession, table: String,
+      base: Long, cond: org.apache.spark.sql.Column, op: String,
+      maxRecordsPerFile: Long)(
+      transform: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (hfs, root) = fs(spark, table)
+    val dirStr = resolveDir(hfs, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $base of $table was never committed"))
+    val cur = readVersion(spark, table, base)
+    val deterministic = cur.where(coalesce(cond, lit(false)))
+      .queryExecution.analyzed.expressions.forall(_.deterministic)
+    if (schemaStateOf(spark, table, base).nonEmpty || !deterministic)
+      // whole-snapshot fallback: materializes the mapping / evaluates a
+      // nondeterministic predicate exactly once, as before
+      return commitPinned(spark, transform(cur), table, base, op = op,
+        maxRecordsPerFile = maxRecordsPerFile)
+    val preds = delStateOf(spark, table, base)
+    val groups = groupTokensByScope(splitDirs(dirStr))
+    // scheme-free path compare: _metadata.file_path and makeQualified can
+    // disagree on URI spelling (file:/ vs file:///) for the same file
+    def rawPath(s: String): String = {
+      val u = new Path(s).toUri
+      if (u.getPath == null || u.getPath.isEmpty) s else u.getPath
+    }
+    def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
+      val df = spark.read.parquet(toks.map(t =>
+        new Path(root, t).toString): _*)
+      delKeepFilter(preds, scope).map(df.where).getOrElse(df)
+    }
+    // 1. probe: distinct touched files, driver-side — bounded by the
+    // files the rewrite will open anyway (the file-index memory class)
+    val probe = groups.map { case (scope, toks) =>
+      visibleOf(scope, toks)
+        .where(coalesce(cond, lit(false)))
+        .select(col("_metadata.file_path").as("__graft_file"))
+    }.reduce(_ union _)
+    val touchedRaw = probe.distinct().collect()
+      .map(r => rawPath(r.getString(0))).toSet
+    // map touched paths back onto the token list, scope by scope
+    val perScope = groups.map { case (scope, toks) =>
+      val qualScope = rawPath(hfs.makeQualified(new Path(root, scope)).toString)
+      val referenced: Seq[String] =
+        if (toks.exists(t => !isFileToken(t)))
+          hfs.listStatus(new Path(root, scope)).iterator
+            .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+            .toSeq.sorted
+        else toks.map(t => t.substring(t.lastIndexOf('/') + 1))
+      val touchedNames = referenced.filter(n =>
+        touchedRaw.contains(s"$qualScope/$n"))
+      (scope, toks, referenced, touchedNames)
+    }
+    val totalFiles = perScope.iterator.map(_._3.size).sum
+    val touchedCount = perScope.iterator.map(_._4.size).sum
+    lastCowRewrite.set((touchedCount, totalFiles))
+    val delRef = delRefOf(spark, table, base)
+    if (touchedCount == 0) {
+      // nothing matches: metadata-only version, zero bytes moved
+      publish(spark, table, base + 1L, dirStr, op = op, delRef = delRef)
+      return base + 1L
+    }
+    // 2. rewrite ONLY the touched files (visible rows → transform)
+    val touchedRows = perScope.collect {
+      case (scope, _, _, touchedNames) if touchedNames.nonEmpty =>
+        visibleOf(scope, touchedNames.map(n => s"$scope/$n"))
+    }.reduce(_ union _)
+    val dirName = writeSnapshot(spark, transform(touchedRows), table,
+      maxRecordsPerFile)
+    validateConstraints(spark, table, dirName)
+    applySkipping(spark, table, dirName, Nil, Nil, 10)
+    // 3. reference the rest in place; the fresh dir goes LAST (the
+    // "dir this version itself wrote" convention readChanges relies on)
+    val keptTokens = perScope.flatMap {
+      case (_, toks, _, touchedNames) if touchedNames.isEmpty => toks
+      case (scope, _, referenced, touchedNames) =>
+        referenced.filterNot(touchedNames.toSet).map(n => s"$scope/$n")
+    }
+    publish(spark, table, base + 1L,
+      (keptTokens :+ dirName).mkString(";"), op = op, delRef = delRef)
+    base + 1L
   }
 
   /** MERGE-ON-READ delete: commit "rows matching `predicate` are gone" as
@@ -2875,8 +3051,12 @@ object VersionedTable {
     require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
       s"lazy-delete predicate must be deterministic (it re-evaluates at " +
         s"every read): $predicate")
+    // scope by DIR (kept-file tokens of a file-granular CoW version
+    // normalize to their parent): visibility only ever shrinks within a
+    // dir — later versions reference the same or fewer of its files — so
+    // a dir-level scope is exactly the rows visible at delete time
     val state = delStateOf(spark, table, base) :+
-      DelPred(predicate, splitDirs(baseDirs).toSet)
+      DelPred(predicate, splitDirs(baseDirs).map(dirScopeOf).toSet)
     val ref = writeDelSidecar(spark, table, state)
     publish(spark, table, base + 1L, baseDirs, op = "lazydelete",
       delRef = Some(ref))
@@ -2910,19 +3090,24 @@ object VersionedTable {
     require(missing.isEmpty,
       s"UPDATE of unknown column(s): ${missing.mkString(", ")}")
     val hit = coalesce(cond, lit(false))
-    // single select: every assignment evaluates against the old row
-    // assignments cast to the column's existing type: UPDATE must never
-    // silently migrate the table schema (an int literal widening a long
-    // column to double would corrupt every later reader's expectations)
-    val updated = cur.select(cur.columns.map { c =>
+    // assignments need no determinism guard (unlike cond): they evaluate
+    // exactly once per MATCHED row on either path — unmatched rows take
+    // the otherwise(col) branch, and the file-granular rewrite feeds the
+    // transform only rows it will write
+    // single select per touched file set: every assignment evaluates
+    // against the old row. Assignments cast to the column's existing
+    // type: UPDATE must never silently migrate the table schema (an int
+    // literal widening a long column to double would corrupt every later
+    // reader's expectations).
+    def updated(df: DataFrame): DataFrame = df.select(df.columns.map { c =>
       set.get(c) match {
         case Some(e) =>
           when(hit, e.cast(cur.schema(c).dataType)).otherwise(col(c)).as(c)
         case None => col(c)
       }
     }: _*)
-    commitPinned(spark, updated, table, base, op = "update",
-      maxRecordsPerFile = maxRecordsPerFile)
+    commitCowGranular(spark, table, base, cond, op = "update",
+      maxRecordsPerFile = maxRecordsPerFile)(updated)
   }
 
   /** Copy-on-write INSERT OVERWRITE ... WHERE (Delta's `replaceWhere`):
@@ -3301,10 +3486,16 @@ object VersionedTable {
       bloomBitsPerRow: Int = 10): Boolean = {
     require(cols.nonEmpty || bloomCols.nonEmpty,
       "ensureStats needs at least one column")
-    val (hfs, _) = fs(spark, table)
+    val (hfs, root) = fs(spark, table)
     // per-dir: an appended version's dirs may have drifted coverage
-    // (base dirs carry the policy of their own commit time)
-    dataPathsOf(spark, table, version).map { dataDir =>
+    // (base dirs carry the policy of their own commit time). Kept-file
+    // tokens (file-granular CoW) backfill their PARENT dir's sidecar —
+    // per-file stats rows for files this version no longer references
+    // are inert (pruned reads intersect with the referenced set)
+    resolveDir(hfs, root, version).map(splitDirs).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $version of $table was never committed"))
+      .map(dirScopeOf).distinct.map(rel => new Path(root, rel)).map { dataDir =>
       val statsPath = new Path(dataDir, statsDirName)
       val (haveStats, haveBloom): (Seq[String], Seq[String]) =
         if (!hfs.exists(statsPath)) (Nil, Nil)
@@ -3356,30 +3547,49 @@ object VersionedTable {
       equalities: Seq[ColumnEquals] = Nil,
       inLists: Seq[ColumnIn] = Nil): Option[(Seq[String], Int)] = {
     val (hfs, root) = fs(spark, table)
-    val dirRels = resolveDir(hfs, root, version).map(splitDirs).getOrElse(
+    val tokens = resolveDir(hfs, root, version).map(splitDirs).getOrElse(
       throw new IllegalArgumentException(
         s"version $version of $table was never committed"))
-    val perDir: Seq[(String, Option[(Seq[String], Int)])] = dirRels.map { rel =>
-      val dataDir = new Path(root, rel)
-      val statsPath = new Path(dataDir, statsDirName)
-      // the sidecar is an OPTIMIZATION: any failure reading it (an
-      // [[ensureStats]] backfill rewriting it mid-read, a truncated
-      // write) must degrade to the full scan, never fail the query
-      val sel =
-        if (!hfs.exists(statsPath)) None
-        else try pruneAgainstStats(spark, dataDir, statsPath, bounds,
-          equalities, inLists)
-        catch { case scala.util.control.NonFatal(_) => None }
-      (rel, sel)
-    }
-    if (perDir.forall(_._2.isEmpty)) return None
+    // file-granular CoW versions reference kept FILES of a dir: the dir's
+    // `_stats` sidecar still covers them (stats are per file; the
+    // rewritten-away files' rows are simply never consulted), so pruning
+    // runs against the sidecar RESTRICTED to the referenced file set — a
+    // sidecar row for an unreferenced file must never resurrect it.
+    val perDir: Seq[(String, Option[Set[String]],
+        Option[(Seq[String], Int)])] =
+      groupTokensByScope(tokens).map { case (scope, toks) =>
+        val restriction: Option[Set[String]] =
+          if (toks.exists(t => !isFileToken(t))) None
+          else Some(toks.map(t => t.substring(t.lastIndexOf('/') + 1)).toSet)
+        val dataDir = new Path(root, scope)
+        val statsPath = new Path(dataDir, statsDirName)
+        // the sidecar is an OPTIMIZATION: any failure reading it (an
+        // [[ensureStats]] backfill rewriting it mid-read, a truncated
+        // write) must degrade to the full scan, never fail the query
+        val sel =
+          if (!hfs.exists(statsPath)) None
+          else try pruneAgainstStats(spark, dataDir, statsPath, bounds,
+            equalities, inLists).map { case (kept, total) =>
+              restriction match {
+                case None => (kept, total)
+                case Some(rs) => (kept.filter(rs.contains), rs.size)
+              }
+            }
+          catch { case scala.util.control.NonFatal(_) => None }
+        (scope, restriction, sel)
+      }
+    if (perDir.forall(_._3.isEmpty)) return None
     val parts = perDir.map {
-      case (rel, Some((kept, total))) => (kept.map(f => s"$rel/$f"), total)
-      case (rel, None) =>
+      case (scope, _, Some((kept, total))) =>
+        (kept.map(f => s"$scope/$f"), total)
+      case (scope, Some(rs), None) =>
+        // uncovered restricted dir: exactly the referenced files kept
+        (rs.toSeq.sorted.map(f => s"$scope/$f"), rs.size)
+      case (scope, None, None) =>
         // uncovered dir: every file kept (a listing, not a scan)
-        val files = hfs.listStatus(new Path(root, rel)).iterator
+        val files = hfs.listStatus(new Path(root, scope)).iterator
           .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
-        (files.map(f => s"$rel/$f"), files.size)
+        (files.map(f => s"$scope/$f"), files.size)
     }
     Some((parts.flatMap(_._1), parts.iterator.map(_._2).sum))
   }

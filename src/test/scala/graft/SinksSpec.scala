@@ -2105,4 +2105,103 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got2 == Map(10L -> (1L, 5.0), 20L -> (2L, 9.0)), got2.toString)
   }
+
+  test("file-granular CoW: DML rewrites only matched files; untouched bytes stay") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.ColumnBounds
+    val t = tmp() + "/vt_fgcow"
+    // a 4-year table, year-clustered so each file covers one year slice —
+    // the layout where an UPDATE of one year must NOT rewrite the others
+    val df = spark.range(20000).select(
+      col("id"), (col("id") % 4 + 2020).as("yr"),
+      (col("id") % 100).cast("double").as("v"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("yr"),
+      numFiles = 8, maxRecordsPerFile = 3000L)
+    def inventory(): Map[String, (Long, Long)] = {
+      val data = new java.io.File(t + "/data")
+      data.listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+          s"${d.getName}/${f.getName}" -> (f.lastModified(), f.length()))
+      }.toMap
+    }
+    val before = inventory()
+    assert(before.size >= 4, s"need a multi-file base: ${before.size}")
+
+    // UPDATE one year — file-granular: only the files holding 2021 rows
+    // rewrite; the rest are referenced in place, byte-identical
+    val matched2021 = VersionedTable.readVersion(spark, t, 1L)
+      .where(col("yr") === 2021)
+      .select(col("_metadata.file_name")).distinct().count()
+    val v2 = VersionedTable.updateWhere(spark, t, col("yr") === 2021,
+      Map("v" -> (col("v") + 1000.0)))
+    assert(v2 == 2L)
+    val (rewritten, total) = VersionedTable.lastCowRewrite.get()
+    assert(rewritten == matched2021,
+      s"skip-probe: rewrote $rewritten files, $matched2021 matched")
+    assert(rewritten < total && rewritten > 0,
+      s"expected a partial rewrite: $rewritten of $total")
+    // every pre-verb file still on disk, same mtime + length: CoW never
+    // mutates a committed byte, and file-granular CoW never even reads
+    // the unmatched ones
+    val after = inventory()
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"$f changed under CoW") }
+    // full-rewrite equivalence
+    val expect = df.select(col("id"), col("yr"),
+      when(col("yr") === 2021, col("v") + 1000.0).otherwise(col("v")).as("v"))
+    val got = VersionedTable.readLatest(spark, t)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.count() == 20000)
+
+    // pruned reads still work over the mixed kept-file + fresh-dir layout
+    // (the base dir's sidecar is consulted RESTRICTED to referenced files)
+    val pruned = VersionedTable.readVersionPruned(spark, t, v2,
+      Seq(ColumnBounds("yr", Some(2020L), Some(2020L))))
+    assert(pruned.count() == 5000)
+    assert(pruned.agg(sum(col("v"))).head.getDouble(0) ==
+      expect.where(col("yr") === 2020).agg(sum(col("v"))).head.getDouble(0))
+
+    // DELETE one year: same file-granular law
+    val v3 = VersionedTable.deleteWhere(spark, t, col("yr") === 2023)
+    val (rewritten3, total3) = VersionedTable.lastCowRewrite.get()
+    assert(rewritten3 > 0 && rewritten3 < total3)
+    assert(VersionedTable.readLatest(spark, t).count() == 15000)
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("yr") === 2023).count() == 0)
+
+    // no-match verb: metadata-only version — zero files rewritten, rows
+    // unchanged, version still advances (verb-per-version provenance)
+    val v4 = VersionedTable.deleteWhere(spark, t, col("yr") === 1999)
+    assert(v4 == 4L)
+    assert(VersionedTable.lastCowRewrite.get()._1 == 0)
+    assert(VersionedTable.readLatest(spark, t).count() == 15000)
+
+    // deferred deletes COMPOSE: the del sidecar travels by name across a
+    // file-granular verb — kept files keep their filters, the fresh dir
+    // is out of scope, and the rewritten rows were read through them
+    VersionedTable.deleteWhereLazy(spark, t, "id % 1000 = 0")
+    val v6 = VersionedTable.updateWhere(spark, t, col("yr") === 2022,
+      Map("v" -> lit(0.0)))
+    val model = df
+      .where(col("yr") =!= 2023)
+      .where(!(col("id") % 1000 === 0))
+      .select(col("id"), col("yr"),
+        when(col("yr") === 2022, 0.0)
+          .when(col("yr") === 2021, col("v") + 1000.0)
+          .otherwise(col("v")).as("v"))
+    val got6 = VersionedTable.readLatest(spark, t)
+    assert(got6.exceptAll(model).isEmpty && model.exceptAll(got6).isEmpty)
+
+    // time travel reaches every intermediate state exactly
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 20000)
+    assert(VersionedTable.readVersion(spark, t, v3).count() == 15000)
+    // vacuum keeps the partially-referenced base dir (file tokens count)
+    assert(VersionedTable.vacuum(spark, t, graceMs = 3600L * 1000L).isEmpty)
+    assert(VersionedTable.readLatest(spark, t).count() == model.count())
+    // history records the verbs
+    assert(VersionedTable.history(spark, t).orderBy("version").collect()
+      .map(_.getString(4)).toSeq ==
+      Seq("commit", "update", "delete", "delete", "lazydelete", "update"))
+    assert(v6 == 6L)
+  }
 }
