@@ -643,6 +643,46 @@ object Hammer {
     }
     p6Appenders.foreach(_.start()); p6Appenders.foreach(_.join(600000))
     val p6Rebases = VersionedTable.appendRebases.get() - rebasesBefore
+
+    // ---- phase 7: disjoint CoW-updater fleet (r16 file-granular rebase) --
+    // N updaters each own ONE clustered region of a fresh table and bump
+    // only their region through copy-on-write updateWhere, with NO retry
+    // wrapper: region-disjoint updates touch disjoint FILE sets (the
+    // region-clustered layout), so every slot collision must resolve
+    // internally (publishCowRebasing's guards all hold) — a surfaced
+    // conflict is a protocol regression recorded as a failure. This is
+    // the DML sibling of phase 6: before r16, CoW verbs serialized on
+    // the version slot with a caller-retry tax even when provably
+    // disjoint.
+    val t7 = root + "/cowfleet"
+    val p7Writers = math.min(writers, 8)
+    // one PURE-region data dir per writer, seeded as commit + appends:
+    // the only layout that GUARANTEES file-disjoint regions (a single
+    // clustered/unioned write lets range sampling or AQE coalescing
+    // co-locate two regions in one file, which would make the writers'
+    // touched sets legitimately overlap and the conflict surface
+    // honestly; the fleet pins the DISJOINT contract, so the layout must
+    // be deterministic)
+    def region7(w: Int) = spark.range(1000L).coalesce(1)
+      .select(lit(w.toLong).as("region"),
+        (col("id") + w * 1000L).as("k"), lit(0L).as("bumps"))
+    VersionedTable.commit(spark, region7(0), t7)
+    (1 until p7Writers).foreach(w =>
+      VersionedTable.append(spark, t7, region7(w)))
+    val cowRebasesBefore = VersionedTable.cowRebases.get()
+    val p7Updaters = (0 until p7Writers).map { w =>
+      new Thread(() => guarded {
+        (0 until perWriter).foreach { _ =>
+          // deliberately NOT wrapped in retrying(): a surfaced conflict
+          // between disjoint regions is a failure
+          VersionedTable.updateWhere(spark, t7,
+            col("region") === w.toLong,
+            Map("bumps" -> (col("bumps") + lit(1L)))); ()
+        }
+      }, s"p7-update-$w")
+    }
+    p7Updaters.foreach(_.start()); p7Updaters.foreach(_.join(600000))
+    val p7Rebases = VersionedTable.cowRebases.get() - cowRebasesBefore
     val wallS = (System.nanoTime() - t0) / 1e9
 
     // ---- invariants -----------------------------------------------------
@@ -784,6 +824,18 @@ object Hammer {
       s"rows=$p6Rows expected ${writers.toLong * perWriter}")
     check("p6 rebases actually happened (the race collided)",
       p6Rebases > 0, "zero rebases — raise writers/commits")
+    // phase-7 invariants: the disjoint CoW-updater fleet
+    val p7vs = VersionedTable.versions(spark, t7)
+    val p7Expect = p7Writers.toLong + p7Writers.toLong * perWriter
+    check("p7 CoW-fleet chain gap-free, one version per update",
+      p7vs == (1L to p7vs.last) && p7vs.last == p7Expect,
+      s"versions=$p7vs expected 1..$p7Expect")
+    val p7Bad = VersionedTable.readLatest(spark, t7)
+      .where(col("bumps") =!= perWriter.toLong).count()
+    check("p7 every region bumped exactly perWriter times (serial-replay equal)",
+      p7Bad == 0L, s"$p7Bad rows off target")
+    check("p7 CoW rebases actually happened (the race collided)",
+      p7Rebases > 0, "zero CoW rebases — raise writers/commits")
 
     val lost = (0 until writers).count(w =>
       !finalRows.get(w.toLong).contains(perWriter.toLong)) +
@@ -811,6 +863,8 @@ object Hammer {
       s""""cdc_schema_alters":${p5Alters.get()},""" +
       s""""fleet_appends":${writers * perWriter},""" +
       s""""fleet_rebases":$p6Rebases,""" +
+      s""""cow_fleet_updates":${p7Writers * perWriter},""" +
+      s""""cow_fleet_rebases":$p7Rebases,""" +
       s""""conflicts":${conflicts.get()},"versions":${vs.last},""" +
       s""""lost_updates":$lost,"failures":$failed,""" +
       f""""wall_s":$wallS%.1f}"""

@@ -429,6 +429,50 @@ object Multimodal {
                 .otherwise(lit(-1L))))
           .otherwise(st6(next, ts, dur, tracks, w, h))
       })
+    // walk 3 (r16): the codec fourcc — the field a media-lake triage
+    // actually filters on. The sample description lives four levels down
+    // the FIRST trak: trak → mdia → minf → stbl → stsd; each hop is one
+    // bounded child-find (unknown siblings — tkhd, mdhd, hdlr, vmhd,
+    // dinf — skip by size), and the stsd FullBox's first sample entry is
+    // `[u32 size][4cc codec]` at stsd+16. A missing/truncated/corrupt
+    // stsd yields a NULL codec while the container fields still parse
+    // (quarantine the FIELD, not the row — the walk never misreads
+    // neighbor bytes: the entry header must sit inside the stsd box).
+    // ONE flat state machine, not four chained finds: chaining aggregate
+    // expressions via getField duplicates the parent subtree at every
+    // reference (2^levels copies — the analyzer's fixed-point blows up).
+    // The accumulator is (lvl, off, end): lvl indexes the target chain
+    // trak→mdia→minf→stbl→stsd; matching a target DESCENDS (scan region
+    // narrows to the matched box), anything else skips by size. ≤72
+    // bounded steps cover 32 moov-level siblings plus the nested hops.
+    val chainTargets = array(lit("trak"), lit("mdia"), lit("minf"),
+      lit("stbl"), lit("stsd"))
+    def st3(lvl: Column, off: Column, end: Column) =
+      struct(lvl.cast("long").as("lvl"), off.cast("long").as("off"),
+        end.cast("long").as("end"))
+    val chainWalk = aggregate(
+      sequence(lit(1), lit(72)),
+      st3(lit(0), moov + 8, moovEnd),
+      (acc, _) => {
+        val lvl = acc.getField("lvl")
+        val off = acc.getField("off")
+        val end = acc.getField("end")
+        val size = be32(off)
+        val isTgt = fourcc(off) ===
+          element_at(chainTargets, (lvl + 1).cast("int"))
+        when(lvl >= 5 || off < 0 || off + 7 > end - 1, acc)
+          .when(isTgt && size >= 8 && off + size <= end,
+            when(lvl === 4, st3(lit(5), off, off + size)) // stsd box kept
+              .otherwise(st3(lvl + 1, off + 8, off + size)))
+          .when(size >= 8, st3(lvl, off + size, end))
+          .otherwise(st3(lvl, lit(-1), end)) // unparseable sibling: stop
+      })
+    val stsdOff = when(chainWalk.getField("lvl") === 5,
+      chainWalk.getField("off")).otherwise(lit(-1L))
+    val stsdEnd = chainWalk.getField("end")
+    val codec = when(stsdOff >= 0 && be32(stsdOff + 12) >= 1 &&
+        stsdOff + 16 + 7 <= stsdEnd - 1,
+      fourcc(stsdOff + 16)).otherwise(lit(null).cast("string"))
     when(isMp4 && moov >= 0 && walk.getField("ts") > 0,
       struct(walk.getField("ts").as("timescale"),
         walk.getField("dur").as("duration_units"),
@@ -436,7 +480,8 @@ object Multimodal {
           walk.getField("ts").cast("double")).as("duration_s"),
         walk.getField("tracks").as("track_count"),
         walk.getField("w").as("width"),
-        walk.getField("h").as("height")))
+        walk.getField("h").as("height"),
+        codec.as("codec")))
       .otherwise(lit(null))
   }
 
@@ -447,7 +492,8 @@ object Multimodal {
     * reads are non-zero.
     */
   def synthMp4(timescale: Long, durationUnits: Long, tracks: Int,
-      width: Int, height: Int): Array[Byte] = {
+      width: Int, height: Int,
+      codec: Option[String] = Some("avc1")): Array[Byte] = {
     def be32(v: Long): Array[Byte] = Array(
       ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -459,7 +505,17 @@ object Multimodal {
     val tkhd = box("tkhd",
       new Array[Byte](76) ++ be32(width.toLong << 16) ++
         be32(height.toLong << 16))
-    val trak = box("trak", tkhd)
+    // sample description chain (r16): mdia → minf → stbl → stsd; the
+    // stsd FullBox carries entry_count then `[size][codec 4cc]` entries.
+    // codec = None synthesizes a CORRUPT stsd (claims one entry, carries
+    // none) — the parser must NULL the codec field, not read neighbors.
+    val stsd = codec match {
+      case Some(c) => box("stsd",
+        new Array[Byte](4) ++ be32(1L) ++ box(c, new Array[Byte](8)))
+      case None => box("stsd", new Array[Byte](4) ++ be32(1L))
+    }
+    val mdia = box("mdia", box("minf", box("stbl", stsd)))
+    val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov",
       mvhd ++ (0 until tracks).flatMap(_ => trak).toArray)
     box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ moov ++
@@ -481,15 +537,20 @@ object Multimodal {
       }
       rm(media.toFile)
     }
+    val codecs = Seq("avc1", "mp4a", "hvc1")
     (0 until 12).foreach { i =>
       java.nio.file.Files.write(media.resolve(f"vid$i%03d.mp4"),
         synthMp4(1000L, 1000L * (i + 1), 1 + (i % 3),
-          160 + 16 * i, 120 + 8 * i))
+          160 + 16 * i, 120 + 8 * i, codec = Some(codecs(i % 3))))
     }
     java.nio.file.Files.write(media.resolve("vid900.mp4"),
       Array[Byte](0, 0, 0, 9, 9, 9))
     java.nio.file.Files.write(media.resolve("vid901.mp4"),
       "certainly not a movie".getBytes("UTF-8"))
+    // corrupt stsd (entry_count 1, no entry): the container fields parse,
+    // the codec quarantines to NULL
+    java.nio.file.Files.write(media.resolve("vid902.mp4"),
+      synthMp4(1000L, 5000L, 1, 320, 240, codec = None))
     readMediaDir(spark, media.toString, glob = "*.mp4")
       .select(
         regexp_extract(col("path"), "(\\d+)\\.mp4$", 1).cast("long")

@@ -796,7 +796,8 @@ object LlmOps {
             col("meta.duration_s").as("duration_s"),
             col("meta.track_count").as("track_count"),
             col("meta.width").as("width"),
-            col("meta.height").as("height"))
+            col("meta.height").as("height"),
+            col("meta.codec").as("codec"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH e AS (
@@ -806,12 +807,17 @@ object LlmOps {
              |    CAST(i + 1 AS DOUBLE) AS duration_s,
              |    CAST(1 + (i % 3) AS BIGINT) AS track_count,
              |    CAST(160 + 16 * i AS BIGINT) AS width,
-             |    CAST(120 + 8 * i AS BIGINT) AS height
+             |    CAST(120 + 8 * i AS BIGINT) AS height,
+             |    CASE i % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp4a'
+             |      ELSE 'hvc1' END AS codec
              |  FROM range(0, 12) t(i)
-             |  UNION ALL SELECT 900, NULL, NULL, NULL, NULL, NULL, NULL
-             |  UNION ALL SELECT 901, NULL, NULL, NULL, NULL, NULL, NULL)
+             |  UNION ALL SELECT 900, NULL, NULL, NULL, NULL, NULL, NULL,
+             |    NULL
+             |  UNION ALL SELECT 901, NULL, NULL, NULL, NULL, NULL, NULL,
+             |    NULL
+             |  UNION ALL SELECT 902, 1000, 5000, 5.0, 1, 320, 240, NULL)
              |SELECT doc_id, timescale, duration_units, duration_s,
-             |  track_count, width, height
+             |  track_count, width, height, codec
              |FROM e ORDER BY doc_id""".stripMargin)),
 
     // Q244 — kNN label purity (r15): do an embedding's 5 nearest

@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension,
+  Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Session-catalog extension that makes NAME-ADDRESSED versioned tables
+  * readable by VANILLA Spark SQL — `spark.sql("SELECT ... FROM db.t")`
+  * and `spark.table("db.t")` resolve to the table's LATEST committed
+  * snapshot with zone-map/Bloom file pruning, no [[GraftSql]] pre-pass
+  * required (the Delta `DeltaCatalog` move: wrap the built-in session
+  * catalog, intercept only tables carrying this engine's marker).
+  *
+  * Install at session build time:
+  * {{{
+  *   .config("spark.sql.catalog.spark_catalog",
+  *           "graft.sources.GraftSparkSessionCatalog")
+  * }}}
+  *
+  * Resolution: [[GraftCatalog.create]] registers `db.t` as an external
+  * parquet entry whose TBLPROPERTIES carry `graft.versioned` +
+  * `graft.location`; `loadTable` inspects the delegate's answer and, on
+  * the marker, substitutes a [[GraftVersionedSparkTable]] over the
+  * manifest root. Foreign tables and views pass through untouched, so
+  * the extension is transparent to everything that is not a versioned
+  * table. WITHOUT the extension installed, a direct read still hits the
+  * registration's empty `_catalog_stub` LOCATION — the fail-safe stays
+  * fail-safe; with it, the read is first-class.
+  *
+  * Read path: the scan implements [[V1Scan]] — pushed filters translate
+  * to [[VersionedTable.ColumnBounds]]/[[VersionedTable.ColumnEquals]]/
+  * [[VersionedTable.ColumnIn]] and drive the SAME manifest-level file
+  * pruning `readLatestPruned` uses (files whose zone interval or Bloom
+  * filter excludes the predicate are never opened), with column pruning
+  * applied before the row RDD is handed back. Every filter is ALSO
+  * reported residual, so Spark re-applies them row-level — pruning here
+  * is strictly a superset selection and can never change results.
+  * Mutations stay on the [[GraftSql]] verbs (this table is read-only by
+  * design: the commit protocol, not the Spark writer, owns publishing).
+  */
+class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
+
+  override def loadTable(ident: Identifier): Table = {
+    val resolved = super.loadTable(ident)
+    val props = resolved.properties()
+    if (props != null && "true" == props.get("graft.versioned") &&
+        props.get("graft.location") != null)
+      new GraftVersionedSparkTable(ident, props.get("graft.location"))
+    else resolved
+  }
+}
+
+/** A read-only DSv2 [[Table]] over a [[VersionedTable]] manifest root:
+  * schema and rows come from the LATEST committed version at scan time
+  * (each query re-resolves — two statements can observe two versions,
+  * exactly like two [[VersionedTable.readLatest]] calls).
+  */
+private[graft] class GraftVersionedSparkTable(ident: Identifier,
+    location: String) extends Table with SupportsRead {
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType =
+    VersionedTable.readLatest(SparkSession.active, location).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("graft.versioned", "true")
+    m.put("graft.location", location)
+    m
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(location, schema())
+}
+
+private class GraftScanBuilder(location: String, fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var filters: Array[Filter] = Array.empty
+
+  /** Every filter is accepted for FILE pruning and returned as residual:
+    * Spark keeps its row-level Filter node, so the scan only ever has to
+    * be a conservative superset — the zone-map/Bloom contract.
+    */
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    filters.filter(GraftScanBuilder.translatable(fullSchema, _))
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // intersect with the table schema defensively (metadata columns a
+    // future Spark hands through must not reach the projection)
+    required = StructType(requiredSchema.fields.filter(f =>
+      fullSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new GraftV1Scan(location, fullSchema, required, filters)
+}
+
+private object GraftScanBuilder {
+  /** Whether a source filter contributes to manifest-level pruning. */
+  def translatable(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => simple(schema, a) && v != null
+    case In(a, vs) => simple(schema, a) && vs != null && vs.nonEmpty &&
+      !vs.contains(null)
+    case GreaterThan(a, v) => simple(schema, a) && v != null
+    case GreaterThanOrEqual(a, v) => simple(schema, a) && v != null
+    case LessThan(a, v) => simple(schema, a) && v != null
+    case LessThanOrEqual(a, v) => simple(schema, a) && v != null
+    case _ => false
+  }
+  /** Top-level column of the table (no nested paths, no metadata). */
+  def simple(schema: StructType, attr: String): Boolean =
+    schema.fieldNames.contains(attr)
+}
+
+/** V1Scan bridge: the scan's rows come from [[VersionedTable
+  * .readLatestPruned]] — one code path for pruning semantics whether a
+  * read arrives via the engine API, GraftSql, or vanilla Spark SQL.
+  */
+private class GraftV1Scan(location: String, fullSchema: StructType,
+    required: StructType, filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = {
+        import org.apache.spark.sql.functions.col
+        val df = prunedLatest(context.sparkSession)
+        val projected =
+          if (required.isEmpty) df.select()
+          else df.select(required.fieldNames.map(col): _*)
+        projected.rdd
+      }
+    }.asInstanceOf[T]
+
+  /** Translate the pushed filters into the engine's pruning predicates.
+    * Strict inequalities widen to inclusive bounds — pruning needs a
+    * superset, and the residual row filter restores exactness.
+    */
+  private def prunedLatest(spark: SparkSession): DataFrame = {
+    import VersionedTable.{ColumnBounds, ColumnEquals, ColumnIn}
+    val eqs = Seq.newBuilder[ColumnEquals]
+    val ins = Seq.newBuilder[ColumnIn]
+    var lowers = Map.empty[String, Any]
+    var uppers = Map.empty[String, Any]
+    filters.filter(GraftScanBuilder.translatable(fullSchema, _)).foreach {
+      case EqualTo(a, v) => eqs += ColumnEquals(a, v)
+      case In(a, vs) => ins += ColumnIn(a, vs.toSeq)
+      case GreaterThan(a, v) => lowers += a -> v
+      case GreaterThanOrEqual(a, v) => lowers += a -> v
+      case LessThan(a, v) => uppers += a -> v
+      case LessThanOrEqual(a, v) => uppers += a -> v
+      case _ => ()
+    }
+    val bounds = (lowers.keySet ++ uppers.keySet).toSeq.sorted.map(c =>
+      ColumnBounds(c, lowers.get(c), uppers.get(c)))
+    VersionedTable.readLatestPruned(spark, location, bounds,
+      eqs.result(), ins.result())
+  }
+}

@@ -2934,46 +2934,177 @@ object VersionedTable {
     val touchedRaw = probe.distinct().collect()
       .map(r => rawPath(r.getString(0))).toSet
     // map touched paths back onto the token list, scope by scope
-    val perScope = groups.map { case (scope, toks) =>
-      val qualScope = rawPath(hfs.makeQualified(new Path(root, scope)).toString)
+    val perScope = enumerateTokens(hfs, root, groups)
+    val touched: Map[String, Set[String]] = perScope.iterator.map {
+      case (scope, _, referenced) =>
+        val qualScope = rawPath(
+          hfs.makeQualified(new Path(root, scope)).toString)
+        scope -> referenced.filter(n =>
+          touchedRaw.contains(s"$qualScope/$n")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val totalFiles = perScope.iterator.map(_._3.size).sum
+    val touchedCount = touched.valuesIterator.map(_.size).sum
+    lastCowRewrite.set((touchedCount, totalFiles))
+    val newDir: Option[String] =
+      if (touchedCount == 0) None // nothing matches: zero bytes moved
+      else {
+        // 2. rewrite ONLY the touched files (visible rows → transform)
+        val touchedRows = perScope.collect {
+          case (scope, _, _) if touched.contains(scope) =>
+            visibleOf(scope, touched(scope).toSeq.sorted.map(n => s"$scope/$n"))
+        }.reduce(_ union _)
+        val dirName = writeSnapshot(spark, transform(touchedRows), table,
+          maxRecordsPerFile)
+        validateConstraints(spark, table, dirName)
+        applySkipping(spark, table, dirName, Nil, Nil, 10)
+        Some(dirName)
+      }
+    // 3. reference the rest in place (the fresh dir goes LAST — the
+    // "dir this version itself wrote" convention), publishing with the
+    // DISJOINT REBASE tail: a racing commit whose reference set provably
+    // does not intersect this verb's touched rows resolves internally
+    publishCowRebasing(spark, table, base, cond, op, perScope, touched,
+      newDir)
+  }
+
+  /** Enumerate a token list per scope: (scope, its tokens, the file
+    * names the version references there) — a listing for whole-dir
+    * tokens (committed dirs are immutable, so the listing is stable),
+    * the token names themselves for kept-file tokens.
+    */
+  private def enumerateTokens(hfs: FileSystem, root: Path,
+      groups: Seq[(String, Seq[String])])
+      : Seq[(String, Seq[String], Seq[String])] =
+    groups.map { case (scope, toks) =>
       val referenced: Seq[String] =
         if (toks.exists(t => !isFileToken(t)))
           hfs.listStatus(new Path(root, scope)).iterator
             .map(_.getPath.getName).filter(_.endsWith(".parquet"))
             .toSeq.sorted
         else toks.map(t => t.substring(t.lastIndexOf('/') + 1))
-      val touchedNames = referenced.filter(n =>
-        touchedRaw.contains(s"$qualScope/$n"))
-      (scope, toks, referenced, touchedNames)
+      (scope, toks, referenced)
     }
-    val totalFiles = perScope.iterator.map(_._3.size).sum
-    val touchedCount = perScope.iterator.map(_._4.size).sum
-    lastCowRewrite.set((touchedCount, totalFiles))
-    val delRef = delRefOf(spark, table, base)
-    if (touchedCount == 0) {
-      // nothing matches: metadata-only version, zero bytes moved
-      publish(spark, table, base + 1L, dirStr, op = op, delRef = delRef)
-      return base + 1L
+
+  /** Process-wide count of internally-resolved CoW conflicts — the
+    * [[publishAppendRebasing]] counter's DML sibling; observability for
+    * the hammer and tests only.
+    */
+  private[graft] val cowRebases = new java.util.concurrent.atomic.AtomicLong
+
+  /** The semantic-rebase publish tail of the FILE-GRANULAR CoW verbs —
+    * the Delta logical-conflict-detection move extended from appends
+    * ([[publishAppendRebasing]]) to UPDATE/DELETE, which
+    * whole-snapshot CoW could never rebase (a full derived snapshot
+    * dropped onto a winner it never read loses the winner's rows). A
+    * file-granular verb's output IS its delta — the rewritten files plus
+    * the untouched references — so when a racer wins the slot, replaying
+    * serially would produce the identical rewrite as long as:
+    *
+    *  1. the winner still references EVERY file this verb touched (it
+    *     did not rewrite or un-reference them — same bytes in, same
+    *     rewrite out, `cond`/transform being deterministic on this
+    *     path);
+    *  2. no file the winner ADDED (relative to our base) holds a row
+    *     matching `cond` — those are exactly the rows a serial replay
+    *     would additionally have rewritten; verified by SCANNING the
+    *     added files with the predicate (exact, O(winner churn) — the
+    *     stats-only test Delta uses is a conservative approximation of
+    *     this; added files live in fresh writer-unique dirs, outside
+    *     every recorded del scope, so the raw scan is the visible set);
+    *  3. the winner changed no table-level semantics: same del sidecar
+    *     (a new deferred delete would have filtered our probe), same
+    *     schema sidecar (our rewrite materialized the base's shape), and
+    *     the same CHECK-constraint generation (our fresh dir was gated
+    *     against the base's constraints).
+    *
+    * When every guard holds, the verb re-derives its kept tokens against
+    * the WINNER's reference set (dropping our touched files from it,
+    * splitting whole-dir tokens into kept-file tokens as needed), appends
+    * its already-written dir, and re-publishes — no caller retry, no
+    * second rewrite. Any guard failing re-raises the conflict for the
+    * honest re-derive. Two updaters on disjoint predicate regions of a
+    * clustered table therefore both land first-try (hammer phase 7).
+    */
+  private def publishCowRebasing(spark: SparkSession, table: String,
+      base: Long, cond: org.apache.spark.sql.Column, op: String,
+      basePerScope: Seq[(String, Seq[String], Seq[String])],
+      touched: Map[String, Set[String]],
+      newDir: Option[String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val (hfs, root) = fs(spark, table)
+    val delRefAtBase = delRefOf(spark, table, base)
+    val schemaRefAtBase = schemaRefOf(spark, table, base)
+    val consAtBase = latestConstraintGen(hfs, root)
+    val baseFiles: Set[String] = basePerScope.iterator.flatMap {
+      case (scope, _, referenced) => referenced.map(n => s"$scope/$n")
+    }.toSet
+    // added files verified cond-free on earlier rebase iterations stay
+    // verified (their bytes are immutable)
+    var cleared = Set.empty[String]
+    var attempt = base
+    var attemptPerScope = basePerScope
+    def keptTokens: Seq[String] = attemptPerScope.flatMap {
+      case (scope, toks, referenced) =>
+        touched.get(scope) match {
+          case None => toks
+          case Some(t) => referenced.filterNot(t).map(n => s"$scope/$n")
+        }
     }
-    // 2. rewrite ONLY the touched files (visible rows → transform)
-    val touchedRows = perScope.collect {
-      case (scope, _, _, touchedNames) if touchedNames.nonEmpty =>
-        visibleOf(scope, touchedNames.map(n => s"$scope/$n"))
-    }.reduce(_ union _)
-    val dirName = writeSnapshot(spark, transform(touchedRows), table,
-      maxRecordsPerFile)
-    validateConstraints(spark, table, dirName)
-    applySkipping(spark, table, dirName, Nil, Nil, 10)
-    // 3. reference the rest in place; the fresh dir goes LAST (the
-    // "dir this version itself wrote" convention readChanges relies on)
-    val keptTokens = perScope.flatMap {
-      case (_, toks, _, touchedNames) if touchedNames.isEmpty => toks
-      case (scope, _, referenced, touchedNames) =>
-        referenced.filterNot(touchedNames.toSet).map(n => s"$scope/$n")
+    while (true) {
+      try {
+        publish(spark, table, attempt + 1L,
+          (keptTokens ++ newDir).mkString(";"), op = op,
+          delRef = delRefAtBase, schemaRef = schemaRefAtBase)
+        return attempt + 1L
+      } catch {
+        case e: CommitConflictException =>
+          // any guard FAILURE — including a guard EVALUATION failure (a
+          // foreign zero-byte manifest in the slot resolves to no dir)
+          // — re-raises the original conflict for the honest re-derive
+          def tryRebase(): Option[(Long,
+              Seq[(String, Seq[String], Seq[String])])] = {
+            val cur = latestVersion(spark, table).getOrElse(attempt)
+            if (cur <= attempt) return None // foreign slot, not a race
+            // guard 3: table-level semantics unchanged
+            if (delRefOf(spark, table, cur) != delRefAtBase ||
+                schemaRefOf(spark, table, cur) != schemaRefAtBase ||
+                latestConstraintGen(hfs, root) != consAtBase)
+              return None
+            val curPerScope = enumerateTokens(hfs, root, groupTokensByScope(
+              splitDirs(resolveDir(hfs, root, cur).getOrElse(
+                return None))))
+            val curFilesByScope = curPerScope.iterator.map {
+              case (scope, _, referenced) => scope -> referenced.toSet
+            }.toMap
+            // guard 1: every touched file still referenced by the winner
+            if (!touched.forall { case (scope, names) =>
+                names.subsetOf(curFilesByScope.getOrElse(scope, Set.empty)) })
+              return None
+            // guard 2: no winner-added file holds a cond-matching row
+            val curFiles = curPerScope.iterator.flatMap {
+              case (scope, _, referenced) => referenced.map(n => s"$scope/$n")
+            }.toSet
+            val added = (curFiles -- baseFiles -- cleared).toSeq.sorted
+            if (added.nonEmpty) {
+              val hit = spark.read.parquet(added.map(f =>
+                  new Path(root, f).toString): _*)
+                .where(coalesce(cond, lit(false))).limit(1).count() > 0
+              if (hit) return None
+              cleared ++= added
+            }
+            Some((cur, curPerScope))
+          }
+          (try tryRebase()
+          catch { case scala.util.control.NonFatal(_) => None }) match {
+            case None => throw e
+            case Some((cur, curPerScope)) =>
+              cowRebases.incrementAndGet()
+              attempt = cur
+              attemptPerScope = curPerScope
+          }
+      }
     }
-    publish(spark, table, base + 1L,
-      (keptTokens :+ dirName).mkString(";"), op = op, delRef = delRef)
-    base + 1L
+    throw new IllegalStateException("unreachable")
   }
 
   /** MERGE-ON-READ delete: commit "rows matching `predicate` are gone" as

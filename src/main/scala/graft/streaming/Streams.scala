@@ -135,6 +135,21 @@ object Streams {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .start()
 
+  /** Resolve a table argument for the streaming surface: a registered
+    * `db.table` name goes through [[graft.sources.GraftCatalog]] to its
+    * manifest root (r16 — the sinks and the feed reader accept names,
+    * same as every [[graft.sources.GraftSql]] verb); anything else — and
+    * a qualified token the catalog does not know — is taken as a path
+    * verbatim (the GraftSql pass-through convention). Sinks re-resolve
+    * PER BATCH, so a name re-bound mid-stream (DROP + re-CREATE at a new
+    * LOCATION) is honored from the next micro-batch.
+    */
+  private def resolveTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    if (graft.sources.GraftCatalog.isQualified(table))
+      graft.sources.GraftCatalog.resolve(spark, table).getOrElse(table)
+    else table
+
   /** The per-batch body of [[startVersionedUpsertSink]] — each micro-batch
     * MERGEs into the versioned table as one atomic commit, made
     * exactly-once by the batch token the manifest pins
@@ -145,7 +160,8 @@ object Streams {
   def versionedUpsertBatch(table: String, key: String)(
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
     graft.sources.VersionedTable.mergeBatchIfNew(
-      batch.sparkSession, table, batch.toDF(), key, batchId)
+      batch.sparkSession, resolveTable(batch.sparkSession, table),
+      batch.toDF(), key, batchId)
     ()
   }
 
@@ -176,7 +192,8 @@ object Streams {
   def versionedAppendBatch(table: String)(
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
     graft.sources.VersionedTable.appendBatchIfNew(
-      batch.sparkSession, table, batch.toDF(), batchId)
+      batch.sparkSession, resolveTable(batch.sparkSession, table),
+      batch.toDF(), batchId)
     ()
   }
 
@@ -209,7 +226,8 @@ object Streams {
       op: String)(
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
     graft.sources.VersionedTable.replicaBatchIfNew(
-      batch.sparkSession, table, batch.toDF(), key, version, op, batchId)
+      batch.sparkSession, resolveTable(batch.sparkSession, table),
+      batch.toDF(), key, version, op, batchId)
     ()
   }
 
@@ -257,10 +275,14 @@ object Streams {
     * it up front.
     */
   def changeFeedStream(spark: org.apache.spark.sql.SparkSession,
-      table: String,
+      tableOrName: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       startingVersion: Option[Long] = None)
       : DataFrame = {
+    // names resolve ONCE, at source build (a file stream pins its glob
+    // for life — re-binding the name requires a stream restart, same as
+    // a schema change)
+    val table = resolveTable(spark, tableOrName)
     val glob = s"$table/_cdf/v*"
     val s = schema.getOrElse {
       // Unify the schema across ALL mirrored batches, not whichever one

@@ -493,4 +493,145 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains(needle),
       s"expected '$needle' in: ${e.getMessage}")
   }
+
+  test("two JVMs: metastore binding crosses processes; appends brawl cross-process") {
+    import graft.sources.{GraftCatalog, GraftSql, VersionedTable}
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-2proc").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(main: String, args: String*): Process =
+      new ProcessBuilder((Seq(javaBin, "-Xmx2g", "-cp", cp, main) ++
+        args): _*).redirectErrorStream(true).start()
+    def drain(p: Process): (Int, String) = {
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .mkString // read fully BEFORE waitFor — a full pipe deadlocks
+      (p.waitFor(), out)
+    }
+    // process 1 creates the named table in the SHARED Derby metastore and
+    // exits (embedded Derby admits one JVM at a time — the serialized
+    // shape; a metastore SERVICE would allow true concurrency, but the
+    // binding semantics under test are identical)
+    val (c1, out1) = drain(spawn("graft.ChildCatalogWriter", wh, "gbrawl.t"))
+    assert(c1 == 0, s"child writer failed:\n${out1.takeRight(3000)}")
+    val loc = out1.linesIterator.find(_.startsWith("CHILD_LOCATION="))
+      .get.stripPrefix("CHILD_LOCATION=")
+    // process 2 (this JVM): the binding resolves from the metastore alone
+    val spark = graft.sources.Catalog.hiveSession(wh)
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      assert(GraftCatalog.resolve(spark, "gbrawl.t").contains(loc),
+        "name→location binding did not survive the process boundary")
+      GraftSql.sql(spark, "INSERT INTO gbrawl.t VALUES (200, 2000)")
+      assert(GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM gbrawl.t").head().getLong(0) == 7L,
+        "both processes' batches must be present")
+      // gap-free chain across the boundary: create, child insert, ours
+      assert(VersionedTable.versions(spark, loc) == Seq(1L, 2L, 3L))
+
+      // CONCURRENT cross-process appends to the table path: a third JVM
+      // (no Derby — runs truly in parallel) drips 10 appends while this
+      // one drips 10; the put-if-absent publish is hard-link-atomic
+      // ACROSS processes, and the blind-append rebase absorbs every
+      // collision with no retry wrapper on either side
+      val base = VersionedTable.latestVersion(spark, loc).get
+      val child = spawn("graft.ChildAppender", loc, "11", "10")
+      import spark.implicits._
+      (0 until 10).foreach { i =>
+        VersionedTable.append(spark, loc,
+          Seq((12L, i.toLong)).toDF("k", "v"))
+      }
+      val (c2, out2) = drain(child)
+      assert(c2 == 0 && out2.contains("CHILD_APPENDS_OK"),
+        s"child appender failed:\n${out2.takeRight(3000)}")
+      val vs = VersionedTable.versions(spark, loc)
+      assert(vs == (1L to (base + 20L)),
+        s"chain must be gap-free across two processes: $vs")
+      val rows = VersionedTable.readLatest(spark, loc)
+        .where(col("k").isin(11L, 12L)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == (0 until 10).flatMap(i =>
+        Seq((11L, i.toLong), (12L, i.toLong))).toSet,
+        s"every cross-process append exactly once: $rows")
+      // catalog properties stayed stable through the brawl
+      assert(GraftCatalog.resolve(spark, "gbrawl.t").contains(loc))
+    } finally spark.stop()
+  }
+
+  test("vanilla Spark SQL reads a named versioned table (DSv2 session catalog)") {
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-dsv2")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
+      // own warehouse: the managed plain_t below must not collide with a
+      // previous run's leftovers in the default ./spark-warehouse
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-dsv2-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftCatalog, VersionedTable}
+      import graft.sources.VersionedTable.ColumnBounds
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dsv2").toString + "/t"
+      VersionedTable.commitClustered(spark,
+        spark.range(10000).select(col("id"), (col("id") % 10).as("b"),
+          (col("id") % 100).cast("double").as("v")),
+        root, clusterCols = Seq("id"), numFiles = 8)
+      GraftCatalog.create(spark, "dsv2.t", root)
+
+      // spark.table and plain spark.sql — NO GraftSql pre-pass anywhere
+      assert(spark.table("dsv2.t").count() == 10000)
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 10000L)
+      assert(spark.table("dsv2.t").schema.fieldNames.toSeq ==
+        Seq("id", "b", "v"))
+
+      // filtered + projected read: values exact, plan carries the pushed
+      // filter (the file-pruning translation's visible fingerprint)
+      val q = spark.sql(
+        "SELECT id, v FROM dsv2.t WHERE id >= 2000 AND id < 3000")
+      assert(q.count() == 1000)
+      assert(q.agg(sum(col("id"))).head().getLong(0) ==
+        (2000L until 3000L).sum)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(id,2000)"),
+        s"pushed filter missing from plan:\n$plan")
+      // the same bounds prune files at the manifest level (the vanilla
+      // scan routes through readLatestPruned — pruneSelection parity)
+      val (kept, total) = VersionedTable.pruneSelection(spark, root, 1L,
+        Seq(ColumnBounds("id", Some(2000L), Some(2999L)))).get
+      assert(kept.size < total, s"no file pruning: ${kept.size}/$total")
+
+      // joins/aggregations over the named table are plain Spark SQL
+      val agg = spark.sql(
+        """SELECT b, count(*) AS n FROM dsv2.t GROUP BY b ORDER BY b""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(agg.toSeq == (0L until 10L).map(b => (b, 1000L)))
+
+      // a verb through the path API is visible to the NEXT vanilla read
+      // (each statement resolves the latest version)
+      VersionedTable.deleteWhere(spark, root, col("id") < 1000)
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 9000L)
+
+      // foreign tables pass through the extension untouched
+      spark.range(5).createOrReplaceTempView("plain_v")
+      assert(spark.sql("SELECT count(*) AS n FROM plain_v")
+        .head().getLong(0) == 5L)
+      spark.sql("CREATE TABLE dsv2.plain_t (x INT) USING parquet")
+      spark.sql("INSERT INTO dsv2.plain_t VALUES (1), (2)")
+      assert(spark.table("dsv2.plain_t").count() == 2)
+
+      // DROP VERSIONED TABLE unbinds; the vanilla read then fails to
+      // resolve instead of reading stale data
+      GraftCatalog.drop(spark, "dsv2.t")
+      intercept[Exception](spark.table("dsv2.t").count())
+    } finally spark.stop()
+  }
 }

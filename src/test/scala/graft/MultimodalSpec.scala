@@ -305,10 +305,18 @@ class MultimodalSpec extends SparkSpec {
     // (size == 1) both quarantine
     val truncated = ftyp ++ be32(4096L) ++ "moov".getBytes
     val extended = ftyp ++ be32(1L) ++ "moov".getBytes ++ be32(0) ++ be32(64L)
+    // r16: codec fourcc from the stsd chain — an mp4a entry, and a
+    // CORRUPT stsd (claims one entry, carries none) that must NULL the
+    // codec while the container fields still parse
+    val audio = Multimodal.synthMp4(8000L, 16000L, 1, 0, 0,
+      codec = Some("mp4a"))
+    val badStsd = Multimodal.synthMp4(1000L, 2000L, 1, 64, 48,
+      codec = None)
     val rows = Seq(
       (0L, good), (1L, hop), (2L, v1), (3L, odd),
       (4L, truncated), (5L, extended),
-      (6L, "not even close".getBytes))
+      (6L, "not even close".getBytes),
+      (7L, audio), (8L, badStsd))
       .toDF("id", "payload")
       .select(col("id"), Multimodal.mp4Meta(col("payload")).as("m"))
       .orderBy("id").collect()
@@ -327,5 +335,16 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(4).isNullAt(1), s"truncated: ${rows(4)}")
     assert(rows(5).isNullAt(1), s"extended-size: ${rows(5)}")
     assert(rows(6).isNullAt(1), s"junk: ${rows(6)}")
+    // codec fourcc (field 6): synthMp4's default avc1; an mp4a entry; a
+    // trak without the mdia chain (v1/odd) and a corrupt stsd both NULL
+    // the codec without disturbing the container fields
+    assert(m(0).getString(6) == "avc1", s"codec: ${rows(0)}")
+    assert(m(7).getString(6) == "mp4a" && m(7).getLong(0) == 8000L,
+      s"audio codec: ${rows(7)}")
+    assert(m(2).isNullAt(6), s"v1 without mdia chain: ${rows(2)}")
+    assert(m(3).isNullAt(6), s"non-canonical trak: ${rows(3)}")
+    assert(m(8).isNullAt(6) && (m(8).getLong(0), m(8).getLong(4),
+      m(8).getLong(5)) == ((1000L, 64L, 48L)),
+      s"corrupt stsd quarantines the FIELD only: ${rows(8)}")
   }
 }

@@ -2204,4 +2204,76 @@ class SinksSpec extends SparkSpec {
       Seq("commit", "update", "delete", "delete", "lazydelete", "update"))
     assert(v6 == 6L)
   }
+
+  test("CoW rebase law: disjoint file-granular verbs == serial replay; guards hold") {
+    import graft.sources.VersionedTable
+    val t = tmp() + "/vt_cowrebase"
+    val df = spark.range(8000).select(col("id"), (col("id") % 4).as("grp"),
+      (col("id") % 100).cast("double").as("v"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("grp"),
+      numFiles = 4)
+    val rebases0 = VersionedTable.cowRebases.get()
+
+    // disjoint regions: A updates grp 0 (v2); B pins the STALE base v1
+    // and deletes grp 3 — the slot conflict must resolve INTERNALLY (A's
+    // files are disjoint from B's touched set, A added no grp-3 rows)
+    VersionedTable.updateWhere(spark, t, col("grp") === 0,
+      Map("v" -> lit(-1.0)))
+    val vB = VersionedTable.deleteWhereFrom(spark, t, 1L,
+      col("grp") === 3, 5000000L)
+    assert(vB == 3L)
+    assert(VersionedTable.cowRebases.get() == rebases0 + 1,
+      "the disjoint delete must rebase, not retry")
+    val model = df.select(col("id"), col("grp"),
+        when(col("grp") === 0, -1.0).otherwise(col("v")).as("v"))
+      .where(col("grp") =!= 3)
+    val got = VersionedTable.readLatest(spark, t)
+    assert(got.exceptAll(model).isEmpty && model.exceptAll(got).isEmpty,
+      "rebased result must equal the serial replay")
+
+    // guard 1: OVERLAPPING regions conflict honestly — A rewrites grp 1's
+    // files (v4); B pinned at v3 touches the same files
+    VersionedTable.updateWhere(spark, t, col("grp") === 1,
+      Map("v" -> lit(-2.0)))
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.deleteWhereFrom(spark, t, 3L, col("grp") === 1,
+        5000000L)
+    }
+
+    // disjoint APPEND rebase: appender lands grp-7 rows at v5; B pinned
+    // at v4 deletes grp 1 — the appended file holds no grp-1 row, so the
+    // delete rebases over it and the appended rows survive
+    val extra = spark.range(8000, 8100).select(col("id"),
+      lit(7L).as("grp"), lit(50.0).as("v"))
+    VersionedTable.append(spark, t, extra)
+    val vD = VersionedTable.deleteWhereFrom(spark, t, 4L,
+      col("grp") === 1, 5000000L)
+    assert(vD == 6L)
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("grp") === 1).count() == 0)
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("grp") === 7).count() == 100)
+
+    // guard 2: an appended file that DOES hold matching rows conflicts —
+    // a serial replay would have deleted those rows too
+    VersionedTable.append(spark, t, spark.range(9000, 9050).select(
+      col("id"), lit(9L).as("grp"), lit(1.0).as("v")))
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.deleteWhereFrom(spark, t, 6L, col("grp") === 9,
+        5000000L)
+    }
+    // the honest re-derive from latest then succeeds
+    VersionedTable.deleteWhere(spark, t, col("grp") === 9)
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("grp") === 9).count() == 0)
+
+    // guard 3: a deferred delete landing between pin and publish blocks
+    // the rebase (the loser's probe never saw the new keep filter)
+    val base = VersionedTable.latestVersion(spark, t).get
+    VersionedTable.deleteWhereLazy(spark, t, "id % 500 = 0")
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.deleteWhereFrom(spark, t, base, col("grp") === 2,
+        5000000L)
+    }
+  }
 }

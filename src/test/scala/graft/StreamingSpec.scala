@@ -587,6 +587,44 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 12L), (4L, 40L), (6L, 60L)))
   }
 
+  test("CDC replication loop runs end-to-end BY NAME (r16)") {
+    import graft.sources.{GraftCatalog, VersionedTable}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl-nm").toString
+    val bronze = s"$dir/bronze"
+    val silver = s"$dir/silver"
+    VersionedTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), bronze)
+    VersionedTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), silver)
+    GraftCatalog.create(spark, "gstream.bronze", bronze)
+    GraftCatalog.create(spark, "gstream.silver", silver)
+    VersionedTable.enableChangeFeed(spark, bronze)
+    graft.sources.GraftSql.sql(spark,
+      "INSERT INTO gstream.bronze VALUES (2, 20)")
+    VersionedTable.mergeInto(spark, bronze,
+      Seq((2L, 21L), (3L, 30L)).toDF("k", "v"), key = "k")
+    // the WHOLE loop by name: the feed source resolves gstream.bronze,
+    // the replica sink resolves gstream.silver — zero paths after CREATE
+    val q = Streams.startVersionedReplicaSink(
+      Streams.changeFeedStream(spark, "gstream.bronze")
+        .select(col("k"), col("v"), col("_commit_version"), col("__op")),
+      "gstream.silver", "k", s"$dir/_ckpt", "cdc_replica_by_name")
+    try q.processAllAvailable() finally q.stop()
+    assert(VersionedTable.readLatest(spark, silver)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 21L), (3L, 30L)))
+    // the upsert + append sinks take names too (per-batch re-resolution)
+    Streams.versionedUpsertBatch("gstream.silver", "k")(
+      Seq((3L, 31L)).toDF("k", "v"), batchId = 999L)
+    Streams.versionedAppendBatch("gstream.silver")(
+      Seq((9L, 90L)).toDF("k", "v"), batchId = 1000L)
+    assert(VersionedTable.readLatest(spark, silver)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 21L), (3L, 31L), (9L, 90L)))
+    GraftCatalog.drop(spark, "gstream.bronze")
+    GraftCatalog.drop(spark, "gstream.silver")
+  }
+
   test("change feed rides through a schema-evolution version") {
     import graft.sources.VersionedTable
     import spark.implicits._
