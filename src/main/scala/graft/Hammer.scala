@@ -536,8 +536,16 @@ object Hammer {
         }
       }
     }, "p5-alter")
+    // r16: pace the maintenance/consumer loops at ~10 Hz instead of a
+    // hot spin — the granular merges pay probe passes per attempt, and
+    // an unpaced OPTIMIZE thrash (one full rewrite every ~0.25s) turned
+    // every widened conflict window into another writer loss, tripling
+    // the phase's wall clock while proving nothing extra (real
+    // maintenance is periodic; the races still collide constantly at
+    // 10 Hz — conflicts stay in the thousands)
+    def paced(body: => Unit): Unit = { body; Thread.sleep(100L) }
     val p5Maint = new Thread(() => guarded {
-      while (!stopP5.get() && failures.isEmpty) {
+      while (!stopP5.get() && failures.isEmpty) paced {
         try {
           VersionedTable.optimize(spark, t3, targetFileBytes = 1L << 30)
           p5Optimizes.incrementAndGet()
@@ -557,10 +565,11 @@ object Hammer {
     // consumer 1: the _cdf mirror, self-healing, racing the writers'
     // own post-commit mirrors AND expiry's retention mirror
     val p5Mirror = new Thread(() => guarded {
-      while (!stopP5.get() && failures.isEmpty)
+      while (!stopP5.get() && failures.isEmpty) paced {
         consuming(p5Mirrors) {
           VersionedTable.mirrorChangeFeed(spark, t3); ()
         }
+      }
     }, "p5-mirror")
     // consumer 2: the versioned replica, drained from whatever _cdf dirs
     // exist beyond its high-water mark (the streaming sink's batch body,
@@ -587,17 +596,19 @@ object Hammer {
       p5ReplicaBatches.incrementAndGet(); ()
     }
     val p5Replica = new Thread(() => guarded {
-      while (!stopP5.get() && failures.isEmpty)
+      while (!stopP5.get() && failures.isEmpty) paced {
         consuming(new AtomicLong) { drainReplica() }
+      }
     }, "p5-replica")
     // consumer 3: the incremental rollup, riding merge/append/lazydelete
     // deltas while compaction retires the manifests it plans from
     val p5Rollup = new Thread(() => guarded {
-      while (!stopP5.get() && failures.isEmpty)
+      while (!stopP5.get() && failures.isEmpty) paced {
         consuming(p5Refreshes) {
           VersionedTable.refreshRollup(spark, t3, t3roll,
             keys = Seq("grp"), sumCols = Seq("x")); ()
         }
+      }
     }, "p5-rollup")
     val p5Writers = p5MergeThreads ++ Seq(p5Appender, p5Lazy, p5Alter)
     val p5Consumers = Seq(p5Mirror, p5Replica, p5Rollup)

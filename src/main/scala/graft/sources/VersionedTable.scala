@@ -571,12 +571,12 @@ object VersionedTable {
     // always bind to their dirs' physical column names.
     val chain = schemaStateOf(spark, table, version)
     if (preds.isEmpty && chain.isEmpty)
-      spark.read.parquet(groups.flatMap(_._2)
-        .map(t => new Path(root, t).toString): _*)
+      spark.read.parquet(groups.flatMap { case (scope, toks) =>
+        groupReadPaths(hfs, root, scope, toks) }: _*)
     else {
       val mapped = groups.map { case (scope, toks) =>
-        val df = spark.read.parquet(toks.map(t =>
-          new Path(root, t).toString): _*)
+        val df = spark.read.parquet(
+          groupReadPaths(hfs, root, scope, toks): _*)
         val kept = delKeepFilter(preds, scope).map(df.where).getOrElse(df)
         if (chain.isEmpty) kept
         else applySchemaChain(kept,
@@ -1291,16 +1291,86 @@ object VersionedTable {
     * through [[dirScopeOf]]. Data files are immutable once committed, so
     * a file token is exactly as stable a reference as its dir.
     */
-  private def isFileToken(tok: String): Boolean = tok.endsWith(".parquet")
+  private def isFileToken(tok: String): Boolean =
+    tok.endsWith(".parquet") && !tok.contains('!')
+
+  /** True for an EXCLUSION token `dir!f1.parquet,f2.parquet` — the dir
+    * minus the named files, the form the file-granular verbs emit when
+    * the touched set is smaller than the kept set, so a manifest's size
+    * is O(churn + dirs), never O(files-in-touched-dirs) (a one-file
+    * UPDATE on a million-file dir must not write a million-token
+    * manifest). Sound because committed data dirs are immutable: the
+    * read-time listing minus the exclusions is a stable set forever.
+    */
+  private def isExclToken(tok: String): Boolean = tok.contains('!')
+
+  private def exclNamesOf(tok: String): Seq[String] =
+    tok.substring(tok.indexOf('!') + 1).split(',').toSeq
 
   /** The data DIR a token belongs to: itself for whole-dir tokens, the
-    * parent dir for kept-file tokens. All per-dir metadata (del-predicate
-    * scopes, chain positions, `_stats` sidecars, reclaim candidacy) is
-    * recorded against the SCOPE, never against a file token — a file and
-    * its dir share one vintage by construction.
+    * parent dir for kept-file tokens, the prefix for exclusion tokens.
+    * All per-dir metadata (del-predicate scopes, chain positions,
+    * `_stats` sidecars, reclaim candidacy) is recorded against the
+    * SCOPE, never against a file/exclusion token — a file and its dir
+    * share one vintage by construction.
     */
   private def dirScopeOf(tok: String): String =
-    if (isFileToken(tok)) tok.substring(0, tok.lastIndexOf('/')) else tok
+    if (isExclToken(tok)) tok.substring(0, tok.indexOf('!'))
+    else if (isFileToken(tok)) tok.substring(0, tok.lastIndexOf('/'))
+    else tok
+
+  private def listParquet(hfs: FileSystem, root: Path,
+      scope: String): Seq[String] =
+    hfs.listStatus(new Path(root, scope)).iterator
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq.sorted
+
+  /** The file names of `scope` that this version's token group
+    * references — None = the whole dir (read the dir path directly).
+    * Kept-FILE tokens enumerate themselves; an exclusion token is the
+    * read-time listing minus its exclusions (plus any file tokens a
+    * rebase recombination may have placed alongside).
+    */
+  private def groupRestriction(hfs: FileSystem, root: Path, scope: String,
+      toks: Seq[String]): Option[Seq[String]] =
+    if (toks.exists(t => !isFileToken(t) && !isExclToken(t))) None
+    else if (toks.exists(isExclToken)) {
+      val excl = toks.filter(isExclToken).flatMap(exclNamesOf).toSet
+      val incl = toks.filter(isFileToken)
+        .map(t => t.substring(t.lastIndexOf('/') + 1))
+      Some((listParquet(hfs, root, scope).filterNot(excl) ++ incl)
+        .distinct.sorted)
+    } else Some(toks.map(t => t.substring(t.lastIndexOf('/') + 1)))
+
+  /** Absolute read paths for one scope's token group. */
+  private def groupReadPaths(hfs: FileSystem, root: Path, scope: String,
+      toks: Seq[String]): Seq[String] =
+    groupRestriction(hfs, root, scope, toks) match {
+      case None => Seq(new Path(root, scope).toString)
+      case Some(files) =>
+        files.map(f => new Path(root, s"$scope/$f").toString)
+    }
+
+  /** The kept-reference tokens for a partially-touched dir: whichever of
+    * the exclusion form (`scope!touched,...`) and the kept-file form is
+    * SMALLER — manifests stay O(min(touched, kept)) per dir. Falls back
+    * to kept-file tokens when a name would corrupt the exclusion grammar
+    * (',' or '!' in a file name — never true of parquet part files, but
+    * adopted dirs are foreign).
+    */
+  private def keptTokensFor(hfs: FileSystem, root: Path, scope: String,
+      referenced: Seq[String], touched: Set[String]): Seq[String] = {
+    val kept = referenced.filterNot(touched)
+    if (kept.isEmpty) Nil
+    else {
+      val keptSet = kept.toSet
+      val excl = listParquet(hfs, root, scope).filterNot(keptSet)
+      val safe = !scope.contains('!') &&
+        excl.forall(n => !n.contains(',') && !n.contains('!'))
+      if (safe && excl.size < kept.size)
+        Seq(s"$scope!${excl.sorted.mkString(",")}")
+      else kept.map(n => s"$scope/$n")
+    }
+  }
 
   def readLatest(spark: SparkSession, table: String): DataFrame = {
     val v = latestVersion(spark, table).getOrElse(
@@ -1388,7 +1458,16 @@ object VersionedTable {
     * raises [[CommitConflictException]] (retry: re-read, re-merge)
     * instead of silently producing a snapshot that drops the concurrent
     * commit's changes — the lost-update anomaly the optimistic protocol
-    * exists to prevent.
+    * exists to prevent. Since r16 a PROVABLY-DISJOINT race resolves
+    * internally instead (file-granular merges rebase like appends and
+    * DML — see [[publishCowRebasingWith]]'s guards: the winner kept
+    * every touched file, holds none of this batch's keys in its added
+    * files, and changed no sidecar/constraint/batch-token state).
+    * Isolation note (Delta's WriteSerializable level, its default): the
+    * rebase guarantees the BATCH applies exactly as a serial replay
+    * would; if the batch was itself DERIVED from table rows beyond its
+    * own keys' (e.g. "set k to the sum of all rows"), that derivation is
+    * the caller's snapshot, as in any engine without full SSI.
     */
   def commitMerge(spark: SparkSession, table: String, changes: DataFrame,
       key: String, version: String, op: String,
@@ -1444,26 +1523,116 @@ object VersionedTable {
         "— narrowing merges are not supported (a change row must carry the " +
         "full row); drop the columns from the table first if intended")
     val added = changeDataCols.diff(base.columns)
-    val widened = added.foldLeft(base)((b, c) =>
-      b.withColumn(c, org.apache.spark.sql.functions.lit(null)
-        .cast(changes.schema(c).dataType)))
-    val merged = graft.api.Graft.applyChanges(
-      widened, changes, keys, version, op)
-    val dirName = writeSnapshot(spark, merged, table, maxRecordsPerFile)
-    validateConstraints(spark, table, dirName)
-    // merges inherit the table's skipping policy: a drip-merged table
-    // must not lose its index on the first CDC batch
-    applySkipping(spark, table, dirName, Nil, Nil, 10)
-    // change-data-feed at write time: the change batch IS this version's
-    // row-level CDC — persist it inside the (still unpublished) data dir,
-    // so a downstream consumer reads deltas without diffing snapshots.
-    // The `_` prefix keeps it invisible to readVersion; atomic with the
-    // commit by the same argument as the stats sidecar.
-    changes.write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .parquet(new Path(new Path(table), s"$dirName/$changesDirName").toString)
-    publish(spark, table, baseVersion + 1L, dirName, batchId, op = "merge",
-      mergeKey = if (keys.size == 1) Some(keys.head) else None)
+    // FILE-GRANULAR merge (r16): when the batch neither widens the schema
+    // nor lands under an active mapping (both fall back to the
+    // whole-snapshot path, which is what materializes them), only the
+    // files that HOLD a change-batch key rewrite — a key-equality
+    // semi-join with `_metadata.file_path` finds them; inserts land in
+    // the fresh dir with the rewritten rows; everything else is
+    // referenced in place. This converts the last O(table) verb class —
+    // the streaming upsert sink paid a full CoW rewrite PER MICRO-BATCH —
+    // to O(matched files + batch). Nondeterministic change plans fall
+    // back too (the batch evaluates twice here: probe + apply).
+    val granular = added.isEmpty &&
+      schemaStateOf(spark, table, baseVersion).isEmpty &&
+      changes.queryExecution.analyzed.expressions.forall(_.deterministic)
+    val committed: Long = if (granular) {
+        import org.apache.spark.sql.functions.col
+        val (hfs, root) = fs(spark, table)
+        val dirStr = resolveDir(hfs, root, baseVersion).getOrElse(
+          throw new IllegalArgumentException(
+            s"version $baseVersion of $table was never committed"))
+        val preds = delStateOf(spark, table, baseVersion)
+        val groups = groupTokensByScope(splitDirs(dirStr))
+        def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
+          val df = spark.read.parquet(
+            groupReadPaths(hfs, root, scope, toks): _*)
+          delKeepFilter(preds, scope).map(df.where).getOrElse(df)
+        }
+        def rawPath(s: String): String = {
+          val u = new Path(s).toUri
+          if (u.getPath == null || u.getPath.isEmpty) s else u.getPath
+        }
+        // probe: files holding any change key. NULL-SAFE key equality —
+        // applyChanges groups null keys like values (window partitioning),
+        // so a null-key change must touch null-key base rows too
+        val keyFrame = changes
+          .select(keys.map(org.apache.spark.sql.functions.col): _*)
+          .distinct().alias("c")
+        val withFile = groups.map { case (scope, toks) =>
+          visibleOf(scope, toks).withColumn("__graft_file",
+            col("_metadata.file_path"))
+        }.reduce(_ union _).alias("b")
+        val touchedRaw = withFile
+          .join(keyFrame,
+            keys.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _),
+            "left_semi")
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => rawPath(r.getString(0))).toSet
+        val perScope = enumerateTokens(hfs, root, groups)
+        val touched: Map[String, Set[String]] = perScope.iterator.map {
+          case (scope, _, referenced) =>
+            val qualScope = rawPath(
+              hfs.makeQualified(new Path(root, scope)).toString)
+            scope -> referenced.filter(n =>
+              touchedRaw.contains(s"$qualScope/$n")).toSet
+        }.filter(_._2.nonEmpty).toMap
+        lastCowRewrite.set((touched.valuesIterator.map(_.size).sum,
+          perScope.iterator.map(_._3.size).sum))
+        val touchedRows = perScope.collect {
+          case (scope, _, _) if touched.contains(scope) =>
+            visibleOf(scope,
+              touched(scope).toSeq.sorted.map(n => s"$scope/$n"))
+        }.reduceOption(_ union _)
+          .getOrElse(base.limit(0)) // pure-insert batch: no file touched
+        val merged = graft.api.Graft.applyChanges(
+          touchedRows, changes, keys, version, op)
+        val d = writeSnapshot(spark, merged, table, maxRecordsPerFile)
+        validateConstraints(spark, table, d)
+        applySkipping(spark, table, d, Nil, Nil, 10)
+        changes.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .parquet(new Path(new Path(table),
+            s"$d/$changesDirName").toString)
+        // publish with the DISJOINT REBASE tail (r16): a racing commit
+        // whose reference set holds none of this batch's keys resolves
+        // internally — guard 2's hit test is the same null-safe key
+        // semi-join the probe used (sound for rollup pre-image recovery
+        // too: guards 1+2 make our keys' pre-images in the winner's
+        // snapshot identical to our base's)
+        publishCowRebasingWith(spark, table, baseVersion, "merge",
+          perScope, touched, Some(d), batchId,
+          mergeKey = if (keys.size == 1) Some(keys.head) else None)(
+          paths => spark.read.parquet(paths: _*).alias("b")
+            .join(keyFrame,
+              keys.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _),
+              "left_semi")
+            .limit(1).count() > 0)
+      } else {
+        val widened = added.foldLeft(base)((b, c) =>
+          b.withColumn(c, org.apache.spark.sql.functions.lit(null)
+            .cast(changes.schema(c).dataType)))
+        val merged = graft.api.Graft.applyChanges(
+          widened, changes, keys, version, op)
+        val d = writeSnapshot(spark, merged, table, maxRecordsPerFile)
+        validateConstraints(spark, table, d)
+        // merges inherit the table's skipping policy: a drip-merged table
+        // must not lose its index on the first CDC batch
+        applySkipping(spark, table, d, Nil, Nil, 10)
+        // change-data-feed at write time: the change batch IS this
+        // version's row-level CDC — persist it inside the (still
+        // unpublished) data dir, so a downstream consumer reads deltas
+        // without diffing snapshots. The `_` prefix keeps it invisible to
+        // readVersion; atomic with the commit by the same argument as the
+        // stats sidecar.
+        changes.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .parquet(new Path(new Path(table),
+            s"$d/$changesDirName").toString)
+        publish(spark, table, baseVersion + 1L, d, batchId, op = "merge",
+          mergeKey = if (keys.size == 1) Some(keys.head) else None)
+        baseVersion + 1L
+      }
     // streaming change feed (opt-in via enableChangeFeed): mirror the
     // committed batch into _cdf/ for file-stream subscribers. The commit
     // above STANDS regardless — a mirror failure here self-heals on the
@@ -1473,7 +1642,7 @@ object VersionedTable {
     if (cdfFs.exists(new Path(cdfRoot, cdfDirName)))
       try mirrorChangeFeed(spark, table)
       catch { case scala.util.control.NonFatal(_) => () }
-    baseVersion + 1L
+    committed
   }
 
   private val changesDirName = "_changes"
@@ -1654,8 +1823,8 @@ object VersionedTable {
     val added = delStateOf(spark, table, version).drop(oldState.size)
     val deleted = groupTokensByScope(splitDirs(dirStr)).map {
       case (scope, toks) =>
-        val df = spark.read.parquet(toks.map(t =>
-          new Path(root, t).toString): _*)
+        val df = spark.read.parquet(
+          groupReadPaths(hfs, root, scope, toks): _*)
         val visible = delKeepFilter(oldState, scope)
           .map(df.where).getOrElse(df)
         delKeepFilter(added, scope) match {
@@ -2645,8 +2814,9 @@ object VersionedTable {
   def convert(spark: SparkSession, table: String, sourceDir: String): Long = {
     require(latestVersion(spark, table).isEmpty,
       s"$table already has committed versions — convert only bootstraps")
-    require(!sourceDir.contains(";") && !sourceDir.contains("\""),
-      s"source path must not contain ';' or '\"': $sourceDir")
+    require(!sourceDir.contains(";") && !sourceDir.contains("\"") &&
+      !sourceDir.contains("!"),
+      s"source path must not contain ';', '\"' or '!': $sourceDir")
     val (hfs, root) = fs(spark, table)
     val src = new Path(sourceDir)
     val abs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2700,6 +2870,10 @@ object VersionedTable {
     val dirs = dataPathsOf(spark, sourceTable, v).map(_.toString)
     require(dirs.forall(d => !d.contains(";") && !d.contains("\"")),
       s"source data paths must not contain ';' or '\"'")
+    // exclusion tokens survive absolutization (dirScopeOf splits at '!'
+    // after the Path prefix), but the SCOPE itself must not contain '!'
+    require(dirs.map(dirScopeOf).forall(!_.contains("!")),
+      "source data dir names must not contain '!'")
     val (hfs, tgtRoot) = fs(spark, targetTable)
     val (_, srcRoot) = fs(spark, sourceTable)
     require(tgtRoot.toString != srcRoot.toString,
@@ -2920,8 +3094,8 @@ object VersionedTable {
       if (u.getPath == null || u.getPath.isEmpty) s else u.getPath
     }
     def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
-      val df = spark.read.parquet(toks.map(t =>
-        new Path(root, t).toString): _*)
+      val df = spark.read.parquet(
+        groupReadPaths(hfs, root, scope, toks): _*)
       delKeepFilter(preds, scope).map(df.where).getOrElse(df)
     }
     // 1. probe: distinct touched files, driver-side — bounded by the
@@ -2976,13 +3150,9 @@ object VersionedTable {
       groups: Seq[(String, Seq[String])])
       : Seq[(String, Seq[String], Seq[String])] =
     groups.map { case (scope, toks) =>
-      val referenced: Seq[String] =
-        if (toks.exists(t => !isFileToken(t)))
-          hfs.listStatus(new Path(root, scope)).iterator
-            .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-            .toSeq.sorted
-        else toks.map(t => t.substring(t.lastIndexOf('/') + 1))
-      (scope, toks, referenced)
+      (scope, toks,
+        groupRestriction(hfs, root, scope, toks)
+          .getOrElse(listParquet(hfs, root, scope)))
     }
 
   /** Process-wide count of internally-resolved CoW conflicts — the
@@ -3031,6 +3201,29 @@ object VersionedTable {
       touched: Map[String, Set[String]],
       newDir: Option[String]): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit}
+    publishCowRebasingWith(spark, table, base, op, basePerScope, touched,
+      newDir)(paths =>
+      spark.read.parquet(paths: _*)
+        .where(coalesce(cond, lit(false))).limit(1).count() > 0)
+  }
+
+  /** [[publishCowRebasing]] with the guard-2 hit test abstracted:
+    * `hitsAdded` answers "does any row of these winner-added files match
+    * this verb?" — a predicate scan for UPDATE/DELETE, a key semi-join
+    * for MERGE. `batchId`/`mergeKey` pass through to the publish (the
+    * merge path's provenance); a present batch token ALSO guards the
+    * rebase: if the new latest already carries it, the exactly-once
+    * check must re-run against what actually won (conflict to caller,
+    * the [[publishAppendRebasing]] rule).
+    */
+  private def publishCowRebasingWith(spark: SparkSession, table: String,
+      base: Long, op: String,
+      basePerScope: Seq[(String, Seq[String], Seq[String])],
+      touched: Map[String, Set[String]],
+      newDir: Option[String],
+      batchId: Option[Long] = None,
+      mergeKey: Option[String] = None)(
+      hitsAdded: Seq[String] => Boolean): Long = {
     val (hfs, root) = fs(spark, table)
     val delRefAtBase = delRefOf(spark, table, base)
     val schemaRefAtBase = schemaRefOf(spark, table, base)
@@ -3047,13 +3240,14 @@ object VersionedTable {
       case (scope, toks, referenced) =>
         touched.get(scope) match {
           case None => toks
-          case Some(t) => referenced.filterNot(t).map(n => s"$scope/$n")
+          case Some(t) => keptTokensFor(hfs, root, scope, referenced, t)
         }
     }
     while (true) {
       try {
         publish(spark, table, attempt + 1L,
-          (keptTokens ++ newDir).mkString(";"), op = op,
+          (keptTokens ++ newDir).mkString(";"), batchId, op = op,
+          mergeKey = mergeKey,
           delRef = delRefAtBase, schemaRef = schemaRefAtBase)
         return attempt + 1L
       } catch {
@@ -3065,6 +3259,10 @@ object VersionedTable {
               Seq[(String, Seq[String], Seq[String])])] = {
             val cur = latestVersion(spark, table).getOrElse(attempt)
             if (cur <= attempt) return None // foreign slot, not a race
+            // batch-token guard: the exactly-once check must re-run
+            // against what actually won
+            if (batchId.isDefined && lastBatchId(spark, table) == batchId)
+              return None
             // guard 3: table-level semantics unchanged
             if (delRefOf(spark, table, cur) != delRefAtBase ||
                 schemaRefOf(spark, table, cur) != schemaRefAtBase ||
@@ -3080,16 +3278,15 @@ object VersionedTable {
             if (!touched.forall { case (scope, names) =>
                 names.subsetOf(curFilesByScope.getOrElse(scope, Set.empty)) })
               return None
-            // guard 2: no winner-added file holds a cond-matching row
+            // guard 2: no winner-added file holds a row this verb would
+            // have touched (predicate scan / key semi-join via hitsAdded)
             val curFiles = curPerScope.iterator.flatMap {
               case (scope, _, referenced) => referenced.map(n => s"$scope/$n")
             }.toSet
             val added = (curFiles -- baseFiles -- cleared).toSeq.sorted
             if (added.nonEmpty) {
-              val hit = spark.read.parquet(added.map(f =>
-                  new Path(root, f).toString): _*)
-                .where(coalesce(cond, lit(false))).limit(1).count() > 0
-              if (hit) return None
+              if (hitsAdded(added.map(f => new Path(root, f).toString)))
+                return None
               cleared ++= added
             }
             Some((cur, curPerScope))
@@ -3468,9 +3665,11 @@ object VersionedTable {
     val cp = checkpointMap(hfs, root)
     val rows = versions(spark, table).map { v =>
       // a multi-dir (appended) version honestly prunes a column only if
-      // EVERY dir covers it — report the intersection
+      // EVERY dir covers it — report the intersection. Kept-file and
+      // exclusion tokens (file-granular CoW) read their PARENT dir's
+      // sidecar, the one pruned reads consult for them.
       val perDir = resolveDirWith(hfs, root, v, () => cp).toSeq
-        .flatMap(splitDirs)
+        .flatMap(splitDirs).map(dirScopeOf).distinct
         .map(d => new Path(new Path(root, d), statsDirName))
         .map { p =>
           if (!hfs.exists(p)) Seq.empty[String]
@@ -3690,8 +3889,7 @@ object VersionedTable {
         Option[(Seq[String], Int)])] =
       groupTokensByScope(tokens).map { case (scope, toks) =>
         val restriction: Option[Set[String]] =
-          if (toks.exists(t => !isFileToken(t))) None
-          else Some(toks.map(t => t.substring(t.lastIndexOf('/') + 1)).toSet)
+          groupRestriction(hfs, root, scope, toks).map(_.toSet)
         val dataDir = new Path(root, scope)
         val statsPath = new Path(dataDir, statsDirName)
         // the sidecar is an OPTIMIZATION: any failure reading it (an
@@ -3718,8 +3916,7 @@ object VersionedTable {
         (rs.toSeq.sorted.map(f => s"$scope/$f"), rs.size)
       case (scope, None, None) =>
         // uncovered dir: every file kept (a listing, not a scan)
-        val files = hfs.listStatus(new Path(root, scope)).iterator
-          .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
+        val files = listParquet(hfs, root, scope)
         (files.map(f => s"$scope/$f"), files.size)
     }
     Some((parts.flatMap(_._1), parts.iterator.map(_._2).sum))
@@ -3925,17 +4122,30 @@ object VersionedTable {
     require(zorderCols.isEmpty || zorderCols.size == 2,
       s"ZORDER BY takes exactly two columns: $zorderCols")
     require(targetFileBytes > 0, s"targetFileBytes must be > 0: $targetFileBytes")
-    val (hfs, _) = fs(spark, table)
+    val (hfs, optRoot) = fs(spark, table)
     var bytes = 0L
-    // sum across ALL the version's dirs — compacting a drip-appended
-    // multi-dir version back into one dir is half of optimize's job
-    dataPathsOf(spark, table, base).foreach { dataDir =>
-      val it = hfs.listFiles(dataDir, /* recursive = */ false)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    // sum across ALL the version's REFERENCED files — compacting a
+    // drip-appended multi-dir version back into one dir is half of
+    // optimize's job; file/exclusion tokens (file-granular CoW) count
+    // only the files the version actually references
+    groupTokensByScope(splitDirs(resolveDir(hfs, optRoot, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $base of $table was never committed"))))
+      .foreach { case (scope, toks) =>
+        groupRestriction(hfs, optRoot, scope, toks) match {
+          case None =>
+            val it = hfs.listFiles(new Path(optRoot, scope), false)
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+            }
+          case Some(files) =>
+            val names = files.toSet
+            hfs.listStatus(new Path(optRoot, scope)).foreach { st =>
+              if (names.contains(st.getPath.getName)) bytes += st.getLen
+            }
+        }
       }
-    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val cur = readVersion(spark, table, base)
     val rewritten =

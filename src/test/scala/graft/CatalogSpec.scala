@@ -154,13 +154,22 @@ class CatalogSpec extends AnyFunSuite {
           s"SELECT '$tbl' AS p").head().getString(0) == tbl,
         "a path-shaped string literal must not be rewritten")
 
-      // DESCRIBE SKIPPING reports per-version coverage + the policy
+      // DESCRIBE SKIPPING reports per-version coverage + the policy.
+      // The file-granular merge's fresh dir carries the policy sidecar
+      // (the pruneSelection probe above proved pruning works), but the
+      // KEPT files of pre-policy commits are honestly unindexed — the
+      // per-version intersection is false until a backfill indexes them
       val desc = GraftSql.sql(spark, s"DESCRIBE SKIPPING '$tbl'").collect()
       assert(desc.length == latestV.toInt, "one row per version")
-      val last = desc.last
+      assert(desc.last.getString(4) == "k",
+        s"policy column missing: ${desc.last}")
+      VersionedTable.ensureStats(spark, tbl, latestV, Seq("k"),
+        bloomCols = Seq("k"), bloomBitsPerRow = 12)
+      val desc2 = GraftSql.sql(spark, s"DESCRIBE SKIPPING '$tbl'").collect()
+      val last = desc2.last
       assert(last.getBoolean(1) && last.getString(2).contains("k") &&
         last.getString(3).contains("k") && last.getString(4) == "k",
-        s"unexpected coverage row: $last")
+        s"unexpected coverage row after backfill: $last")
 
       // textual DML: UPDATE with a function call containing a comma in
       // SET (top-level split must not break on it), then DELETE

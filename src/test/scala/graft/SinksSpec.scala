@@ -338,29 +338,45 @@ class SinksSpec extends SparkSpec {
     assert(collide.getMessage.contains("collide"), collide.getMessage)
   }
 
-  test("VersionedTable.commitMerge conflicts instead of losing a concurrent commit") {
+  test("VersionedTable.commitMerge: disjoint races rebase, overlapping conflict") {
     import graft.sources.VersionedTable
     import spark.implicits._
     val t = tmp() + "/vtable_merge_race"
     VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), t)
     // a concurrent writer lands v2 AFTER this merge pinned base = v1
-    VersionedTable.commit(spark, Seq((1L, "a"), (2L, "concurrent")).toDF("k", "v"), t)
+    VersionedTable.commit(spark,
+      Seq((1L, "a"), (2L, "concurrent")).toDF("k", "v"), t)
     val changes = Seq((3L, "c", 1L, "u")).toDF("k", "v", "ver", "op")
-    // the merge must CONFLICT (publish pinned at base+1 = the taken v2),
-    // never publish v3 built from the stale v1 — that would silently drop
-    // the concurrent writer's k=2 row (the lost-update anomaly)
-    intercept[VersionedTable.CommitConflictException] {
-      VersionedTable.commitMergeFrom(spark, t, baseVersion = 1L, changes,
-        key = "k", version = "ver", op = "op")
-    }
-    // the concurrent commit is intact; retry from the new latest succeeds
-    assert(VersionedTable.readLatest(spark, t).count() == 2)
-    val v = VersionedTable.commitMerge(spark, t, changes,
-      key = "k", version = "ver", op = "op")
-    assert(v == 3L)
+    // the batch's key (3) is DISJOINT from everything the winner wrote:
+    // since r16 the merge REBASES internally instead of conflicting —
+    // the winner's rows survive and the result equals a serial replay
+    // (never the old lost-update hazard: the published tokens are the
+    // WINNER's, not the stale base's)
+    val rb0 = VersionedTable.cowRebases.get()
+    val v3 = VersionedTable.commitMergeFrom(spark, t, baseVersion = 1L,
+      changes, key = "k", version = "ver", op = "op")
+    assert(v3 == 3L)
+    assert(VersionedTable.cowRebases.get() == rb0 + 1)
     assert(VersionedTable.readLatest(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a"), (2L, "concurrent"), (3L, "c")))
+    // an OVERLAPPING race still conflicts honestly: v4 rewrites the file
+    // holding k=1, so a merge touching k=1 pinned at the stale v3 finds
+    // its touched file un-referenced (guard 1) and must re-derive
+    VersionedTable.updateWhere(spark, t, col("k") === 1L,
+      Map("v" -> lit("A")))
+    val overlap = Seq((1L, "z", 1L, "u")).toDF("k", "v", "ver", "op")
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.commitMergeFrom(spark, t, baseVersion = 3L, overlap,
+        key = "k", version = "ver", op = "op")
+    }
+    // retry from the new latest succeeds
+    val v5 = VersionedTable.commitMerge(spark, t, overlap,
+      key = "k", version = "ver", op = "op")
+    assert(v5 == 5L)
+    assert(VersionedTable.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "z"), (2L, "concurrent"), (3L, "c")))
   }
 
   test("VersionedTable.mergeInto: upsert + conditional delete in one commit") {
@@ -2152,6 +2168,16 @@ class SinksSpec extends SparkSpec {
     val got = VersionedTable.readLatest(spark, t)
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
     assert(got.count() == 20000)
+    // manifest stays O(churn): the kept references compress to an
+    // EXCLUSION token (dir!touched,...) — tokens scale with the touched
+    // set, never with the kept file count
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t + "/_manifests/v00000002.json")), "UTF-8")
+    val dirList = """"dir":"([^"]+)"""".r.findFirstMatchIn(m2).get.group(1)
+    assert(dirList.contains("!"),
+      s"expected an exclusion token in: $dirList")
+    assert(dirList.split(';').length <= rewritten + 2,
+      s"manifest tokens must be O(touched): $dirList")
 
     // pruned reads still work over the mixed kept-file + fresh-dir layout
     // (the base dir's sidecar is consulted RESTRICTED to referenced files)
@@ -2203,6 +2229,56 @@ class SinksSpec extends SparkSpec {
       .map(_.getString(4)).toSeq ==
       Seq("commit", "update", "delete", "delete", "lazydelete", "update"))
     assert(v6 == 6L)
+  }
+
+  test("file-granular MERGE: only key-holding files rewrite; feed intact") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_fgmerge"
+    // id-clustered: a small-key change batch maps to the low files only
+    val df = spark.range(20000).select(col("id").as("k"),
+      (col("id") % 100).as("v"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("k"),
+      numFiles = 8, maxRecordsPerFile = 3000L)
+    def inventory(): Map[String, (Long, Long)] = {
+      val data = new java.io.File(t + "/data")
+      data.listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+          s"${d.getName}/${f.getName}" -> (f.lastModified(), f.length()))
+      }.toMap
+    }
+    val before = inventory()
+    // upsert two low keys, delete one, insert a fresh key — all the
+    // touched keys live in the low id range, so only those files rewrite
+    val src = Seq((10L, 777L), (11L, -1L), (99999L, 888L)).toDF("k", "v")
+    val v2 = VersionedTable.mergeInto(spark, t, src, key = "k",
+      deleteWhen = col("v") < 0L)
+    assert(v2 == 2L)
+    val (rewrote, total) = VersionedTable.lastCowRewrite.get()
+    assert(rewrote > 0 && rewrote < total,
+      s"merge must rewrite a strict subset: $rewrote of $total")
+    val after = inventory()
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"$f changed under merge") }
+    // result == the relational model
+    val model = df.where(col("k") =!= 11L)
+      .withColumn("v", when(col("k") === 10L, 777L).otherwise(col("v")))
+      .unionByName(Seq((99999L, 888L)).toDF("k", "v"))
+    val got = VersionedTable.readLatest(spark, t)
+    assert(got.exceptAll(model).isEmpty && model.exceptAll(got).isEmpty)
+    // the change feed landed in the fresh dir exactly as supplied
+    val feed = VersionedTable.readChanges(spark, t, v2)
+    assert(feed.count() == 3 &&
+      feed.columns.toSet == Set("k", "v", "__op", "__ver"))
+    // a widening merge falls back to the whole-snapshot path (schema
+    // migration must materialize) and still works
+    val wide = Seq((10L, 1L, "x")).toDF("k", "v", "note")
+    VersionedTable.mergeInto(spark, t, wide, key = "k")
+    val latest = VersionedTable.readLatest(spark, t)
+    assert(latest.columns.toSeq == Seq("k", "v", "note"))
+    assert(latest.where(col("k") === 10L).head().getString(2) == "x")
+    assert(latest.where(col("k") =!= 10L)
+      .where(col("note").isNotNull).count() == 0)
   }
 
   test("CoW rebase law: disjoint file-granular verbs == serial replay; guards hold") {
