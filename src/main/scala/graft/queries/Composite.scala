@@ -3000,6 +3000,114 @@ object Composite {
              |SELECT yr, count(*) AS n_orders,
              |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
              |    AS BIGINT)) AS BIGINT) AS cents
-             |FROM t GROUP BY yr ORDER BY yr""".stripMargin))
+             |FROM t GROUP BY yr ORDER BY yr""".stripMargin)),
+
+    // Q247 — CDC churn audit (r16): per committed version, how many rows
+    // the verb actually changed (upserts/deletes from the row-level
+    // change feed) next to the post-verb snapshot size — the
+    // observability readout that tells a pipeline owner the table is
+    // maintained at O(churn), not O(table) (exactly the property the
+    // file-granular verbs + readChanges guarantee; at 100 TB this is the
+    // dashboard number that catches an accidental full rewrite). One
+    // O(batch) feed read + one snapshot count per version — #versions
+    // bounded passes, never table-sized state.
+    Q("q247_cdc_churn",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = scratchDir("graft-vtable-churn") + "/t"
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        VersionedTable.commit(s,
+          orders.where(col("o_orderkey") % 3 === 0), dir)
+        // v2: repricing merge (×2, exact binary) on a key subset
+        VersionedTable.mergeInto(s, dir,
+          orders.where(col("o_orderkey") % 30 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * lit(2)),
+          key = "o_orderkey")
+        // v3: delete-merge of a narrower subset
+        VersionedTable.mergeInto(s, dir,
+          orders.where(col("o_orderkey") % 45 === 0),
+          key = "o_orderkey", deleteWhen = lit(true))
+        // v4: O(new-data) insert of a disjoint key class
+        VersionedTable.append(s, dir,
+          orders.where(col("o_orderkey") % 3 === 1))
+        (2L to 4L).map { v =>
+          val feed = VersionedTable.readChanges(s, dir, v)
+            .agg(sum(when(col("__op") === "u", 1L).otherwise(0L))
+              .as("upserts"),
+              sum(when(col("__op") === "d", 1L).otherwise(0L))
+                .as("deletes"))
+          val after = VersionedTable.readVersion(s, dir, v)
+            .agg(count(lit(1)).as("rows_after"))
+          feed.crossJoin(after)
+            .select(lit(v).as("version"),
+              coalesce(col("upserts"), lit(0L)).as("upserts"),
+              coalesce(col("deletes"), lit(0L)).as("deletes"),
+              col("rows_after"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some("""WITH c AS (
+             |  SELECT
+             |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+             |      AS seed,
+             |    (SELECT count(*) FROM orders WHERE o_orderkey % 30 = 0)
+             |      AS repriced,
+             |    (SELECT count(*) FROM orders WHERE o_orderkey % 45 = 0)
+             |      AS deleted,
+             |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+             |      AS inserted),
+             |v AS (
+             |  SELECT CAST(2 AS BIGINT) AS version,
+             |    CAST(repriced AS BIGINT) AS upserts,
+             |    CAST(0 AS BIGINT) AS deletes,
+             |    CAST(seed AS BIGINT) AS rows_after FROM c
+             |  UNION ALL SELECT 3, 0, deleted, seed - deleted FROM c
+             |  UNION ALL SELECT 4, inserted, 0,
+             |    seed - deleted + inserted FROM c)
+             |SELECT version, upserts, deletes, rows_after
+             |FROM v ORDER BY version""".stripMargin)),
+
+    // Q248 — weekly activity heatmap (isodow × hour grid): event volume
+    // share per calendar cell plus each weekday's peak hour — the
+    // capacity-planning readout behind "when do we scale the serving
+    // tier". One hash aggregate to a ≤168-row grid, a 1-row broadcast
+    // total, and a per-dow peak window over ≤24 rows — nothing
+    // data-sized shuffles twice. Share division is performed identically
+    // on both engines before 6-dp rounding.
+    Q("q248_dow_hour_grid",
+      (s, d) => {
+        val g = Tables(s, d, "events")
+          .groupBy((((dayofweek(to_date(col("ts"))) + 5) % 7) + 1)
+            .as("isodow"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val total = g.agg(sum(col("n")).as("tot"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("isodow"))
+          .orderBy(col("n").desc, col("hr"))
+        g.withColumn("is_peak",
+            (row_number().over(w) === 1).cast(IntegerType))
+          .crossJoin(broadcast(total))
+          .select(col("isodow").cast(LongType).as("isodow"),
+            col("hr").cast(LongType).as("hr"), col("n"),
+            graft.Exact.round6(col("n").cast(DoubleType) /
+              col("tot").cast(DoubleType)).as("share"),
+            col("is_peak"))
+          .orderBy(col("isodow"), col("hr"))
+      },
+      Some("""WITH g AS (
+             |  SELECT isodow(CAST(ts AS DATE)) AS isodow,
+             |    EXTRACT(HOUR FROM ts) AS hr, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT sum(n) AS tot FROM g),
+             |r AS (SELECT isodow, hr, n,
+             |        row_number() OVER (PARTITION BY isodow
+             |          ORDER BY n DESC, hr) AS rn
+             |      FROM g)
+             |SELECT CAST(r.isodow AS BIGINT) AS isodow,
+             |  CAST(r.hr AS BIGINT) AS hr, CAST(r.n AS BIGINT) AS n,
+             |  round(CAST(r.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0
+             |    AS share,
+             |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_peak
+             |FROM r, t ORDER BY isodow, hr""".stripMargin))
   )
 }

@@ -416,13 +416,63 @@ object VersionedTable {
     // verify re-LISTS (cheap) but re-reads a checkpoint body only when
     // the newest id actually moved during the claim — on a never- or
     // not-recently-compacted table the hot path pays zero extra body
-    // reads (checkpoint bodies are immutable: same id ⇒ same map)
-    val preId = try newestCheckpointId(hfs, root)
-      catch { case _: java.io.FileNotFoundException => None }
-    def mapOf(id: Option[Long]): Map[Long, String] =
-      try id.map(checkpointBodyMap(hfs, root, _)).getOrElse(Map.empty)
-      catch { case _: java.io.FileNotFoundException =>
-        checkpointMap(hfs, root) } // id retired mid-read: re-resolve
+    // reads (checkpoint bodies are immutable: same id ⇒ same map).
+    //
+    // The listing RETRIES on FileNotFoundException instead of degrading:
+    // RawLocalFileSystem stats every dirent, so a checkpoint or manifest
+    // deleted by a concurrent compaction MID-LISTING surfaces as FNFE —
+    // transient churn, not "no checkpoint". Mapping it to None silently
+    // DISARMED the folded-horizon guard (horizon 0), and a stale pinned
+    // publish could then claim a retired slot whose manifest compaction
+    // had removed — a SECOND winner on an already-won version, rewriting
+    // history (the repro caught exactly this: two writers both
+    // "publishing" one slot, the second one's commit invisible to every
+    // later reader — a lost update). Retrying until a clean listing is
+    // always safe (the churn window is microseconds) and a persistent
+    // failure must fail LOUD, never quietly weaken the guard.
+    def listCheckpointId(): Option[Long] = {
+      var attempt = 0
+      while (true) {
+        try return newestCheckpointId(hfs, root)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            attempt += 1
+            if (attempt >= 50) throw e
+            Thread.sleep(2L)
+        }
+      }
+      None // unreachable
+    }
+    val pdbg = sys.env.contains("GRAFT_REBASE_DEBUG")
+    def ptrace(msg: => String): Unit =
+      if (pdbg) System.err.println(
+        s"[publish ${Thread.currentThread().getName}] $msg")
+    val preId = listCheckpointId()
+    def mapOf(id: Option[Long]): Map[Long, String] = id match {
+      case None => Map.empty
+      case Some(i) =>
+        var attempt = 0
+        while (true) {
+          (try Some(checkpointBodyMap(hfs, root, i))
+          catch { case _: java.io.FileNotFoundException => None }) match {
+            case Some(m) if m.nonEmpty => return m
+            case None => return checkpointMap(hfs, root) // retired: re-resolve
+            case Some(_) =>
+              // an EMPTY checkpoint body is never legitimate (compaction
+              // folds ≥1 version, expiry keeps ≥1): it is a half-written
+              // legacy checkpoint or corruption — retry through the
+              // window, then fail LOUD; returning an empty map would
+              // read as horizon 0 and disarm the recycled-slot guard
+              attempt += 1
+              if (attempt >= 50) throw new IllegalStateException(
+                s"checkpoint ${checkpointName(i)} of $root parses to an " +
+                  "empty version map — corrupt or half-written; refusing " +
+                  "to publish with a disarmed folded-horizon guard")
+              Thread.sleep(2L)
+          }
+        }
+        Map.empty // unreachable
+    }
     val preMap = mapOf(preId)
     val horizon = preMap.keysIterator.maxOption.getOrElse(0L)
     if (version <= horizon)
@@ -432,16 +482,20 @@ object VersionedTable {
         body.getBytes(StandardCharsets.UTF_8)))
       throw new CommitConflictException(version,
         new java.nio.file.FileAlreadyExistsException(manifest.toString))
+    ptrace(s"CLAIMED v=$version op=$op preId=$preId horizon=$horizon " +
+      s"dir=$dataDirName")
     // post-claim verify: a compaction can fold-and-retire the slot in
     // the window between the horizon read above and the link — if the
     // newest checkpoint now binds this version to ANOTHER dir, the claim
     // recycled a just-retired slot: undo it (no reader depends on a
     // binding the checkpoint contradicts) and conflict. A checkpoint
     // binding to OUR dir is the benign fast-fold of a legitimate claim.
-    val postId = try newestCheckpointId(hfs, root)
-      catch { case _: java.io.FileNotFoundException => preId }
+    // Same retry-not-degrade rule: falling back to preId here would skip
+    // the body re-read and miss the fold that just happened.
+    val postId = listCheckpointId()
     val after = if (postId == preId) preMap else mapOf(postId)
     if (after.get(version).exists(_ != dataDirName)) {
+      ptrace(s"UNDO v=$version op=$op postId=$postId")
       hfs.delete(manifest, false)
       throw foldedConflict(
         s"version $version was checkpoint-folded during the claim")
@@ -2439,13 +2493,17 @@ object VersionedTable {
         .map(r => s""","schema":"$r"""").getOrElse("")
       s"""{"v":$v,"dir":"$d"$del$sch}"""
     }.mkString("[", ",", "]")
-    val out =
-      try hfs.create(target, /* overwrite = */ false)
-      catch { case e: java.io.IOException =>
-        if (hfs.exists(target)) return 0 // racing compaction won — no-op
-        else throw e
-      }
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // TWO-PHASE atomic promote, exactly like the manifest publish: the
+    // old create-then-write exposed a zero-byte window a concurrent
+    // publish's folded-horizon read could OPEN — an empty checkpoint map
+    // reads as horizon 0, disarming the recycled-slot guard, and a stale
+    // pinned publish could then double-claim a retired slot (the repro
+    // fleet caught exactly this as a lost update: `preId=Some(N)
+    // horizon=0` in the claim trace). A checkpoint must be born complete.
+    val cpTmp = new Path(root, s"_manifests/.tmp-${UUID.randomUUID}")
+    if (!putIfAbsentFile(spark, hfs, cpTmp, target,
+        body.getBytes(StandardCharsets.UTF_8)))
+      return 0 // racing compaction won — no-op
     // the checkpoint is durable: retire what it folded. Keep the single
     // most recent predecessor alongside the new checkpoint — a reader
     // that listed just before this compaction may be about to open it
@@ -2759,15 +2817,14 @@ object VersionedTable {
     var written = false
     while (!written) {
       val target = new Path(root, s"_manifests/${checkpointName(stamp)}")
-      try {
-        val out = hfs.create(target, /* overwrite = */ false)
-        try out.write(body.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+      // two-phase atomic promote (the compactManifests fix applies here
+      // too): an expiry checkpoint must never be readable half-written —
+      // its body IS the surviving version set
+      val cpTmp = new Path(root, s"_manifests/.tmp-${UUID.randomUUID}")
+      if (putIfAbsentFile(spark, hfs, cpTmp, target,
+          body.getBytes(StandardCharsets.UTF_8)))
         written = true
-      } catch { case e: java.io.IOException =>
-        if (hfs.exists(target)) stamp += 1L // racing stamper — bump
-        else throw e
-      }
+      else stamp += 1L // racing stamper — bump
     }
     dropped.foreach { v =>
       val m = new Path(root, s"_manifests/${manifestName(v)}")
@@ -3225,6 +3282,10 @@ object VersionedTable {
       mergeKey: Option[String] = None)(
       hitsAdded: Seq[String] => Boolean): Long = {
     val (hfs, root) = fs(spark, table)
+    val dbg = sys.env.contains("GRAFT_REBASE_DEBUG")
+    def trace(msg: => String): Unit =
+      if (dbg) System.err.println(
+        s"[rebase ${Thread.currentThread().getName}] $msg")
     val delRefAtBase = delRefOf(spark, table, base)
     val schemaRefAtBase = schemaRefOf(spark, table, base)
     val consAtBase = latestConstraintGen(hfs, root)
@@ -3245,10 +3306,12 @@ object VersionedTable {
     }
     while (true) {
       try {
-        publish(spark, table, attempt + 1L,
-          (keptTokens ++ newDir).mkString(";"), batchId, op = op,
+        val toks = (keptTokens ++ newDir).mkString(";")
+        publish(spark, table, attempt + 1L, toks, batchId, op = op,
           mergeKey = mergeKey,
           delRef = delRefAtBase, schemaRef = schemaRefAtBase)
+        trace(s"PUBLISHED op=$op base=$base attempt=$attempt " +
+          s"v=${attempt + 1} toks=$toks")
         return attempt + 1L
       } catch {
         case e: CommitConflictException =>
@@ -3293,9 +3356,15 @@ object VersionedTable {
           }
           (try tryRebase()
           catch { case scala.util.control.NonFatal(_) => None }) match {
-            case None => throw e
+            case None =>
+              trace(s"GIVEUP op=$op base=$base attempt=$attempt " +
+                s"latest=${latestVersion(spark, table)}")
+              throw e
             case Some((cur, curPerScope)) =>
               cowRebases.incrementAndGet()
+              trace(s"REBASE op=$op base=$base attempt=$attempt -> $cur " +
+                s"winnerToks=${curPerScope.map(x =>
+                  x._2.mkString("|")).mkString(";")}")
               attempt = cur
               attemptPerScope = curPerScope
           }
