@@ -15,6 +15,28 @@ set -u
 cd "$(dirname "$0")/.."
 round="${1:?usage: tools/round_close.sh <round-number>}"
 out="CROSSSF_r$(printf '%02d' "$round").json"
+
+# Evidence-integrity gate (r16 lesson: a FAILING pre-fix HAMMER repro run
+# was committed as the round's concurrency evidence while the survey
+# claimed a clean re-run). A close must never snapshot a failing
+# stress/concurrency artifact silently — if the run was a repro, keep it
+# under /tmp, not in the repo root.
+for artifact in HAMMER.json STRESS.json; do
+  [ -f "$artifact" ] || continue
+  bad=$(python3 - "$artifact" <<'PY'
+import json, sys
+d = json.load(open(sys.argv[1]))
+probs = [k for k in ("lost_updates", "failures", "failed", "errors")
+         if isinstance(d.get(k), (int, float)) and d[k] != 0]
+print(",".join(probs))
+PY
+)
+  if [ -n "$bad" ]; then
+    echo "== REFUSING TO CLOSE: $artifact reports nonzero $bad —"
+    echo "== commit a clean post-fix run (or delete the repro artifact)"
+    exit 2
+  fi
+done
 declare -A pass fail engine
 status=0
 for sf in /root/testdata/sf0.001 /root/testdata/sf0.1; do
