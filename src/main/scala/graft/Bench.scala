@@ -19,6 +19,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same DSv2 session catalog as Verify: q232's vanilla INSERT leg
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // DSv2 session catalog: vanilla spark.sql reads AND writes named
+      // versioned tables (q232's INSERT leg); transparent to every
+      // non-versioned table (DelegatingCatalogExtension passthrough)
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2786,6 +2786,14 @@ object Composite {
           s"""INSERT INTO $name
              |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE o_orderkey % 3 = 1""".stripMargin)
+        // VANILLA-SQL INSERT leg (r17): no GraftSql pre-pass — the DSv2
+        // session catalog's V1 write bridge routes plain spark.sql
+        // INSERT INTO through VersionedTable.append (same O(new-data)
+        // publish + rebase + constraint gate as the API path)
+        s.sql(
+          s"""INSERT INTO $name
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 3 = 2 AND o_orderkey % 5 = 0""".stripMargin)
         // group-moving upsert: every 7th order re-keys to the NEXT
         // customer (matched rows move groups; %3=2 ones are inserts)
         GraftSql.sql(s,
@@ -2814,7 +2822,9 @@ object Composite {
       },
       Some("""WITH post AS (
              |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0
+             |  WHERE (o_orderkey % 3 IN (0, 1)
+             |         OR (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0))
+             |    AND o_orderkey % 7 <> 0
              |  UNION ALL
              |  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
              |    o_totalprice

@@ -6,12 +6,15 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension,
-  Identifier, SupportsRead, Table, TableCapability}
+  Identifier, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter,
-  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, TableScan}
+  GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan,
+  LessThanOrEqual, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -61,21 +64,50 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
   }
 }
 
-/** A read-only DSv2 [[Table]] over a [[VersionedTable]] manifest root:
-  * schema and rows come from the LATEST committed version at scan time
-  * (each query re-resolves — two statements can observe two versions,
-  * exactly like two [[VersionedTable.readLatest]] calls).
+/** A read-only DSv2 [[Table]] over a [[VersionedTable]] manifest root.
+  * The version is resolved ONCE per Table instance (one `loadTable` =
+  * one statement's analysis) and every scan built from it is PINNED to
+  * that version: schema and rows always come from the same committed
+  * snapshot, even when a schema-changing commit (ALTER / CoW
+  * materialization) lands between analysis and execution — re-resolving
+  * at execution time made the projection bind against a different shape
+  * and fail or mis-read. Two separate statements still observe two
+  * versions, exactly like two [[VersionedTable.readLatest]] calls.
   */
 private[graft] class GraftVersionedSparkTable(ident: Identifier,
-    location: String) extends Table with SupportsRead {
+    location: String) extends Table with SupportsRead with SupportsWrite {
+
+  /** The snapshot this Table instance exposes — resolved lazily on the
+    * first schema()/scan request, then fixed for the instance's life.
+    */
+  private lazy val pinnedVersion: Long =
+    VersionedTable.latestVersion(SparkSession.active, location).getOrElse(
+      throw new IllegalArgumentException(
+        s"$location has no committed versions"))
 
   override def name(): String = ident.toString
 
   override def schema(): StructType =
-    VersionedTable.readLatest(SparkSession.active, location).schema
+    VersionedTable.readVersion(SparkSession.active, location,
+      pinnedVersion).schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Vanilla `INSERT INTO db.t` / `INSERT OVERWRITE db.t` land through
+    * the SAME commit protocol as the Scala API — a V1Write bridging to
+    * [[VersionedTable.append]] (O(new-data): one fresh dir + one
+    * manifest, internal rebase against racing commits) and
+    * [[VersionedTable.overwriteWhere]] with a TRUE predicate (full
+    * replace as one atomic version). CHECK constraints gate both (every
+    * commit path validates pre-publish); writes are never pinned to the
+    * read snapshot — they rebase on the latest version like any API
+    * append, so an INSERT racing a path-API commit resolves internally
+    * instead of losing either.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(location)
 
   override def partitioning(): Array[Transform] = Array.empty
 
@@ -88,10 +120,39 @@ private[graft] class GraftVersionedSparkTable(ident: Identifier,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(location, schema())
+    new GraftScanBuilder(location, pinnedVersion, schema())
 }
 
-private class GraftScanBuilder(location: String, fullSchema: StructType)
+/** V1 write bridge: `truncate()` flags INSERT OVERWRITE (DSv2 models
+  * static full overwrite as truncate-then-append); `build()` hands back
+  * an [[InsertableRelation]] whose insert routes to the versioned-table
+  * verbs. The DataFrame Spark passes is already schema-resolved against
+  * the table (append still realigns by name and casts defensively).
+  */
+private class GraftWriteBuilder(location: String) extends WriteBuilder
+  with SupportsTruncate {
+
+  private var replaceAll = false
+
+  override def truncate(): WriteBuilder = { replaceAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          import org.apache.spark.sql.functions.lit
+          val spark = data.sparkSession
+          if (replaceAll || overwrite)
+            VersionedTable.overwriteWhere(spark, location, lit(true), data)
+          else VersionedTable.append(spark, location, data)
+          ()
+        }
+      }
+  }
+}
+
+private class GraftScanBuilder(location: String, version: Long,
+    fullSchema: StructType)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -117,7 +178,7 @@ private class GraftScanBuilder(location: String, fullSchema: StructType)
       fullSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new GraftV1Scan(location, fullSchema, required, filters)
+    new GraftV1Scan(location, version, fullSchema, required, filters)
 }
 
 private object GraftScanBuilder {
@@ -141,8 +202,9 @@ private object GraftScanBuilder {
   * .readLatestPruned]] — one code path for pruning semantics whether a
   * read arrives via the engine API, GraftSql, or vanilla Spark SQL.
   */
-private class GraftV1Scan(location: String, fullSchema: StructType,
-    required: StructType, filters: Array[Filter]) extends V1Scan {
+private class GraftV1Scan(location: String, version: Long,
+    fullSchema: StructType, required: StructType,
+    filters: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -153,7 +215,7 @@ private class GraftV1Scan(location: String, fullSchema: StructType,
       override def schema: StructType = required
       override def buildScan(): RDD[Row] = {
         import org.apache.spark.sql.functions.col
-        val df = prunedLatest(context.sparkSession)
+        val df = prunedPinned(context.sparkSession)
         val projected =
           if (required.isEmpty) df.select()
           else df.select(required.fieldNames.map(col): _*)
@@ -165,7 +227,7 @@ private class GraftV1Scan(location: String, fullSchema: StructType,
     * Strict inequalities widen to inclusive bounds — pruning needs a
     * superset, and the residual row filter restores exactness.
     */
-  private def prunedLatest(spark: SparkSession): DataFrame = {
+  private def prunedPinned(spark: SparkSession): DataFrame = {
     import VersionedTable.{ColumnBounds, ColumnEquals, ColumnIn}
     val eqs = Seq.newBuilder[ColumnEquals]
     val ins = Seq.newBuilder[ColumnIn]
@@ -182,7 +244,7 @@ private class GraftV1Scan(location: String, fullSchema: StructType,
     }
     val bounds = (lowers.keySet ++ uppers.keySet).toSeq.sorted.map(c =>
       ColumnBounds(c, lowers.get(c), uppers.get(c)))
-    VersionedTable.readLatestPruned(spark, location, bounds,
+    VersionedTable.readVersionPruned(spark, location, version, bounds,
       eqs.result(), ins.result())
   }
 }

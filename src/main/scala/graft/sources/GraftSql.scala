@@ -328,17 +328,41 @@ object GraftSql {
           .toDF("name", "location")
       case _ => ()
     }
-    sqlResolved(spark, resolveNames(spark, statement))
+    // per-STATEMENT temp views (the time-travel / name rewrites below)
+    // are registered during the rewrite and dropped once the statement's
+    // DataFrame is analyzed — resolution bakes the snapshot plan into
+    // the Dataset, so the view is pure scaffolding afterwards. UUID
+    // names make concurrent statements independent (a shared
+    // deterministic slot let thread B createOrReplace the snapshot
+    // under thread A between rewrite and analysis) and collision-free
+    // by construction (the previous 32-bit path hash could silently
+    // alias two registered tables onto one view); dropping bounds
+    // session-catalog growth to the statements in flight.
+    val views = scala.collection.mutable.Buffer.empty[String]
+    try sqlResolved(spark, resolveNames(spark, statement, views), views)
+    finally dropViews(spark, views)
   }
+
+  private def dropViews(spark: SparkSession,
+      views: scala.collection.mutable.Buffer[String]): Unit =
+    views.foreach { v =>
+      try { spark.catalog.dropTempView(v); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  private def freshView(prefix: String): String =
+    prefix + java.util.UUID.randomUUID.toString.replace("-", "")
 
   /** [[sql]] after the name→path pre-pass — every table reference is a
     * quoted path (or a temp view) from here on.
     */
-  private def sqlResolved(spark: SparkSession, statement: String): DataFrame = {
+  private def sqlResolved(spark: SparkSession, statement: String,
+      views: scala.collection.mutable.Buffer[String]): DataFrame = {
     import spark.implicits._
     statement match {
       case MergeRe(p1, p2, source, alias, on, whens) =>
-        merge(spark, Option(p1).getOrElse(p2), source, Option(alias), on, whens)
+        merge(spark, Option(p1).getOrElse(p2), source, Option(alias), on,
+          whens, views)
       case VacuumRe(p1, p2, hours) =>
         VersionedTable.vacuum(spark, Option(p1).getOrElse(p2),
             graceMs = hours.toLong * 3600L * 1000L)
@@ -428,7 +452,7 @@ object GraftSql {
           fail(s"versioned table '$tbl' already exists — INSERT INTO it " +
             "to append, MERGE/UPDATE/DELETE to mutate, or RESTORE to " +
             "roll back")
-        val df = spark.sql(rewriteTimeTravel(spark, select))
+        val df = spark.sql(rewriteTimeTravel(spark, select, views))
         val clusterCols = Option(cluster).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val v =
@@ -437,7 +461,7 @@ object GraftSql {
         Seq(v).toDF("version")
       case InsertOverwriteRe(p1, p2, cond, source) =>
         val tbl = Option(p1).getOrElse(p2)
-        val raw = spark.sql(rewriteTimeTravel(spark, source))
+        val raw = spark.sql(rewriteTimeTravel(spark, source, views))
         val df =
           if (source.trim.toUpperCase.startsWith("VALUES")) {
             val tableCols = VersionedTable.readLatest(spark, tbl).columns
@@ -458,7 +482,7 @@ object GraftSql {
           version = Option(v).map(_.toLong))).toDF("version")
       case InsertRe(p1, p2, source) =>
         val tbl = Option(p1).getOrElse(p2)
-        val raw = spark.sql(rewriteTimeTravel(spark, source))
+        val raw = spark.sql(rewriteTimeTravel(spark, source, views))
         // a VALUES source has positional col1..colN names — bind them to
         // the table's columns by position (SQL INSERT semantics); SELECT
         // sources bind by NAME (append realigns order itself)
@@ -500,7 +524,7 @@ object GraftSql {
       case s if VersionRefRe.findFirstIn(s).isDefined ||
           TimestampRefRe.findFirstIn(s).isDefined ||
           LatestRefRe.findFirstIn(s).isDefined =>
-        spark.sql(rewriteTimeTravel(spark, s))
+        spark.sql(rewriteTimeTravel(spark, s, views))
       case s => spark.sql(s)
     }
   }
@@ -532,12 +556,15 @@ object GraftSql {
         if (VersionedTable.latestVersion(spark, loc).isDefined)
           fail(s"a versioned table already exists at '$loc' — use CREATE " +
             "VERSIONED TABLE ... LOCATION (without AS SELECT) to adopt it")
-        val df = spark.sql(rewriteTimeTravel(spark,
-          resolveNames(spark, sel)))
-        val clusterCols = cluster.toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        if (clusterCols.isEmpty) VersionedTable.commit(spark, df, loc)
-        else VersionedTable.commitClustered(spark, df, loc, clusterCols)
+        val views = scala.collection.mutable.Buffer.empty[String]
+        try {
+          val df = spark.sql(rewriteTimeTravel(spark,
+            resolveNames(spark, sel, views), views))
+          val clusterCols = cluster.toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          if (clusterCols.isEmpty) VersionedTable.commit(spark, df, loc)
+          else VersionedTable.commitClustered(spark, df, loc, clusterCols)
+        } finally dropViews(spark, views)
       case None =>
         if (location.isEmpty)
           fail("CREATE VERSIONED TABLE db.t needs AS SELECT (bootstrap) " +
@@ -562,7 +589,8 @@ object GraftSql {
     * catalog lookup is the disambiguator, so plain Spark SQL over
     * metastore tables is never disturbed.
     */
-  private def resolveNames(spark: SparkSession, statement: String): String = {
+  private def resolveNames(spark: SparkSession, statement: String,
+      views: scala.collection.mutable.Buffer[String]): String = {
     val matches = QualifiedNameRe.findAllMatchIn(statement).toSeq
     if (matches.isEmpty) return statement
     val sb = new StringBuilder
@@ -607,16 +635,17 @@ object GraftSql {
           if (beforeTT || !readPosition)
             sb.append(s"'$path'")
           else {
-            // DETERMINISTIC per-(name, path) view name + createOrReplace:
-            // session-catalog growth is bounded by the number of
-            // registered tables (a fresh UUID per resolution leaked one
-            // temp view per statement for the life of the session). The
-            // path hash disambiguates names like `db_x.t` vs `db.x_t`
-            // that flatten to the same underscore spelling.
-            val view = "graft_named_" + m.matched.replace('.', '_') +
-              "_" + (path.hashCode.toLong & 0xffffffffL)
+            // PER-STATEMENT unique view, dropped by the caller once
+            // the statement is analyzed: collision-free by construction
+            // (the previous 32-bit path hash could alias two registered
+            // tables onto one view) and immune to a concurrent
+            // statement swapping the snapshot under this one's analysis
+            // (latest-snapshot views are mutable content; a shared
+            // deterministic slot raced).
+            val view = freshView("graft_named_")
             VersionedTable.readLatest(spark, path)
               .createOrReplaceTempView(view)
+            views += view
             sb.append(view)
           }
       }
@@ -646,7 +675,8 @@ object GraftSql {
   }
 
   private def merge(spark: SparkSession, table: String, sourceSql: String,
-      alias: Option[String], on: String, whens: String): DataFrame = {
+      alias: Option[String], on: String, whens: String,
+      views: scala.collection.mutable.Buffer[String]): DataFrame = {
     val key = on match {
       case OnEqRe(_, l, _, r) =>
         if (l.equalsIgnoreCase(r)) l
@@ -702,7 +732,7 @@ object GraftSql {
     val raw =
       if (sourceSql.startsWith("("))
         spark.sql(rewriteTimeTravel(spark,
-          sourceSql.stripPrefix("(").stripSuffix(")")))
+          sourceSql.stripPrefix("(").stripSuffix(")"), views))
       else spark.table(sourceSql)
     val src = alias.map(raw.as(_)).getOrElse(raw)
     val deleteWhen = deletes.headOption match {
@@ -715,29 +745,26 @@ object GraftSql {
     Seq(v).toDF("version")
   }
 
-  /** Deterministic temp-view suffix for a reference: bounded
-    * session-catalog growth (createOrReplace re-binds the same name on
-    * every statement instead of leaking a UUID view per resolution — the
-    * long-lived-session fix the resolveNames views share).
-    */
-  private def viewId(parts: String*): String =
-    parts.map(p => p.hashCode.toLong & 0xffffffffL).mkString("_")
-
   /** Swap every `'<path>' VERSION AS OF n` reference for a temp view
     * over the committed snapshot; the rest of the statement is untouched
     * (plain Spark SQL — filters/joins/aggregates all apply to the
     * time-travel read, and pushdown works because the view IS the
-    * snapshot's parquet scan). View names are deterministic per
-    * reference, so repeated statements reuse one catalog slot.
+    * snapshot's parquet scan). View names are per-statement unique and
+    * appended to `views` for the caller to drop once the statement is
+    * analyzed (see [[sql]]).
     */
-  private def rewriteTimeTravel(spark: SparkSession, statement: String): String = {
+  private def rewriteTimeTravel(spark: SparkSession, statement: String,
+      views: scala.collection.mutable.Buffer[String]): String = {
+    def register(df: DataFrame, prefix: String): String = {
+      val view = freshView(prefix)
+      df.createOrReplaceTempView(view)
+      views += view
+      view
+    }
     val pinned = VersionRefRe.replaceAllIn(statement, m => {
       val table = Option(m.group(1)).getOrElse(m.group(2))
-      val version = m.group(3).toLong
-      val view = s"graft_time_travel_${viewId(table)}_$version"
-      VersionedTable.readVersion(spark, table, version)
-        .createOrReplaceTempView(view)
-      view
+      register(VersionedTable.readVersion(spark, table, m.group(3).toLong),
+        "graft_time_travel_")
     })
     val stamped = TimestampRefRe.replaceAllIn(pinned, m => {
       val table = Option(m.group(1)).getOrElse(m.group(2))
@@ -749,16 +776,12 @@ object GraftSql {
         if (raw.contains(" ") || raw.contains("T"))
           raw.replace("T", " ")
         else s"$raw 00:00:00")
-      val view = s"graft_as_of_${viewId(table)}_${ts.getTime}"
-      VersionedTable.readAsOf(spark, table, ts.getTime)
-        .createOrReplaceTempView(view)
-      view
+      register(VersionedTable.readAsOf(spark, table, ts.getTime),
+        "graft_as_of_")
     })
     LatestRefRe.replaceAllIn(stamped, m => {
       val table = Option(m.group(1)).getOrElse(m.group(2))
-      val view = s"graft_latest_${viewId(table)}"
-      VersionedTable.readLatest(spark, table).createOrReplaceTempView(view)
-      view
+      register(VersionedTable.readLatest(spark, table), "graft_latest_")
     })
   }
 }

@@ -1344,6 +1344,15 @@ object VersionedTable {
     * chain positions, stats sidecars, vacuum's referenced set — resolves
     * through [[dirScopeOf]]. Data files are immutable once committed, so
     * a file token is exactly as stable a reference as its dir.
+    *
+    * The suffix test is sound because of a grammar INVARIANT enforced at
+    * every entry point where a foreign path can become a token:
+    * [[convert]] and [[shallowClone]] reject whole-DIR names ending in
+    * ".parquet" (managed dirs are `data/<uuid>` and can never collide).
+    * Without that guard a converted dir named `events.parquet` would
+    * misparse here and [[dirScopeOf]] would return its parent — wrong
+    * probe scopes, silently no-op granular verbs, broken del-predicate
+    * resolution.
     */
   private def isFileToken(tok: String): Boolean =
     tok.endsWith(".parquet") && !tok.contains('!')
@@ -1418,13 +1427,40 @@ object VersionedTable {
     else {
       val keptSet = kept.toSet
       val excl = listParquet(hfs, root, scope).filterNot(keptSet)
-      val safe = !scope.contains('!') &&
+      val exclSafe = !scope.contains('!') &&
         excl.forall(n => !n.contains(',') && !n.contains('!'))
-      if (safe && excl.size < kept.size)
+      // a kept NAME containing '!' has no valid kept-file form either —
+      // `scope/we!rd.parquet` would misparse as an exclusion token with
+      // a bogus scope (wrong files read on every later snapshot). Prefer
+      // the exclusion form in that case even when it is the larger one;
+      // if BOTH forms are grammar-unsafe the verb must not have taken
+      // the granular path (the verbs gate on grammarSafeNames up front),
+      // so failing loudly here is a backstop, never a data-loss path.
+      val keptFileSafe = kept.forall(n => !n.contains('!'))
+      if (exclSafe && (excl.size < kept.size || !keptFileSafe))
         Seq(s"$scope!${excl.sorted.mkString(",")}")
-      else kept.map(n => s"$scope/$n")
+      else if (keptFileSafe) kept.map(n => s"$scope/$n")
+      else throw new IllegalStateException(
+        s"no representable kept-token form for $scope: a kept file name " +
+          "contains '!' and the exclusion form is unsafe too — the verb " +
+          "should have fallen back to the whole-snapshot rewrite")
     }
   }
+
+  /** True when every file name a version references is safe under the
+    * manifest token grammar — i.e. the file-granular verbs can represent
+    * ANY touched/kept split of these scopes. '!' in a file name (possible
+    * only in adopted foreign dirs; never in managed part files) breaks
+    * the kept-file form AND the exclusion form, so such versions take
+    * the whole-snapshot rewrite instead. (',' alone is harmless: it only
+    * rules out the exclusion form, and [[keptTokensFor]] then emits
+    * kept-file tokens, which parse commas fine.)
+    */
+  private def grammarSafeNames(
+      perScope: Seq[(String, Seq[String], Seq[String])]): Boolean =
+    perScope.forall { case (scope, _, referenced) =>
+      !scope.contains('!') && referenced.forall(n => !n.contains('!'))
+    }
 
   def readLatest(spark: SparkSession, table: String): DataFrame = {
     val v = latestVersion(spark, table).getOrElse(
@@ -1587,17 +1623,39 @@ object VersionedTable {
     // the streaming upsert sink paid a full CoW rewrite PER MICRO-BATCH —
     // to O(matched files + batch). Nondeterministic change plans fall
     // back too (the batch evaluates twice here: probe + apply).
-    val granular = added.isEmpty &&
+    // determinism must hold over the WHOLE change plan, not just the
+    // root node: QueryPlan.expressions returns only the root's, so a
+    // rand()/uuid() in a Project BENEATH a root Filter would pass a
+    // root-only gate, and the probe/apply/CDC/rebase passes could each
+    // see different rows — silent duplicates. (The updateWhere/
+    // deleteWhere gate is root-only by construction: cond sits wholly
+    // in the root Filter it builds.)
+    val granularEligible = added.isEmpty &&
       schemaStateOf(spark, table, baseVersion).isEmpty &&
-      changes.queryExecution.analyzed.expressions.forall(_.deterministic)
-    val committed: Long = if (granular) {
+      changes.queryExecution.analyzed.find(
+        p => p.expressions.exists(!_.deterministic)).isEmpty
+    // resolve the base's token layout only when eligible; grammar-unsafe
+    // file names and tiny non-stale-pinned tables fall back to the
+    // whole-snapshot path (same reasoning as [[commitCowGranular]]: no
+    // representable kept token / the probe cannot pay for itself, and a
+    // stale-pinned base must keep granularity for the internal rebase)
+    val granularCtx = if (!granularEligible) None else {
+      val (hfs, root) = fs(spark, table)
+      val dirStr = resolveDir(hfs, root, baseVersion).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $baseVersion of $table was never committed"))
+      val groups = groupTokensByScope(splitDirs(dirStr))
+      val perScope = enumerateTokens(hfs, root, groups)
+      val bypass =
+        perScope.iterator.map(_._3.size).sum <= granularBypassMaxFiles &&
+          latestVersion(spark, table).contains(baseVersion)
+      if (!grammarSafeNames(perScope) || bypass) None
+      else Some((hfs, root, groups, perScope))
+    }
+    val committed: Long = if (granularCtx.isDefined) {
         import org.apache.spark.sql.functions.col
-        val (hfs, root) = fs(spark, table)
-        val dirStr = resolveDir(hfs, root, baseVersion).getOrElse(
-          throw new IllegalArgumentException(
-            s"version $baseVersion of $table was never committed"))
+        val (hfs, root, groups, perScope) = granularCtx.get
         val preds = delStateOf(spark, table, baseVersion)
-        val groups = groupTokensByScope(splitDirs(dirStr))
         def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
           val df = spark.read.parquet(
             groupReadPaths(hfs, root, scope, toks): _*)
@@ -1623,7 +1681,6 @@ object VersionedTable {
             "left_semi")
           .select(col("__graft_file")).distinct()
           .collect().map(r => rawPath(r.getString(0))).toSet
-        val perScope = enumerateTokens(hfs, root, groups)
         val touched: Map[String, Set[String]] = perScope.iterator.map {
           case (scope, _, referenced) =>
             val qualScope = rawPath(
@@ -2874,6 +2931,19 @@ object VersionedTable {
     require(!sourceDir.contains(";") && !sourceDir.contains("\"") &&
       !sourceDir.contains("!"),
       s"source path must not contain ';', '\"' or '!': $sourceDir")
+    // grammar invariant: a whole-DIR token must never end in ".parquet" —
+    // [[isFileToken]] classifies by that suffix, so a foreign dir named
+    // `events.parquet` (a common layout) would be misparsed as a
+    // kept-FILE token: dirScopeOf would return its PARENT, the granular
+    // verbs' probe would map touched files against the wrong scope and
+    // silently publish a no-op version (a lost update), and deferred-
+    // delete predicates recorded against the full dir token would stop
+    // resolving. Rejecting here (like the ';'/'!' guards) keeps the
+    // token grammar unambiguous by construction; the workaround for a
+    // `*.parquet`-named source dir is a rename or a plain commit().
+    require(!sourceDir.stripSuffix("/").endsWith(".parquet"),
+      s"source DIR name must not end in '.parquet' (it would be " +
+        s"indistinguishable from a kept-file manifest token): $sourceDir")
     val (hfs, root) = fs(spark, table)
     val src = new Path(sourceDir)
     val abs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2931,6 +3001,14 @@ object VersionedTable {
     // after the Path prefix), but the SCOPE itself must not contain '!'
     require(dirs.map(dirScopeOf).forall(!_.contains("!")),
       "source data dir names must not contain '!'")
+    // same grammar invariant as [[convert]]: a whole-DIR token ending in
+    // ".parquet" would misparse as a kept-file token on the clone
+    // (legitimate file tokens from the source's granular verbs DO end in
+    // .parquet and absolutize correctly — only whole-dir scopes are at
+    // risk, and only if the source predates the convert-side guard)
+    require(dirs.forall(d => isFileToken(d) || isExclToken(d) ||
+        !d.stripSuffix("/").endsWith(".parquet")),
+      "source whole-dir token names must not end in '.parquet'")
     val (hfs, tgtRoot) = fs(spark, targetTable)
     val (_, srcRoot) = fs(spark, sourceTable)
     require(tgtRoot.toString != srcRoot.toString,
@@ -3089,6 +3167,20 @@ object VersionedTable {
   private[graft] val lastCowRewrite =
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
+  /** Tables referencing at most this many data files take the
+    * whole-snapshot path for non-stale-pinned granular verbs: the probe
+    * pass (an extra scan job per verb) cannot pay for itself when the
+    * full rewrite is this small — the r16 bench showed a flat ~1 s/verb
+    * probe tax on fixture-scale lifecycle chains. Kept strictly below
+    * the smallest fixture that PINS granular behavior (SinksSpec's
+    * rebase law commits nominally-4 files but range sampling can merge
+    * a group — 3 can materialize; the hammer fleet seeds 8; q246 lays
+    * out 8), and the bypass never applies to a stale-pinned base (see
+    * [[commitCowGranular]] — granularity is what powers internal
+    * rebase).
+    */
+  private[graft] val granularBypassMaxFiles = 2
+
   /** FILE-GRANULAR copy-on-write — the shared tail of [[deleteWhere]] and
     * [[updateWhere]]. Instead of rewriting the whole snapshot (O(table):
     * at 100 TB an UPDATE touching 0.1% of rows would rewrite 100 TB),
@@ -3144,6 +3236,24 @@ object VersionedTable {
         maxRecordsPerFile = maxRecordsPerFile)
     val preds = delStateOf(spark, table, base)
     val groups = groupTokensByScope(splitDirs(dirStr))
+    val perScope = enumerateTokens(hfs, root, groups)
+    // grammar-unsafe file names ('!' in an adopted foreign dir) have no
+    // representable kept-token form — whole-snapshot, like a mapping
+    if (!grammarSafeNames(perScope))
+      return commitPinned(spark, transform(cur), table, base, op = op,
+        maxRecordsPerFile = maxRecordsPerFile)
+    // small-table probe bypass: on a table this small the probe pass is
+    // pure overhead (rewriting everything costs less than the extra scan
+    // job), so take the whole-snapshot path — EXCEPT when the caller
+    // pinned a STALE base, because granularity is also what powers the
+    // internal disjoint rebase (a whole-snapshot verb dropped onto a
+    // winner it never read can only conflict honestly). Non-stale tiny
+    // tables revert to exactly the pre-granular (r15) behavior: a racing
+    // commit surfaces as CommitConflictException for the caller's retry.
+    if (perScope.iterator.map(_._3.size).sum <= granularBypassMaxFiles &&
+        latestVersion(spark, table).contains(base))
+      return commitPinned(spark, transform(cur), table, base, op = op,
+        maxRecordsPerFile = maxRecordsPerFile)
     // scheme-free path compare: _metadata.file_path and makeQualified can
     // disagree on URI spelling (file:/ vs file:///) for the same file
     def rawPath(s: String): String = {
@@ -3164,8 +3274,6 @@ object VersionedTable {
     }.reduce(_ union _)
     val touchedRaw = probe.distinct().collect()
       .map(r => rawPath(r.getString(0))).toSet
-    // map touched paths back onto the token list, scope by scope
-    val perScope = enumerateTokens(hfs, root, groups)
     val touched: Map[String, Set[String]] = perScope.iterator.map {
       case (scope, _, referenced) =>
         val qualScope = rawPath(

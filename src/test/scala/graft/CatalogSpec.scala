@@ -567,7 +567,7 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
-  test("vanilla Spark SQL reads a named versioned table (DSv2 session catalog)") {
+  test("vanilla Spark SQL reads AND writes a named versioned table (DSv2)") {
     import org.apache.spark.sql.functions._
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("graft-dsv2")
@@ -628,6 +628,78 @@ class CatalogSpec extends AnyFunSuite {
       VersionedTable.deleteWhere(spark, root, col("id") < 1000)
       assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
         .head().getLong(0) == 9000L)
+
+      // analysis-time version pinning: a statement analyzed BEFORE a
+      // new commit executes against its own snapshot — schema and rows
+      // from one version, even when the table moved (or evolved)
+      // between analysis and execution
+      val pinnedQ = spark.sql("SELECT count(*) AS n FROM dsv2.t")
+      VersionedTable.append(spark, root,
+        spark.range(20000, 20500).select(col("id"),
+          (col("id") % 10).as("b"),
+          (col("id") % 100).cast("double").as("v")))
+      assert(pinnedQ.head().getLong(0) == 9000L,
+        "the pre-append analysis must read its pinned version")
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 9500L)
+
+      // ---- vanilla WRITE path (r17): INSERT INTO through the same
+      // commit protocol ----------------------------------------------
+      val vBeforeIns = VersionedTable.latestVersion(spark, root).get
+      spark.sql(
+        "INSERT INTO dsv2.t VALUES (30000, 0, 1.5), (30001, 1, 2.5)")
+      assert(VersionedTable.latestVersion(spark, root)
+        .contains(vBeforeIns + 1),
+        "a vanilla INSERT must land as ONE append version")
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 9502L)
+      // O(new-data): the append referenced the prior tokens and added
+      // exactly one fresh dir (never a snapshot rewrite)
+      val insDirs = VersionedTable.history(spark, root)
+        .orderBy(col("version").desc).head().getString(1)
+      assert(insDirs.contains(";"),
+        s"INSERT must reference prior dirs alongside its own: $insDirs")
+      // INSERT INTO ... SELECT binds by position like SQL requires
+      spark.sql("""INSERT INTO dsv2.t
+        SELECT id, id % 10, CAST(id % 100 AS DOUBLE)
+        FROM range(40000, 40100)""")
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 9602L)
+
+      // CHECK constraints gate the vanilla write pre-publish
+      VersionedTable.addConstraints(spark, root, Map("v_nonneg" -> "v >= 0"))
+      intercept[Exception](spark.sql(
+        "INSERT INTO dsv2.t VALUES (50000, 0, -5.0)"))
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 9602L,
+        "a constraint-violating INSERT must not commit")
+
+      // concurrent vanilla INSERTs + path-API appends rebase internally
+      // (never a surfaced conflict, never a lost batch)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until 4).map { i =>
+        new Thread(() =>
+          try {
+            if (i % 2 == 0)
+              spark.sql(s"INSERT INTO dsv2.t VALUES (${60000 + i}, 0, 1.0)")
+            else VersionedTable.append(spark, root,
+              spark.range(61000 + i, 61001 + i).select(col("id"),
+                lit(0L).as("b"), lit(1.0).as("v")))
+          } catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"concurrent writes failed: ${errs.peek()}")
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 9606L)
+
+      // INSERT OVERWRITE replaces as one atomic version; time travel
+      // into the pre-overwrite state still works
+      val vBeforeOw = VersionedTable.latestVersion(spark, root).get
+      spark.sql("INSERT OVERWRITE dsv2.t VALUES (1, 1, 1.0)")
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 1L)
+      assert(VersionedTable.readVersion(spark, root, vBeforeOw)
+        .count() == 9606L)
 
       // foreign tables pass through the extension untouched
       spark.range(5).createOrReplaceTempView("plain_v")

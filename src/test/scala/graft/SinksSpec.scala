@@ -1591,6 +1591,144 @@ class SinksSpec extends SparkSpec {
       "adoption or optimize touched the source bytes")
     // time travel back to the adopted version still works
     assert(VersionedTable.readVersion(spark, t, 1L).count() == 1000L)
+
+    // grammar invariant: a foreign DIR named *.parquet would be
+    // indistinguishable from a kept-file manifest token (dirScopeOf
+    // would return its PARENT — silently no-op granular verbs, broken
+    // del-predicate scopes) — refused at the door like ';'/'!'
+    val badSrc = dir + "/events.parquet"
+    orig.write.parquet(badSrc)
+    val badName = intercept[IllegalArgumentException](
+      VersionedTable.convert(spark, dir + "/vt_badname", badSrc))
+    assert(badName.getMessage.contains(".parquet"), badName.getMessage)
+
+    // statement-scoped rewrite views: time travel through GraftSql must
+    // not leak temp views (they are scaffolding, dropped once the
+    // statement is analyzed — the returned DataFrame still executes)
+    val viewsBefore = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_")).toSet
+    val tt = GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM '$t' VERSION AS OF 1")
+    assert(spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_")).toSet == viewsBefore,
+      "rewrite views leaked past the statement")
+    assert(tt.head().getLong(0) == 1000L,
+      "the analyzed plan must survive its scaffolding views' drop")
+  }
+
+  test("granular verbs fall back on grammar-unsafe foreign file names") {
+    import graft.sources.VersionedTable
+    // an adopted dir holding a file named 'we!rd.parquet': '!' has no
+    // representable kept-token form (the kept-file spelling would parse
+    // as an exclusion token with a bogus scope), so UPDATE/DELETE/MERGE
+    // must take the whole-snapshot path — correct results, never a
+    // corrupted manifest
+    val dir = tmp()
+    val src = dir + "/foreign"
+    val df = spark.range(6000).select(col("id").as("k"),
+      (col("id") % 6).as("grp"), (col("id") % 50).cast("double").as("v"))
+    df.repartitionByRange(6, col("grp")).write.parquet(src)
+    val f = new java.io.File(src)
+    val part = f.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(src, "we!rd.parquet")))
+    val t = dir + "/vt_bang"
+    VersionedTable.convert(spark, t, src)
+    assert(VersionedTable.readLatest(spark, t).count() == 6000)
+    // sentinel: the granular path would overwrite this; whole-snapshot
+    // never touches it
+    VersionedTable.lastCowRewrite.set((-7, -7))
+    val v2 = VersionedTable.updateWhere(spark, t, col("grp") === 2L,
+      Map("v" -> lit(-1.0)))
+    assert(v2 == 2L)
+    assert(VersionedTable.lastCowRewrite.get() == ((-7, -7)),
+      "grammar-unsafe names must take the whole-snapshot path")
+    val got = VersionedTable.readLatest(spark, t)
+    assert(got.where(col("grp") === 2L)
+      .where(col("v") =!= -1.0).count() == 0)
+    assert(got.where(col("grp") =!= 2L)
+      .where(col("v") === -1.0).count() == 0)
+    assert(got.count() == 6000)
+    // the verb MATERIALIZED the grammar-unsafe layout: v2 is fully
+    // managed, so later verbs are free to go granular again
+    import spark.implicits._
+    val v3 = VersionedTable.mergeInto(spark, t,
+      Seq((1L, 1L, 999.0)).toDF("k", "grp", "v"), key = "k")
+    assert(VersionedTable.readVersion(spark, t, v3)
+      .where(col("k") === 1L).head().getDouble(2) == 999.0)
+
+    // merge falls back the same way while the '!' file is still
+    // referenced (a second adopted table, merged at v1)
+    val src2 = dir + "/foreign2"
+    df.repartitionByRange(6, col("grp")).write.parquet(src2)
+    val f2 = new java.io.File(src2)
+    val part2 = f2.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(part2.renameTo(new java.io.File(src2, "al!so.parquet")))
+    val t2 = dir + "/vt_bang2"
+    VersionedTable.convert(spark, t2, src2)
+    VersionedTable.lastCowRewrite.set((-7, -7))
+    val m2 = VersionedTable.mergeInto(spark, t2,
+      Seq((2L, 2L, 777.0)).toDF("k", "grp", "v"), key = "k")
+    assert(VersionedTable.lastCowRewrite.get() == ((-7, -7)),
+      "grammar-unsafe names must force the whole-snapshot merge")
+    assert(VersionedTable.readVersion(spark, t2, m2)
+      .where(col("k") === 2L).head().getDouble(2) == 777.0)
+    assert(VersionedTable.readVersion(spark, t2, m2).count() == 6000)
+  }
+
+  test("merge determinism gate walks the whole change plan") {
+    import graft.sources.VersionedTable
+    // rand() in a Project BENEATH the root Filter: the root-only gate
+    // (QueryPlan.expressions) missed it, and the granular path would
+    // evaluate the batch at probe and apply time with different rows —
+    // silent duplicates. The recursive gate must fall back.
+    val t = tmp() + "/vt_nondet_merge"
+    val df = spark.range(20000).select(col("id").as("k"),
+      (col("id") % 100).as("v"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("k"),
+      numFiles = 8, maxRecordsPerFile = 3000L)
+    val changes = df
+      .select(col("k"),
+        (col("v") + (rand() * lit(0.0)).cast("long")).as("v"))
+      .where(col("k") < 10L)
+    VersionedTable.lastCowRewrite.set((-7, -7))
+    val v2 = VersionedTable.mergeInto(spark, t, changes, key = "k")
+    assert(VersionedTable.lastCowRewrite.get() == ((-7, -7)),
+      "a nondeterministic subtree must force the whole-snapshot path")
+    assert(VersionedTable.readVersion(spark, t, v2).count() == 20000)
+  }
+
+  test("small-table granular bypass: whole-snapshot when fresh, granular when stale-pinned") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_bypass"
+    // ONE data file — the probe pass cannot pay for itself here
+    val df = spark.range(100).coalesce(1)
+      .select(col("id").as("k"), (col("id") % 10).as("v"))
+    VersionedTable.commit(spark, df, t)
+    VersionedTable.lastCowRewrite.set((-7, -7))
+    val v2 = VersionedTable.updateWhere(spark, t, col("k") < 10L,
+      Map("v" -> lit(99L)))
+    assert(v2 == 2L)
+    assert(VersionedTable.lastCowRewrite.get() == ((-7, -7)),
+      "a fresh-base tiny-table verb must skip the probe pass")
+    val got = VersionedTable.readLatest(spark, t)
+    assert(got.where(col("k") < 10L).where(col("v") =!= 99L).count() == 0)
+    assert(got.count() == 100)
+    // a STALE-pinned base keeps granularity (it powers the internal
+    // disjoint rebase): insert-only merge pinned at v1 while v2 won the
+    // slot — must rebase internally, not conflict, and the probe runs
+    VersionedTable.lastCowRewrite.set((-7, -7))
+    val v3 = VersionedTable.commitMergeFrom(spark, t, baseVersion = 1L,
+      Seq((5000L, 1L, 2L, "u")).toDF("k", "v", "ver", "op"),
+      key = "k", version = "ver", op = "op")
+    assert(v3 == 3L)
+    assert(VersionedTable.lastCowRewrite.get() != ((-7, -7)),
+      "a stale-pinned base must stay on the granular (probing) path")
+    val rebased = VersionedTable.readVersion(spark, t, v3)
+    assert(rebased.count() == 101)
+    // the winner's (v2) updates survive the rebase — never a lost update
+    assert(rebased.where(col("k") < 10L)
+      .where(col("v") =!= 99L).count() == 0)
   }
 
   test("expireVersionsOlderThan retires only the contiguous old prefix") {
