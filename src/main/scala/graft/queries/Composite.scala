@@ -3118,6 +3118,64 @@ object Composite {
              |  round(CAST(r.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0
              |    AS share,
              |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_peak
-             |FROM r, t ORDER BY isodow, hr""".stripMargin))
+             |FROM r, t ORDER BY isodow, hr""".stripMargin)),
+
+    // Q249 — PARTIAL-COLUMN MERGE (r17): `WHEN MATCHED THEN UPDATE SET
+    // c = expr, ...` through the SQL spelling end to end. A year-
+    // clustered table takes a per-key surcharge on ONE year's prices
+    // plus a status restamp; unmentioned columns survive verbatim,
+    // unmatched source keys are ignored, and the verb stays file-
+    // granular (the composed change batch is pre-restricted to the
+    // matched files — the partial-rewrite property is REQUIRED in-query
+    // via the rewrite counters, q246's law for the merge-SET verb). The
+    // surcharge (+ integer-valued double) is the q176 exactness
+    // precedent: both engines run the identical IEEE add before the
+    // DECIMAL cents cast.
+    Q("q249_merge_set",
+      (s, d) => {
+        import graft.sources.{GraftSql, VersionedTable}
+        Tables.views(s, d)
+        val dir = scratchDir("graft-vtable-mergeset") + "/t"
+        VersionedTable.commitClustered(s,
+          Tables(s, d, "orders").select(col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("yr"),
+            col("o_orderstatus"), col("o_totalprice")),
+          dir, clusterCols = Seq("yr"), numFiles = 8,
+          maxRecordsPerFile = 100000L)
+        GraftSql.sql(s,
+          s"""MERGE INTO '$dir' USING (
+             |  SELECT o_orderkey, CAST(o_orderkey % 7 AS DOUBLE) AS bump
+             |  FROM orders WHERE year(o_orderdate) = 1996) AS src
+             |ON o_orderkey
+             |WHEN MATCHED THEN UPDATE SET
+             |  o_totalprice = t.o_totalprice + s.bump,
+             |  o_orderstatus = 'R'""".stripMargin)
+        val (rewrote, total) = VersionedTable.lastCowRewrite.get()
+        require(rewrote > 0 && rewrote < total,
+          s"partial-column MERGE of one clustered year must rewrite a " +
+            s"strict subset of files: $rewrote of $total")
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        VersionedTable.readLatest(s, dir)
+          .groupBy(col("yr"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents).cast(LongType).as("cents"))
+          .orderBy(col("yr"), col("o_orderstatus"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             |    CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+             |         THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+             |         THEN o_totalprice
+             |           + CAST(o_orderkey % 7 AS DOUBLE)
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM orders)
+             |SELECT yr, o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT)) AS BIGINT) AS cents
+             |FROM t GROUP BY yr, o_orderstatus
+             |ORDER BY yr, o_orderstatus""".stripMargin))
   )
 }

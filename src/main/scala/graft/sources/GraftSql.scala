@@ -115,9 +115,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * heavy lifting (atomicity, schema evolution, optimistic concurrency,
   * the one-keyed-shuffle merge plan) lives in the verbs it compiles to.
   *
-  * MERGE grammar (case-insensitive; `*`-forms only, because the verb has
-  * full-row semantics — column-level `SET x = expr` is the caller
-  * pre-computing the source frame):
+  * MERGE grammar (case-insensitive):
   * {{{
   *   MERGE INTO '<path>' | `<path>`            -- the versioned table root
   *   USING <view-name> | ( <subquery> ) [AS a]
@@ -125,7 +123,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   WHEN MATCHED AND <cond> THEN DELETE       -- cond sees the SOURCE row
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
+  *   WHEN MATCHED THEN UPDATE SET c = expr[, ...]   -- stands ALONE
   * }}}
+  * The `*`-forms have full-row semantics (upserts replace/insert the
+  * whole source row). The assignments form (r17) compiles to
+  * [[VersionedTable.mergeUpdate]]: matched rows re-evaluate ONLY the
+  * named columns — expressions see the old row as `t` and the source
+  * row as `s` — unmentioned columns survive verbatim, unmatched source
+  * keys are ignored, and the verb stays O(matched files + batch).
   * Clause rules (the combinations the verb's semantics honestly express):
   * an upsert merge needs BOTH `UPDATE SET *` and `INSERT *`; a
   * conditional DELETE may accompany them; `WHEN MATCHED THEN DELETE`
@@ -144,7 +149,8 @@ object GraftSql {
 
   private val WhenRe =
     ("""(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-      """(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*""").r
+      """(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)\s*""" +
+      """(?=WHEN\s+(?:NOT\s+)?MATCHED|$)""").r
 
   private val OnEqRe =
     """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*""".r
@@ -690,8 +696,9 @@ object GraftSql {
     val parsed = clauses.map { m =>
       val notMatched = m.group(1) != null
       val cond = Option(m.group(2))
-      val action = m.group(3).toUpperCase.replaceAll("\\s+", " ")
-      (notMatched, cond, action)
+      val raw = m.group(3).trim
+      val action = raw.toUpperCase.replaceAll("\\s+", " ")
+      (notMatched, cond, action, raw)
     }
     // the WHEN grammar must consume the entire clause text — leftover
     // tokens mean an unsupported spelling, which must fail loudly rather
@@ -700,17 +707,33 @@ object GraftSql {
     if (clauses.isEmpty || residue.nonEmpty)
       fail(s"unparseable WHEN clause near '${if (residue.nonEmpty) residue
         else whens}' — supported: WHEN MATCHED [AND cond] THEN DELETE, " +
-        "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *")
+        "WHEN MATCHED THEN UPDATE SET * | SET c = expr[, ...], " +
+        "WHEN NOT MATCHED THEN INSERT *")
     val deletes = parsed.filter(_._3 == "DELETE")
     val updates = parsed.filter(_._3 == "UPDATE SET *")
     val inserts = parsed.filter(_._3 == "INSERT *")
+    // PARTIAL-COLUMN update: `WHEN MATCHED THEN UPDATE SET c = expr, ...`
+    // compiles to [[VersionedTable.mergeUpdate]] — matched rows
+    // re-evaluate only the named columns (expressions see the old row as
+    // `t` and the source row as `s`), unmentioned columns survive
+    // verbatim, unmatched source keys are ignored. It stands ALONE: a
+    // partial row has nothing to INSERT, and mixing with DELETE would
+    // hide which clause consumed a row — fail loudly instead.
+    val setUpdates = parsed.filter(c =>
+      c._3.startsWith("UPDATE SET ") && c._3 != "UPDATE SET *")
     if (deletes.exists(_._1)) fail("WHEN NOT MATCHED THEN DELETE is not a " +
       "merge action (an unmatched key has nothing to delete)")
     if (updates.exists(c => c._1 || c._2.nonEmpty))
       fail("UPDATE SET * must be the plain WHEN MATCHED clause")
     if (inserts.exists(c => !c._1 || c._2.nonEmpty))
       fail("INSERT * must be the plain WHEN NOT MATCHED clause")
-    if (updates.nonEmpty != inserts.nonEmpty)
+    if (setUpdates.nonEmpty &&
+        (setUpdates.size > 1 || deletes.nonEmpty || updates.nonEmpty ||
+          inserts.nonEmpty))
+      fail("UPDATE SET <assignments> stands alone — one WHEN MATCHED " +
+        "clause, no DELETE/INSERT/SET * alongside (a partial row has " +
+        "nothing to insert)")
+    if (setUpdates.isEmpty && updates.nonEmpty != inserts.nonEmpty)
       fail("upsert merges need BOTH 'WHEN MATCHED THEN UPDATE SET *' AND " +
         "'WHEN NOT MATCHED THEN INSERT *' — the verb replaces or inserts " +
         "the full source row")
@@ -722,7 +745,11 @@ object GraftSql {
         "upsert clauses: the delete predicate evaluates on the source row " +
         "(not matched-ness), so every source row would delete; give the " +
         "DELETE an AND condition, or drop the UPDATE/INSERT clauses")
-    if (deletes.isEmpty && updates.isEmpty)
+    if (setUpdates.nonEmpty) {
+      if (setUpdates.exists(c => c._1 || c._2.nonEmpty))
+        fail("UPDATE SET <assignments> must be the plain WHEN MATCHED " +
+          "clause")
+    } else if (deletes.isEmpty && updates.isEmpty)
       fail("no actionable clause (need an upsert pair and/or a DELETE)")
 
     // alias the source so alias-qualified references in the DELETE
@@ -735,13 +762,25 @@ object GraftSql {
           sourceSql.stripPrefix("(").stripSuffix(")"), views))
       else spark.table(sourceSql)
     val src = alias.map(raw.as(_)).getOrElse(raw)
+    import spark.implicits._
+    if (setUpdates.nonEmpty) {
+      val assigns = splitTopLevel(setUpdates.head._4
+          .replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")).map {
+        case AssignRe(c, e) => c -> expr(e)
+        case a => fail(s"unparseable SET assignment '$a' — use col = expr")
+      }.toMap
+      // the verb aliases the TARGET as `t` and the SOURCE as `s` for the
+      // assignment expressions, regardless of any USING alias (which
+      // still scopes the statement's other references)
+      val v = VersionedTable.mergeUpdate(spark, table, src, key, assigns)
+      return Seq(v).toDF("version")
+    }
     val deleteWhen = deletes.headOption match {
-      case Some((_, Some(cond), _)) => expr(cond)
-      case Some((_, None, _)) => lit(true) // pure delete-merge
+      case Some((_, Some(cond), _, _)) => expr(cond)
+      case Some((_, None, _, _)) => lit(true) // pure delete-merge
       case None => lit(false)
     }
     val v = VersionedTable.mergeInto(spark, table, src, key, deleteWhen)
-    import spark.implicits._
     Seq(v).toDF("version")
   }
 

@@ -1611,7 +1611,9 @@ object VersionedTable {
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"change batch is missing snapshot columns ${missing.mkString(", ")} " +
         "— narrowing merges are not supported (a change row must carry the " +
-        "full row); drop the columns from the table first if intended")
+        "full row); use mergeUpdate/mergeUpdateKeys (SQL: WHEN MATCHED " +
+        "THEN UPDATE SET c = expr) for column-subset updates, or drop " +
+        "the columns from the table first if intended")
     val added = changeDataCols.diff(base.columns)
     // FILE-GRANULAR merge (r16): when the batch neither widens the schema
     // nor lands under an active mapping (both fall back to the
@@ -2089,6 +2091,127 @@ object VersionedTable {
       version = "__ver", op = "__op",
       maxRecordsPerFile = maxRecordsPerFile, batchId = batchId)
   }
+
+  /** PARTIAL-COLUMN MERGE — SQL's `WHEN MATCHED THEN UPDATE SET c =
+    * expr[, ...]` without the caller pre-building full rows: for every
+    * source row whose key tuple matches, the matched row's `set` columns
+    * re-evaluate (expressions see the OLD row as alias `t` and the
+    * source row as alias `s` — qualify when names collide) and every
+    * UNMENTIONED column survives verbatim. Unmatched source keys are
+    * ignored (a partial update has no full row to insert — use
+    * [[mergeIntoKeys]] for upserts); assignments cast to the column's
+    * existing type, so the verb never migrates schema; `set` may not
+    * name a key column (that would re-key the row — delete + insert is
+    * the honest spelling).
+    *
+    * Cost shape: the composed change batch is PRE-RESTRICTED to the
+    * files that hold a matched key (one key-pruned probe scan), so the
+    * granular-merge machinery downstream — its own probe, applyChanges,
+    * the `_changes` CDC write, the rebase guard — re-reads only those
+    * files, never the table: O(matched files + batch) end to end, the
+    * same class as [[mergeIntoKeys]]. Under an active schema mapping
+    * the pre-restriction is skipped (the mapped read handles physical
+    * names) and the merge's own whole-snapshot fallback materializes as
+    * documented. The CDC sidecar carries the COMPOSED full rows, so
+    * change-feed consumers and [[refreshRollup]] see a partial update
+    * exactly as a full-row upsert of the post-image — no new feed
+    * semantics.
+    */
+  def mergeUpdateKeys(spark: SparkSession, table: String,
+      source: DataFrame, keys: Seq[String],
+      set: Map[String, org.apache.spark.sql.Column],
+      maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "mergeUpdateKeys needs at least one key column")
+    require(set.nonEmpty, "mergeUpdateKeys needs at least one assignment")
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val cur = readVersion(spark, table, base)
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"source is missing key column(s) ${missingKeys.mkString(", ")}")
+    val unknown = set.keys.filterNot(cur.columns.contains)
+    require(unknown.isEmpty,
+      s"SET names column(s) the table does not have: " +
+        unknown.mkString(", "))
+    val keyed = set.keys.filter(keys.contains)
+    require(keyed.isEmpty,
+      s"SET may not assign key column(s) ${keyed.mkString(", ")} — " +
+        "re-keying is a delete + insert")
+    // pre-restrict the matched-row read to the files holding a source
+    // key (the granular merge's probe shape, per scope so deferred-
+    // delete keep filters bind to their raw frames and `_metadata`
+    // resolves directly over each file scan): the probe is column-
+    // pruned to the keys, and every later execution of the composed
+    // batch — the merge's own probe, applyChanges, the CDC write, the
+    // rebase guard — then opens only those files
+    val restricted =
+      if (schemaStateOf(spark, table, base).nonEmpty) cur
+      else {
+        val (hfs, root) = fs(spark, table)
+        val dirStr = resolveDir(hfs, root, base).get
+        val preds = delStateOf(spark, table, base)
+        val groups = groupTokensByScope(splitDirs(dirStr))
+        def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
+          val df = spark.read.parquet(
+            groupReadPaths(hfs, root, scope, toks): _*)
+          delKeepFilter(preds, scope).map(df.where).getOrElse(df)
+        }
+        def rawPath(p: String): String = {
+          val u = new Path(p).toUri
+          if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+        }
+        val keyFrame = source
+          .select(keys.map(col): _*).distinct().alias("c")
+        // stamp the metadata column BEFORE the join: `_metadata` only
+        // resolves directly over a file-source relation, never through
+        // a join (or a keep-filtered frame) above it
+        val touchedRaw = groups.map { case (scope, toks) =>
+          visibleOf(scope, toks)
+            .withColumn("__graft_file", col("_metadata.file_path"))
+            .alias("b")
+            .join(keyFrame,
+              keys.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _),
+              "left_semi")
+            .select(col("__graft_file"))
+        }.reduce(_ union _).distinct()
+          .collect().map(r => rawPath(r.getString(0))).toSet
+        val perScope = enumerateTokens(hfs, root, groups)
+        val touchedToks = perScope.flatMap { case (scope, _, referenced) =>
+          val qualScope = rawPath(
+            hfs.makeQualified(new Path(root, scope)).toString)
+          val hit = referenced.filter(n =>
+            touchedRaw.contains(s"$qualScope/$n"))
+          if (hit.isEmpty) None
+          else Some(scope -> hit.map(n => s"$scope/$n"))
+        }
+        if (touchedToks.isEmpty) cur.limit(0)
+        else touchedToks.map { case (scope, toks) =>
+          visibleOf(scope, toks) }.reduce(_ union _)
+      }
+    val t = restricted.alias("t")
+    val s = source.alias("s")
+    val matchCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k"))
+      .reduce(_ && _)
+    val composed = t.join(s, matchCond, "inner").select(
+      cur.columns.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => e.cast(cur.schema(c).dataType).as(c)
+          case None => col(s"t.$c")
+        }
+      }: _*)
+    mergeIntoKeys(spark, table, composed, keys,
+      maxRecordsPerFile = maxRecordsPerFile, batchId = batchId)
+  }
+
+  /** Single-key [[mergeUpdateKeys]]. */
+  def mergeUpdate(spark: SparkSession, table: String, source: DataFrame,
+      key: String, set: Map[String, org.apache.spark.sql.Column],
+      maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long =
+    mergeUpdateKeys(spark, table, source, Seq(key), set,
+      maxRecordsPerFile, batchId)
 
   /** Append `rows` to the table as a new version (SQL INSERT INTO) in
     * O(NEW DATA): the new batch writes to ONE fresh writer-unique dir and

@@ -230,13 +230,27 @@ class CatalogSpec extends AnyFunSuite {
         s"""MERGE INTO '$tbl' USING u2 ON t.k = s.kk
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "SAME column")
-      // column-level SET is full-row by contract — unparseable, loudly
+      // column-level SET stands alone (a partial row has nothing to
+      // INSERT) — combining fails loudly
       rejects(
         s"""MERGE INTO '$tbl' USING u2 ON k
            |WHEN MATCHED THEN UPDATE SET v = v + 1
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "unparseable")
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "stands alone")
+      // garbage after THEN is unparseable, loudly
+      rejects(
+        s"""MERGE INTO '$tbl' USING u2 ON k
+           |WHEN MATCHED THEN UPSERT EVERYTHING""".stripMargin,
+        "unparseable")
       // nothing committed by any rejected statement
       assert(VersionedTable.latestVersion(spark, tbl).contains(1L))
+
+      // the standalone assignments form WORKS: matched rows re-evaluate
+      // only the named column, expressions see t (old row) and s (source)
+      GraftSql.sql(spark,
+        s"""MERGE INTO '$tbl' USING u2 ON k
+           |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin)
+      assert(VersionedTable.readLatest(spark, tbl)
+        .head().getDouble(1) == 3.0)
     } finally spark.stop()
   }
 

@@ -1675,6 +1675,72 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t2, m2).count() == 6000)
   }
 
+  test("mergeUpdate: partial-column MERGE, unmentioned columns survive") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_mergeset"
+    val df = spark.range(20000).select(col("id").as("k"),
+      (col("id") % 100).cast("double").as("v"),
+      concat(lit("n"), col("id")).as("name"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("k"),
+      numFiles = 8, maxRecordsPerFile = 3000L)
+    def inventory(): Map[String, (Long, Long)] = {
+      val data = new java.io.File(t + "/data")
+      data.listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+          s"${d.getName}/${f.getName}" -> (f.lastModified(), f.length()))
+      }.toMap
+    }
+    val before = inventory()
+    // low-key batch + one unmatched key (ignored, never inserted);
+    // assignments see the OLD row (t) and the source row (s)
+    val src = Seq((10L, 5.0), (11L, 7.0), (999999L, 1.0))
+      .toDF("k", "delta")
+    val v2 = VersionedTable.mergeUpdate(spark, t, src, "k",
+      Map("v" -> (col("t.v") + col("s.delta"))))
+    assert(v2 == 2L)
+    // file-granular: only the key-holding files rewrote
+    val (rewrote, total) = VersionedTable.lastCowRewrite.get()
+    assert(rewrote > 0 && rewrote < total,
+      s"partial-column merge must rewrite a strict subset: " +
+        s"$rewrote of $total")
+    val after = inventory()
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"$f changed under mergeUpdate") }
+    // result == the relational model: v re-evaluated for matched keys,
+    // name/k verbatim everywhere, no insert of the unmatched key
+    val model = df.withColumn("v",
+      when(col("k") === 10L, col("v") + 5.0)
+        .when(col("k") === 11L, col("v") + 7.0).otherwise(col("v")))
+    val got = VersionedTable.readLatest(spark, t)
+    assert(got.count() == 20000)
+    assert(got.exceptAll(model).isEmpty && model.exceptAll(got).isEmpty)
+    // the change feed carries the COMPOSED full rows (post-image)
+    val feed = VersionedTable.readChanges(spark, t, v2)
+    assert(feed.count() == 2 &&
+      feed.columns.toSet == Set("k", "v", "name", "__op", "__ver"))
+    assert(feed.where(col("__op") =!= "u").count() == 0)
+    // SET may not re-key; unknown columns fail typed
+    val rekey = intercept[IllegalArgumentException](
+      VersionedTable.mergeUpdate(spark, t, src, "k",
+        Map("k" -> lit(1L))))
+    assert(rekey.getMessage.contains("key"), rekey.getMessage)
+    val unknown = intercept[IllegalArgumentException](
+      VersionedTable.mergeUpdate(spark, t, src, "k",
+        Map("nope" -> lit(1L))))
+    assert(unknown.getMessage.contains("nope"), unknown.getMessage)
+    // deferred deletes stay respected: lazily delete a key, then a
+    // partial update of ANOTHER key must not resurrect it
+    VersionedTable.deleteWhereLazy(spark, t, "k = 20")
+    VersionedTable.mergeUpdate(spark, t,
+      Seq((30L, 1.0)).toDF("k", "delta"), "k",
+      Map("v" -> (col("t.v") + col("s.delta"))))
+    val latest = VersionedTable.readLatest(spark, t)
+    assert(latest.where(col("k") === 20L).count() == 0,
+      "a lazily-deleted row must not resurrect through mergeUpdate")
+    assert(latest.where(col("k") === 30L).head().getDouble(1) == 31.0)
+  }
+
   test("merge determinism gate walks the whole change plan") {
     import graft.sources.VersionedTable
     // rand() in a Project BENEATH the root Filter: the root-only gate
