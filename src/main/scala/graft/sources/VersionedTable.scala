@@ -2607,7 +2607,8 @@ object VersionedTable {
       .filter(st => !referencedAtListing.contains(s"data/${st.getPath.getName}"))
       .filter(_.getModificationTime < cutoff)
       .toSeq
-    if (candidates.isEmpty) return Seq.empty
+    if (candidates.isEmpty)
+      return vacuumFiles(spark, table, hfs, root, cutoff)
     // TOCTOU guard: a writer whose snapshot write OUTLIVED the grace can
     // publish between the listing above and the deletes below — its dir
     // would be "orphaned by mtime" yet newly referenced. Re-read the
@@ -2616,7 +2617,7 @@ object VersionedTable {
     // pass to the re-list→delete gap (the mtime grace still covers
     // writers inside it).
     val committed = referenced()
-    candidates.iterator
+    val dirReclaimed = candidates.iterator
       .filter(st => !committed.contains(s"data/${st.getPath.getName}"))
       // only dirs the filesystem CONFIRMS deleted enter the audit list —
       // several FileSystem impls return false instead of throwing, and
@@ -2626,6 +2627,84 @@ object VersionedTable {
         else None
       }
       .toSeq.sorted
+    dirReclaimed ++ vacuumFiles(spark, table, hfs, root, cutoff)
+  }
+
+  /** FILE-LEVEL reclaim inside PARTIALLY-referenced dirs (r17): after a
+    * file-granular verb rewrites part of a dir, the replaced files stay
+    * on disk — correctly, while any whole-dir version still lives — but
+    * once expiry retires every version that referenced them, dir-level
+    * vacuum keeps the whole dir ("referenced, full stop") and the dead
+    * bytes leak until an OPTIMIZE. This pass resolves every live
+    * version's per-scope file set through the SAME [[groupRestriction]]
+    * seam the read path uses and deletes the files of a managed, only-
+    * partially-referenced dir that NO live version resolves to.
+    *
+    * Sound against the token grammar by construction: a kept-FILE token
+    * names its file outright, and an EXCLUSION token's restriction is
+    * `listing minus exclusions` — a file deletable here is, in every
+    * referencing version, either excluded or absent from the kept list,
+    * so removing it from the listing never changes any version's
+    * resolved set (SinksSpec asserts reads are identical before/after).
+    * Only managed `data/` scopes participate — adopted/cloned foreign
+    * dirs are never touched, exactly like the dir-level pass. Same
+    * two-pass TOCTOU shape: candidates re-validate against a fresh
+    * manifest read before deletion (a racing granular verb only ever
+    * references files its LIVE base resolves, so a file unreferenced on
+    * both passes cannot be newly referenced in between).
+    */
+  private def vacuumFiles(spark: SparkSession, table: String,
+      hfs: FileSystem, root: Path, cutoff: Long): Seq[String] = {
+    // scope -> None (some live version references the WHOLE dir — out of
+    // scope here) | Some(files some live version resolves to)
+    def liveRefs(): Map[String, Option[Set[String]]] = {
+      val cp = checkpointMap(hfs, root)
+      val acc =
+        scala.collection.mutable.Map.empty[String, Option[Set[String]]]
+      versions(spark, table).foreach { v =>
+        resolveDirWith(hfs, root, v, () => cp).foreach { dirStr =>
+          groupTokensByScope(splitDirs(dirStr)).foreach {
+            case (scope, toks) =>
+              if (!acc.get(scope).contains(None)) {
+                groupRestriction(hfs, root, scope, toks) match {
+                  case None => acc(scope) = None
+                  case Some(files) =>
+                    acc(scope) = Some(acc.get(scope).flatten
+                      .getOrElse(Set.empty) ++ files)
+                }
+              }
+          }
+        }
+      }
+      acc.toMap
+    }
+    def orphansOf(refs: Map[String, Option[Set[String]]])
+        : Map[String, Set[String]] =
+      refs.collect {
+        case (scope, Some(live))
+            if scope.startsWith("data/") &&
+              hfs.exists(new Path(root, scope)) =>
+          scope -> hfs.listStatus(new Path(root, scope)).iterator
+            .filter(st => st.getPath.getName.endsWith(".parquet"))
+            .filter(!_.isDirectory)
+            .filter(_.getModificationTime < cutoff)
+            .map(_.getPath.getName).filterNot(live).toSet
+      }.filter(_._2.nonEmpty)
+    val first = orphansOf(liveRefs())
+    if (first.isEmpty) return Seq.empty
+    // TOCTOU re-validation, same shape as the dir pass
+    val second = liveRefs()
+    first.iterator.flatMap { case (scope, names) =>
+      second.get(scope) match {
+        case Some(Some(liveNow)) =>
+          names.filterNot(liveNow).iterator.flatMap { n =>
+            if (hfs.delete(new Path(root, s"$scope/$n"), false))
+              Some(s"$scope/$n")
+            else None
+          }
+        case _ => Iterator.empty // whole-dir referenced now, or gone
+      }
+    }.toSeq.sorted
   }
 
   /** Compact the manifest log — the Delta-checkpoint move for long

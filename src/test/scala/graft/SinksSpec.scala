@@ -1741,6 +1741,70 @@ class SinksSpec extends SparkSpec {
     assert(latest.where(col("k") === 30L).head().getDouble(1) == 31.0)
   }
 
+  test("file-level vacuum reclaims rewritten-away files; reads stay identical") {
+    import graft.sources.VersionedTable
+    val t = tmp() + "/vt_filevac"
+    val df = spark.range(20000).select(col("id"),
+      (col("id") % 4 + 2020).as("yr"),
+      (col("id") % 100).cast("double").as("v"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("yr"),
+      numFiles = 8, maxRecordsPerFile = 3000L)
+    def dataFiles(): Set[String] = {
+      val data = new java.io.File(t + "/data")
+      data.listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"data/${d.getName}/${f.getName}")
+      }.toSet
+    }
+    // UPDATE one year: the matched files rewrite into a fresh dir; v2
+    // references the base dir through kept/exclusion tokens
+    VersionedTable.updateWhere(spark, t, col("yr") === 2021L,
+      Map("v" -> lit(-1.0)))
+    val (rewrote, total) = VersionedTable.lastCowRewrite.get()
+    assert(rewrote > 0 && rewrote < total)
+    val filesWhileV1Lives = dataFiles()
+
+    // while v1 (whole-dir) lives, vacuum must reclaim NOTHING
+    Thread.sleep(30)
+    assert(VersionedTable.vacuum(spark, t, graceMs = 10L).isEmpty,
+      "a live whole-dir version protects every file")
+
+    // expire v1 → only v2's kept/exclusion references remain; the
+    // rewritten-away files are now dead bytes and must reclaim
+    assert(VersionedTable.expireVersions(spark, t, keepLast = 1) == Seq(1L))
+    val preVacuum = VersionedTable.readLatest(spark, t)
+      .orderBy(col("id")).collect()
+    Thread.sleep(30)
+    val reclaimed = VersionedTable.vacuum(spark, t, graceMs = 10L)
+    assert(reclaimed.nonEmpty, "rewritten-away files must reclaim")
+    assert(reclaimed.forall(_.endsWith(".parquet")),
+      s"only files may reclaim here: $reclaimed")
+    assert(reclaimed.size == rewrote,
+      s"exactly the rewritten-away files reclaim: $reclaimed")
+    assert(reclaimed.forall(filesWhileV1Lives),
+      "reclaimed files must be pre-verb bytes")
+    // the live version reads byte-identical after the reclaim —
+    // exclusion-token listings list-then-subtract, so deleting an
+    // excluded file changes no kept set
+    val postVacuum = VersionedTable.readLatest(spark, t)
+      .orderBy(col("id")).collect()
+    assert(postVacuum.toSeq == preVacuum.toSeq,
+      "file-level vacuum must not change any live read")
+    assert(postVacuum.length == 20000)
+    // idempotent: a second vacuum finds nothing
+    Thread.sleep(30)
+    assert(VersionedTable.vacuum(spark, t, graceMs = 10L).isEmpty)
+    // kept files are still physically present (they are referenced)
+    assert(dataFiles().size == filesWhileV1Lives.size - rewrote)
+    // pruned reads still work over the post-vacuum layout (the stats
+    // sidecar may still describe reclaimed files — the version's
+    // restriction, not the sidecar, decides what opens)
+    import graft.sources.VersionedTable.ColumnBounds
+    val pruned = VersionedTable.readLatestPruned(spark, t,
+      bounds = Seq(ColumnBounds("yr", Some(2022L), Some(2022L))))
+    assert(pruned.count() == 5000)
+  }
+
   test("merge determinism gate walks the whole change plan") {
     import graft.sources.VersionedTable
     // rand() in a Project BENEATH the root Filter: the root-only gate
