@@ -3367,7 +3367,12 @@ object VersionedTable {
     * protocol itself.
     */
   private[graft] val lastCowRewrite =
-    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+    new ThreadLocal[(Int, Int)] {
+      // THREAD-local, not process-global: q246/q249 assert their own
+      // verb's counters in-query, and a concurrent verb on another
+      // thread must not swap the value between set and read
+      override def initialValue(): (Int, Int) = (0, 0)
+    }
 
   /** Tables referencing at most this many data files take the
     * whole-snapshot path for non-stale-pinned granular verbs: the probe

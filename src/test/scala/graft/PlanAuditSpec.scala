@@ -611,6 +611,29 @@ class PlanAuditSpec extends SparkSpec {
       s"gap window must be customer-keyed:\n$p")
   }
 
+  test("q247: churn audit reads feeds, never windows or shuffles a table") {
+    // the change-feed readout must stay O(batch): per-version feed
+    // aggregates + one bounded row count, unioned — no window function
+    // anywhere and no table-sized shuffle join (the only joins are the
+    // 1-row aggregate crossJoins, which broadcast)
+    val p = plan("q247_cdc_churn")
+    assert(!p.contains("Window"), s"q247 must not window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q247 must not shuffle-join (1-row frames broadcast):\n$p")
+  }
+
+  test("q248: grid is one hash aggregate; peak window is dow-keyed") {
+    val p = plan("q248_dow_hour_grid")
+    assert(p.contains("HashAggregate"), s"q248 needs a hash aggregate:\n$p")
+    // the total is a 1-row broadcast, never a shuffle join
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    // the peak window partitions by isodow (≤24 rows per partition) —
+    // a data-sized single-partition window would be the wrong shape
+    assert(p.matches("(?s).*Window \\[[^\\]]*\\], \\[isodow[^\\]]*\\].*"),
+      s"peak window must be isodow-keyed:\n$p")
+  }
+
   test("q244: purity probes BROADCAST over the corpus scan") {
     // the brute-force verification tier must broadcast the probe set —
     // a shuffled corpus×probe join (or a corpus self-shuffle) would be
