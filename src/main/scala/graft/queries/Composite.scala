@@ -3176,6 +3176,59 @@ object Composite {
              |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
              |    AS BIGINT)) AS BIGINT) AS cents
              |FROM t GROUP BY yr, o_orderstatus
-             |ORDER BY yr, o_orderstatus""".stripMargin))
+             |ORDER BY yr, o_orderstatus""".stripMargin)),
+
+    // Q250 — FILE-LEVEL VACUUM lifecycle (r17): UPDATE one clustered
+    // year, DELETE another, EXPIRE the superseded versions, VACUUM —
+    // and the reclaim must (a) actually erase the rewritten-away files
+    // (REQUIRED in-query: nonempty, files-only — never a referenced
+    // dir) and (b) be INVISIBLE to every read (the oracle-paired
+    // aggregate runs after the reclaim). The right-to-be-forgotten
+    // lifecycle at data scale: expiry retires metadata, file-level
+    // vacuum erases exactly the dead bytes inside partially-referenced
+    // dirs, and the kept/exclusion token resolution is untouched
+    // because listings list-then-subtract. ×2 repricing exact in
+    // binary; cents exact DECIMAL→BIGINT.
+    Q("q250_vacuum_lifecycle",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val dir = scratchDir("graft-vtable-vac") + "/t"
+        VersionedTable.commitClustered(s,
+          Tables(s, d, "orders").select(col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("yr"),
+            col("o_totalprice")),
+          dir, clusterCols = Seq("yr"), numFiles = 8,
+          maxRecordsPerFile = 100000L)
+        VersionedTable.updateWhere(s, dir, col("yr") === 1997L,
+          Map("o_totalprice" -> (col("o_totalprice") * lit(2))))
+        VersionedTable.deleteWhere(s, dir, col("yr") === 1998L)
+        VersionedTable.expireVersions(s, dir, keepLast = 1)
+        Thread.sleep(20) // grace: reclaim candidates must predate it
+        val reclaimed = VersionedTable.vacuum(s, dir, graceMs = 10L)
+        require(reclaimed.nonEmpty,
+          "expire + vacuum must reclaim the rewritten-away files")
+        require(reclaimed.forall(_.endsWith(".parquet")),
+          s"only dead FILES may reclaim (every dir is referenced): " +
+            reclaimed.mkString(", "))
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        VersionedTable.readLatest(s, dir)
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents).cast(LongType).as("cents"))
+          .orderBy(col("yr"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             |    CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997
+             |         THEN o_totalprice * 2 ELSE o_totalprice END
+             |      AS o_totalprice
+             |  FROM orders
+             |  WHERE EXTRACT(YEAR FROM o_orderdate) <> 1998)
+             |SELECT yr, count(*) AS n_orders,
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT)) AS BIGINT) AS cents
+             |FROM t GROUP BY yr ORDER BY yr""".stripMargin))
   )
 }

@@ -46,7 +46,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[VersionedTable.ColumnIn]] and drive the SAME manifest-level file
   * pruning `readLatestPruned` uses (files whose zone interval or Bloom
   * filter excludes the predicate are never opened), with column pruning
-  * applied before the row RDD is handed back. Every filter is ALSO
+  * applied before the row RDD is handed back. Known trade: the V1
+  * bridge's RDD[Row] boundary forgoes codegen fusion ACROSS the
+  * catalog seam (the inner plan still runs vectorized parquet decode +
+  * whole-stage codegen; only the final row conversion is extra — the
+  * DeltaTableV2 V1-fallback cost class). If BI-scale catalog reads
+  * arrive, the upgrade is a DSv2 Batch delegating to ParquetScan over
+  * an InMemoryFileIndex of the pruned file list — blocked today on the
+  * keep-filter/schema-chain residuals not being source-Filter
+  * expressible, so only the clean-table case could delegate. Every filter is ALSO
   * reported residual, so Spark re-applies them row-level — pruning here
   * is strictly a superset selection and can never change results.
   * Mutations stay on the [[GraftSql]] verbs (this table is read-only by
