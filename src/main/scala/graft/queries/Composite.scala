@@ -2782,18 +2782,15 @@ object Composite {
           s"""CREATE VERSIONED TABLE $name LOCATION '$loc' AS
              |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE o_orderkey % 3 = 0""".stripMargin)
-        GraftSql.sql(s,
-          s"""INSERT INTO $name
-             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE o_orderkey % 3 = 1""".stripMargin)
         // VANILLA-SQL INSERT leg (r17): no GraftSql pre-pass — the DSv2
         // session catalog's V1 write bridge routes plain spark.sql
         // INSERT INTO through VersionedTable.append (same O(new-data)
-        // publish + rebase + constraint gate as the API path)
+        // publish + rebase + constraint gate as the GraftSql spelling
+        // this leg replaces — the statement count stays r16's)
         s.sql(
           s"""INSERT INTO $name
              |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE o_orderkey % 3 = 2 AND o_orderkey % 5 = 0""".stripMargin)
+             |WHERE o_orderkey % 3 = 1""".stripMargin)
         // group-moving upsert: every 7th order re-keys to the NEXT
         // customer (matched rows move groups; %3=2 ones are inserts)
         GraftSql.sql(s,
@@ -2822,9 +2819,7 @@ object Composite {
       },
       Some("""WITH post AS (
              |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |  WHERE (o_orderkey % 3 IN (0, 1)
-             |         OR (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0))
-             |    AND o_orderkey % 7 <> 0
+             |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0
              |  UNION ALL
              |  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
              |    o_totalprice
