@@ -57,8 +57,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * expressible, so only the clean-table case could delegate. Every filter is ALSO
   * reported residual, so Spark re-applies them row-level — pruning here
   * is strictly a superset selection and can never change results.
-  * Mutations stay on the [[GraftSql]] verbs (this table is read-only by
-  * design: the commit protocol, not the Spark writer, owns publishing).
+  *
+  * Write path (r17): the table is READ-WRITE — vanilla `INSERT INTO` /
+  * `INSERT OVERWRITE` land through a V1 write bridge onto the SAME
+  * commit protocol as the Scala API ([[GraftWriteBuilder]]); the richer
+  * mutations (MERGE/UPDATE/DELETE/maintenance verbs) stay on the
+  * [[GraftSql]] spellings.
   */
 class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
 
@@ -72,7 +76,8 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
   }
 }
 
-/** A read-only DSv2 [[Table]] over a [[VersionedTable]] manifest root.
+/** A DSv2 [[Table]] over a [[VersionedTable]] manifest root — readable
+  * and INSERT-writable by vanilla Spark SQL.
   * The version is resolved ONCE per Table instance (one `loadTable` =
   * one statement's analysis) and every scan built from it is PINNED to
   * that version: schema and rows always come from the same committed
@@ -93,11 +98,16 @@ private[graft] class GraftVersionedSparkTable(ident: Identifier,
       throw new IllegalArgumentException(
         s"$location has no committed versions"))
 
-  override def name(): String = ident.toString
-
-  override def schema(): StructType =
+  // resolved ONCE with the version: Spark calls schema() several times
+  // per statement during analysis, and each readVersion pays manifest +
+  // footer I/O for an answer that cannot change while pinned
+  private lazy val pinnedSchema: StructType =
     VersionedTable.readVersion(SparkSession.active, location,
       pinnedVersion).schema
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = pinnedSchema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

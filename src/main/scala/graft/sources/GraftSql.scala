@@ -668,8 +668,16 @@ object GraftSql {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0
+    // quote tracking mirrors resolveNames': a comma (or paren) inside a
+    // string literal is literal text — `SET status = 'R,X'` is ONE
+    // assignment. Both quote styles, each inert inside the other.
+    var inSingle = false
+    var inDouble = false
     s.indices.foreach { i =>
       s(i) match {
+        case '\'' if !inDouble => inSingle = !inSingle
+        case '"' if !inSingle => inDouble = !inDouble
+        case _ if inSingle || inDouble => ()
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1

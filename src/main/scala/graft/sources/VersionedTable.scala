@@ -1394,14 +1394,21 @@ object VersionedTable {
     * rebase recombination may have placed alongside).
     */
   private def groupRestriction(hfs: FileSystem, root: Path, scope: String,
-      toks: Seq[String]): Option[Seq[String]] =
+      toks: Seq[String],
+      listCache: scala.collection.mutable.Map[String, Seq[String]] = null)
+      : Option[Seq[String]] =
     if (toks.exists(t => !isFileToken(t) && !isExclToken(t))) None
     else if (toks.exists(isExclToken)) {
       val excl = toks.filter(isExclToken).flatMap(exclNamesOf).toSet
       val incl = toks.filter(isFileToken)
         .map(t => t.substring(t.lastIndexOf('/') + 1))
-      Some((listParquet(hfs, root, scope).filterNot(excl) ++ incl)
-        .distinct.sorted)
+      // committed dirs are immutable, so a listing is stable within (and
+      // beyond) one pass — callers that resolve MANY versions (vacuum's
+      // file-level pass) hand in a cache to avoid per-version re-LISTs
+      val listed =
+        if (listCache == null) listParquet(hfs, root, scope)
+        else listCache.getOrElseUpdate(scope, listParquet(hfs, root, scope))
+      Some((listed.filterNot(excl) ++ incl).distinct.sorted)
     } else Some(toks.map(t => t.substring(t.lastIndexOf('/') + 1)))
 
   /** Absolute read paths for one scope's token group. */
@@ -1658,43 +1665,18 @@ object VersionedTable {
         import org.apache.spark.sql.functions.col
         val (hfs, root, groups, perScope) = granularCtx.get
         val preds = delStateOf(spark, table, baseVersion)
-        def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
-          val df = spark.read.parquet(
-            groupReadPaths(hfs, root, scope, toks): _*)
-          delKeepFilter(preds, scope).map(df.where).getOrElse(df)
-        }
-        def rawPath(s: String): String = {
-          val u = new Path(s).toUri
-          if (u.getPath == null || u.getPath.isEmpty) s else u.getPath
-        }
-        // probe: files holding any change key. NULL-SAFE key equality —
-        // applyChanges groups null keys like values (window partitioning),
-        // so a null-key change must touch null-key base rows too
+        // probe: files holding any change key (see [[probeKeyTouchedRaw]])
         val keyFrame = changes
           .select(keys.map(org.apache.spark.sql.functions.col): _*)
           .distinct().alias("c")
-        val withFile = groups.map { case (scope, toks) =>
-          visibleOf(scope, toks).withColumn("__graft_file",
-            col("_metadata.file_path"))
-        }.reduce(_ union _).alias("b")
-        val touchedRaw = withFile
-          .join(keyFrame,
-            keys.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _),
-            "left_semi")
-          .select(col("__graft_file")).distinct()
-          .collect().map(r => rawPath(r.getString(0))).toSet
-        val touched: Map[String, Set[String]] = perScope.iterator.map {
-          case (scope, _, referenced) =>
-            val qualScope = rawPath(
-              hfs.makeQualified(new Path(root, scope)).toString)
-            scope -> referenced.filter(n =>
-              touchedRaw.contains(s"$qualScope/$n")).toSet
-        }.filter(_._2.nonEmpty).toMap
+        val touchedRaw = probeKeyTouchedRaw(spark, hfs, root, preds,
+          groups, keyFrame, keys)
+        val touched = touchedByScope(hfs, root, perScope, touchedRaw)
         lastCowRewrite.set((touched.valuesIterator.map(_.size).sum,
           perScope.iterator.map(_._3.size).sum))
         val touchedRows = perScope.collect {
           case (scope, _, _) if touched.contains(scope) =>
-            visibleOf(scope,
+            visibleScopeFrame(spark, hfs, root, preds, scope,
               touched(scope).toSeq.sorted.map(n => s"$scope/$n"))
         }.reduceOption(_ union _)
           .getOrElse(base.limit(0)) // pure-insert batch: no file touched
@@ -2121,21 +2103,50 @@ object VersionedTable {
       source: DataFrame, keys: Seq[String],
       set: Map[String, org.apache.spark.sql.Column],
       maxRecordsPerFile: Long = 5000000L,
+      batchId: Option[Long] = None): Long =
+    mergeUpdateKeysFrom(spark, table,
+      latestVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no committed versions")),
+      source, keys, set, maxRecordsPerFile, batchId)
+
+  /** [[mergeUpdateKeys]] against an explicitly pinned base — the
+    * concurrency seam, and what makes the verb SAFE under races: the
+    * post-images are composed from `base`'s rows, so the commit MUST be
+    * pinned at that same base (publishing through the rebase guards, at
+    * base+1) — re-resolving latest at commit time would drop v1-derived
+    * post-images onto a winner the composition never read, a silent
+    * lost update the guards exist to prevent. A winner that touched any
+    * of this batch's keys fails guard 1/2 → honest conflict; a disjoint
+    * winner rebases internally (its rows for our keys are byte-equal to
+    * base's, so the v1-derived post-image IS the serial-replay result).
+    */
+  private[graft] def mergeUpdateKeysFrom(spark: SparkSession,
+      table: String, base: Long, source: DataFrame, keys: Seq[String],
+      set: Map[String, org.apache.spark.sql.Column],
+      maxRecordsPerFile: Long = 5000000L,
       batchId: Option[Long] = None): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     require(keys.nonEmpty, "mergeUpdateKeys needs at least one key column")
     require(set.nonEmpty, "mergeUpdateKeys needs at least one assignment")
-    val base = latestVersion(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"$table has no committed versions"))
     val cur = readVersion(spark, table, base)
-    val missingKeys = keys.filterNot(source.columns.contains)
+    // name checks are CASE-INSENSITIVE like Spark's own resolution (and
+    // the documented GraftSql grammar); assignments rebind to the
+    // table's canonical spelling so the composed projection looks up
+    // the right column
+    def canon(cols: Array[String], n: String): Option[String] =
+      cols.find(_.equalsIgnoreCase(n))
+    val missingKeys = keys.filterNot(k => canon(source.columns, k).isDefined)
     require(missingKeys.isEmpty,
       s"source is missing key column(s) ${missingKeys.mkString(", ")}")
-    val unknown = set.keys.filterNot(cur.columns.contains)
+    val unknown = set.keys.filterNot(c => canon(cur.columns, c).isDefined)
     require(unknown.isEmpty,
       s"SET names column(s) the table does not have: " +
         unknown.mkString(", "))
-    val keyed = set.keys.filter(keys.contains)
+    val setCanon: Map[String, org.apache.spark.sql.Column] =
+      set.map { case (c, e) => canon(cur.columns, c).get -> e }
+    val keyed = setCanon.keys.filter(c =>
+      keys.exists(_.equalsIgnoreCase(c)))
     require(keyed.isEmpty,
       s"SET may not assign key column(s) ${keyed.mkString(", ")} — " +
         "re-keying is a delete + insert")
@@ -2153,42 +2164,17 @@ object VersionedTable {
         val dirStr = resolveDir(hfs, root, base).get
         val preds = delStateOf(spark, table, base)
         val groups = groupTokensByScope(splitDirs(dirStr))
-        def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
-          val df = spark.read.parquet(
-            groupReadPaths(hfs, root, scope, toks): _*)
-          delKeepFilter(preds, scope).map(df.where).getOrElse(df)
-        }
-        def rawPath(p: String): String = {
-          val u = new Path(p).toUri
-          if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
-        }
         val keyFrame = source
           .select(keys.map(col): _*).distinct().alias("c")
-        // stamp the metadata column BEFORE the join: `_metadata` only
-        // resolves directly over a file-source relation, never through
-        // a join (or a keep-filtered frame) above it
-        val touchedRaw = groups.map { case (scope, toks) =>
-          visibleOf(scope, toks)
-            .withColumn("__graft_file", col("_metadata.file_path"))
-            .alias("b")
-            .join(keyFrame,
-              keys.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _),
-              "left_semi")
-            .select(col("__graft_file"))
-        }.reduce(_ union _).distinct()
-          .collect().map(r => rawPath(r.getString(0))).toSet
-        val perScope = enumerateTokens(hfs, root, groups)
-        val touchedToks = perScope.flatMap { case (scope, _, referenced) =>
-          val qualScope = rawPath(
-            hfs.makeQualified(new Path(root, scope)).toString)
-          val hit = referenced.filter(n =>
-            touchedRaw.contains(s"$qualScope/$n"))
-          if (hit.isEmpty) None
-          else Some(scope -> hit.map(n => s"$scope/$n"))
-        }
-        if (touchedToks.isEmpty) cur.limit(0)
-        else touchedToks.map { case (scope, toks) =>
-          visibleOf(scope, toks) }.reduce(_ union _)
+        val touchedRaw = probeKeyTouchedRaw(spark, hfs, root, preds,
+          groups, keyFrame, keys)
+        val touched = touchedByScope(hfs, root,
+          enumerateTokens(hfs, root, groups), touchedRaw)
+        if (touched.isEmpty) cur.limit(0)
+        else touched.toSeq.map { case (scope, names) =>
+          visibleScopeFrame(spark, hfs, root, preds, scope,
+            names.toSeq.sorted.map(n => s"$scope/$n"))
+        }.reduce(_ union _)
       }
     val t = restricted.alias("t")
     val s = source.alias("s")
@@ -2196,12 +2182,20 @@ object VersionedTable {
       .reduce(_ && _)
     val composed = t.join(s, matchCond, "inner").select(
       cur.columns.toIndexedSeq.map { c =>
-        set.get(c) match {
+        setCanon.get(c) match {
           case Some(e) => e.cast(cur.schema(c).dataType).as(c)
           case None => col(s"t.$c")
         }
       }: _*)
-    mergeIntoKeys(spark, table, composed, keys,
+    require(!composed.columns.contains("__ver") &&
+      !composed.columns.contains("__op"),
+      "table must not carry reserved columns __ver/__op")
+    // commit PINNED at the base the post-images were composed from —
+    // through the same rebase-guarded tail as every granular merge
+    val changes = composed
+      .withColumn("__op", lit("u")).withColumn("__ver", lit(1L))
+    commitMergeFromKeys(spark, table, base, changes, keys,
+      version = "__ver", op = "__op",
       maxRecordsPerFile = maxRecordsPerFile, batchId = batchId)
   }
 
@@ -2657,6 +2651,7 @@ object VersionedTable {
       hfs: FileSystem, root: Path, cutoff: Long): Seq[String] = {
     // scope -> None (some live version references the WHOLE dir — out of
     // scope here) | Some(files some live version resolves to)
+    val listCache = scala.collection.mutable.Map.empty[String, Seq[String]]
     def liveRefs(): Map[String, Option[Set[String]]] = {
       val cp = checkpointMap(hfs, root)
       val acc =
@@ -2666,7 +2661,7 @@ object VersionedTable {
           groupTokensByScope(splitDirs(dirStr)).foreach {
             case (scope, toks) =>
               if (!acc.get(scope).contains(None)) {
-                groupRestriction(hfs, root, scope, toks) match {
+                groupRestriction(hfs, root, scope, toks, listCache) match {
                   case None => acc(scope) = None
                   case Some(files) =>
                     acc(scope) = Some(acc.get(scope).flatten
@@ -3461,33 +3456,16 @@ object VersionedTable {
         latestVersion(spark, table).contains(base))
       return commitPinned(spark, transform(cur), table, base, op = op,
         maxRecordsPerFile = maxRecordsPerFile)
-    // scheme-free path compare: _metadata.file_path and makeQualified can
-    // disagree on URI spelling (file:/ vs file:///) for the same file
-    def rawPath(s: String): String = {
-      val u = new Path(s).toUri
-      if (u.getPath == null || u.getPath.isEmpty) s else u.getPath
-    }
-    def visibleOf(scope: String, toks: Seq[String]): DataFrame = {
-      val df = spark.read.parquet(
-        groupReadPaths(hfs, root, scope, toks): _*)
-      delKeepFilter(preds, scope).map(df.where).getOrElse(df)
-    }
     // 1. probe: distinct touched files, driver-side — bounded by the
     // files the rewrite will open anyway (the file-index memory class)
     val probe = groups.map { case (scope, toks) =>
-      visibleOf(scope, toks)
+      visibleScopeFrame(spark, hfs, root, preds, scope, toks)
         .where(coalesce(cond, lit(false)))
         .select(col("_metadata.file_path").as("__graft_file"))
     }.reduce(_ union _)
     val touchedRaw = probe.distinct().collect()
-      .map(r => rawPath(r.getString(0))).toSet
-    val touched: Map[String, Set[String]] = perScope.iterator.map {
-      case (scope, _, referenced) =>
-        val qualScope = rawPath(
-          hfs.makeQualified(new Path(root, scope)).toString)
-        scope -> referenced.filter(n =>
-          touchedRaw.contains(s"$qualScope/$n")).toSet
-    }.filter(_._2.nonEmpty).toMap
+      .map(r => schemeFreePath(r.getString(0))).toSet
+    val touched = touchedByScope(hfs, root, perScope, touchedRaw)
     val totalFiles = perScope.iterator.map(_._3.size).sum
     val touchedCount = touched.valuesIterator.map(_.size).sum
     lastCowRewrite.set((touchedCount, totalFiles))
@@ -3497,7 +3475,8 @@ object VersionedTable {
         // 2. rewrite ONLY the touched files (visible rows → transform)
         val touchedRows = perScope.collect {
           case (scope, _, _) if touched.contains(scope) =>
-            visibleOf(scope, touched(scope).toSeq.sorted.map(n => s"$scope/$n"))
+            visibleScopeFrame(spark, hfs, root, preds, scope,
+              touched(scope).toSeq.sorted.map(n => s"$scope/$n"))
         }.reduce(_ union _)
         val dirName = writeSnapshot(spark, transform(touchedRows), table,
           maxRecordsPerFile)
@@ -3526,6 +3505,62 @@ object VersionedTable {
         groupRestriction(hfs, root, scope, toks)
           .getOrElse(listParquet(hfs, root, scope)))
     }
+
+  /** Scheme-free spelling of a path: `_metadata.file_path` and
+    * `makeQualified` can disagree on URI spelling (file:/ vs file:///)
+    * for the same file — compares happen on the bare path.
+    */
+  private def schemeFreePath(p: String): String = {
+    val u = new Path(p).toUri
+    if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+  }
+
+  /** One scope's VISIBLE rows: the token group's restricted parquet
+    * read with the scope's deferred-delete keep filter bound to the RAW
+    * frame — the shared read shape of every granular probe/rewrite.
+    */
+  private def visibleScopeFrame(spark: SparkSession, hfs: FileSystem,
+      root: Path, preds: Seq[DelPred], scope: String,
+      toks: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(groupReadPaths(hfs, root, scope, toks): _*)
+    delKeepFilter(preds, scope).map(df.where).getOrElse(df)
+  }
+
+  /** Probe: the files of `groups` holding any `keyFrame` key — NULL-
+    * SAFE equality (applyChanges groups null keys like values, so a
+    * null-key change must touch null-key base rows too) — as scheme-
+    * free paths. The metadata column is stamped BEFORE the semi-join:
+    * `_metadata` only resolves directly over a file-source relation,
+    * never through a join above it. `keyFrame` must be aliased "c".
+    */
+  private def probeKeyTouchedRaw(spark: SparkSession, hfs: FileSystem,
+      root: Path, preds: Seq[DelPred], groups: Seq[(String, Seq[String])],
+      keyFrame: DataFrame, keys: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    groups.map { case (scope, toks) =>
+      visibleScopeFrame(spark, hfs, root, preds, scope, toks)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .alias("b")
+        .join(keyFrame,
+          keys.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _),
+          "left_semi")
+        .select(col("__graft_file"))
+    }.reduce(_ union _).distinct()
+      .collect().map(r => schemeFreePath(r.getString(0))).toSet
+  }
+
+  /** Map probed raw paths back onto the token layout: scope → the
+    * referenced file NAMES the probe touched (empty scopes dropped).
+    */
+  private def touchedByScope(hfs: FileSystem, root: Path,
+      perScope: Seq[(String, Seq[String], Seq[String])],
+      touchedRaw: Set[String]): Map[String, Set[String]] =
+    perScope.iterator.map { case (scope, _, referenced) =>
+      val qualScope = schemeFreePath(
+        hfs.makeQualified(new Path(root, scope)).toString)
+      scope -> referenced.filter(n =>
+        touchedRaw.contains(s"$qualScope/$n")).toSet
+    }.filter(_._2.nonEmpty).toMap
 
   /** Process-wide count of internally-resolved CoW conflicts — the
     * [[publishAppendRebasing]] counter's DML sibling; observability for

@@ -245,10 +245,13 @@ class CatalogSpec extends AnyFunSuite {
       assert(VersionedTable.latestVersion(spark, tbl).contains(1L))
 
       // the standalone assignments form WORKS: matched rows re-evaluate
-      // only the named column, expressions see t (old row) and s (source)
+      // only the named column, expressions see t (old row) and s (source);
+      // a comma inside a string literal is ONE assignment (the splitter
+      // is quote-aware)
       GraftSql.sql(spark,
         s"""MERGE INTO '$tbl' USING u2 ON k
-           |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET
+           |  v = t.v + s.v + length('x,y') - 3""".stripMargin)
       assert(VersionedTable.readLatest(spark, tbl)
         .head().getDouble(1) == 3.0)
     } finally spark.stop()

@@ -1741,6 +1741,44 @@ class SinksSpec extends SparkSpec {
     assert(latest.where(col("k") === 30L).head().getDouble(1) == 31.0)
   }
 
+  test("mergeUpdate pins its base: overlapping race conflicts, disjoint rebases") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = tmp() + "/vt_musrace"
+    val df = spark.range(8000).select(col("id").as("k"),
+      (col("id") % 4).as("grp"), (col("id") % 100).cast("double").as("v"))
+    VersionedTable.commitClustered(spark, df, t, clusterCols = Seq("grp"),
+      numFiles = 4)
+    // winner: v2 rewrites grp 0's file
+    VersionedTable.updateWhere(spark, t, col("grp") === 0L,
+      Map("v" -> lit(500.0)))
+    // OVERLAPPING race: a partial update pinned at v1 touching a grp-0
+    // key composed its post-image from v1 — publishing it would erase
+    // the winner's update, so guard 1 (touched file no longer
+    // referenced) must surface an honest conflict
+    val src0 = Seq((0L, 1.0)).toDF("k", "delta")
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.mergeUpdateKeysFrom(spark, t, 1L, src0, Seq("k"),
+        Map("v" -> (col("t.v") + col("s.delta"))))
+    }
+    assert(VersionedTable.readLatest(spark, t)
+      .where(col("k") === 0L).head().getDouble(2) == 500.0,
+      "the winner's update must survive the conflicted partial merge")
+    // DISJOINT race: a stale partial update of a grp-3 key rebases
+    // internally (the winner never touched its file or its keys) and
+    // the result equals the serial replay
+    val rb0 = VersionedTable.cowRebases.get()
+    val v3 = VersionedTable.mergeUpdateKeysFrom(spark, t, 1L,
+      Seq((3L, 1.0)).toDF("k", "delta"), Seq("k"),
+      Map("v" -> (col("t.v") + col("s.delta"))))
+    assert(VersionedTable.cowRebases.get() == rb0 + 1,
+      "the disjoint partial merge must rebase, not retry")
+    val got = VersionedTable.readVersion(spark, t, v3)
+    assert(got.where(col("k") === 0L).head().getDouble(2) == 500.0)
+    assert(got.where(col("k") === 3L).head().getDouble(2) == 4.0)
+    assert(got.count() == 8000)
+  }
+
   test("file-level vacuum reclaims rewritten-away files; reads stay identical") {
     import graft.sources.VersionedTable
     val t = tmp() + "/vt_filevac"
