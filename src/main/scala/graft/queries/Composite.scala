@@ -3224,6 +3224,50 @@ object Composite {
              |SELECT yr, count(*) AS n_orders,
              |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
              |    AS BIGINT)) AS BIGINT) AS cents
-             |FROM t GROUP BY yr ORDER BY yr""".stripMargin))
+             |FROM t GROUP BY yr ORDER BY yr""".stripMargin)),
+
+    // Q251 — FILE-GRANULAR small-file compaction (r17): a drip-ingested
+    // table (seed + 4 single-file appends) compacts its small-file tail
+    // through `OPTIMIZE ... COMPACT UNDER n MB` — only files under the
+    // threshold rewrite (REQUIRED in-query via the rewrite counters;
+    // the big-file-stays byte-identity law lives in SinksSpec with a
+    // controlled-size fixture), everything else is referenced in place.
+    // At 100 TB this is maintenance that tracks the small-file tail
+    // instead of a nightly O(table) rewrite. The oracle pins value
+    // transparency: the compacted table aggregates exactly like the
+    // union of its ingest slices.
+    Q("q251_compact_small",
+      (s, d) => {
+        import graft.sources.{GraftSql, VersionedTable}
+        val dir = scratchDir("graft-vtable-compact") + "/t"
+        val orders = Tables(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        VersionedTable.commit(s, orders.where(col("o_orderkey") % 5 === 0),
+          dir)
+        (1 to 4).foreach { r =>
+          VersionedTable.append(s, dir,
+            orders.where(col("o_orderkey") % 5 === r).coalesce(1))
+        }
+        val preCompact = VersionedTable.latestVersion(s, dir).get
+        GraftSql.sql(s, s"OPTIMIZE '$dir' COMPACT UNDER 64 MB")
+        val (rewrote, _) = VersionedTable.lastCowRewrite.get()
+        require(rewrote >= 2,
+          s"the drip tail must compact granularly: rewrote $rewrote")
+        require(VersionedTable.latestVersion(s, dir)
+          .contains(preCompact + 1),
+          "compaction must land as ONE new version")
+        val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
+          lit(100)).cast(LongType)
+        VersionedTable.readLatest(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents).cast(LongType).as("cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |    AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -211,6 +211,10 @@ object GraftSql {
     ("""(?is)\s*UPDATE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""").r
   private val AssignRe = """(?s)\s*`?(\w+)`?\s*=\s*(.+)\s*""".r
+  private val CompactSmallRe =
+    ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
+      """\s+COMPACT\s+UNDER\s+(\d+)\s+MB""" +
+      """(?:\s+TARGET\s+(\d+)\s+MB)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(?:'([^']+)'|`([^`]+)`)""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
@@ -407,6 +411,15 @@ object GraftSql {
       case ReadChangesRe(p1, p2, ver) =>
         VersionedTable.readChanges(spark, Option(p1).getOrElse(p2),
           ver.toLong)
+      case CompactSmallRe(p1, p2, underMb, targetMb) =>
+        // file-granular small-file compaction: only files under the
+        // threshold rewrite; the rest are referenced in place
+        val under = underMb.toLong << 20
+        Seq(VersionedTable.compactSmallFiles(spark,
+          Option(p1).getOrElse(p2), minFileBytes = under,
+          targetFileBytes = Option(targetMb).map(_.toLong << 20)
+            .getOrElse(math.max(under, 128L << 20))))
+          .toDF("version")
       case OptimizeRe(p1, p2, mb, cluster, za, zb) =>
         val v = VersionedTable.optimize(spark, Option(p1).getOrElse(p2),
           targetFileBytes =

@@ -4516,6 +4516,90 @@ object VersionedTable {
     * throws [[CommitConflictException]] — retry; the half-written rewrite
     * dir is vacuum-reclaimable garbage.
     */
+  /** FILE-GRANULAR small-file compaction — [[optimize]]'s O(churn)
+    * sibling, the Delta OPTIMIZE bin-packing semantic: only files under
+    * `minFileBytes` rewrite (bin-packed toward `targetFileBytes` with a
+    * shuffle-free coalesce); every file already big enough is
+    * referenced in place as a kept token. At 100 TB this is the
+    * difference between "drip ingest needs a nightly lake rewrite" and
+    * "maintenance cost tracks the small-file tail": whole-snapshot
+    * [[optimize]] rewrites everything it references, so on a mostly-
+    * compacted table it pays O(table) to fix O(new-files).
+    *
+    * Semantics preserved exactly:
+    *  - compacted rows read through the deferred-delete keep filters,
+    *    so the fresh dir MATERIALIZES pending deletes for the rows it
+    *    carries; kept files keep their predicate scopes (the granular-
+    *    DML argument verbatim);
+    *  - rebase-friendly BEYOND the DML verbs: compaction is row-neutral
+    *    on its inputs, so a racing commit only conflicts when it
+    *    rewrote one of the compacted files (guard 1) or changed
+    *    del/schema/constraint state (guard 3) — the guard-2 added-file
+    *    scan is vacuously clean (serial replay would compact the same
+    *    input files regardless of what the winner added);
+    *  - fewer than TWO compactable files = a clean no-op returning the
+    *    current version (no metadata version for nothing, as in Delta);
+    *  - an active schema mapping or grammar-unsafe foreign names fall
+    *    back to the whole-snapshot [[optimize]] (which is what
+    *    materializes mappings).
+    *
+    * Statement: `OPTIMIZE '<path>' COMPACT UNDER <n> MB [TARGET <m> MB]`.
+    */
+  def compactSmallFiles(spark: SparkSession, table: String,
+      minFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20): Long =
+    compactSmallFilesFrom(spark, table,
+      latestVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no committed versions")),
+      minFileBytes, targetFileBytes)
+
+  /** [[compactSmallFiles]] against an explicitly pinned base — the
+    * concurrency seam, mirroring [[optimizeFrom]].
+    */
+  private[graft] def compactSmallFilesFrom(spark: SparkSession,
+      table: String, base: Long, minFileBytes: Long,
+      targetFileBytes: Long): Long = {
+    require(minFileBytes > 0, s"minFileBytes must be > 0: $minFileBytes")
+    require(targetFileBytes >= minFileBytes,
+      s"targetFileBytes ($targetFileBytes) must be >= minFileBytes " +
+        s"($minFileBytes)")
+    if (schemaStateOf(spark, table, base).nonEmpty)
+      return optimizeFrom(spark, table, base, targetFileBytes, Nil, Nil)
+    val (hfs, root) = fs(spark, table)
+    val dirStr = resolveDir(hfs, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $base of $table was never committed"))
+    val groups = groupTokensByScope(splitDirs(dirStr))
+    val perScope = enumerateTokens(hfs, root, groups)
+    if (!grammarSafeNames(perScope))
+      return optimizeFrom(spark, table, base, targetFileBytes, Nil, Nil)
+    val preds = delStateOf(spark, table, base)
+    // size every referenced file; one listing per scope
+    val sized: Seq[(String, String, Long)] =
+      perScope.flatMap { case (scope, _, referenced) =>
+        val lens = hfs.listStatus(new Path(root, scope)).iterator
+          .map(st => st.getPath.getName -> st.getLen).toMap
+        referenced.map(n => (scope, n, lens.getOrElse(n, 0L)))
+      }
+    val small = sized.filter(_._3 < minFileBytes)
+    lastCowRewrite.set((small.size, sized.size))
+    if (small.size < 2) return base // nothing worth compacting
+    val touched: Map[String, Set[String]] =
+      small.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val outFiles = math.max(1, math.ceil(
+      small.iterator.map(_._3).sum.toDouble / targetFileBytes).toInt)
+    val rows = touched.toSeq.sortBy(_._1).map { case (scope, names) =>
+      visibleScopeFrame(spark, hfs, root, preds, scope,
+        names.toSeq.sorted.map(n => s"$scope/$n"))
+    }.reduce(_ union _).coalesce(outFiles) // bin-pack, never shuffle
+    val d = writeSnapshot(spark, rows, table, 5000000L)
+    validateConstraints(spark, table, d)
+    applySkipping(spark, table, d, Nil, Nil, 10)
+    publishCowRebasingWith(spark, table, base, "optimize",
+      perScope, touched, Some(d))(_ => false)
+  }
+
   def optimize(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20,
       clusterCols: Seq[String] = Nil,

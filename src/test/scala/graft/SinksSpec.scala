@@ -1741,6 +1741,92 @@ class SinksSpec extends SparkSpec {
     assert(latest.where(col("k") === 30L).head().getDouble(1) == 31.0)
   }
 
+  test("compactSmallFiles: only the small-file tail rewrites; big files stay") {
+    import graft.sources.{GraftSql, VersionedTable}
+    val t = tmp() + "/vt_compact"
+    // one BIG file plus a drip of small appended dirs — the steady-state
+    // shape of an ingesting table after its first real compaction
+    // sha2 payload: high-entropy bytes so the big file stays big under
+    // zstd (plain range ids compress to nothing)
+    def slice(from: Long, until: Long) =
+      spark.range(from, until).select(col("id"),
+        (col("id") % 100).cast("double").as("v"),
+        sha2(col("id").cast("string"), 256).as("h")).coalesce(1)
+    VersionedTable.commit(spark, slice(0, 200000), t)
+    (0 until 4).foreach { i =>
+      VersionedTable.append(spark, t,
+        slice(300000L + i * 100, 300000L + (i + 1) * 100))
+    }
+    def files(): Map[String, (Long, Long)] = {
+      val data = new java.io.File(t + "/data")
+      data.listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+          s"${d.getName}/${f.getName}" -> (f.lastModified(), f.length()))
+      }.toMap
+    }
+    val before = files()
+    val bigFile = before.maxBy(_._2._2)
+    assert(bigFile._2._2 > (512L << 10),
+      s"fixture needs a big file: ${bigFile._2._2}")
+    // compact the small tail through the statement spelling
+    val v = GraftSql.sql(spark,
+      s"OPTIMIZE '$t' COMPACT UNDER 1 MB TARGET 128 MB")
+      .head().getLong(0)
+    assert(v == 6L)
+    val (rewrote, total) = VersionedTable.lastCowRewrite.get()
+    assert(rewrote == 4 && total == 5,
+      s"exactly the 4 small files compact: $rewrote of $total")
+    // the big file is untouched on disk AND still referenced
+    val after = files()
+    assert(after.get(bigFile._1).contains(bigFile._2),
+      "the big file must not rewrite")
+    val latest = VersionedTable.readLatest(spark, t)
+    assert(latest.count() == 200400)
+    // op provenance + time travel into the pre-compaction state
+    assert(VersionedTable.history(spark, t)
+      .orderBy(col("version").desc)
+      .select(col("op")).head().getString(0) == "optimize")
+    assert(VersionedTable.readVersion(spark, t, 5L).count() == 200400)
+    // nothing left to compact: clean no-op, no new version
+    assert(VersionedTable.compactSmallFiles(spark, t,
+      minFileBytes = 1L << 20) == v)
+    assert(VersionedTable.latestVersion(spark, t).contains(v))
+
+    // deferred deletes: compacted rows materialize them, kept files keep
+    // their predicate scopes, visible state is unchanged by compaction
+    (4 until 6).foreach { i =>
+      VersionedTable.append(spark, t,
+        slice(300000L + i * 100, 300000L + (i + 1) * 100))
+    }
+    VersionedTable.deleteWhereLazy(spark, t,
+      "id >= 300400 AND id < 300450")
+    val preCompact = VersionedTable.readLatest(spark, t).count()
+    assert(preCompact == 200550)
+    VersionedTable.compactSmallFiles(spark, t, minFileBytes = 1L << 20)
+    assert(VersionedTable.readLatest(spark, t).count() == 200550,
+      "compaction must not change visible state under deferred deletes")
+
+    // concurrency: a DISJOINT append racing a stale-pinned compaction
+    // rebases internally (the winner still references every compacted
+    // file); a winner that REWROTE a compacted file conflicts honestly.
+    // First give the pin a compactable tail (>= 2 small files).
+    VersionedTable.append(spark, t, slice(400000L, 400100L))
+    val basePin = VersionedTable.latestVersion(spark, t).get
+    VersionedTable.append(spark, t, slice(400100L, 400200L))
+    val rb0 = VersionedTable.cowRebases.get()
+    VersionedTable.compactSmallFilesFrom(spark, t, basePin,
+      minFileBytes = 1L << 20, targetFileBytes = 128L << 20)
+    assert(VersionedTable.cowRebases.get() == rb0 + 1,
+      "a disjoint append must rebase the compaction, not conflict")
+    assert(VersionedTable.readLatest(spark, t).count() == 200750)
+    val stale = VersionedTable.latestVersion(spark, t).get
+    VersionedTable.optimize(spark, t) // whole-snapshot rewrite wins
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.compactSmallFilesFrom(spark, t, stale,
+        minFileBytes = 1L << 20, targetFileBytes = 128L << 20)
+    }
+  }
+
   test("mergeUpdate pins its base: overlapping race conflicts, disjoint rebases") {
     import graft.sources.VersionedTable
     import spark.implicits._
