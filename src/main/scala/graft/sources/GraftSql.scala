@@ -123,7 +123,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   WHEN MATCHED AND <cond> THEN DELETE       -- cond sees the SOURCE row
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
-  *   WHEN MATCHED THEN UPDATE SET c = expr[, ...]   -- stands ALONE
+  *   WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr[, ...] -- ALONE
   * }}}
   * The `*`-forms have full-row semantics (upserts replace/insert the
   * whole source row). The assignments form (r17) compiles to
@@ -767,9 +767,9 @@ object GraftSql {
         "(not matched-ness), so every source row would delete; give the " +
         "DELETE an AND condition, or drop the UPDATE/INSERT clauses")
     if (setUpdates.nonEmpty) {
-      if (setUpdates.exists(c => c._1 || c._2.nonEmpty))
-        fail("UPDATE SET <assignments> must be the plain WHEN MATCHED " +
-          "clause")
+      if (setUpdates.exists(_._1))
+        fail("UPDATE SET <assignments> needs WHEN MATCHED (an unmatched " +
+          "key has nothing to update)")
     } else if (deletes.isEmpty && updates.isEmpty)
       fail("no actionable clause (need an upsert pair and/or a DELETE)")
 
@@ -790,10 +790,12 @@ object GraftSql {
         case AssignRe(c, e) => c -> expr(e)
         case a => fail(s"unparseable SET assignment '$a' — use col = expr")
       }.toMap
-      // the verb aliases the TARGET as `t` and the SOURCE as `s` for the
-      // assignment expressions, regardless of any USING alias (which
-      // still scopes the statement's other references)
-      val v = VersionedTable.mergeUpdate(spark, table, src, key, assigns)
+      // the verb aliases the TARGET as `t` and the SOURCE as `s` for
+      // the assignment (and AND-condition) expressions, regardless of
+      // any USING alias; `WHEN MATCHED AND cond` gates which matched
+      // pairs update — the rest survive verbatim
+      val v = VersionedTable.mergeUpdate(spark, table, src, key, assigns,
+        updateWhen = setUpdates.head._2.map(expr).getOrElse(lit(true)))
       return Seq(v).toDF("version")
     }
     val deleteWhen = deletes.headOption match {

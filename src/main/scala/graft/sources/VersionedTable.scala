@@ -2103,12 +2103,14 @@ object VersionedTable {
       source: DataFrame, keys: Seq[String],
       set: Map[String, org.apache.spark.sql.Column],
       maxRecordsPerFile: Long = 5000000L,
-      batchId: Option[Long] = None): Long =
+      batchId: Option[Long] = None,
+      updateWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true)): Long =
     mergeUpdateKeysFrom(spark, table,
       latestVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(
           s"$table has no committed versions")),
-      source, keys, set, maxRecordsPerFile, batchId)
+      source, keys, set, maxRecordsPerFile, batchId, updateWhen)
 
   /** [[mergeUpdateKeys]] against an explicitly pinned base — the
     * concurrency seam, and what makes the verb SAFE under races: the
@@ -2125,7 +2127,9 @@ object VersionedTable {
       table: String, base: Long, source: DataFrame, keys: Seq[String],
       set: Map[String, org.apache.spark.sql.Column],
       maxRecordsPerFile: Long = 5000000L,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None,
+      updateWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true)): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keys.nonEmpty, "mergeUpdateKeys needs at least one key column")
     require(set.nonEmpty, "mergeUpdateKeys needs at least one assignment")
@@ -2180,7 +2184,14 @@ object VersionedTable {
     val s = source.alias("s")
     val matchCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k"))
       .reduce(_ && _)
-    val composed = t.join(s, matchCond, "inner").select(
+    // `updateWhen` (SQL: WHEN MATCHED AND cond): matched pairs failing
+    // the condition simply leave the change batch — their rows survive
+    // verbatim through the kept/untouched path; NULL = no update, per
+    // SQL condition semantics
+    val composed = t.join(s, matchCond, "inner")
+      .where(org.apache.spark.sql.functions.coalesce(updateWhen,
+        org.apache.spark.sql.functions.lit(false)))
+      .select(
       cur.columns.toIndexedSeq.map { c =>
         setCanon.get(c) match {
           case Some(e) => e.cast(cur.schema(c).dataType).as(c)
@@ -2203,9 +2214,11 @@ object VersionedTable {
   def mergeUpdate(spark: SparkSession, table: String, source: DataFrame,
       key: String, set: Map[String, org.apache.spark.sql.Column],
       maxRecordsPerFile: Long = 5000000L,
-      batchId: Option[Long] = None): Long =
+      batchId: Option[Long] = None,
+      updateWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true)): Long =
     mergeUpdateKeys(spark, table, source, Seq(key), set,
-      maxRecordsPerFile, batchId)
+      maxRecordsPerFile, batchId, updateWhen)
 
   /** Append `rows` to the table as a new version (SQL INSERT INTO) in
     * O(NEW DATA): the new batch writes to ONE fresh writer-unique dir and

@@ -254,6 +254,18 @@ class CatalogSpec extends AnyFunSuite {
            |  v = t.v + s.v + length('x,y') - 3""".stripMargin)
       assert(VersionedTable.readLatest(spark, tbl)
         .head().getDouble(1) == 3.0)
+      // WHEN MATCHED AND cond gates which matched rows update
+      GraftSql.sql(spark,
+        s"""MERGE INTO '$tbl' USING u2 ON k
+           |WHEN MATCHED AND s.v > 100 THEN UPDATE SET v = 0""".stripMargin)
+      assert(VersionedTable.readLatest(spark, tbl)
+        .head().getDouble(1) == 3.0,
+        "a failing AND-condition must leave the row verbatim")
+      GraftSql.sql(spark,
+        s"""MERGE INTO '$tbl' USING u2 ON k
+           |WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = t.v * 2""".stripMargin)
+      assert(VersionedTable.readLatest(spark, tbl)
+        .head().getDouble(1) == 6.0)
     } finally spark.stop()
   }
 

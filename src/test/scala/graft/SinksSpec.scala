@@ -1729,6 +1729,19 @@ class SinksSpec extends SparkSpec {
       VersionedTable.mergeUpdate(spark, t, src, "k",
         Map("nope" -> lit(1L))))
     assert(unknown.getMessage.contains("nope"), unknown.getMessage)
+    // CONDITIONAL partial update: WHEN MATCHED AND cond — only matched
+    // pairs passing the condition update; the rest survive verbatim
+    // (NULL condition = no update, per SQL)
+    val condSrc = Seq((100L, 50.0), (101L, 1.0)).toDF("k", "delta")
+    VersionedTable.mergeUpdate(spark, t, condSrc, "k",
+      Map("v" -> (col("t.v") + col("s.delta"))),
+      updateWhen = col("s.delta") > 10.0)
+    val afterCond = VersionedTable.readLatest(spark, t)
+    assert(afterCond.where(col("k") === 100L).head().getDouble(1) == 50.0,
+      "k=100 passes the condition: v 0.0 + 50.0")
+    assert(afterCond.where(col("k") === 101L).head().getDouble(1) == 1.0,
+      "k=101 fails the condition and must survive verbatim")
+
     // deferred deletes stay respected: lazily delete a key, then a
     // partial update of ANOTHER key must not resurrect it
     VersionedTable.deleteWhereLazy(spark, t, "k = 20")
