@@ -22,6 +22,11 @@ object Bench {
       // same DSv2 session catalog as Verify: q232's vanilla INSERT leg
       .config("spark.sql.catalog.spark_catalog",
         "graft.sources.GraftSparkSessionCatalog")
+      // production session shape (r17): the extensions make vanilla
+      // catalog reads columnar (ColumnarCatalogRead plan splice) and
+      // register the native functions/rules the way a deployed cluster
+      // would — bench must measure the configuration users run
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,10 @@ object Verify {
       // non-versioned table (DelegatingCatalogExtension passthrough)
       .config("spark.sql.catalog.spark_catalog",
         "graft.sources.GraftSparkSessionCatalog")
+      // production session shape (r17): columnar catalog reads via the
+      // ColumnarCatalogRead plan splice, same as Bench — correctness is
+      // verified on the configuration that gets measured and deployed
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -101,6 +101,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.l2SqFunction)
     ext.injectFunction(GraftFunctions.jaroWinklerFunction)
     ext.injectOptimizerRule(_ => graft.plans.JaroWinklerPrefilter)
+    ext.injectPreCBORule(s => new graft.plans.ColumnarCatalogRead(s))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -41,22 +41,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * registration's empty `_catalog_stub` LOCATION — the fail-safe stays
   * fail-safe; with it, the read is first-class.
   *
-  * Read path: the scan implements [[V1Scan]] — pushed filters translate
-  * to [[VersionedTable.ColumnBounds]]/[[VersionedTable.ColumnEquals]]/
-  * [[VersionedTable.ColumnIn]] and drive the SAME manifest-level file
-  * pruning `readLatestPruned` uses (files whose zone interval or Bloom
-  * filter excludes the predicate are never opened), with column pruning
-  * applied before the row RDD is handed back. Known trade: the V1
-  * bridge's RDD[Row] boundary forgoes codegen fusion ACROSS the
-  * catalog seam (the inner plan still runs vectorized parquet decode +
-  * whole-stage codegen; only the final row conversion is extra — the
-  * DeltaTableV2 V1-fallback cost class). If BI-scale catalog reads
-  * arrive, the upgrade is a DSv2 Batch delegating to ParquetScan over
-  * an InMemoryFileIndex of the pruned file list — blocked today on the
-  * keep-filter/schema-chain residuals not being source-Filter
-  * expressible, so only the clean-table case could delegate. Every filter is ALSO
-  * reported residual, so Spark re-applies them row-level — pruning here
-  * is strictly a superset selection and can never change results.
+  * Read path, two tiers (r17):
+  *  - WITH [[graft.functions.GraftExtensions]] installed (the
+  *    production session shape), the
+  *    [[graft.plans.ColumnarCatalogRead]] optimizer rule replaces the
+  *    DSv2 relation with the engine's pruned-read LOGICAL PLAN before
+  *    physical planning — the vanilla read is a vectorized parquet
+  *    `FileScan` inside whole-stage codegen, with manifest-level
+  *    zone-map/Bloom file pruning AND the keep-filter/schema-chain
+  *    residuals riding along as ordinary plan nodes (the residuals are
+  *    exactly why a `ParquetScan` delegation could not work: they are
+  *    not source-Filter expressible — a plan splice carries them for
+  *    free).
+  *  - WITHOUT the extensions (bare catalog conf), the scan falls back
+  *    to the [[V1Scan]] bridge below: pushed filters translate to
+  *    [[VersionedTable.ColumnBounds]]/[[VersionedTable.ColumnEquals]]/
+  *    [[VersionedTable.ColumnIn]] and drive the SAME manifest-level
+  *    file pruning `readLatestPruned` uses; the inner plan still runs
+  *    vectorized parquet decode, only the final RDD[Row] conversion at
+  *    the seam is extra (the DeltaTableV2 V1-fallback cost class).
+  * In both tiers every filter is ALSO reported residual, so Spark
+  * re-applies them row-level — pruning here is strictly a superset
+  * selection and can never change results.
   *
   * Write path (r17): the table is READ-WRITE — vanilla `INSERT INTO` /
   * `INSERT OVERWRITE` land through a V1 write bridge onto the SAME
@@ -108,6 +114,13 @@ private[graft] class GraftVersionedSparkTable(ident: Identifier,
   override def name(): String = ident.toString
 
   override def schema(): StructType = pinnedSchema
+
+  /** The manifest root / pinned snapshot, for the columnar plan splice
+    * ([[graft.plans.ColumnarCatalogRead]]) — same version every scan
+    * built from this instance is pinned to.
+    */
+  private[graft] def graftLocation: String = location
+  private[graft] def graftVersion: Long = pinnedVersion
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -219,10 +232,21 @@ private object GraftScanBuilder {
 /** V1Scan bridge: the scan's rows come from [[VersionedTable
   * .readLatestPruned]] — one code path for pruning semantics whether a
   * read arrives via the engine API, GraftSql, or vanilla Spark SQL.
+  *
+  * This bridge is the FALLBACK seam: sessions built with
+  * `GraftExtensions` never execute it — the
+  * [[graft.plans.ColumnarCatalogRead]] optimizer rule splices the same
+  * pruned-read plan inline BEFORE physical planning, so the scan keeps
+  * vectorized parquet decode and whole-stage codegen with no RDD[Row]
+  * boundary. Without the extensions (bare catalog config), this V1 path
+  * still answers every query correctly — just row-bridged at the seam.
   */
-private class GraftV1Scan(location: String, version: Long,
-    fullSchema: StructType, required: StructType,
-    filters: Array[Filter]) extends V1Scan {
+private[graft] class GraftV1Scan(
+    private[graft] val location: String,
+    private[graft] val version: Long,
+    private[graft] val fullSchema: StructType,
+    private[graft] val required: StructType,
+    private[graft] val filters: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -233,19 +257,30 @@ private class GraftV1Scan(location: String, version: Long,
       override def schema: StructType = required
       override def buildScan(): RDD[Row] = {
         import org.apache.spark.sql.functions.col
-        val df = prunedPinned(context.sparkSession)
+        val df = GraftScanBridge.prunedRead(context.sparkSession,
+          location, version, fullSchema, filters)
         val projected =
           if (required.isEmpty) df.select()
           else df.select(required.fieldNames.map(col): _*)
         projected.rdd
       }
     }.asInstanceOf[T]
+}
 
-  /** Translate the pushed filters into the engine's pruning predicates.
-    * Strict inequalities widen to inclusive bounds — pruning needs a
-    * superset, and the residual row filter restores exactness.
+/** Shared filter→pruning translation for the catalog read paths (the
+  * V1 bridge above and the columnar plan splice in
+  * [[graft.plans.ColumnarCatalogRead]]) — ONE code path decides which
+  * files a pushed predicate lets the manifest skip.
+  */
+private[graft] object GraftScanBridge {
+
+  /** Translate the pushed filters into the engine's pruning predicates
+    * and hand back the pruned snapshot read. Strict inequalities widen
+    * to inclusive bounds — pruning needs a superset, and the residual
+    * row filter restores exactness.
     */
-  private def prunedPinned(spark: SparkSession): DataFrame = {
+  def prunedRead(spark: SparkSession, location: String, version: Long,
+      fullSchema: StructType, filters: Array[Filter]): DataFrame = {
     import VersionedTable.{ColumnBounds, ColumnEquals, ColumnIn}
     val eqs = Seq.newBuilder[ColumnEquals]
     val ins = Seq.newBuilder[ColumnIn]

@@ -604,6 +604,9 @@ class CatalogSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.catalog.spark_catalog",
         "graft.sources.GraftSparkSessionCatalog")
+      // production session shape: extensions + catalog together — the
+      // ColumnarCatalogRead splice makes every vanilla read columnar
+      .withExtensions(new graft.functions.GraftExtensions)
       // own warehouse: the managed plain_t below must not collide with a
       // previous run's leftovers in the default ./spark-warehouse
       .config("spark.sql.warehouse.dir", java.nio.file.Files
@@ -640,6 +643,20 @@ class CatalogSpec extends AnyFunSuite {
       assert(plan.contains("PushedFilters") &&
         plan.contains("GreaterThanOrEqual(id,2000)"),
         s"pushed filter missing from plan:\n$plan")
+      // COLUMNAR plan pin (r17): the ColumnarCatalogRead splice must
+      // put a vectorized parquet scan in the plan — no RDD[Row] bridge
+      // (RowDataSourceScan) anywhere — and the manifest-level file
+      // pruning must be visible as a scan over FEWER than the table's 8
+      // files (the splice consumed the translated bounds)
+      assert(plan.contains("FileScan parquet") &&
+        plan.contains("Batched: true"),
+        s"catalog read must be a vectorized parquet scan:\n$plan")
+      assert(!plan.contains("GraftV1Scan"),
+        s"the V1 row bridge must not run when extensions are on:\n$plan")
+      val scannedFiles = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(scannedFiles.exists(_ < 8),
+        s"file pruning must reach the spliced scan (got $scannedFiles):\n$plan")
       // the same bounds prune files at the manifest level (the vanilla
       // scan routes through readLatestPruned — pruneSelection parity)
       val (kept, total) = VersionedTable.pruneSelection(spark, root, 1L,
@@ -655,6 +672,25 @@ class CatalogSpec extends AnyFunSuite {
       // a verb through the path API is visible to the NEXT vanilla read
       // (each statement resolves the latest version)
       VersionedTable.deleteWhere(spark, root, col("id") < 1000)
+      assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
+        .head().getLong(0) == 9000L)
+
+      // a DEFERRED delete's keep-filter is exactly the residual the
+      // old ParquetScan-delegation idea could NOT express — the plan
+      // splice carries it as an ordinary Filter node, so the vanilla
+      // read stays BOTH columnar and exact; RESTORE afterwards so the
+      // rest of the test's row arithmetic sees the pre-delete snapshot
+      val vBeforeLazy = VersionedTable.latestVersion(spark, root).get
+      VersionedTable.deleteWhereLazy(spark, root,
+        "id >= 9000 AND id < 9500")
+      val lazyQ = spark.sql("SELECT count(*) AS n FROM dsv2.t")
+      assert(lazyQ.head().getLong(0) == 8500L,
+        "deferred delete must be read-applied through the catalog")
+      val lazyPlan = lazyQ.queryExecution.executedPlan.toString
+      assert(lazyPlan.contains("FileScan parquet") &&
+        !lazyPlan.contains("GraftV1Scan"),
+        s"deferred-delete read must stay columnar:\n$lazyPlan")
+      VersionedTable.restore(spark, root, vBeforeLazy)
       assert(spark.sql("SELECT count(*) AS n FROM dsv2.t")
         .head().getLong(0) == 9000L)
 
@@ -742,6 +778,48 @@ class CatalogSpec extends AnyFunSuite {
       // resolve instead of reading stale data
       GraftCatalog.drop(spark, "dsv2.t")
       intercept[Exception](spark.table("dsv2.t").count())
+    } finally spark.stop()
+  }
+
+  test("catalog WITHOUT extensions falls back to the V1 row bridge") {
+    import org.apache.spark.sql.functions._
+    // bare catalog config (no GraftExtensions): the ColumnarCatalogRead
+    // splice is absent, so reads go through the V1Scan bridge — slower
+    // at the seam, but every answer identical; a user who only sets the
+    // catalog conf must never get a wrong result
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-dsv2-bridge")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-bridge-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftCatalog, VersionedTable}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bridge").toString + "/t"
+      VersionedTable.commitClustered(spark,
+        spark.range(2000).select(col("id"),
+          (col("id") % 7).cast("double").as("v")),
+        root, clusterCols = Seq("id"), numFiles = 4)
+      GraftCatalog.create(spark, "bridge.t", root)
+
+      val q = spark.sql(
+        "SELECT sum(v) AS s FROM bridge.t WHERE id >= 500 AND id < 1500")
+      assert(q.head().getDouble(0) ==
+        (500L until 1500L).map(_ % 7).sum.toDouble)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Scan graft.sources.GraftV1Scan"),
+        s"without extensions the V1 bridge must serve the read:\n$plan")
+      // a deferred delete reads through the bridge too (same
+      // readVersionPruned path the splice uses)
+      VersionedTable.deleteWhereLazy(spark, root, "id < 100")
+      assert(spark.sql("SELECT count(*) AS n FROM bridge.t")
+        .head().getLong(0) == 1900L)
+      GraftCatalog.drop(spark, "bridge.t")
     } finally spark.stop()
   }
 }
