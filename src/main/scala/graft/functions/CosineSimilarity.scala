@@ -102,6 +102,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.jaroWinklerFunction)
     ext.injectOptimizerRule(_ => graft.plans.JaroWinklerPrefilter)
     ext.injectPreCBORule(s => new graft.plans.ColumnarCatalogRead(s))
+    ext.injectPostHocResolutionRule(s => new graft.plans.VanillaDml(s))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -65,7 +65,18 @@ import graft.sources.{GraftScanBridge, GraftV1Scan, GraftVersionedSparkTable}
 class ColumnarCatalogRead(spark: SparkSession) extends Rule[LogicalPlan]
   with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // a DML command node owns its target relation — Spark's own
+    // planning (or the VanillaDml rule, which normally consumes these
+    // first) must see it intact, never a spliced parquet subtree
+    case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
+         _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
+         _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      plan
+    case _ => spliceAll(plan)
+  }
+
+  private def spliceAll(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // pre-pushdown shape: harvest the adjacent filter for file pruning
     case f @ Filter(cond, r: DataSourceV2Relation)
         if graftTable(r).isDefined =>

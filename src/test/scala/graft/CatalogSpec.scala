@@ -781,6 +781,134 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("vanilla Spark SQL DML: UPDATE / DELETE / MERGE on a named table") {
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-vanilla-dml")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-vdml-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftCatalog, VersionedTable}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vdml").toString + "/t"
+      VersionedTable.commitClustered(spark,
+        spark.range(100).select(col("id"), (col("id") % 10).as("b"),
+          (col("id") % 7).cast("double").as("v")),
+        root, clusterCols = Seq("id"), numFiles = 4)
+      GraftCatalog.create(spark, "vdml.t", root)
+      def count() = spark.table("vdml.t").count()
+
+      // DELETE — one atomic version, correct rows, op provenance
+      val vDel = spark.sql("DELETE FROM vdml.t WHERE id < 10")
+        .head().getLong(0)
+      assert(count() == 90 && vDel == 2L)
+
+      // UPDATE with WHERE; assignments see OLD values
+      spark.sql("UPDATE vdml.t SET v = v + 100.0 WHERE b = 3")
+      assert(spark.table("vdml.t").filter("v >= 100").count() == 9)
+      // UPDATE without WHERE, multi-assignment over old values
+      spark.sql("UPDATE vdml.t SET v = v * 2.0, b = b + 1")
+      assert(spark.table("vdml.t").agg(min("b"), max("b"))
+        .head().toSeq == Seq(1L, 10L))
+
+      // MERGE upsert; the source's EXTRA column must NOT widen the
+      // table (ANSI: only the star-expanded columns flow)
+      spark.range(95, 105).select(col("id"), lit(0L).as("b"),
+        lit(-1.0).as("v"), lit("junk").as("extra"))
+        .createOrReplaceTempView("up")
+      spark.sql("""MERGE INTO vdml.t AS t USING up AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(count() == 95)
+      assert(spark.table("vdml.t").columns.toSeq == Seq("id", "b", "v"),
+        "a source helper column must never widen the table through " +
+          "vanilla MERGE")
+      assert(spark.table("vdml.t").filter("v = -1.0").count() == 10)
+
+      // MERGE partial-column update: old row as t, source as s, AND
+      // condition gates which matched pairs update
+      spark.range(0, 200, 2).select(col("id"), lit(5.0).as("delta"))
+        .createOrReplaceTempView("adj")
+      val before16 = spark.table("vdml.t").filter("id = 16")
+        .head().getDouble(2)
+      val before14 = spark.table("vdml.t").filter("id = 14")
+        .head().getDouble(2)
+      spark.sql("""MERGE INTO vdml.t AS t USING adj AS s ON t.id = s.id
+        WHEN MATCHED AND t.b > 5 THEN UPDATE SET v = t.v + s.delta""")
+      assert(spark.table("vdml.t").filter("id = 16").head().getDouble(2)
+        == before16 + 5.0, "matched + condition row must update")
+      assert(spark.table("vdml.t").filter("id = 14").head().getDouble(2)
+        == before14, "condition-failing row must survive verbatim")
+
+      // pure delete-merge: condition over BOTH sides (old row t,
+      // source s); unmatched source rows IGNORED (ANSI), no widening
+      spark.range(90, 200).select(col("id"),
+        (col("id") % 2 === 1).as("kill")).createOrReplaceTempView("ks")
+      val beforeDel = count()
+      spark.sql("""MERGE INTO vdml.t AS t USING ks AS s ON t.id = s.id
+        WHEN MATCHED AND s.kill AND t.b >= 0 THEN DELETE""")
+      assert(count() == beforeDel - 7,
+        "exactly the matched odd ids 91..103 must delete")
+      assert(spark.table("vdml.t").columns.length == 3)
+
+      // composite-key MERGE
+      spark.range(0, 50).select(col("id"), (col("id") % 10 + 1).as("b"),
+        lit(7.5).as("nv")).createOrReplaceTempView("ck")
+      spark.sql("""MERGE INTO vdml.t AS t USING ck AS s
+        ON t.id = s.id AND t.b = s.b
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+      assert(spark.table("vdml.t").filter("v = 7.5").count() > 0)
+
+      // CHECK constraints gate vanilla UPDATE pre-publish
+      VersionedTable.addConstraints(spark, root, Map("v_sane" -> "v < 1e6"))
+      intercept[Exception](
+        spark.sql("UPDATE vdml.t SET v = 1e7 WHERE id = 20"))
+      assert(spark.table("vdml.t").filter("v >= 1e6").count() == 0)
+
+      // op provenance: every vanilla statement is a first-class version
+      val ops = VersionedTable.history(spark, root)
+        .orderBy(col("version")).select("op").collect()
+        .map(_.getString(0)).toSeq
+      assert(ops.startsWith(Seq("commit", "delete", "update", "update",
+        "merge", "merge", "merge", "merge")), s"unexpected ops: $ops")
+
+      // rejected spellings fail TYPED (never a silent wrong answer)
+      def rejected(stmt: String, needle: String): Unit = {
+        val e = intercept[Exception](spark.sql(stmt))
+        assert(e.getMessage.contains(needle),
+          s"wrong error for $stmt:\n${e.getMessage}")
+      }
+      rejected("""MERGE INTO vdml.t AS t USING up AS s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *""", "upsert merges need BOTH")
+      rejected("""MERGE INTO vdml.t AS t USING up AS s ON t.id > s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v""", "unsupported ON clause")
+      rejected("DELETE FROM vdml.t WHERE id IN (SELECT id FROM up)",
+        "subqueries are not supported")
+      rejected("""MERGE INTO vdml.t AS t USING up AS s ON t.id = s.id
+        WHEN MATCHED AND t.b = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""",
+        "SOURCE columns only")
+
+      // a FOREIGN table keeps Spark's own behavior (our rule must not
+      // intercept what it does not own)
+      spark.sql("CREATE TABLE vdml.plain (x INT) USING parquet")
+      spark.sql("INSERT INTO vdml.plain VALUES (1)")
+      val e = intercept[Exception](
+        spark.sql("DELETE FROM vdml.plain WHERE x = 1"))
+      assert(!e.getMessage.contains("graft vanilla DML"),
+        "foreign-table DML must surface Spark's own error")
+      GraftCatalog.drop(spark, "vdml.t")
+    } finally spark.stop()
+  }
+
   test("catalog WITHOUT extensions falls back to the V1 row bridge") {
     import org.apache.spark.sql.functions._
     // bare catalog config (no GraftExtensions): the ColumnarCatalogRead
