@@ -3270,8 +3270,9 @@ object Composite {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
-    // Q252 — VANILLA Spark SQL DML lifecycle (r17): after the CREATE,
-    // not one statement is engine-spelled — plain `spark.sql` UPDATE,
+    // Q252 — VANILLA Spark SQL DML lifecycle (r17): not ONE statement
+    // is engine-spelled, creation included — plain `spark.sql` CTAS
+    // (`CREATE TABLE ... USING graft`), UPDATE,
     // DELETE, full-row MERGE upsert, partial-column MERGE with an AND
     // gate, and a pure delete-merge whose condition reads BOTH sides
     // (old row `t`, source row `s`) all land through the VanillaDml
@@ -3289,13 +3290,14 @@ object Composite {
         val loc = scratchDir("graft-vtable-vdml") + "/t"
         val name = "graft_vdml.t_" +
           java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-        VersionedTable.commit(s,
-          Tables(s, d, "orders").where(col("o_orderkey") % 3 === 0)
-            .select(col("o_orderkey"), col("o_custkey"),
-              col("o_totalprice"),
-              year(col("o_orderdate")).cast(LongType).as("yr")),
-          loc)
-        GraftCatalog.create(s, name, loc)
+        // creation is vanilla too: CTAS through the catalog's
+        // createTable (empty v1 commit + marker binding) + the DSv2
+        // write bridge (the SELECT lands as an insert version)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_vdml")
+        s.sql(s"""CREATE TABLE $name USING graft LOCATION '$loc' AS
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            CAST(year(o_orderdate) AS BIGINT) AS yr
+          FROM orders WHERE o_orderkey % 3 = 0""")
         // 1. UPDATE with WHERE — assignments see OLD values
         s.sql(s"""UPDATE $name SET o_totalprice = o_totalprice +
           CAST(o_orderkey % 5 AS DOUBLE) WHERE yr = 1995""")
@@ -3331,8 +3333,8 @@ object Composite {
         val ops = VersionedTable.history(s, loc)
           .orderBy(col("version")).select("op").collect()
           .map(_.getString(0)).toSeq
-        require(ops == Seq("commit", "update", "delete", "merge",
-          "merge", "merge"), s"unexpected op provenance: $ops")
+        require(ops == Seq("commit", "insert", "update", "delete",
+          "merge", "merge", "merge"), s"unexpected op provenance: $ops")
         val out = s.table(name)
           .groupBy(col("yr"))
           .agg(count(lit(1)).as("n_orders"),

@@ -28,4 +28,15 @@ object SparkInternals {
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Where the session catalog would put `db.table` — honors the
+    * database's locationUri, not just the warehouse dir (used by
+    * `CREATE TABLE ... USING graft` without LOCATION).
+    */
+  def defaultTablePath(spark: SparkSession, db: String,
+      table: String): String =
+    spark.asInstanceOf[ClassicSparkSession].sessionState.catalog
+      .defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      .toString
 }

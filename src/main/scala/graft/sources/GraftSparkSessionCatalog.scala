@@ -80,6 +80,70 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
       new GraftVersionedSparkTable(ident, props.get("graft.location"))
     else resolved
   }
+
+  /** Vanilla `CREATE TABLE db.t (...) USING graft [LOCATION ...]` (and
+    * CTAS — Spark creates the table, then writes through the returned
+    * table's [[SupportsWrite]], so the SELECT lands as an append
+    * version on the empty v1): commits an empty v1 snapshot with the
+    * declared schema at the location (user-supplied, or the session
+    * catalog's default path) and registers the marker entry — the same
+    * [[GraftCatalog.create]] binding the GraftSql spelling makes, so
+    * every later statement resolves identically. Vanilla
+    * `DROP TABLE db.t` already unbinds through the delegate
+    * (metadata-only — versions survive, re-CREATE over the same
+    * LOCATION fails on the non-empty root rather than silently
+    * rebinding; `DROP VERSIONED TABLE ... PURGE` is the destructive
+    * spelling). Non-graft providers pass through untouched.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    if (isGraftProvider(properties))
+      createVersioned(ident, schema, partitions, properties)
+    else super.createTable(ident, schema, partitions, properties)
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    if (isGraftProvider(properties))
+      createVersioned(ident, StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
+          c.nullable()))), partitions, properties)
+    else super.createTable(ident, columns, partitions, properties)
+
+  private def isGraftProvider(props: util.Map[String, String]): Boolean =
+    props != null && "graft".equalsIgnoreCase(props.get("provider"))
+
+  private def createVersioned(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new IllegalArgumentException(
+        "USING graft tables do not take PARTITIONED BY — layout is a " +
+          "maintenance concern (OPTIMIZE ... CLUSTER BY / ZORDER BY), " +
+          "not a creation-time contract")
+    if (ident.namespace().length != 1)
+      throw new IllegalArgumentException(
+        s"versioned table names are db.table identifiers: $ident")
+    val spark = SparkSession.active
+    val db = ident.namespace()(0)
+    val name = s"$db.${ident.name()}"
+    val location = Option(properties.get("location")).filter(_.nonEmpty)
+      .getOrElse(org.apache.spark.sql.graftshims.SparkInternals
+        .defaultTablePath(spark, db, ident.name()))
+    if (VersionedTable.latestVersion(spark, location).nonEmpty)
+      throw new IllegalArgumentException(
+        s"'$location' already holds a versioned table — bind it with " +
+          "CREATE VERSIONED TABLE ... LOCATION (adoption), never an " +
+          "implicit rebind through CREATE TABLE")
+    VersionedTable.commit(spark,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      location)
+    GraftCatalog.create(spark, name, location)
+    loadTable(ident)
+  }
 }
 
 /** A DSv2 [[Table]] over a [[VersionedTable]] manifest root — readable

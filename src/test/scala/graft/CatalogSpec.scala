@@ -909,6 +909,85 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("vanilla CREATE TABLE USING graft, CTAS, format(\"graft\") I/O") {
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-vanilla-create")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-vcr-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.VersionedTable
+      spark.sql("CREATE DATABASE IF NOT EXISTS cr")
+
+      // plain CREATE at the catalog's default location; the created
+      // table takes INSERT and DML like any bound versioned table
+      spark.sql("CREATE TABLE cr.t1 (id BIGINT, v DOUBLE) USING graft")
+      assert(spark.table("cr.t1").count() == 0)
+      spark.sql("INSERT INTO cr.t1 VALUES (1, 1.5), (2, 2.5)")
+      assert(spark.table("cr.t1").count() == 2)
+      spark.sql("UPDATE cr.t1 SET v = v * 2 WHERE id = 1")
+      assert(spark.table("cr.t1").filter("id = 1").head().getDouble(1)
+        == 3.0)
+
+      // CTAS = empty creating commit + the SELECT as an insert version
+      spark.sql("""CREATE TABLE cr.t2 USING graft AS
+        SELECT id, CAST(id % 3 AS DOUBLE) AS v FROM range(100)""")
+      assert(spark.table("cr.t2").count() == 100)
+      val loc2 = graft.sources.GraftCatalog.resolve(spark, "cr.t2").get
+      assert(VersionedTable.history(spark, loc2)
+        .orderBy(col("version")).select("op").collect()
+        .map(_.getString(0)).toSeq == Seq("commit", "insert"))
+
+      // format("graft"): path-addressed latest-snapshot read (columnar
+      // through the same splice) and commit-protocol writes
+      val df = spark.read.format("graft").load(loc2)
+      assert(df.count() == 100)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet") &&
+        !plan.contains("GraftV1Scan"),
+        s"format(graft) read must be columnar:\n$plan")
+      spark.range(100, 110).selectExpr("id", "CAST(0.0 AS DOUBLE) AS v")
+        .write.format("graft").mode("append").save(loc2)
+      assert(spark.table("cr.t2").count() == 110,
+        "a format(graft) append must be visible to the bound name")
+      // a path write can CREATE a fresh table; Ignore/ErrorIfExists gate
+      val loc4 = java.nio.file.Files
+        .createTempDirectory("graft-vcr").toString + "/t4"
+      spark.range(5).selectExpr("id").write.format("graft").save(loc4)
+      assert(VersionedTable.readLatest(spark, loc4).count() == 5)
+      intercept[Exception](spark.range(5).selectExpr("id").write
+        .format("graft").mode("errorifexists").save(loc4))
+
+      // explicit LOCATION; vanilla DROP unbinds metadata-only
+      val loc3 = java.nio.file.Files
+        .createTempDirectory("graft-vcr").toString + "/t3"
+      spark.sql(s"CREATE TABLE cr.t3 (k INT) USING graft LOCATION '$loc3'")
+      spark.sql("INSERT INTO cr.t3 VALUES (7)")
+      spark.sql("DROP TABLE cr.t3")
+      assert(!spark.catalog.tableExists("cr.t3"))
+      assert(VersionedTable.readLatest(spark, loc3).count() == 1,
+        "vanilla DROP unbinds the name; versions survive")
+
+      // an implicit rebind over a live root is refused; PARTITIONED BY
+      // is a typed error; foreign providers pass through
+      intercept[Exception](spark.sql(
+        s"CREATE TABLE cr.t5 (k INT) USING graft LOCATION '$loc3'"))
+      val e = intercept[Exception](spark.sql(
+        "CREATE TABLE cr.t6 (k INT, p INT) USING graft PARTITIONED BY (p)"))
+      assert(e.getMessage.contains("PARTITIONED BY"))
+      spark.sql("CREATE TABLE cr.plain (x INT) USING parquet")
+      spark.sql("INSERT INTO cr.plain VALUES (1)")
+      assert(spark.table("cr.plain").count() == 1)
+    } finally spark.stop()
+  }
+
   test("catalog WITHOUT extensions falls back to the V1 row bridge") {
     import org.apache.spark.sql.functions._
     // bare catalog config (no GraftExtensions): the ColumnarCatalogRead
