@@ -2981,11 +2981,11 @@ object Composite {
         require(rewrote > 0 && rewrote < total,
           s"UPDATE of one clustered year must rewrite a strict subset " +
             s"of files: $rewrote of $total")
-        VersionedTable.deleteWhere(s, dir, col("yr") === 1992L)
+        VersionedTable.deleteWhere(s, dir, col("yr") === 1999L)
         val (rewroteD, totalD) = VersionedTable.lastCowRewrite.get()
-        require(rewroteD < totalD,
-          s"DELETE of one clustered year must keep unmatched files: " +
-            s"$rewroteD of $totalD")
+        require(rewroteD > 0 && rewroteD < totalD,
+          s"DELETE of one clustered year must rewrite a strict subset " +
+            s"of files: $rewroteD of $totalD")
         val cents = (col("o_totalprice").cast(DecimalType(25, 6)) *
           lit(100)).cast(LongType)
         VersionedTable.readLatest(s, dir)
@@ -3001,7 +3001,7 @@ object Composite {
              |         THEN o_totalprice * 2 ELSE o_totalprice END
              |      AS o_totalprice
              |  FROM orders
-             |  WHERE EXTRACT(YEAR FROM o_orderdate) <> 1992)
+             |  WHERE EXTRACT(YEAR FROM o_orderdate) <> 1999)
              |SELECT yr, count(*) AS n_orders,
              |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
              |    AS BIGINT)) AS BIGINT) AS cents
@@ -3302,7 +3302,7 @@ object Composite {
         s.sql(s"""UPDATE $name SET o_totalprice = o_totalprice +
           CAST(o_orderkey % 5 AS DOUBLE) WHERE yr = 1995""")
         // 2. DELETE by predicate
-        s.sql(s"DELETE FROM $name WHERE yr = 1992")
+        s.sql(s"DELETE FROM $name WHERE yr = 1998")
         // 3. full-row MERGE upsert: every %4 key carries a re-marked
         // customer; matched rows replace, absent keys insert — so the
         // post-state's %4 slice IS the source slice
@@ -3354,7 +3354,7 @@ object Composite {
              |s1 AS (SELECT k, c,
              |  CASE WHEN yr = 1995 THEN p + CAST(k % 5 AS DOUBLE)
              |       ELSE p END AS p, yr FROM seed),
-             |s2 AS (SELECT * FROM s1 WHERE yr <> 1992),
+             |s2 AS (SELECT * FROM s1 WHERE yr <> 1998),
              |src3 AS (
              |  SELECT o_orderkey AS k, o_custkey + 1000000 AS c,
              |    o_totalprice AS p,

@@ -112,6 +112,49 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
           c.nullable()))), partitions, properties)
     else super.createTable(ident, columns, partitions, properties)
 
+  /** Vanilla `ALTER TABLE db.t ADD COLUMN(S) / RENAME COLUMN / DROP
+    * COLUMN(S) / ALTER COLUMN ... TYPE` → the engine's O(metadata)
+    * schema-evolution chain ops, one atomic version per change (nested
+    * `a.b.c` paths included — the verbs take dotted paths natively).
+    * Everything else a TableChange can express (comments, nullability,
+    * properties) fails typed: the chain records reader semantics, and a
+    * silent no-op would misreport what the table replays. The
+    * delegate's stub entry is deliberately NOT altered — the live
+    * schema comes from `loadTable` (this extension), and the stub is
+    * only the no-extension fail-safe.
+    */
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    val resolved = super.loadTable(ident)
+    val props = resolved.properties()
+    if (props == null || "true" != props.get("graft.versioned") ||
+        props.get("graft.location") == null)
+      return super.alterTable(ident, changes: _*)
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val spark = SparkSession.active
+    val loc = props.get("graft.location")
+    changes.foreach {
+      case c: AddColumn =>
+        val default = Option(c.defaultValue()).map(_.getSql)
+        VersionedTable.addColumn(spark, loc, c.fieldNames().mkString("."),
+          c.dataType().sql, default)
+      case c: RenameColumn =>
+        VersionedTable.renameColumn(spark, loc,
+          c.fieldNames().mkString("."), c.newName())
+      case c: DeleteColumn =>
+        VersionedTable.dropColumn(spark, loc, c.fieldNames().mkString("."))
+      case c: UpdateColumnType =>
+        VersionedTable.widenColumn(spark, loc,
+          c.fieldNames().mkString("."), c.newDataType().sql)
+      case other => throw new IllegalArgumentException(
+        s"[graft] unsupported ALTER on a versioned table: $other — " +
+          "the evolution chain records ADD/RENAME/DROP COLUMN and " +
+          "ALTER COLUMN ... TYPE (widen); comments/nullability/" +
+          "properties are not chain ops")
+    }
+    loadTable(ident)
+  }
+
   private def isGraftProvider(props: util.Map[String, String]): Boolean =
     props != null && "graft".equalsIgnoreCase(props.get("provider"))
 
@@ -158,7 +201,8 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
   * versions, exactly like two [[VersionedTable.readLatest]] calls.
   */
 private[graft] class GraftVersionedSparkTable(ident: Identifier,
-    location: String) extends Table with SupportsRead with SupportsWrite {
+    location: String) extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** The snapshot this Table instance exposes — resolved lazily on the
     * first schema()/scan request, then fixed for the instance's life.
@@ -203,6 +247,20 @@ private[graft] class GraftVersionedSparkTable(ident: Identifier,
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(location)
+
+  /** Vanilla `TRUNCATE TABLE db.t` — one atomic full-replace version
+    * with zero rows (schema survives; time travel into the pre-truncate
+    * state still works, expiry + vacuum reclaim the bytes later).
+    */
+  override def truncateTable(): Boolean = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      VersionedTable.readLatest(spark, location).schema)
+    VersionedTable.overwriteWhere(spark, location, lit(true), empty)
+    true
+  }
 
   override def partitioning(): Array[Transform] = Array.empty
 

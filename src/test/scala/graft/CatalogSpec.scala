@@ -988,6 +988,63 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("vanilla ALTER TABLE and TRUNCATE TABLE on a named table") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-vanilla-alter")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-valter-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import graft.sources.{GraftCatalog, VersionedTable}
+      spark.sql("CREATE DATABASE IF NOT EXISTS al")
+      spark.sql("""CREATE TABLE al.t USING graft AS
+        SELECT id, CAST(id AS INT) AS small FROM range(10)""")
+
+      // the four chain ops through vanilla ALTER TABLE — each an
+      // O(metadata) version; nested paths ride the same dotted-path
+      // verbs (SchemaEvolutionSpec covers them)
+      spark.sql("ALTER TABLE al.t ADD COLUMN tag STRING")
+      assert(spark.table("al.t").columns.toSeq ==
+        Seq("id", "small", "tag"))
+      spark.sql("ALTER TABLE al.t RENAME COLUMN tag TO label")
+      assert(spark.table("al.t").columns.toSeq ==
+        Seq("id", "small", "label"))
+      spark.sql("ALTER TABLE al.t ALTER COLUMN small TYPE BIGINT")
+      assert(spark.table("al.t").schema("small").dataType.sql == "BIGINT")
+      spark.sql("ALTER TABLE al.t DROP COLUMN label")
+      assert(spark.table("al.t").columns.toSeq == Seq("id", "small"))
+      assert(spark.table("al.t").count() == 10,
+        "evolution is metadata-only; rows survive every op")
+
+      // non-chain changes fail typed — a silent no-op would misreport
+      // what the chain replays
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE al.t ALTER COLUMN small COMMENT 'x'"))
+      assert(e.getMessage.contains("unsupported ALTER"))
+
+      // TRUNCATE = one atomic zero-row overwrite version; time travel
+      // into the pre-truncate snapshot still works
+      val loc = GraftCatalog.resolve(spark, "al.t").get
+      val vBefore = VersionedTable.latestVersion(spark, loc).get
+      spark.sql("TRUNCATE TABLE al.t")
+      assert(spark.table("al.t").count() == 0)
+      assert(VersionedTable.latestVersion(spark, loc)
+        .contains(vBefore + 1))
+      assert(VersionedTable.readVersion(spark, loc, vBefore).count() == 10)
+
+      // foreign tables keep Spark's own ALTER behavior
+      spark.sql("CREATE TABLE al.p (x INT) USING parquet")
+      spark.sql("ALTER TABLE al.p ADD COLUMN y INT")
+      assert(spark.table("al.p").columns.toSeq == Seq("x", "y"))
+    } finally spark.stop()
+  }
+
   test("catalog WITHOUT extensions falls back to the V1 row bridge") {
     import org.apache.spark.sql.functions._
     // bare catalog config (no GraftExtensions): the ColumnarCatalogRead
