@@ -3335,12 +3335,18 @@ object Composite {
           .map(_.getString(0)).toSeq
         require(ops == Seq("commit", "insert", "update", "delete",
           "merge", "merge", "merge"), s"unexpected op provenance: $ops")
-        val out = s.table(name)
-          .groupBy(col("yr"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum((col("o_totalprice").cast(DecimalType(25, 6)) *
-              lit(100)).cast(LongType)).cast(LongType).as("cents"))
-          .orderBy(col("yr"))
+        // vanilla TIME TRAVEL leg: version 2 is the post-CTAS state
+        // (create + insert), i.e. exactly the seed — read through plain
+        // `VERSION AS OF`, broadcast as a 1-row total
+        val out = s.sql(
+          s"""SELECT g.yr, g.n_orders, g.cents, v.seed_rows FROM (
+             |  SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM $name GROUP BY yr) g
+             |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS seed_rows
+             |            FROM $name VERSION AS OF 2) v
+             |ORDER BY g.yr""".stripMargin)
         // metadata-only unbind (q232's pattern): the frame stays
         // evaluable — the resolved relation pins the location +
         // snapshot, not the name
@@ -3370,7 +3376,8 @@ object Composite {
              |       WHERE NOT (k % 14 = 0 AND c % 2 = 0))
              |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(sum(CAST(CAST(p AS DECIMAL(25,6)) * 100 AS BIGINT))
-             |    AS BIGINT) AS cents
+             |    AS BIGINT) AS cents,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM seed) AS seed_rows
              |FROM s5 GROUP BY yr ORDER BY yr""".stripMargin))
   )
 }

@@ -81,6 +81,42 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
     else resolved
   }
 
+  /** Vanilla TIME TRAVEL: `SELECT ... FROM db.t VERSION AS OF n` —
+    * Spark routes the version literal here; the returned table is
+    * pinned to that committed snapshot (scan AND schema — an evolved
+    * table time-travels its schema too). Foreign tables delegate.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val resolved = super.loadTable(ident)
+    val props = resolved.properties()
+    if (props != null && "true" == props.get("graft.versioned") &&
+        props.get("graft.location") != null) {
+      val v = try version.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF on a versioned table takes the numeric commit " +
+            s"version (history() lists them), got '$version'")
+      }
+      new GraftVersionedSparkTable(ident, props.get("graft.location"),
+        explicitVersion = Some(v))
+    } else super.loadTable(ident, version)
+  }
+
+  /** Vanilla `... TIMESTAMP AS OF ts` — Spark hands MICROseconds; the
+    * engine's as-of resolution (monotonicized commit stamps, Delta
+    * convention) picks the newest version at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val resolved = super.loadTable(ident)
+    val props = resolved.properties()
+    if (props != null && "true" == props.get("graft.versioned") &&
+        props.get("graft.location") != null) {
+      val loc = props.get("graft.location")
+      val v = VersionedTable.versionAsOf(SparkSession.active, loc,
+        timestamp / 1000L)
+      new GraftVersionedSparkTable(ident, loc, explicitVersion = Some(v))
+    } else super.loadTable(ident, timestamp)
+  }
+
   /** Vanilla `CREATE TABLE db.t (...) USING graft [LOCATION ...]` (and
     * CTAS — Spark creates the table, then writes through the returned
     * table's [[SupportsWrite]], so the SELECT lands as an append
@@ -201,16 +237,19 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
   * versions, exactly like two [[VersionedTable.readLatest]] calls.
   */
 private[graft] class GraftVersionedSparkTable(ident: Identifier,
-    location: String) extends Table with SupportsRead with SupportsWrite
+    location: String, explicitVersion: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
-  /** The snapshot this Table instance exposes — resolved lazily on the
-    * first schema()/scan request, then fixed for the instance's life.
+  /** The snapshot this Table instance exposes — the caller's time-travel
+    * version when given (VERSION/TIMESTAMP AS OF), else the latest,
+    * resolved lazily on the first schema()/scan request and then fixed
+    * for the instance's life.
     */
-  private lazy val pinnedVersion: Long =
+  private lazy val pinnedVersion: Long = explicitVersion.getOrElse(
     VersionedTable.latestVersion(SparkSession.active, location).getOrElse(
       throw new IllegalArgumentException(
-        s"$location has no committed versions"))
+        s"$location has no committed versions")))
 
   // resolved ONCE with the version: Spark calls schema() several times
   // per statement during analysis, and each readVersion pays manifest +

@@ -1045,6 +1045,50 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("vanilla time travel: VERSION AS OF / TIMESTAMP AS OF on db.t") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-vanilla-tt")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-vtt-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      spark.sql("CREATE DATABASE IF NOT EXISTS tt")
+      spark.sql("CREATE TABLE tt.t USING graft AS SELECT id FROM range(10)")
+      Thread.sleep(30)
+      val tsMid = java.sql.Timestamp.from(java.time.Instant.now())
+      Thread.sleep(30)
+      spark.sql("INSERT INTO tt.t SELECT id FROM range(10, 30)")
+      spark.sql("ALTER TABLE tt.t ADD COLUMN tag STRING")
+
+      assert(spark.table("tt.t").count() == 30)
+      // a version pin travels ROWS AND SCHEMA (pre-evolution snapshot
+      // has no tag column)
+      assert(spark.sql("SELECT count(*) AS n FROM tt.t VERSION AS OF 2")
+        .head().getLong(0) == 10)
+      assert(spark.sql("SELECT * FROM tt.t VERSION AS OF 2")
+        .columns.toSeq == Seq("id"))
+      // timestamp resolution: newest version at or before the stamp
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM tt.t TIMESTAMP AS OF '$tsMid'")
+        .head().getLong(0) == 10)
+      // the time-traveled read keeps the columnar splice
+      val p = spark.sql("SELECT * FROM tt.t VERSION AS OF 2")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("FileScan parquet") && !p.contains("GraftV1Scan"),
+        s"time-traveled catalog read must stay columnar:\n$p")
+      // non-numeric version fails typed
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM tt.t VERSION AS OF 'abc'").collect())
+      assert(e.getMessage.contains("numeric commit version"))
+    } finally spark.stop()
+  }
+
   test("catalog WITHOUT extensions falls back to the V1 row bridge") {
     import org.apache.spark.sql.functions._
     // bare catalog config (no GraftExtensions): the ColumnarCatalogRead
