@@ -103,6 +103,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectOptimizerRule(_ => graft.plans.JaroWinklerPrefilter)
     ext.injectPreCBORule(s => new graft.plans.ColumnarCatalogRead(s))
     ext.injectPostHocResolutionRule(s => new graft.plans.VanillaDml(s))
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -322,6 +322,36 @@ object GraftSql {
     * retired-manifest count); `DESCRIBE HISTORY '<path>'` → one row per
     * committed version, ascending.
     */
+  /** Whether a Spark-UNPARSEABLE statement belongs to this grammar —
+    * the session-parser extension's gate ([[GraftSqlParser]]): the
+    * delegate parser runs first, so only text Spark itself rejects
+    * reaches this check. Deliberately LOOSE (head keywords + quoted-path
+    * DML targets + time-travel refs, names or paths): a
+    * recognized-but-malformed statement gets this grammar's typed
+    * error, which names the supported spelling — strictly more useful
+    * than the delegate's ParseException; an unrecognized one surfaces
+    * Spark's own error untouched.
+    */
+  def recognizes(statement: String): Boolean = {
+    val norm = statement.trim.toUpperCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+    val heads = Seq("VACUUM ", "OPTIMIZE ", "RESTORE ", "EXPIRE VERSIONS ",
+      "CONVERT TO VERSIONED ", "COMPACT MANIFESTS ", "DESCRIBE HISTORY ",
+      "DESCRIBE SKIPPING ", "DESCRIBE CONSTRAINTS ", "REFRESH ROLLUP ",
+      "SET SKIPPING ON ", "ENSURE STATS ON ", "MIRROR CHANGE FEED ",
+      "READ CHANGES ", "ENABLE CHANGE FEED ", "CLONE ",
+      "CREATE VERSIONED TABLE ", "DROP VERSIONED TABLE ",
+      "SHOW VERSIONED TABLES")
+    heads.exists(norm.startsWith) ||
+      // DML / DDL whose TARGET is a quoted path (never Spark-parseable)
+      """(?is)^\s*(MERGE\s+INTO|DELETE\s+FROM|UPDATE|INSERT\s+INTO|INSERT\s+OVERWRITE|ALTER\s+TABLE|CREATE\s+TABLE)\s+['`]"""
+        .r.findFirstIn(statement).isDefined ||
+      // SELECTs over quoted-path time travel
+      VersionRefRe.findFirstIn(statement).isDefined ||
+      TimestampRefRe.findFirstIn(statement).isDefined ||
+      LatestRefRe.findFirstIn(statement).isDefined
+  }
+
   def sql(spark: SparkSession, statement: String): DataFrame = {
     import spark.implicits._
     statement match {

@@ -1089,6 +1089,48 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("parser extension: engine grammar straight through spark.sql") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-parser")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftSparkSessionCatalog")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-parser-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      spark.sql("CREATE DATABASE IF NOT EXISTS pp")
+      spark.sql("""CREATE TABLE pp.t USING graft AS
+        SELECT id, CAST(id % 5 AS DOUBLE) v FROM range(1000)""")
+      val loc = graft.sources.GraftCatalog.resolve(spark, "pp.t").get
+
+      // maintenance grammar with NO GraftSql.sql wrapper — delegate
+      // parse first, engine grammar only on ParseException, so valid
+      // Spark SQL can never change meaning
+      assert(spark.sql(s"DESCRIBE HISTORY '$loc'").count() >= 2)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM '$loc' VERSION AS OF 2")
+        .head().getLong(0) == 1000,
+        "time-travel path reads resolve BEFORE the per-statement " +
+          "views drop (the parser hands back the analyzed plan)")
+      assert(spark.sql("OPTIMIZE pp.t TARGET 64 MB").count() == 1)
+      assert(spark.sql("EXPIRE VERSIONS pp.t KEEP 1").columns.nonEmpty)
+      spark.sql(s"VACUUM '$loc' RETAIN 1 HOURS")
+      assert(spark.sql("SHOW VERSIONED TABLES IN pp").count() == 1)
+      assert(spark.sql(s"DELETE FROM '$loc' WHERE id < 10")
+        .columns.toSeq == Seq("version"))
+      assert(spark.table("pp.t").count() == 990)
+
+      // plain Spark SQL untouched; garbage keeps Spark's ParseException
+      assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        spark.sql("FLUMMOX TABLE x"))
+    } finally spark.stop()
+  }
+
   test("catalog WITHOUT extensions falls back to the V1 row bridge") {
     import org.apache.spark.sql.functions._
     // bare catalog config (no GraftExtensions): the ColumnarCatalogRead
