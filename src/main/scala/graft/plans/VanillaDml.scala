@@ -355,10 +355,10 @@ case class GraftMergeCommand(location: String, source: DataFrame,
     val base = VersionedTable.latestVersion(session, location).getOrElse(
       throw new IllegalArgumentException(
         s"$location has no committed versions"))
-    val targetCols = VersionedTable.readVersion(session, location, base)
-      .columns.toSeq
     val changes =
       if (upsert) {
+        val targetCols = VersionedTable.readVersion(session, location, base)
+          .columns.toSeq
         // deleteWhen evaluates on the RAW source (may reference
         // source-only columns), then the batch narrows to target shape
         val op = deleteWhen.map(d => when(d, "d").otherwise("u"))
@@ -369,9 +369,14 @@ case class GraftMergeCommand(location: String, source: DataFrame,
         // pure delete-merge: the rows to delete are the TARGET's own
         // matched rows — a key join against the pinned base (the same
         // scan shape as the verb's own key probe), with the condition
-        // evaluated over the PAIR (old row as `t`, source row as `s`)
+        // evaluated over the PAIR (old row as `t`, source row as `s`).
+        // EXPLICIT null-safe join condition, not a USING join: USING
+        // drops the right-side key columns, so a condition naming
+        // `s.<key>` (ANSI-legal) would fail to resolve
         val tgt = VersionedTable.readVersion(session, location, base)
-        val joined = tgt.as("t").join(source.as("s"), keys, "inner")
+        val on = keys.map(k => col(s"t.$k") <=> col(s"s.$k"))
+          .reduce(_ && _)
+        val joined = tgt.as("t").join(source.as("s"), on, "inner")
         deleteWhen.map(joined.filter).getOrElse(joined)
           .select(col("t.*"))
           .dropDuplicates(keys)

@@ -142,11 +142,25 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
-    if (isGraftProvider(properties))
+    if (isGraftProvider(properties)) {
+      // DEFAULT would silently never exist (the versioned format has no
+      // schema-level default store outside the ADD COLUMN chain op) —
+      // fail typed rather than let a later INSERT write NULL where the
+      // user declared 5. Column COMMENTs are accepted-and-not-recorded
+      // (display metadata, never replayed semantics); declared
+      // nullability is kept in the creating schema and relaxes on read
+      // like every Spark-parquet round trip.
+      columns.find(_.defaultValue() != null).foreach(c =>
+        throw new IllegalArgumentException(
+          s"[graft] column ${c.name()} declares a DEFAULT — the " +
+            "versioned format does not record creation-time defaults; " +
+            "add the column with ALTER TABLE ... ADD COLUMN ... " +
+            "DEFAULT after creation (a chain op), or bake the value " +
+            "into the INSERTs"))
       createVersioned(ident, StructType(columns.map(c =>
         org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
           c.nullable()))), partitions, properties)
-    else super.createTable(ident, columns, partitions, properties)
+    } else super.createTable(ident, columns, partitions, properties)
 
   /** Vanilla `ALTER TABLE db.t ADD COLUMN(S) / RENAME COLUMN / DROP
     * COLUMN(S) / ALTER COLUMN ... TYPE` → the engine's O(metadata)
@@ -169,25 +183,52 @@ class GraftSparkSessionCatalog extends DelegatingCatalogExtension {
     import org.apache.spark.sql.connector.catalog.TableChange._
     val spark = SparkSession.active
     val loc = props.get("graft.location")
-    changes.foreach {
+    // VALIDATE every change before applying ANY: each chain op is its
+    // own committed version, so a statement that would fail on change
+    // k must fail before change 1 publishes — otherwise ALTER becomes
+    // silently half-applied. (Per-op verb validation still runs; this
+    // pass catches the statement-shape errors: unsupported change
+    // kinds, metadata the chain cannot record, duplicate targets.)
+    val actions: Seq[() => Unit] = changes.map {
       case c: AddColumn =>
+        if (!c.isNullable || c.comment() != null || c.position() != null)
+          throw new IllegalArgumentException(
+            s"[graft] ADD COLUMN ${c.fieldNames().mkString(".")} " +
+              "carries metadata the evolution chain does not record " +
+              "(NOT NULL / COMMENT / column position) — a silently " +
+              "dropped constraint would misreport what readers replay; " +
+              "add the plain nullable column")
         val default = Option(c.defaultValue()).map(_.getSql)
-        VersionedTable.addColumn(spark, loc, c.fieldNames().mkString("."),
-          c.dataType().sql, default)
+        () => { VersionedTable.addColumn(spark, loc,
+          c.fieldNames().mkString("."), c.dataType().sql, default); () }
       case c: RenameColumn =>
-        VersionedTable.renameColumn(spark, loc,
-          c.fieldNames().mkString("."), c.newName())
+        () => { VersionedTable.renameColumn(spark, loc,
+          c.fieldNames().mkString("."), c.newName()); () }
       case c: DeleteColumn =>
-        VersionedTable.dropColumn(spark, loc, c.fieldNames().mkString("."))
+        () => { VersionedTable.dropColumn(spark, loc,
+          c.fieldNames().mkString(".")); () }
       case c: UpdateColumnType =>
-        VersionedTable.widenColumn(spark, loc,
-          c.fieldNames().mkString("."), c.newDataType().sql)
+        () => { VersionedTable.widenColumn(spark, loc,
+          c.fieldNames().mkString("."), c.newDataType().sql); () }
       case other => throw new IllegalArgumentException(
         s"[graft] unsupported ALTER on a versioned table: $other — " +
           "the evolution chain records ADD/RENAME/DROP COLUMN and " +
           "ALTER COLUMN ... TYPE (widen); comments/nullability/" +
           "properties are not chain ops")
     }
+    val targets = changes.collect {
+      case c: AddColumn => c.fieldNames().mkString(".")
+      case c: RenameColumn => c.fieldNames().mkString(".")
+      case c: DeleteColumn => c.fieldNames().mkString(".")
+      case c: UpdateColumnType => c.fieldNames().mkString(".")
+    }
+    if (targets.distinct.size != targets.size)
+      throw new IllegalArgumentException(
+        s"[graft] one ALTER statement names a column twice " +
+          s"(${targets.diff(targets.distinct).distinct.mkString(", ")}) " +
+          "— each change is its own committed version and a duplicate " +
+          "would half-apply; split the statement")
+    actions.foreach(_.apply())
     loadTable(ident)
   }
 

@@ -332,8 +332,18 @@ object GraftSql {
     * than the delegate's ParseException; an unrecognized one surfaces
     * Spark's own error untouched.
     */
+  /** Leading SQL comments stripped — a "-- nightly maintenance\nVACUUM
+    * ..." script line is the same statement, but neither the
+    * head-keyword gate nor this grammar's anchored regexes would see
+    * through the prefix. The PARSER path strips before dispatching here
+    * for exactly that reason.
+    */
+  private[sources] def stripLeadingComments(statement: String): String =
+    statement.replaceAll("(?s)\\A(?:\\s*(?:--[^\\n]*\\n?|/\\*.*?\\*/))*", "")
+
   def recognizes(statement: String): Boolean = {
-    val norm = statement.trim.toUpperCase(java.util.Locale.ROOT)
+    val uncommented = stripLeadingComments(statement)
+    val norm = uncommented.trim.toUpperCase(java.util.Locale.ROOT)
       .replaceAll("\\s+", " ")
     val heads = Seq("VACUUM ", "OPTIMIZE ", "RESTORE ", "EXPIRE VERSIONS ",
       "CONVERT TO VERSIONED ", "COMPACT MANIFESTS ", "DESCRIBE HISTORY ",
@@ -345,7 +355,7 @@ object GraftSql {
     heads.exists(norm.startsWith) ||
       // DML / DDL whose TARGET is a quoted path (never Spark-parseable)
       """(?is)^\s*(MERGE\s+INTO|DELETE\s+FROM|UPDATE|INSERT\s+INTO|INSERT\s+OVERWRITE|ALTER\s+TABLE|CREATE\s+TABLE)\s+['`]"""
-        .r.findFirstIn(statement).isDefined ||
+        .r.findFirstIn(uncommented).isDefined ||
       // SELECTs over quoted-path time travel
       VersionRefRe.findFirstIn(statement).isDefined ||
       TimestampRefRe.findFirstIn(statement).isDefined ||

@@ -25,21 +25,43 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * always had — maintenance verbs run when the statement is issued) and
   * the result frame's plan is returned; anything else → Spark's own
   * error, verbatim.
+  *
+  * Declared trade: for an ENGINE statement, parse IS execution — a
+  * caller that parses engine grammar without intending to run it (a
+  * lint/dry-run tool walking `sessionState.sqlParser`) triggers the
+  * verb at parse time. That is exactly `GraftSql.sql`'s contract (the
+  * grammar has no deferred form: each statement's result schema is only
+  * known by running its verb), and valid Spark SQL is never affected —
+  * the delegate owns everything it can parse. Parse-only callers must
+  * use the delegate parser directly.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  /** Re-entrancy guard: GraftSql's own fallback hands unrecognized text
+    * to `spark.sql`, which parses with THIS parser — if `recognizes`
+    * ever claims a statement the grammar then fails to match, the
+    * fallback must surface the original ParseException instead of
+    * recursing GraftSql→spark.sql→GraftSql to a StackOverflow.
+    */
+  private val inEngineFallback: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     try delegate.parsePlan(sqlText)
     catch {
       case pe: ParseException =>
-        if (GraftSql.recognizes(sqlText))
+        if (!inEngineFallback.get() && GraftSql.recognizes(sqlText)) {
+          inEngineFallback.set(true)
           // the ANALYZED plan, not the raw one: GraftSql's per-statement
           // temp views (time-travel/name rewrites) are dropped once its
           // DataFrame is analyzed, so the plan handed back must already
           // have them resolved into snapshot reads — the outer
           // analysis then re-runs idempotently over resolved nodes
-          GraftSql.sql(SparkSession.active, sqlText).queryExecution.analyzed
-        else throw pe
+          try GraftSql.sql(SparkSession.active,
+            GraftSql.stripLeadingComments(sqlText))
+            .queryExecution.analyzed
+          finally inEngineFallback.set(false)
+        } else throw pe
     }
 
   override def parseExpression(sqlText: String): Expression =

@@ -858,6 +858,14 @@ class CatalogSpec extends AnyFunSuite {
         "exactly the matched odd ids 91..103 must delete")
       assert(spark.table("vdml.t").columns.length == 3)
 
+      // a pure delete-merge condition may name the KEY through the
+      // source alias (ANSI-legal; a USING join would drop s.id)
+      val beforeKeyDel = count()
+      spark.sql("""MERGE INTO vdml.t AS t USING ks AS s ON t.id = s.id
+        WHEN MATCHED AND s.id = 92 THEN DELETE""")
+      assert(count() == beforeKeyDel - 1,
+        "s.<key> in a delete condition must resolve")
+
       // composite-key MERGE
       spark.range(0, 50).select(col("id"), (col("id") % 10 + 1).as("b"),
         lit(7.5).as("nv")).createOrReplaceTempView("ck")
@@ -1123,6 +1131,11 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.sql(s"DELETE FROM '$loc' WHERE id < 10")
         .columns.toSeq == Seq("version"))
       assert(spark.table("pp.t").count() == 990)
+
+      // a leading SQL comment must not defeat the grammar gate (script
+      // files prepend them to every statement)
+      assert(spark.sql(
+        s"-- nightly maintenance\nDESCRIBE HISTORY '$loc'").count() >= 1)
 
       // plain Spark SQL untouched; garbage keeps Spark's ParseException
       assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
