@@ -423,6 +423,9 @@ object Graft {
     val cms = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
     val minCount = threshold(cms)
     val cmsB = s.sparkContext.broadcast(cms)
+    // deliberate UDF (1 of 2 in main, with bloomDecontaminate's probe):
+    // a broadcast datasketches probe with no builtin expression surface —
+    // kilobyte read-only state, branch-light, feeding a partial agg
     val estimate = udf((t: String) => cmsB.value.estimateCount(t))
     toks.distinct()
       .withColumn("est", estimate(col("token")))
@@ -1581,6 +1584,9 @@ object Graft {
     val bf = benchSh.stat.bloomFilter("__h",
       math.max(benchSh.count(), 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
+    // deliberate UDF (2 of 2 in main, with approxHeavyTokens' CMS probe):
+    // a broadcast Bloom-bit probe with no builtin expression surface —
+    // kilobyte read-only state, allocation-free, pre-aggregation filter
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     corpus
       .select(id.as("id"), explode(shingleSet(text, k)).as("__sh"))

@@ -37,6 +37,31 @@ PY
     exit 2
   fi
 done
+# Bench-hygiene gate (r17 lesson: a bench with drift canary 1.074 and two
+# variance warnings was committed under a "quiet-box" label; the 266s board
+# total then overstated regression by ~7-12% ambient noise). Bench.scala
+# already computes both signals into BENCH_FULL.json — refuse to close on a
+# noisy artifact instead of trusting the commit message.
+if [ -f BENCH_FULL.json ]; then
+  benchbad=$(python3 - <<'PY'
+import json
+d = json.load(open("BENCH_FULL.json"))
+probs = []
+drift = d.get("drift")
+if isinstance(drift, (int, float)) and drift > 1.05:
+    probs.append(f"drift {drift} > 1.05")
+vw = d.get("variance_warnings") or []
+if vw:
+    probs.append(f"{len(vw)} variance warning(s): " + "; ".join(vw))
+print(" | ".join(probs))
+PY
+)
+  if [ -n "$benchbad" ]; then
+    echo "== REFUSING TO CLOSE: BENCH_FULL.json is noisy — $benchbad"
+    echo "== re-run graft.Bench on an idle box before closing the round"
+    exit 2
+  fi
+fi
 declare -A pass fail engine
 status=0
 for sf in /root/testdata/sf0.001 /root/testdata/sf0.1; do
