@@ -126,11 +126,24 @@ object Graft {
     * set): equi-join on the fixed-width signature, bucketed by it.
     */
   def exactDupPairs(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // r18: one signature pass + one shuffle instead of a signature
+    // self-join — group ids per signature and expand the (a < b) pairs
+    // row-locally. The self-join formulation tokenized and md5-hashed
+    // every document body TWICE (once per join side) and shuffled both;
+    // here the corpus is hashed once and only (sig, id) pairs shuffle.
+    // Pair set is identical: ids are sorted within each signature group,
+    // so (ids[i], ids[j]) for i < j enumerates exactly the id_a < id_b
+    // pairs. Per-group state is O(group size) — the same order as the
+    // pairs the join itself would emit for that signature.
     val sigs = df.select(id.as("__id"),
       md5(array_join(tokenSet(text), " ")).as("__sig"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    sigs.groupBy(col("__sig"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(posexplode(col("__ids")).as(Seq("__i", "id_a")),
+        col("__ids"))
+      .select(col("id_a"), explode(slice(col("__ids"), col("__i") + 2,
+        size(col("__ids")))).as("id_b"))
   }
 
   /** SimHash duplicate pairs: `bits`-bit signature over the distinct token
@@ -147,10 +160,17 @@ object Graft {
       .select(id.as("__id"), transform(tokenSet(text), t => phash32(t)).as("__hs"))
       .select(col("__id"),
         GraftFunctions.simhash(df.sparkSession, col("__hs"), bits).as("simhash"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.simhash").as("simhash"))
+    // r18: group ids per signature and expand (a < b) pairs row-locally —
+    // one signature pass + one shuffle instead of a self-join that ran
+    // the tokenize+hash lineage once per side (see exactDupPairs).
+    sigs.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(col("simhash"),
+        posexplode(col("__ids")).as(Seq("__i", "id_a")), col("__ids"))
+      .select(col("id_a"), explode(slice(col("__ids"), col("__i") + 2,
+        size(col("__ids")))).as("id_b"), col("simhash"))
+      .select(col("id_a"), col("id_b"), col("simhash"))
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxDist` — the
@@ -177,14 +197,15 @@ object Graft {
       s"pigeonhole needs maxDist < bands: $maxDist >= $bands")
     val w = bits / bands
     val mask = (1L << w) - 1
+    // r18: the former banded SELF-JOIN (which needed the signature table
+    // cached — the lineage ran once per side) is now a (band, value)
+    // bucket aggregate with row-local pair expansion: ONE signature pass,
+    // no cache barrier, one bucket shuffle. Members sort by id inside
+    // each bucket, so pairs are (a < b) by construction.
     val sigs = df
       .select(id.as("__id"), transform(tokenSet(text), t => phash32(t)).as("__hs"))
       .select(col("__id"),
         GraftFunctions.simhash(df.sparkSession, col("__hs"), bits).as("simhash"))
-      // self-join below: without this the tokenize+md5+simhash lineage
-      // runs once PER SIDE (the dominant cost — measured at sf0.1); see
-      // the object-level caching note
-      .cache()
     val banded = sigs.select(col("__id"), col("simhash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -193,13 +214,17 @@ object Graft {
       .select(col("__id"), col("simhash"),
         col("__b.band").as("band"), col("__b.bv").as("bv"))
     // confirm BEFORE the pair-dedup: bit_count is codegen'd and filters
-    // map-side, so the DISTINCT shuffle carries only surviving pairs
+    // before the DISTINCT shuffle, so it carries only surviving pairs
     // (~6x fewer rows than deduping raw candidates, measured at sf0.1)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    banded.groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_list(
+        struct(col("__id"), col("simhash")))).as("__m"))
+      .where(size(col("__m")) > 1)
+      .select(posexplode(col("__m")).as(Seq("__i", "__a")), col("__m"))
+      .select(col("__a"), explode(slice(col("__m"), col("__i") + 2,
+        size(col("__m")))).as("__b"))
+      .select(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
+        bit_count(col("__a.simhash").bitwiseXOR(col("__b.simhash")))
           .as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
@@ -222,9 +247,15 @@ object Graft {
     val prefLen = (floor(size(col("__shs")) * (1.0 - threshold)) + 1).cast("int")
     val pref = sh.select(col("__id"),
       explode(slice(col("__shs"), lit(1), prefLen)).as("__ps"))
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.__ps") === col("b.__ps") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    // r18: prefix-shingle buckets with row-local (a < b) pair expansion
+    // instead of a pref self-join — one prefix pass + one shuffle (see
+    // exactDupPairs); buckets are small by the prefix-filter design.
+    val cand = pref.groupBy(col("__ps"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(posexplode(col("__ids")).as(Seq("__i", "id_a")), col("__ids"))
+      .select(col("id_a"), explode(slice(col("__ids"), col("__i") + 2,
+        size(col("__ids")))).as("id_b"))
       .distinct()
     cand
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
@@ -1050,9 +1081,23 @@ object Graft {
     * byte sizes).
     */
   def prefixSumExclusive(df: DataFrame, order: Column, value: Column,
-      out: String, chunkSize: Long = 1L << 16): DataFrame = {
+      out: String, chunkSize: Long = 1L << 16): DataFrame =
+    prefixSumsExclusive(df, order, Seq(value -> out), chunkSize)
+
+  /** [[prefixSumExclusive]] for SEVERAL value columns in ONE two-level
+    * scan (r18): the ECDF callers (KS statistics) need two running sums
+    * over the same order, and nesting two single-column scans costs a
+    * second chunk window, a second carry aggregate, and a second carry
+    * join — plus it re-reads its input lineage once per level. All the
+    * sums share one chunk window, one carry aggregate, and one broadcast
+    * join here. The carry branch derives from the PRE-window frame (the
+    * per-chunk window adds nothing to a per-chunk total), so the carry
+    * aggregate never pays the within-chunk sort.
+    */
+  def prefixSumsExclusive(df: DataFrame, order: Column,
+      values: Seq[(Column, String)], chunkSize: Long = 1L << 16): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
-    val v = value.cast(LongType)
+    require(values.nonEmpty, "prefixSumsExclusive needs at least one value")
     val wChunk = Window.partitionBy(col("__chunk")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wPrevChunks = Window.orderBy(col("__chunk"))
@@ -1060,16 +1105,29 @@ object Graft {
     // decimal-order rounding note: see prefixMaxExclusive — the mapping
     // may shift a boundary row's bucket but stays monotone, which is all
     // the two-level scan needs
-    val chunked = df
+    val base = df
       .withColumn("__chunk", floor(order / lit(chunkSize)).cast(LongType))
-      .withColumn("__local", sum(v).over(wChunk))
-    val carry = chunked.groupBy(col("__chunk")).agg(sum(v).as("__csum"))
-      .withColumn("__prev", sum(col("__csum")).over(wPrevChunks))
-      .select(col("__chunk"), col("__prev"))
-    chunked.join(broadcast(carry), Seq("__chunk"))
-      .withColumn(out,
-        coalesce(col("__local"), lit(0L)) + coalesce(col("__prev"), lit(0L)))
-      .drop("__chunk", "__local", "__prev")
+    val chunked = values.zipWithIndex.foldLeft(base) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__local$i", sum(v.cast(LongType)).over(wChunk))
+    }
+    val csums = values.zipWithIndex.map { case ((v, _), i) =>
+      sum(v.cast(LongType)).as(s"__csum$i")
+    }
+    val carry = values.indices.foldLeft(
+        base.groupBy(col("__chunk")).agg(csums.head, csums.tail: _*)) {
+        (acc, i) =>
+          acc.withColumn(s"__prev$i", sum(col(s"__csum$i")).over(wPrevChunks))
+      }
+      .select(col("__chunk") +: values.indices.map(i => col(s"__prev$i")): _*)
+    val out = values.zipWithIndex.foldLeft(
+        chunked.join(broadcast(carry), Seq("__chunk"))) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name, coalesce(col(s"__local$i"), lit(0L)) +
+          coalesce(col(s"__prev$i"), lit(0L)))
+    }
+    out.drop("__chunk" +:
+      values.indices.flatMap(i => Seq(s"__local$i", s"__prev$i")): _*)
   }
 
   /** Concat-and-chunk sequence packing: lay documents end-to-end in
@@ -1516,8 +1574,12 @@ object Graft {
   def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("id"),
       explode(split(lower(text), " ")).as("tok"))
+    // vocabulary-sized; cached because the grand total now derives from
+    // it (sum of per-token counts == token count — same long), replacing
+    // a third full explode-the-corpus pass (r18)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
-    val total = toks.agg(count(lit(1)).as("__tot"))
+      .cache()
+    val total = counts.agg(sum(col("__cnt")).as("__tot"))
     toks.join(counts, Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy(col("id"))
@@ -1647,7 +1709,18 @@ object Graft {
     val toks = df.select(id.as("id"),
       explode(split(lower(text), " ")).as("tok"))
     val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tc"))
-    val dlen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      // read twice (document frequency + scoring) — uncached each read
+      // re-exploded and re-aggregated the corpus (r18)
+      .cache()
+    // r18: doc length counted ROW-LOCALLY (size of the token array) —
+    // the explode+count formulation shuffled every token of every
+    // document just to count them (bm25Scores precedent). Identical
+    // counts: a null text generated no token rows before, hence the
+    // filter; an empty text splits to [""] = 1 token, same as explode.
+    val dlen = df.where(text.isNotNull)
+      .select(id.as("id"),
+        size(split(lower(text), " ")).cast(LongType).as("__rl"))
+      .groupBy(col("id")).agg(sum(col("__rl")).as("dl"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("nd"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
@@ -1732,10 +1805,17 @@ object Graft {
     val dlen = df.where(text.isNotNull)
       .select(id.as("id"), size(split(lower(text), " ")).cast("long").as("__rl"))
       .groupBy(col("id")).agg(sum(col("__rl")).as("dl"))
+      // (id, dl) — read twice (corpus stats + scoring join); uncached
+      // each read re-split every document body (r18)
+      .cache()
     val tf = df.select(id.as("id"),
         explode(split(lower(text), " ")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // bounded by docs-carrying-query-terms and read twice (document
+      // frequency + scoring) — uncached each read re-exploded the
+      // corpus (r18)
+      .cache()
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
@@ -2015,13 +2095,19 @@ object Graft {
   def robustOutlierScores(df: DataFrame, id: Column, group: Column,
       value: Column): DataFrame = {
     val base = df.select(id.as("id"), group.as("grp"), value.as("v"))
+    // r18: med is one row per group but its lineage is an exact-percentile
+    // buffer over the whole input, and withDev (its consumer) executes
+    // twice below — cache the tiny threshold table so the buffering pass
+    // runs once, and broadcast both threshold joins deliberately (their
+    // post-aggregate sizes are unknown to the planner).
     val med = base.groupBy(col("grp"))
       .agg(expr("percentile(v, 0.5)").as("med"))
-    val withDev = base.join(med, Seq("grp"))
+      .cache()
+    val withDev = base.join(broadcast(med), Seq("grp"))
       .withColumn("__dev", abs(col("v") - col("med")))
     val mad = withDev.groupBy(col("grp"))
       .agg(expr("percentile(__dev, 0.5)").as("mad"))
-    withDev.join(mad, Seq("grp"))
+    withDev.join(broadcast(mad), Seq("grp"))
       .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
         when(col("mad") > 0.0, col("__dev") / (lit(1.4826) * col("mad")))
           .as("score"))
@@ -2059,6 +2145,12 @@ object Graft {
     * closed form C(k,3) recovers the skipped count without enumeration.
     */
   def triangles(pairs: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
+    // r18 note: normalizedEdges is read several times below (degree
+    // census + semi-join base + orientation), but caching e0/e was
+    // measured SLOWER at sf0.1 (2.3 s → 3.2 s): the redundant branches
+    // evaluate in parallel across idle cores, while each extra cache is
+    // a serializing materialization barrier. Left uncached deliberately;
+    // `oriented` (read 3× by the wedge/confirm joins) keeps its cache.
     val e0 = normalizedEdges(pairs)
     val e = maxDegree match {
       case None => e0
@@ -2124,6 +2216,11 @@ object Graft {
   def collapseClusters(df: DataFrame, pairs: DataFrame, id: Column,
       order: Seq[Column], stats: Seq[(String, Column)] = Nil): DataFrame = {
     val labels = dupClusters(pairs).withColumnRenamed("id", "__cid")
+    // withCluster is read twice (stats agg + keep-first dedup) but NOT
+    // cached: it carries every df column (document bodies included), and
+    // caching it was measured slower at sf0.1 than re-running the label
+    // join — labels itself is already cached inside dupClusters, so the
+    // recompute is one cheap broadcast join per use.
     val withCluster = df.withColumn("__cid", id)
       .join(labels, Seq("__cid"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("__cid")))
@@ -2244,9 +2341,12 @@ object Graft {
       lit(0L).as("__ca"), lit(1L).as("__cb"))
     val byV = ua.unionAll(ub).groupBy(col("v"))
       .agg(sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"))
-    val cum = prefixSumExclusive(
-      prefixSumExclusive(byV, col("v"), col("na"), "pa", chunkSize),
-      col("v"), col("nb"), "pb", chunkSize)
+      // distinct-value-sized (the documented ECDF shape), read by the
+      // prefix scan's two branches AND the totals — uncached each read
+      // re-scans both inputs (r18: the q72 plan held 10 parquet scans)
+      .cache()
+    val cum = prefixSumsExclusive(byV, col("v"),
+      Seq(col("na") -> "pa", col("nb") -> "pb"), chunkSize)
     val tot = byV.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     cum.crossJoin(broadcast(tot))
       .select(col("ta"), col("tb"),
@@ -2347,6 +2447,9 @@ object Graft {
       .groupBy(col("bin"))
       .agg(sum(when(!col("__cur"), 1L).otherwise(0L)).as("n_base"),
         sum(when(col("__cur"), 1L).otherwise(0L)).as("n_cur"))
+      // bin-count-sized, read twice (totals + output) — uncached each
+      // read re-scanned the input (r18)
+      .cache()
     val totals = bins.agg(
       sum(col("n_base")).cast(DoubleType).as("__tb"),
       sum(col("n_cur")).cast(DoubleType).as("__tc"),
@@ -2400,15 +2503,26 @@ object Graft {
   def coPurchasePairs(df: DataFrame, basket: Column, item: Column,
       minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
-    val li = df.select(basket.as("__bk"), item.as("__it")).distinct()
-    val supp = li.select(col("__bk"), col("__it").as("p1"))
-      .join(li.select(col("__bk"), col("__it").as("p2")), Seq("__bk"))
-      .where(col("p1") < col("p2"))
+    // r18: ONE basket-keyed shuffle instead of four distinct passes + a
+    // basket self-join. collect_set dedups (basket, item) inside the
+    // aggregate; pairs expand row-locally from the sorted item array
+    // (p1 < p2 by construction — identical pair set to the former
+    // self-join), and the marginals/basket total derive from the same
+    // cached basket table instead of re-scanning the input. Per-basket
+    // state is O(basket size) — the same order the self-join emitted.
+    val baskets = df.groupBy(basket.as("__bk"))
+      .agg(sort_array(collect_set(item)).as("__its"))
+      .cache()
+    val supp = baskets
+      .select(posexplode(col("__its")).as(Seq("__i", "p1")), col("__its"))
+      .select(col("p1"), explode(slice(col("__its"), col("__i") + 2,
+        size(col("__its")))).as("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("supp"))
       .where(col("supp") >= minSupport)
-    val marg = li.groupBy(col("__it")).agg(count(lit(1)).as("__c"))
-    val total = li.agg(count_distinct(col("__bk")).as("__n"))
+    val marg = baskets.select(explode(col("__its")).as("__it"))
+      .groupBy(col("__it")).agg(count(lit(1)).as("__c"))
+    val total = baskets.agg(count(lit(1)).as("__n"))
     supp
       .join(marg.select(col("__it").as("p1"), col("__c").as("__c1")), Seq("p1"))
       .join(marg.select(col("__it").as("p2"), col("__c").as("__c2")), Seq("p2"))

@@ -116,12 +116,21 @@ object Analytics {
     // percentile_approx sketch, whose state is O(1/accuracy) per group.
     Q("q11_percentiles",
       (s, d) => {
+        // one percentile buffer per (group, column), not per requested
+        // quantile: the array form computes p50+p95 from a single counts
+        // map instead of buffering l_extendedprice twice (r18: 3 exact-
+        // percentile buffers → 2; same sorted-counts math, identical
+        // doubles)
         Tables(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
-            expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+            expr("percentile(l_extendedprice, array(0.5, 0.95))")
+              .as("p_price"),
             expr("percentile(l_quantity, 0.5)").as("p50_qty"))
+          .select(col("l_returnflag"),
+            col("p_price").getItem(0).as("p50_price"),
+            col("p_price").getItem(1).as("p95_price"),
+            col("p50_qty"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
@@ -742,6 +751,9 @@ object Analytics {
             count(lit(1)).as("f"), Exact.dsum(col("o_totalprice")).as("m"))
           .crossJoin(broadcast(anchor))
           .withColumn("r", datediff(col("anchor"), col("last_day")))
+          // customer-sized and read twice (quintile thresholds + the
+          // scored output) — uncached, each read re-aggregates orders
+          .cache()
         val th = per.agg(
           expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
           expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
@@ -925,6 +937,9 @@ object Analytics {
         val o = Tables(s, d, "orders")
         val cells = o.groupBy(col("o_orderstatus").as("r"),
           col("o_orderpriority").as("c")).agg(count(lit(1)).as("n"))
+          // contingency-cell-sized (~15 rows) but read 4× below — uncached
+          // each read re-scanned orders (r18: 4 parquet scans → 1)
+          .cache()
         val rows = cells.groupBy(col("r")).agg(sum(col("n")).as("nr"))
         val cols = cells.groupBy(col("c")).agg(sum(col("n")).as("nc"))
         val tot = cells.agg(sum(col("n")).as("nn"),
@@ -1288,6 +1303,9 @@ object Analytics {
       (s, d) => {
         val du = Tables(s, d, "events")
           .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+          // (day, user)-distinct — read 3× below (daily, span, the 7-day
+          // fan-out) — uncached each read re-distincted events (r18)
+          .cache()
         val daily = du.groupBy(col("day"))
           .agg(count_distinct(col("user_id")).as("dau"))
         val hi = du.agg(max(col("day")).as("__hi"))
@@ -1622,6 +1640,9 @@ object Analytics {
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(DecimalType(25, 6))) * 100)
             .cast(LongType).as("cents"))
+          // customer-sized, read twice (decile thresholds + bucketing) —
+          // uncached each read re-aggregated orders (r18)
+          .cache()
         val thr = per.agg(
           expr("percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
             .as("__t"))
@@ -2469,10 +2490,13 @@ object Analytics {
             sum(when(unix_micros(ship) >= col("mid"),
               col("l_extendedprice").cast(D25))
               .otherwise(lit(0).cast(D25))).as("r2"))
-        val tot = rev.agg(sum(col("r1")).as("t1"), sum(col("r2")).as("t2"))
+        // supplier-sized and read twice (totals + output) — uncached,
+        // each read re-aggregated lineitem (r18)
+        val revC = rev.cache()
+        val tot = revC.agg(sum(col("r1")).as("t1"), sum(col("r2")).as("t2"))
         val sa = col("r1").cast(DoubleType) / col("t1").cast(DoubleType)
         val sb = col("r2").cast(DoubleType) / col("t2").cast(DoubleType)
-        rev.crossJoin(broadcast(tot))
+        revC.crossJoin(broadcast(tot))
           .select(col("l_suppkey"),
             Exact.round6(sa).as("share_a"),
             Exact.round6(sb).as("share_b"),
@@ -2622,24 +2646,23 @@ object Analytics {
             max(to_date(col("o_orderdate")))).cast(LongType).as("rec"),
             count(lit(1)).as("freq"),
             sum(cents).cast(LongType).as("mon"))
+          // customer-sized and read twice (thresholds + bucketing) —
+          // uncached, each read re-aggregated orders (r18)
+          .cache()
+        // r18: one percentile buffer per COLUMN (array form), not one per
+        // requested quantile — same sorted-counts math, identical doubles
         val q = cust.agg(
-          expr("percentile(rec, 0.25)").as("r1"),
-          expr("percentile(rec, 0.5)").as("r2"),
-          expr("percentile(rec, 0.75)").as("r3"),
-          expr("percentile(freq, 0.25)").as("f1"),
-          expr("percentile(freq, 0.5)").as("f2"),
-          expr("percentile(freq, 0.75)").as("f3"),
-          expr("percentile(mon, 0.25)").as("m1"),
-          expr("percentile(mon, 0.5)").as("m2"),
-          expr("percentile(mon, 0.75)").as("m3"))
-        def bucket(c: String, t1: String, t2: String, t3: String) =
-          (lit(1) + (col(c) > col(t1)).cast("int") +
-            (col(c) > col(t2)).cast("int") +
-            (col(c) > col(t3)).cast("int")).cast(LongType)
+          expr("percentile(rec, array(0.25, 0.5, 0.75))").as("rq"),
+          expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fq"),
+          expr("percentile(mon, array(0.25, 0.5, 0.75))").as("mq"))
+        def bucket(c: String, qcol: String) =
+          (lit(1) + (col(c) > element_at(col(qcol), 1)).cast("int") +
+            (col(c) > element_at(col(qcol), 2)).cast("int") +
+            (col(c) > element_at(col(qcol), 3)).cast("int")).cast(LongType)
         cust.crossJoin(broadcast(q))
-          .select(bucket("rec", "r1", "r2", "r3").as("r_bucket"),
-            bucket("freq", "f1", "f2", "f3").as("f_bucket"),
-            bucket("mon", "m1", "m2", "m3").as("m_bucket"),
+          .select(bucket("rec", "rq").as("r_bucket"),
+            bucket("freq", "fq").as("f_bucket"),
+            bucket("mon", "mq").as("m_bucket"),
             col("mon"))
           .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
           .agg(count(lit(1)).as("customers"),

@@ -754,6 +754,10 @@ object Composite {
           .groupBy(col("n_name"), col("r_name"))
           .agg(sum((col("o_totalprice").cast(DecimalType(25, 6)) * 100)
             .cast(LongType)).as("cents"))
+          // nation-sized (25 rows) but read 3× below (region totals,
+          // world total, output) — uncached, each read re-ran the whole
+          // 4-table join (r18: 12 parquet scans → 4)
+          .cache()
         val regionTot = rev.groupBy(col("r_name"))
           .agg(sum(col("cents")).as("r_cents"))
         val worldTot = rev.agg(sum(col("cents")).as("w_cents"))

@@ -102,17 +102,25 @@ object StatTests {
         val pc = cnt.join(tot, "source")
           .select(col("source"), col("tok"),
             (col("c").cast(DoubleType) / col("t").cast(DoubleType)).as("p"))
-        val a = pc.select(col("source").as("source_a"), col("tok"),
-          col("p").as("pa"))
-        val b = pc.select(col("source").as("source_b"), col("tok"),
-          col("p").as("pb"))
+        // r18: token-bucket aggregate with row-local (a < b) pair
+        // expansion instead of a pc-vs-pc self-join — the probability
+        // table's explode+agg+join lineage now runs ONCE, not once per
+        // join side; bucket width is bounded by the source count.
         val term =
           lit(0.5) * col("pa") *
             log2(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
           lit(0.5) * col("pb") *
             log2(lit(2.0) * col("pb") / (col("pa") + col("pb")))
-        a.join(b, Seq("tok"))
-          .where(col("source_a") < col("source_b"))
+        pc.groupBy(col("tok"))
+          .agg(sort_array(collect_list(
+            struct(col("source"), col("p")))).as("__m"))
+          .where(size(col("__m")) > 1)
+          .select(posexplode(col("__m")).as(Seq("__i", "__a")), col("__m"))
+          .select(col("__a"), explode(slice(col("__m"), col("__i") + 2,
+            size(col("__m")))).as("__b"))
+          .select(col("__a.source").as("source_a"),
+            col("__b.source").as("source_b"),
+            col("__a.p").as("pa"), col("__b.p").as("pb"))
           .groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).as("n_common"),
             sum(term.cast(DTerm)).as("ct"),
@@ -166,6 +174,10 @@ object StatTests {
           .groupBy(col("o_orderpriority").as("pri"),
             col("o_orderstatus").as("st"))
           .agg(count(lit(1)).as("c"))
+          // contingency-grid-sized (~15 rows) but read FIVE times below
+          // (grid ×2, cells, row/col totals, n) — uncached each read
+          // re-scanned orders (r18: 6 parquet scans → 1)
+          .cache()
         val grid = broadcast(obs.select("pri").distinct())
           .crossJoin(broadcast(obs.select("st").distinct()))
         val cells = grid.join(obs, Seq("pri", "st"), "left")
@@ -250,6 +262,9 @@ object StatTests {
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(D25)) * 100)
             .cast(LongType).as("cents"))
+          // customer-sized, read 3× (both prefix-scan branches + totals)
+          // — uncached each read re-aggregated orders (r18)
+          .cache()
         val ranked = graft.api.Graft.prefixSumExclusive(
           per.withColumn("__ord",
             col("cents").cast(D0) * 1000000000L + col("o_custkey")),
@@ -310,7 +325,10 @@ object StatTests {
           .select(col("p_brand"),
             (col("p_retailprice").cast(D25) * 100).cast(LongType)
               .as("cents"))
+        // brand-sized, but dev (its consumer) executes twice below — cache
+        // so the exact-median buffering pass over part runs once (r18)
         val med = p.groupBy("p_brand").agg(median(col("cents")).as("med"))
+          .cache()
         val dev = p.join(broadcast(med), "p_brand")
           .withColumn("adev",
             abs(col("cents").cast(DoubleType) - col("med")))
@@ -368,10 +386,12 @@ object StatTests {
         val byv = oc.groupBy(col("cents"))
           .agg(sum(col("is1")).as("c1"),
             (count(lit(1)) - sum(col("is1"))).as("c2"))
-        val cum = graft.api.Graft.prefixSumExclusive(
-          graft.api.Graft.prefixSumExclusive(
-            byv, col("cents"), col("c1"), "e1"),
-          col("cents"), col("c2"), "e2")
+          // distinct-cents-sized; read by the prefix scan's two branches
+          // and the totals — uncached each read re-runs the join (r18:
+          // 10 parquet scans → 2)
+          .cache()
+        val cum = graft.api.Graft.prefixSumsExclusive(byv, col("cents"),
+            Seq(col("c1") -> "e1", col("c2") -> "e2"))
           .withColumn("f1", col("e1") + col("c1"))
           .withColumn("f2", col("e2") + col("c2"))
         val tot = byv.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))

@@ -821,6 +821,11 @@ object TextOps {
             explode(Graft.shingleSet(col("text"), 5)).as("sh"))
           .groupBy(col("sh")).agg(min(col("batch")).as("batch"))
           .groupBy(col("batch")).agg(count(lit(1)).as("new_shingles"))
+          // one row per batch, but the lineage above it is the full
+          // shingle explode + two keyed aggs — prefixSumExclusive reads
+          // its input twice (carry + join), and uncached each read
+          // re-explodes the corpus (r18: 2 Generate passes → 1)
+          .cache()
         Graft.prefixSumExclusive(perBatch, col("batch"),
             col("new_shingles"), "prev_vocab")
           .select(col("batch"), col("new_shingles"),
@@ -858,6 +863,10 @@ object TextOps {
           .select(floor(col("doc_id") / 50).cast(LongType).as("batch"),
             explode(Graft.shingleSet(col("text"), 5)).as("sh"))
           .distinct()
+          // read 4× below (sizes twice via the two aliases, both sides
+          // of the diagonal self-join) — uncached, each use re-explodes
+          // and re-distincts the corpus (r18: 4 scan+Generate passes → 1)
+          .cache()
         val sizes = sh.groupBy(col("batch")).agg(count(lit(1)).as("n"))
         val b = sh.toDF("batch_b", "sh_b")
         val inter = sh.join(b,

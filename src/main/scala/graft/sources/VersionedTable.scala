@@ -1622,6 +1622,18 @@ object VersionedTable {
         "THEN UPDATE SET c = expr) for column-subset updates, or drop " +
         "the columns from the table first if intended")
     val added = changeDataCols.diff(base.columns)
+    // r18: the change batch's PLAN executes several times below — the key
+    // probe, the merged-snapshot write, the CDC sidecar write, and (on
+    // conflict) the rebase guard; for a compiled MERGE the plan is itself
+    // a join against the (probe-restricted) base, so each execution
+    // re-ran that join. The batch is O(churn) by the merge contract —
+    // cache it for the duration of the commit (measured: q252's
+    // partial-column MERGE statement 14 Spark jobs → ~8). Unpersisted in
+    // `finally`, so nothing outlives the verb; as a side effect every
+    // pass (probe/apply/CDC/rebase) now provably sees the SAME rows even
+    // for a nondeterministic batch on the fallback path.
+    val changesCached = changes.cache()
+    try {
     // FILE-GRANULAR merge (r16): when the batch neither widens the schema
     // nor lands under an active mapping (both fall back to the
     // whole-snapshot path, which is what materializes them), only the
@@ -1666,7 +1678,7 @@ object VersionedTable {
         val (hfs, root, groups, perScope) = granularCtx.get
         val preds = delStateOf(spark, table, baseVersion)
         // probe: files holding any change key (see [[probeKeyTouchedRaw]])
-        val keyFrame = changes
+        val keyFrame = changesCached
           .select(keys.map(org.apache.spark.sql.functions.col): _*)
           .distinct().alias("c")
         val touchedRaw = probeKeyTouchedRaw(spark, hfs, root, preds,
@@ -1681,11 +1693,11 @@ object VersionedTable {
         }.reduceOption(_ union _)
           .getOrElse(base.limit(0)) // pure-insert batch: no file touched
         val merged = graft.api.Graft.applyChanges(
-          touchedRows, changes, keys, version, op)
+          touchedRows, changesCached, keys, version, op)
         val d = writeSnapshot(spark, merged, table, maxRecordsPerFile)
         validateConstraints(spark, table, d)
         applySkipping(spark, table, d, Nil, Nil, 10)
-        changes.write.mode(SaveMode.Overwrite)
+        changesCached.write.mode(SaveMode.Overwrite)
           .option("compression", "zstd")
           .parquet(new Path(new Path(table),
             s"$d/$changesDirName").toString)
@@ -1708,7 +1720,7 @@ object VersionedTable {
           b.withColumn(c, org.apache.spark.sql.functions.lit(null)
             .cast(changes.schema(c).dataType)))
         val merged = graft.api.Graft.applyChanges(
-          widened, changes, keys, version, op)
+          widened, changesCached, keys, version, op)
         val d = writeSnapshot(spark, merged, table, maxRecordsPerFile)
         validateConstraints(spark, table, d)
         // merges inherit the table's skipping policy: a drip-merged table
@@ -1720,7 +1732,7 @@ object VersionedTable {
         // without diffing snapshots. The `_` prefix keeps it invisible to
         // readVersion; atomic with the commit by the same argument as the
         // stats sidecar.
-        changes.write.mode(SaveMode.Overwrite)
+        changesCached.write.mode(SaveMode.Overwrite)
           .option("compression", "zstd")
           .parquet(new Path(new Path(table),
             s"$d/$changesDirName").toString)
@@ -1738,6 +1750,7 @@ object VersionedTable {
       try mirrorChangeFeed(spark, table)
       catch { case scala.util.control.NonFatal(_) => () }
     committed
+    } finally changesCached.unpersist(false)
   }
 
   private val changesDirName = "_changes"
