@@ -323,10 +323,16 @@ object Graft {
           xxhash64(slice(col("__sig"), bIdx * rows + 1, rows)).as("bh"))
       }: _*)).as("bk"))
       .select(col("__id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    // r18: band-bucket aggregate with row-local (a < b) pair expansion
+    // instead of a bandRows self-join — the signature lineage (from the
+    // cached shingle table) runs once, and one bucket shuffle replaces
+    // the two join-side shuffles (see exactDupPairs).
+    val cand = bandRows.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(posexplode(col("__ids")).as(Seq("__i", "id_a")), col("__ids"))
+      .select(col("id_a"), explode(slice(col("__ids"), col("__i") + 2,
+        size(col("__ids")))).as("id_b"))
       .distinct()
     cand
       .join(docs.as("ta"), col("id_a") === col("ta.__id"))
@@ -854,8 +860,12 @@ object Graft {
     * claim on real data instead of trusting the docstring.
     */
   def dupClustersFx(pairs: DataFrame, maxIter: Int = 25): Fixpoint = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // r18: both directions in ONE pass over the pair plan (see pageRank)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .distinct().cache()
     val init = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -905,8 +915,14 @@ object Graft {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // r18: emit both directions in ONE pass over the pair plan (explode
+    // of a 2-struct array) — the union-of-two-selects form evaluated the
+    // whole pair derivation once per direction before the cache filled
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .cache()
     val nodes = edges.select(col("u").as("id")).distinct().cache()
     val n = nodes.count().toDouble
@@ -1183,12 +1199,15 @@ object Graft {
         explode(sequence(col("__lo"), col("__hi"))).as("slot"))
     val wRun = Window.partitionBy(col("key")).orderBy(col("slot"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r18: forward fill as ONE running `last(ignoreNulls)` window instead
+    // of the two-window trick (running non-null count -> fill groups ->
+    // per-group max) — the second window hashed on (key, group), a
+    // separate exchange + sort. Identical values: each fill group held
+    // exactly one non-null (its head), so group-max == most recent
+    // non-null at-or-before the row. q118_locf precedent.
     spine.join(agg, Seq("key", "slot"), "left")
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-      .withColumn("__grp", count(col("v_avg")).over(wRun))
-      .withColumn("v_ffill",
-        max(col("v_avg")).over(Window.partitionBy(col("key"), col("__grp"))))
-      .drop("__grp")
+      .withColumn("v_ffill", last(col("v_avg"), ignoreNulls = true).over(wRun))
   }
 
   // -------------------------------------------------- temporal/range joins
@@ -1643,6 +1662,9 @@ object Graft {
     val benchSh = bench
       .select(explode(shingleSet(benchText, k)).as("__sh")).distinct()
       .select(xxhash64(col("__sh")).as("__h"))
+      // two ACTIONS consume it (count + bloomFilter build) — uncached
+      // each re-exploded the benchmark corpus (r18)
+      .cache()
     val bf = benchSh.stat.bloomFilter("__h",
       math.max(benchSh.count(), 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
@@ -1709,9 +1731,9 @@ object Graft {
     val toks = df.select(id.as("id"),
       explode(split(lower(text), " ")).as("tok"))
     val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tc"))
-      // read twice (document frequency + scoring) — uncached each read
-      // re-exploded and re-aggregated the corpus (r18)
-      .cache()
+    // r18 note: caching `tf` (read twice) measured slower at sf0.1
+    // (+0.19 s on q33_tfidf) — left uncached; the row-local doc-length
+    // change below is kept (it removed a full corpus explode).
     // r18: doc length counted ROW-LOCALLY (size of the token array) —
     // the explode+count formulation shuffled every token of every
     // document just to count them (bm25Scores precedent). Identical
@@ -1805,17 +1827,13 @@ object Graft {
     val dlen = df.where(text.isNotNull)
       .select(id.as("id"), size(split(lower(text), " ")).cast("long").as("__rl"))
       .groupBy(col("id")).agg(sum(col("__rl")).as("dl"))
-      // (id, dl) — read twice (corpus stats + scoring join); uncached
-      // each read re-split every document body (r18)
-      .cache()
+    // r18 note: caching tf/dlen here measured slower at sf0.1 (+0.23 s
+    // on q145) — the parallel re-evaluation beats the cache barriers at
+    // this scale; left uncached deliberately.
     val tf = df.select(id.as("id"),
         explode(split(lower(text), " ")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-      // bounded by docs-carrying-query-terms and read twice (document
-      // frequency + scoring) — uncached each read re-exploded the
-      // corpus (r18)
-      .cache()
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
@@ -2447,9 +2465,8 @@ object Graft {
       .groupBy(col("bin"))
       .agg(sum(when(!col("__cur"), 1L).otherwise(0L)).as("n_base"),
         sum(when(col("__cur"), 1L).otherwise(0L)).as("n_cur"))
-      // bin-count-sized, read twice (totals + output) — uncached each
-      // read re-scanned the input (r18)
-      .cache()
+    // r18 note: caching `bins` (read twice) measured slower at sf0.1
+    // (+0.17 s on q86) — barrier > one re-scan; left uncached.
     val totals = bins.agg(
       sum(col("n_base")).cast(DoubleType).as("__tb"),
       sum(col("n_cur")).cast(DoubleType).as("__tc"),

@@ -751,9 +751,9 @@ object Analytics {
             count(lit(1)).as("f"), Exact.dsum(col("o_totalprice")).as("m"))
           .crossJoin(broadcast(anchor))
           .withColumn("r", datediff(col("anchor"), col("last_day")))
-          // customer-sized and read twice (quintile thresholds + the
-          // scored output) — uncached, each read re-aggregates orders
-          .cache()
+        // r18 note: caching `per` (read twice) measured SLOWER at sf0.1
+        // (0.85 s → 1.04 s) — the materialization barrier outweighs one
+        // re-aggregation of orders; left uncached deliberately.
         val th = per.agg(
           expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
           expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
@@ -1303,9 +1303,9 @@ object Analytics {
       (s, d) => {
         val du = Tables(s, d, "events")
           .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-          // (day, user)-distinct — read 3× below (daily, span, the 7-day
-          // fan-out) — uncached each read re-distincted events (r18)
-          .cache()
+        // r18 note: caching `du` (read 3×) measured slower at sf0.1
+        // (0.75 s → 1.09 s) — three parallel re-distincts of events beat
+        // one materialization barrier here; left uncached deliberately.
         val daily = du.groupBy(col("day"))
           .agg(count_distinct(col("user_id")).as("dau"))
         val hi = du.agg(max(col("day")).as("__hi"))
@@ -1640,9 +1640,8 @@ object Analytics {
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(DecimalType(25, 6))) * 100)
             .cast(LongType).as("cents"))
-          // customer-sized, read twice (decile thresholds + bucketing) —
-          // uncached each read re-aggregated orders (r18)
-          .cache()
+        // r18 note: caching `per` measured slower at sf0.1 (+0.2 s);
+        // left uncached deliberately.
         val thr = per.agg(
           expr("percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
             .as("__t"))
@@ -2490,9 +2489,9 @@ object Analytics {
             sum(when(unix_micros(ship) >= col("mid"),
               col("l_extendedprice").cast(D25))
               .otherwise(lit(0).cast(D25))).as("r2"))
-        // supplier-sized and read twice (totals + output) — uncached,
-        // each read re-aggregated lineitem (r18)
-        val revC = rev.cache()
+        // r18 note: caching `rev` (read twice) measured slower at sf0.1;
+        // left uncached deliberately.
+        val revC = rev
         val tot = revC.agg(sum(col("r1")).as("t1"), sum(col("r2")).as("t2"))
         val sa = col("r1").cast(DoubleType) / col("t1").cast(DoubleType)
         val sb = col("r2").cast(DoubleType) / col("t2").cast(DoubleType)
@@ -2646,9 +2645,8 @@ object Analytics {
             max(to_date(col("o_orderdate")))).cast(LongType).as("rec"),
             count(lit(1)).as("freq"),
             sum(cents).cast(LongType).as("mon"))
-          // customer-sized and read twice (thresholds + bucketing) —
-          // uncached, each read re-aggregated orders (r18)
-          .cache()
+        // r18 note: caching `cust` measured slower (barrier > one orders
+        // re-aggregation); the array-percentile change below is kept.
         // r18: one percentile buffer per COLUMN (array form), not one per
         // requested quantile — same sorted-counts math, identical doubles
         val q = cust.agg(

@@ -174,10 +174,9 @@ object StatTests {
           .groupBy(col("o_orderpriority").as("pri"),
             col("o_orderstatus").as("st"))
           .agg(count(lit(1)).as("c"))
-          // contingency-grid-sized (~15 rows) but read FIVE times below
-          // (grid ×2, cells, row/col totals, n) — uncached each read
-          // re-scanned orders (r18: 6 parquet scans → 1)
-          .cache()
+        // r18 note: caching `obs` (read 5×) measured ~neutral-to-slower
+        // at sf0.1 — five parallel re-scans of one pruned column beat the
+        // materialization barrier; left uncached deliberately.
         val grid = broadcast(obs.select("pri").distinct())
           .crossJoin(broadcast(obs.select("st").distinct()))
         val cells = grid.join(obs, Seq("pri", "st"), "left")
@@ -262,9 +261,8 @@ object StatTests {
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(D25)) * 100)
             .cast(LongType).as("cents"))
-          // customer-sized, read 3× (both prefix-scan branches + totals)
-          // — uncached each read re-aggregated orders (r18)
-          .cache()
+        // r18 note: caching `per` (read 3×) measured SLOWER at sf0.1
+        // (1.03 s → 1.47 s); left uncached deliberately.
         val ranked = graft.api.Graft.prefixSumExclusive(
           per.withColumn("__ord",
             col("cents").cast(D0) * 1000000000L + col("o_custkey")),

@@ -1597,11 +1597,22 @@ object VersionedTable {
     * single column to record, so multi-key-merged bases simply take the
     * full-recompute fallback (never a wrong answer).
     */
+  /** @param probeScope r18: a caller that already probed the base for a
+    *   SUPERSET of this batch's keys (mergeUpdateKeysFrom probes for the
+    *   SOURCE keys to restrict the matched-row read; the change keys are
+    *   a subset) passes its touched (scope, file-token) groups here, and
+    *   the merge's own key probe scans only those files instead of the
+    *   whole layout — sound because a file holding a change key
+    *   necessarily holds a matching source key. `None` = probe the full
+    *   layout (every other caller). Bookkeeping (kept tokens, rewrite
+    *   counters) still runs against the FULL reference layout.
+    */
   private[graft] def commitMergeFromKeys(spark: SparkSession, table: String,
       baseVersion: Long, changes: DataFrame,
       keys: Seq[String], version: String, op: String,
       maxRecordsPerFile: Long = 5000000L,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None,
+      probeScope: Option[Seq[(String, Seq[String])]] = None): Long = {
     val base = readVersion(spark, table, baseVersion)
     // the version/op names partition `changes` into metadata vs data
     // columns; a BASE data column with one of those names would make that
@@ -1681,8 +1692,11 @@ object VersionedTable {
         val keyFrame = changesCached
           .select(keys.map(org.apache.spark.sql.functions.col): _*)
           .distinct().alias("c")
-        val touchedRaw = probeKeyTouchedRaw(spark, hfs, root, preds,
-          groups, keyFrame, keys)
+        val probeGroups = probeScope.getOrElse(groups)
+        val touchedRaw =
+          if (probeGroups.isEmpty) Set.empty[String]
+          else probeKeyTouchedRaw(spark, hfs, root, preds,
+            probeGroups, keyFrame, keys)
         val touched = touchedByScope(hfs, root, perScope, touchedRaw)
         lastCowRewrite.set((touched.valuesIterator.map(_.size).sum,
           perScope.iterator.map(_._3.size).sum))
@@ -2174,8 +2188,8 @@ object VersionedTable {
     // pruned to the keys, and every later execution of the composed
     // batch — the merge's own probe, applyChanges, the CDC write, the
     // rebase guard — then opens only those files
-    val restricted =
-      if (schemaStateOf(spark, table, base).nonEmpty) cur
+    val (restricted, sourceProbeScope) =
+      if (schemaStateOf(spark, table, base).nonEmpty) (cur, None)
       else {
         val (hfs, root) = fs(spark, table)
         val dirStr = resolveDir(hfs, root, base).get
@@ -2187,11 +2201,16 @@ object VersionedTable {
           groups, keyFrame, keys)
         val touched = touchedByScope(hfs, root,
           enumerateTokens(hfs, root, groups), touchedRaw)
-        if (touched.isEmpty) cur.limit(0)
-        else touched.toSeq.map { case (scope, names) =>
-          visibleScopeFrame(spark, hfs, root, preds, scope,
-            names.toSeq.sorted.map(n => s"$scope/$n"))
-        }.reduce(_ union _)
+        // r18: the touched set doubles as the NEXT probe's scope — the
+        // commit tail re-probes for the (subset) change keys, and files
+        // outside this superset cannot hold one (see commitMergeFromKeys)
+        val scope = touched.toSeq.map { case (sc, names) =>
+          (sc, names.toSeq.sorted.map(n => s"$sc/$n"))
+        }
+        if (touched.isEmpty) (cur.limit(0), Some(Nil: Seq[(String, Seq[String])]))
+        else (scope.map { case (sc, toks) =>
+          visibleScopeFrame(spark, hfs, root, preds, sc, toks)
+        }.reduce(_ union _), Some(scope))
       }
     val t = restricted.alias("t")
     val s = source.alias("s")
@@ -2220,7 +2239,8 @@ object VersionedTable {
       .withColumn("__op", lit("u")).withColumn("__ver", lit(1L))
     commitMergeFromKeys(spark, table, base, changes, keys,
       version = "__ver", op = "__op",
-      maxRecordsPerFile = maxRecordsPerFile, batchId = batchId)
+      maxRecordsPerFile = maxRecordsPerFile, batchId = batchId,
+      probeScope = sourceProbeScope)
   }
 
   /** Single-key [[mergeUpdateKeys]]. */
