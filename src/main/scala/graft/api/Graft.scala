@@ -2308,16 +2308,24 @@ object Graft {
     // denominator: ALL of a's shingles with df <= maxDf (df = 1 included)
     val sizes = sh.join(dfreq.where(col("__df") <= maxDf), Seq("sh"))
       .groupBy(col("id")).agg(count(lit(1)).as("__sz"))
-    // pair probe: only shingles that CAN pair (2 <= df <= maxDf) enter the
-    // self-join — on a real corpus most shingles are unique, so this drops
-    // the dominant share of join input without changing a single output
-    // row (a df-1 shingle only ever meets itself, which id != id discards)
+    // pair probe: only shingles that CAN pair (2 <= df <= maxDf) enter
+    // pair generation — on a real corpus most shingles are unique, so
+    // this drops the dominant share of input without changing a single
+    // output row (a df-1 shingle only ever meets itself, which id != id
+    // discards). r18: the pairs expand row-locally from a per-shingle id
+    // bucket instead of a `shared` self-join — the shared frame's
+    // cache-read + join lineage ran once per side; the bucket arrays are
+    // bounded by maxDf (the df filter runs BEFORE the collect), which is
+    // the same cap that bounded the join's per-shingle fan-out.
     val shared = sh.join(
       dfreq.where(col("__df") >= 2 && col("__df") <= maxDf).select(col("sh")),
       Seq("sh"))
-    shared.as("a").join(shared.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    shared.groupBy(col("sh"))
+      .agg(collect_list(col("id")).as("__ids"))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
       .withColumn("containment",

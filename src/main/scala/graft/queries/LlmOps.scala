@@ -1548,16 +1548,20 @@ object LlmOps {
     Q("q157_corpus_sim",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val sh = docs.select(col("source"),
+        // r18: ONE tokenize pass — collect_set dedups (source, shingle)
+        // inside the per-shingle aggregate (replacing explode → distinct,
+        // which re-exploded the corpus once per consumer: sizes AND the
+        // pair expansion). The cached bucket table is distinct-shingle-
+        // sized with |sources|-bounded arrays — caching the exploded
+        // string pairs instead was measured slower in an earlier cut.
+        val bySh = docs.select(col("source"),
             explode(Graft.shingleSet(col("text"), 5)).as("sh"))
-          .distinct()
-        // r18 note: caching `sh` here was measured SLOWER at sf0.1
-        // (3.31 s → 3.51 s) — materializing the exploded distinct
-        // shingle strings costs more than the re-explodes it saves;
-        // left uncached deliberately.
-        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val inter = sh.groupBy(col("sh"))
+          .groupBy(col("sh"))
           .agg(collect_set(col("source")).as("srcs"))
+          .cache()
+        val sizes = bySh.select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = bySh
           .where(size(col("srcs")) >= 2)
           .select(explode(col("srcs")).as("src_a"), col("srcs"))
           .select(col("src_a"), explode(col("srcs")).as("src_b"))

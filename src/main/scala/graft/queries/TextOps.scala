@@ -859,18 +859,25 @@ object TextOps {
     // product over shingles.
     Q("q179_batch_drift",
       (s, d) => {
-        val sh = Tables(s, d, "documents")
+        // r18: ONE tokenize pass — collect_set dedups (batch, shingle)
+        // inside a per-shingle aggregate (replacing explode → distinct →
+        // self-join, which re-exploded the corpus once per consumer);
+        // batch-set arrays are bounded by the batch count, so the cached
+        // bucket table is distinct-shingle-sized with tiny arrays, not
+        // the exploded string pairs. Sizes and the b→b+1 intersections
+        // both derive from it: n_common(b) counts shingles whose batch
+        // set holds both b and b+1 — exactly the former diagonal join.
+        val bySh = Tables(s, d, "documents")
           .select(floor(col("doc_id") / 50).cast(LongType).as("batch"),
             explode(Graft.shingleSet(col("text"), 5)).as("sh"))
-          .distinct()
-          // read 4× below (sizes twice via the two aliases, both sides
-          // of the diagonal self-join) — uncached, each use re-explodes
-          // and re-distincts the corpus (r18: 4 scan+Generate passes → 1)
+          .groupBy(col("sh"))
+          .agg(sort_array(collect_set(col("batch"))).as("bs"))
           .cache()
-        val sizes = sh.groupBy(col("batch")).agg(count(lit(1)).as("n"))
-        val b = sh.toDF("batch_b", "sh_b")
-        val inter = sh.join(b,
-            col("sh") === col("sh_b") && col("batch_b") === col("batch") + 1)
+        val sizes = bySh.select(explode(col("bs")).as("batch"))
+          .groupBy(col("batch")).agg(count(lit(1)).as("n"))
+        val inter = bySh
+          .select(explode(filter(col("bs"),
+            b => array_contains(col("bs"), b + 1))).as("batch"))
           .groupBy(col("batch")).agg(count(lit(1)).as("n_common"))
         sizes.toDF("batch", "n_a")
           .join(sizes.toDF("batch_b", "n_b"),
