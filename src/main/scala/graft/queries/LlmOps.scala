@@ -1551,14 +1551,15 @@ object LlmOps {
         // r18: ONE tokenize pass — collect_set dedups (source, shingle)
         // inside the per-shingle aggregate (replacing explode → distinct,
         // which re-exploded the corpus once per consumer: sizes AND the
-        // pair expansion). The cached bucket table is distinct-shingle-
-        // sized with |sources|-bounded arrays — caching the exploded
-        // string pairs instead was measured slower in an earlier cut.
+        // pair expansion). r19: the r18 `.cache()` on this bucket table
+        // REGRESSED 0.82× in the driver's 32-core run and anti-scaled
+        // (8c/32c 0.86) — the materialization is a serial barrier, while
+        // the two consumers' recomputed branches evaluate in parallel on
+        // idle cores; dropped (the one-pass groupBy shape stays).
         val bySh = docs.select(col("source"),
             explode(Graft.shingleSet(col("text"), 5)).as("sh"))
           .groupBy(col("sh"))
           .agg(collect_set(col("source")).as("srcs"))
-          .cache()
         val sizes = bySh.select(explode(col("srcs")).as("source"))
           .groupBy(col("source")).agg(count(lit(1)).as("n"))
         val inter = bySh

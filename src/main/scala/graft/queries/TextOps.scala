@@ -861,18 +861,18 @@ object TextOps {
       (s, d) => {
         // r18: ONE tokenize pass — collect_set dedups (batch, shingle)
         // inside a per-shingle aggregate (replacing explode → distinct →
-        // self-join, which re-exploded the corpus once per consumer);
-        // batch-set arrays are bounded by the batch count, so the cached
-        // bucket table is distinct-shingle-sized with tiny arrays, not
-        // the exploded string pairs. Sizes and the b→b+1 intersections
-        // both derive from it: n_common(b) counts shingles whose batch
-        // set holds both b and b+1 — exactly the former diagonal join.
+        // self-join, which re-exploded the corpus once per consumer).
+        // Sizes and the b→b+1 intersections both derive from it:
+        // n_common(b) counts shingles whose batch set holds both b and
+        // b+1 — exactly the former diagonal join. r19: the r18 `.cache()`
+        // dropped (q157's precedent — the materialization barrier
+        // anti-scaled, 8c/32c 0.95; the two consumer branches recompute
+        // in parallel instead).
         val bySh = Tables(s, d, "documents")
           .select(floor(col("doc_id") / 50).cast(LongType).as("batch"),
             explode(Graft.shingleSet(col("text"), 5)).as("sh"))
           .groupBy(col("sh"))
           .agg(sort_array(collect_set(col("batch"))).as("bs"))
-          .cache()
         val sizes = bySh.select(explode(col("bs")).as("batch"))
           .groupBy(col("batch")).agg(count(lit(1)).as("n"))
         val inter = bySh

@@ -258,7 +258,7 @@ object VersionedTable {
       writeStatsSidecar(spark, dataDir, statsCols, bloomCols, bloomBitsPerRow)
     else skippingPolicy(spark, table) match {
       case Some((pStats, pBloom, pBits)) =>
-        val have = spark.read.parquet(dataDir.toString).columns.toSet
+        val have = dirParquet(spark, dataDir).columns.toSet
         val (s2, b2) = (pStats.filter(have), pBloom.filter(have))
         if (s2.nonEmpty || b2.nonEmpty)
           writeStatsSidecar(spark, dataDir, s2, b2, pBits)
@@ -625,12 +625,13 @@ object VersionedTable {
     // always bind to their dirs' physical column names.
     val chain = schemaStateOf(spark, table, version)
     if (preds.isEmpty && chain.isEmpty)
-      spark.read.parquet(groups.flatMap { case (scope, toks) =>
-        groupReadPaths(hfs, root, scope, toks) }: _*)
+      scopedParquet(spark, hfs, root, groups.map(_._1),
+        groups.flatMap { case (scope, toks) =>
+          groupReadPaths(hfs, root, scope, toks) })
     else {
       val mapped = groups.map { case (scope, toks) =>
-        val df = spark.read.parquet(
-          groupReadPaths(hfs, root, scope, toks): _*)
+        val df = scopedParquet(spark, hfs, root, Seq(scope),
+          groupReadPaths(hfs, root, scope, toks))
         val kept = delKeepFilter(preds, scope).map(df.where).getOrElse(df)
         if (chain.isEmpty) kept
         else applySchemaChain(kept,
@@ -1817,8 +1818,7 @@ object VersionedTable {
     // batches must be key-unique for the upsert interpretation to hold.
     if (opOf(spark, table, version).contains("insert")) {
       import org.apache.spark.sql.functions.lit
-      val df = spark.read.parquet(
-        dataPathsOf(spark, table, version).last.toString)
+      val df = dirParquet(spark, dataPathsOf(spark, table, version).last)
       require(!df.columns.contains("__ver") && !df.columns.contains("__op"),
         s"$table carries reserved columns __ver/__op — its appends " +
           "cannot synthesize a change feed")
@@ -1833,7 +1833,7 @@ object VersionedTable {
     if (!hfs.exists(p)) throw new IllegalArgumentException(
       s"version $version of $table has no change log (full-snapshot " +
         "commit) — use diffVersions for snapshot-level CDC")
-    spark.read.parquet(p.toString)
+    dirParquet(spark, p)
   }
 
   /** BOUNDED CDC range read (r15): the change batches of every version
@@ -1945,8 +1945,8 @@ object VersionedTable {
     val added = delStateOf(spark, table, version).drop(oldState.size)
     val deleted = groupTokensByScope(splitDirs(dirStr)).map {
       case (scope, toks) =>
-        val df = spark.read.parquet(
-          groupReadPaths(hfs, root, scope, toks): _*)
+        val df = scopedParquet(spark, hfs, root, Seq(scope),
+          groupReadPaths(hfs, root, scope, toks))
         val visible = delKeepFilter(oldState, scope)
           .map(df.where).getOrElse(df)
         delKeepFilter(added, scope) match {
@@ -2918,8 +2918,8 @@ object VersionedTable {
         resolveDir(hfs, baseRoot, v).flatMap { dirStr =>
           val newDir = splitDirs(dirStr).last
           if (opOf(spark, baseTable, v).contains("insert")) {
-            val cols = spark.read.parquet(
-              new Path(baseRoot, newDir).toString).columns.toSet
+            val cols = dirParquet(spark,
+              new Path(baseRoot, newDir)).columns.toSet
             if (keys.forall(cols.contains)) Some((v, AppendDelta(newDir)))
             else None
           } else if (opOf(spark, baseTable, v).contains("lazydelete")) {
@@ -2975,7 +2975,7 @@ object VersionedTable {
         val touched = entries.map {
           case (_, AppendDelta(newDir)) =>
             // appended delta: the new dir's rows are exactly the change
-            spark.read.parquet(new Path(baseRoot, newDir).toString)
+            dirParquet(spark, new Path(baseRoot, newDir))
               .select(keyCols: _*)
           case (v, LazyDeleteDelta) =>
             // deferred delete: the synthesized feed names the touched
@@ -3561,6 +3561,56 @@ object VersionedTable {
     if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
   }
 
+  /** In-process memo of a data dir's parquet footer schema (qualified
+    * scope dir → inferred StructType). Sound because committed data dirs
+    * are IMMUTABLE: [[writeSnapshot]] creates each writer-unique uuid dir
+    * exactly once (ErrorIfExists) and vacuum only ever deletes files —
+    * never rewrites one — so a dir's footer schema is fixed for the life
+    * of the process; and all dirs of one chain-free version share an
+    * identical schema (the [[append]] contract), so a multi-dir read may
+    * key on any of its scopes. Metadata only — never rows — and bounded:
+    * this exists because every schema-less `spark.read.parquet` launches
+    * a footer-inference Spark job, and one verb chain re-opens the same
+    * dirs 3–5× per statement (probe, rewrite, constraint gate, sidecar).
+    */
+  private val dirSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** The shared snapshot-read entry: parquet over `paths` (all belonging
+    * to the dirs named by `scopes`), reusing a memoized footer schema
+    * when any scope has one and memoizing for all scopes otherwise.
+    * Callers guarantee the chain-free shared-schema invariant above when
+    * passing several scopes (readVersion's fast path; per-dir reads pass
+    * exactly one).
+    */
+  private def scopedParquet(spark: SparkSession, hfs: FileSystem,
+      root: Path, scopes: Seq[String], paths: Seq[String]): DataFrame =
+    memoParquet(spark, scopes.map(sc =>
+      schemeFreePath(hfs.makeQualified(new Path(root, sc)).toString)), paths)
+
+  /** [[scopedParquet]] for a caller holding the data dir as an absolute
+    * path already (the fresh-dir commit tail: constraint gate + sidecar).
+    */
+  private def dirParquet(spark: SparkSession, dataDir: Path): DataFrame = {
+    val hfs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    memoParquet(spark,
+      Seq(schemeFreePath(hfs.makeQualified(dataDir).toString)),
+      Seq(dataDir.toString))
+  }
+
+  private def memoParquet(spark: SparkSession, keys: Seq[String],
+      paths: Seq[String]): DataFrame = {
+    val known = keys.iterator.map(dirSchemaMemo.get).find(_ != null)
+    known match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        val df = spark.read.parquet(paths: _*)
+        if (dirSchemaMemo.size < 8192)
+          keys.foreach(k => dirSchemaMemo.putIfAbsent(k, df.schema))
+        df
+    }
+  }
+
   /** One scope's VISIBLE rows: the token group's restricted parquet
     * read with the scope's deferred-delete keep filter bound to the RAW
     * frame — the shared read shape of every granular probe/rewrite.
@@ -3568,7 +3618,8 @@ object VersionedTable {
   private def visibleScopeFrame(spark: SparkSession, hfs: FileSystem,
       root: Path, preds: Seq[DelPred], scope: String,
       toks: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(groupReadPaths(hfs, root, scope, toks): _*)
+    val df = scopedParquet(spark, hfs, root, Seq(scope),
+      groupReadPaths(hfs, root, scope, toks))
     delKeepFilter(preds, scope).map(df.where).getOrElse(df)
   }
 
@@ -4073,8 +4124,7 @@ object VersionedTable {
     val cs = constraintsOf(spark, table)
     if (cs.isEmpty) return
     import org.apache.spark.sql.functions._
-    val snap = spark.read.parquet(
-      new Path(new Path(table), dirName).toString)
+    val snap = dirParquet(spark, new Path(new Path(table), dirName))
     val counts =
       try snap.select(cs.map { case (n, e) =>
         sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
@@ -4199,7 +4249,7 @@ object VersionedTable {
       bloomBitsPerRow: Int = 10): Unit = {
     if (cols.isEmpty && bloomCols.isEmpty) return
     import org.apache.spark.sql.functions._
-    val df = spark.read.parquet(dataDir.toString)
+    val df = dirParquet(spark, dataDir)
     val missing = (cols ++ bloomCols).distinct.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"stats column(s) ${missing.mkString(", ")} not in snapshot schema")
