@@ -122,28 +122,76 @@ object Graft {
       .drop("__g", "__thr")
   }
 
+  /** Shared (a < b) pair expansion within equal-key groups — the r18
+    * bucket shape, with an OPT-IN hot-key guard for uncurated corpora.
+    *
+    * Default (`hotCap = Int.MaxValue`): the one-shuffle grouped plan —
+    * ids sorted per key, pairs expanded row-locally, per-key aggregation
+    * state O(group). The group-size bound is a CONTRACT of the callers
+    * (duplicate-cluster / basket size): on a degenerate corpus (millions
+    * of byte-identical docs under one signature) the whole cluster lands
+    * in ONE aggregation buffer and one array row — pass a finite
+    * `hotCap` there.
+    *
+    * With a finite `hotCap`: keys above the cap — detected by a
+    * partial-aggregated count, O(1) state — stream through the
+    * self-join the bucket shape replaced (shuffles and spills instead
+    * of buffering; the pair OUTPUT is quadratic either way). At most
+    * N/hotCap keys can be hot, so the hot-key list broadcasts and the
+    * cold path keeps the grouped plan. The guard is opt-in because its
+    * plan re-runs the key derivation for the counts pass and the two
+    * (normally zero-row) fallback branches: measured at sf0.1 that
+    * fixed overhead costs 1.2–1.8× on the dedup-family queries — r19
+    * A/B, q31_neardup 0.52→0.89 s, q30_simhash 0.69→1.27 s — for
+    * insurance the declared corpora never need. GraftApiSpec's
+    * mass-duplicate law exercises the routed plan.
+    *
+    * Pair set is the self-join's exactly (both modes): null keys are
+    * dropped (a join on key equality never matched NULL), and the final
+    * `id_a < id_b` filter excludes the (x, x) pairs duplicate ids would
+    * otherwise emit from a sorted bucket. Returns (__k, id_a, id_b).
+    */
+  private[graft] def pairsWithinGroups(rows: DataFrame,
+      hotCap: Int = Int.MaxValue): DataFrame = {
+    val keyed = rows.where(col("__k").isNotNull)
+    def bucketPairs(in: DataFrame): DataFrame = in
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(col("__k"), posexplode(col("__ids")).as(Seq("__i", "id_a")),
+        col("__ids"))
+      .select(col("__k"), col("id_a"),
+        explode(slice(col("__ids"), col("__i") + 2,
+          size(col("__ids")))).as("id_b"))
+    val all =
+      if (hotCap == Int.MaxValue) bucketPairs(keyed)
+      else {
+        val hot = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > hotCap).select(col("__k"))
+        val hotRows = keyed.join(broadcast(hot), Seq("__k"), "left_semi")
+        val hotPairs = hotRows.as("a")
+          .join(hotRows.withColumnRenamed("__id", "__idb").as("b"),
+            Seq("__k"))
+          .select(col("__k"), col("__id").as("id_a"),
+            col("__idb").as("id_b"))
+        bucketPairs(keyed.join(broadcast(hot), Seq("__k"), "left_anti"))
+          .unionAll(hotPairs)
+      }
+    all.where(col("id_a") < col("id_b"))
+  }
+
   /** Exact-duplicate pairs by content signature (md5 of the sorted token
     * set): equi-join on the fixed-width signature, bucketed by it.
     */
   def exactDupPairs(df: DataFrame, id: Column, text: Column): DataFrame = {
     // r18: one signature pass + one shuffle instead of a signature
-    // self-join — group ids per signature and expand the (a < b) pairs
-    // row-locally. The self-join formulation tokenized and md5-hashed
-    // every document body TWICE (once per join side) and shuffled both;
-    // here the corpus is hashed once and only (sig, id) pairs shuffle.
-    // Pair set is identical: ids are sorted within each signature group,
-    // so (ids[i], ids[j]) for i < j enumerates exactly the id_a < id_b
-    // pairs. Per-group state is O(group size) — the same order as the
-    // pairs the join itself would emit for that signature.
+    // self-join — the corpus is tokenized and md5-hashed ONCE and only
+    // (sig, id) pairs shuffle. Per-signature state is O(cluster) — a
+    // contract of the operator; see [[pairsWithinGroups]] for the
+    // opt-in hot-signature guard on uncurated corpora.
     val sigs = df.select(id.as("__id"),
-      md5(array_join(tokenSet(text), " ")).as("__sig"))
-    sigs.groupBy(col("__sig"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .where(size(col("__ids")) > 1)
-      .select(posexplode(col("__ids")).as(Seq("__i", "id_a")),
-        col("__ids"))
-      .select(col("id_a"), explode(slice(col("__ids"), col("__i") + 2,
-        size(col("__ids")))).as("id_b"))
+      md5(array_join(tokenSet(text), " ")).as("__k"))
+    pairsWithinGroups(sigs).select(col("id_a"), col("id_b"))
   }
 
   /** SimHash duplicate pairs: `bits`-bit signature over the distinct token
@@ -159,18 +207,14 @@ object Graft {
     val sigs = df
       .select(id.as("__id"), transform(tokenSet(text), t => phash32(t)).as("__hs"))
       .select(col("__id"),
-        GraftFunctions.simhash(df.sparkSession, col("__hs"), bits).as("simhash"))
+        GraftFunctions.simhash(df.sparkSession, col("__hs"), bits).as("__k"))
     // r18: group ids per signature and expand (a < b) pairs row-locally —
     // one signature pass + one shuffle instead of a self-join that ran
-    // the tokenize+hash lineage once per side (see exactDupPairs).
-    sigs.groupBy(col("simhash"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .where(size(col("__ids")) > 1)
-      .select(col("simhash"),
-        posexplode(col("__ids")).as(Seq("__i", "id_a")), col("__ids"))
-      .select(col("id_a"), explode(slice(col("__ids"), col("__i") + 2,
-        size(col("__ids")))).as("id_b"), col("simhash"))
-      .select(col("id_a"), col("id_b"), col("simhash"))
+    // the tokenize+hash lineage once per side (see exactDupPairs;
+    // [[pairsWithinGroups]] documents the group-size contract and the
+    // opt-in hot-signature guard).
+    pairsWithinGroups(sigs)
+      .select(col("id_a"), col("id_b"), col("__k").as("simhash"))
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxDist` — the
@@ -246,16 +290,14 @@ object Graft {
       .cache()
     val prefLen = (floor(size(col("__shs")) * (1.0 - threshold)) + 1).cast("int")
     val pref = sh.select(col("__id"),
-      explode(slice(col("__shs"), lit(1), prefLen)).as("__ps"))
+      explode(slice(col("__shs"), lit(1), prefLen)).as("__k"))
     // r18: prefix-shingle buckets with row-local (a < b) pair expansion
     // instead of a pref self-join — one prefix pass + one shuffle (see
-    // exactDupPairs); buckets are small by the prefix-filter design.
-    val cand = pref.groupBy(col("__ps"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .where(size(col("__ids")) > 1)
-      .select(posexplode(col("__ids")).as(Seq("__i", "id_a")), col("__ids"))
-      .select(col("id_a"), explode(slice(col("__ids"), col("__i") + 2,
-        size(col("__ids")))).as("id_b"))
+    // exactDupPairs); buckets are small by the prefix-filter design on
+    // real corpora ([[pairsWithinGroups]] documents the group-size
+    // contract and the opt-in hot-key guard for degenerate ones).
+    val cand = pairsWithinGroups(pref)
+      .select(col("id_a"), col("id_b"))
       .distinct()
     cand
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
@@ -818,9 +860,20 @@ object Graft {
     * `step` receives (state, 0-based round index); `halt` receives
     * (state, rounds completed). Rounds where `i % checkpointEvery != 0`
     * skip the checkpoint — only worth it when `halt` is also cheap there.
+    *
+    * `eagerCheckpoint = false` (r19) marks the checkpoint lazily instead
+    * of running a dedicated materialization action: the NEXT action over
+    * the state — normally the halt's own count — computes and persists it
+    * in the same job, halving the driver-synchronized barriers per round
+    * (two full-cluster syncs → one at scale-out). Only sound when every
+    * checkpointed round's halt runs a FULL action over the state (a
+    * count, not an isEmpty/limit, which computes partitions partially);
+    * callers whose halt is free (fixed-round loops) must keep the eager
+    * default or the lineage never truncates.
     */
   def iterateUntilFixpoint(init: DataFrame, maxIter: Int,
-      checkpointEvery: Int = 1)(step: (DataFrame, Int) => DataFrame)(
+      checkpointEvery: Int = 1, eagerCheckpoint: Boolean = true)(
+      step: (DataFrame, Int) => DataFrame)(
       halt: (DataFrame, Int) => Boolean): Fixpoint = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     require(checkpointEvery >= 1,
@@ -832,7 +885,8 @@ object Graft {
       val next = step(state, i)
       i += 1
       state =
-        if (i % checkpointEvery == 0) next.localCheckpoint(true) else next
+        if (i % checkpointEvery == 0) next.localCheckpoint(eagerCheckpoint)
+        else next
       done = halt(state, i)
     }
     Fixpoint(state, i, done)
@@ -869,7 +923,13 @@ object Graft {
       .distinct().cache()
     val init = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    val fp = iterateUntilFixpoint(init, maxIter) { (labels, _) =>
+    // r19: lazy checkpoint — the halt below counts the FULL state every
+    // round anyway, so that one action materializes the round's
+    // checkpoint too: one driver barrier per round instead of two (the
+    // eager-checkpoint count + the convergence count), the dominant cost
+    // of scaling this loop out (r18 measured 8c/32c = 0.70).
+    val fp = iterateUntilFixpoint(init, maxIter,
+        eagerCheckpoint = false) { (labels, _) =>
       // (1) candidate = min(current, min over neighbors' labels)
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
@@ -929,7 +989,14 @@ object Graft {
     val deg = edges.groupBy(col("u"))
       .agg(count(lit(1)).cast(DoubleType).as("d"))
     val init = nodes.withColumn("pr", lit(1.0) / lit(n))
-    iterateUntilFixpoint(init, iters) { (pr, _) =>
+    // r19: checkpoint every 4 rounds, not every round. The step reads
+    // `pr` ONCE (no self-join), so the uncheckpointed plan grows
+    // LINEARLY — ≤4 chained join+agg rounds plan fine — and each skipped
+    // checkpoint removes a full-cluster materialization barrier (halt
+    // never acts here; r18 measured 8c/32c = 0.62 with one barrier per
+    // round). At the default iters = 3 the whole power iteration now
+    // runs as ONE pipelined job under the consumer's action.
+    iterateUntilFixpoint(init, iters, checkpointEvery = 4) { (pr, _) =>
       edges
         .join(pr.withColumnRenamed("id", "u"), Seq("u"))
         .join(deg, Seq("u"))
@@ -2534,8 +2601,13 @@ object Graft {
     // (p1 < p2 by construction — identical pair set to the former
     // self-join), and the marginals/basket total derive from the same
     // cached basket table instead of re-scanning the input. Per-basket
-    // state is O(basket size) — the same order the self-join emitted.
-    val baskets = df.groupBy(basket.as("__bk"))
+    // state is O(basket size) — the docstring's "cap giant baskets
+    // upstream" is the contract that bounds it. r19: null baskets are
+    // dropped — the declared semantics (the former equi-join on the
+    // basket key never matched NULL, and the total was COUNT(DISTINCT
+    // basket), which skips nulls; the r18 groupBy had silently bucketed
+    // them).
+    val baskets = df.where(basket.isNotNull).groupBy(basket.as("__bk"))
       .agg(sort_array(collect_set(item)).as("__its"))
       .cache()
     val supp = baskets

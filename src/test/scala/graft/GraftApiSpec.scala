@@ -1344,4 +1344,38 @@ class GraftApiSpec extends SparkSpec {
       (1L, 24L, 1L), (1L, 32L, 2L), (1L, 40L, 2L), (1L, 60L, 3L),
       (2L, 0L, 1L)))
   }
+
+  test("pairsWithinGroups: hot keys stream via the join fallback, pair set identical") {
+    import spark.implicits._
+    // one hot key (120 members), cold keys, a null key, a duplicate id
+    val rows = ((1 to 120).map(i => ("hot", i.toLong)) ++
+      Seq(("c1", 500L), ("c1", 501L), ("c2", 600L),
+        (null: String, 900L), (null: String, 901L),
+        ("dup", 700L), ("dup", 700L), ("dup", 701L)))
+      .toDF("__k", "__id")
+    def pairs(cap: Int) = Graft.pairsWithinGroups(rows, hotCap = cap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(p => (p._1, p._2)).toSeq
+    val grouped = pairs(Int.MaxValue) // default: pure bucket plan
+    val split = pairs(50)             // "hot" routes through the join fallback
+    assert(grouped == split)
+    // 120-member key fully paired + c1's pair + dup's two (700,701) rows
+    assert(split.size == 120 * 119 / 2 + 1 + 2)
+    // join semantics preserved: no pairs among NULL keys, no (x, x)
+    assert(!split.contains((900L, 901L)))
+    assert(!split.contains((700L, 700L)))
+  }
+
+  test("pair expansion hot guard: a degenerate mass-duplicate key streams to completion") {
+    import spark.implicits._
+    // 5000 identical members = 12.5M pairs through ONE key: the bucket
+    // path would buffer the whole member list in one aggregation task
+    // (and at corpus scale one >2GB row); the guard's join fallback
+    // shuffles and streams instead — this asserts the routed plan
+    // completes and is pair-exact
+    val n = 5000
+    val rows = (1 to n).map(i => ("same", i.toLong)).toDF("__k", "__id")
+    val cnt = Graft.pairsWithinGroups(rows, hotCap = 1000).count()
+    assert(cnt == n.toLong * (n - 1) / 2)
+  }
 }
