@@ -1123,6 +1123,18 @@ object Graft {
     * chunk ids come from `floor(order / chunkSize)`, which is monotone
     * over the whole long range (q80's descending-revenue encoding relies
     * on this; PropertySpec pins it).
+    *
+    * Carry-window bound (r19): the unpartitioned carry window runs over
+    * one row per POPULATED chunk — at most min(n_rows,
+    * order_range / chunkSize) rows on ONE task. The declared callers'
+    * order keys are row ranks or rank-like encodings, so their chunk
+    * counts are n/chunkSize (≈ 10⁵ carry rows per 6.5·10⁹ input rows at
+    * the default 2¹⁶). For a WIDE-RANGE order key (raw cents or epoch
+    * micros at corpus scale, range ≳ 10¹²) the default degenerates
+    * toward one chunk per row — size `chunkSize ≈ range / 10⁵` there so
+    * the carry stays a single-task-friendly ≤ ~10⁵ rows; correctness
+    * never depends on the choice (GraftApiSpec pins the one-chunk-per-
+    * row worst case exactly), only the carry's parallelism does.
     */
   def prefixMaxExclusive(df: DataFrame, order: Column, value: Column,
       out: String, chunkSize: Long = 1L << 16): DataFrame = {
@@ -2691,33 +2703,44 @@ object Graft {
     * full Theil–Sen is all O(n²) pairs; bounding pairs to a rank band is
     * the standard scale variant and keeps the work O(n·maxLag) per key.
     *
-    * Shape: rank rows per key (one keyed window), explode each row into
-    * `maxLag` (rank+lag) probes, equi-join back on (key, rank) — a hash
-    * join, never a theta/banded join — then one exact-median aggregate.
-    * Ties in x (duplicate timestamps) drop that pair (slope undefined).
+    * Shape (r19): ONE keyed window — each row reads its next `maxLag`
+    * neighbors with `lead(struct(x, y), i)` over the same (x, tieBreak)
+    * ordering and emits their slopes row-locally, then one exact-median
+    * aggregate. This replaces the r18 rank-explode + equi-join-back
+    * plan, which ran the ranking window lineage TWICE (probe + build
+    * side of the join) and shuffled/broadcast the ranked table a second
+    * time: 2 window lineages + 1 join → 1 window, same pair set
+    * ((rank, rank+i) for i ≤ maxLag, within key, null keys excluded
+    * exactly as the former join's key equality did). One STRUCT lead per
+    * lag, not one per column: measured 0.98 s vs 2.2 s at sf0.1 — every
+    * distinct lead is its own offset frame processor over the partition
+    * buffer, so 8 frames beat 16 — and vs 1.1 s for the old join plan.
+    * Ties in x (duplicate timestamps) drop that pair (slope undefined);
+    * a pair whose y is null still counts toward n_pairs (its slope is
+    * null, which the median skips), exactly as the join form did.
     */
   def theilSenSlopes(df: DataFrame, key: Column, x: Column, y: Column,
       tieBreak: Column, maxLag: Int = 8, minPairs: Long = 3): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
-    val ranked = df
-      .select(key.as("k"), x.cast(DoubleType).as("__x"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("__x"), col("__tb"))
+    val lags = (1 to maxLag).map(i =>
+      lead(struct(col("__x"), col("__y")), i).over(w))
+    df.select(key.as("k"), x.cast(DoubleType).as("__x"),
         y.cast(DoubleType).as("__y"), tieBreak.as("__tb"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("k")).orderBy(col("__x"), col("__tb"))))
-    val probes = ranked.select(col("k"), col("__rn"), col("__x"),
-        col("__y"),
-        explode(sequence(col("__rn") + 1, col("__rn") + maxLag))
-          .as("__rn2"))
-    val pairs = probes.join(
-        ranked.select(col("k").as("k2"), col("__rn").as("__rnr"),
-          col("__x").as("__x2"), col("__y").as("__y2")),
-        col("k") === col("k2") && col("__rn2") === col("__rnr"))
-      .where(col("__x2") =!= col("__x"))
+      // the former plan's join on key equality never matched NULL keys
+      .where(col("k").isNotNull)
+      // window exprs first (a generator may not contain them), then the
+      // row-local explode of the per-lag neighbor structs
+      .select(col("k"), col("__x"), col("__y"), array(lags: _*).as("__ls"))
+      .select(col("k"), col("__x"), col("__y"),
+        explode(col("__ls")).as("__n"))
+      // null __n (past the partition end) fails the inequality too
+      .where(col("__n.__x") =!= col("__x"))
       .select(col("k"),
-        ((col("__y2") - col("__y")) / (col("__x2") - col("__x")))
+        ((col("__n.__y") - col("__y")) / (col("__n.__x") - col("__x")))
           .as("__slope"))
-    pairs.groupBy(col("k"))
+      .groupBy(col("k"))
       .agg(count(lit(1)).as("n_pairs"),
         graft.Exact.round6(
           expr("percentile(__slope, 0.5)")).as("ts_slope"))

@@ -1052,9 +1052,13 @@ object Analytics {
             col("ts").cast(LongType) - lag(col("ts").cast(LongType), 1).over(w))
           .where(col("gap").isNotNull)
           .groupBy(col("event_type"))
+          // r19: one percentile buffer (array form, q11 precedent), not
+          // one per quantile; identical doubles
           .agg(count(lit(1)).as("n_gaps"),
-            round(expr("percentile(gap, 0.5)"), 6).as("med_gap_s"),
-            round(expr("percentile(gap, 0.95)"), 6).as("p95_gap_s"))
+            expr("percentile(gap, array(0.5, 0.95))").as("gp"))
+          .select(col("event_type"), col("n_gaps"),
+            round(col("gp").getItem(0), 6).as("med_gap_s"),
+            round(col("gp").getItem(1), 6).as("p95_gap_s"))
           .orderBy(col("event_type"))
       },
       Some("""WITH g AS (
@@ -1966,8 +1970,10 @@ object Analytics {
       (s, d) => {
         val ev = Tables(s, d, "events").where(col("value").isNotNull)
         val bounds = ev.groupBy(col("event_type"))
-          .agg(expr("percentile(value, 0.05)").as("lo"),
-            expr("percentile(value, 0.95)").as("hi"))
+          // r19: one percentile buffer (array form, q11 precedent)
+          .agg(expr("percentile(value, array(0.05, 0.95))").as("ps"))
+          .select(col("event_type"), col("ps").getItem(0).as("lo"),
+            col("ps").getItem(1).as("hi"))
         ev.join(broadcast(bounds), Seq("event_type"))
           .withColumn("wv", when(col("value") < col("lo"), col("lo"))
             .when(col("value") > col("hi"), col("hi"))
@@ -2272,10 +2278,13 @@ object Analytics {
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_gaps"),
             expr("percentile(gap_d, 0.5)").as("med_gap"))
+          // r19: one percentile buffer (array form, q11 precedent)
           .agg(count(lit(1)).as("n_customers"),
-            Exact.round6(expr("percentile(med_gap, 0.25)")).as("p25"),
-            Exact.round6(expr("percentile(med_gap, 0.5)")).as("p50"),
-            Exact.round6(expr("percentile(med_gap, 0.75)")).as("p75"))
+            expr("percentile(med_gap, array(0.25, 0.5, 0.75))").as("ps"))
+          .select(col("n_customers"),
+            Exact.round6(col("ps").getItem(0)).as("p25"),
+            Exact.round6(col("ps").getItem(1)).as("p50"),
+            Exact.round6(col("ps").getItem(2)).as("p75"))
       },
       Some("""WITH g AS (
              |  SELECT o_custkey,
@@ -2417,11 +2426,15 @@ object Analytics {
             (col("o_totalprice").cast(DecimalType(25, 6)) * 100)
               .cast(LongType).as("cents"))
           .groupBy(col("pri"))
-          .agg(
-            Exact.round6(expr("percentile(cents, 0.5)")).as("p50"),
-            Exact.round6(expr("percentile(cents, 0.99)")).as("p99"),
-            Exact.round6(expr("percentile(cents, 0.99)") /
-              expr("percentile(cents, 0.5)")).as("tail_ratio"))
+          // r19: ONE percentile buffer per group (array form, the
+          // q11_percentiles precedent) instead of two — p50 and p99 read
+          // off a single sorted-counts map; identical doubles
+          .agg(expr("percentile(cents, array(0.5, 0.99))").as("ps"))
+          .select(col("pri"),
+            Exact.round6(col("ps").getItem(0)).as("p50"),
+            Exact.round6(col("ps").getItem(1)).as("p99"),
+            Exact.round6(col("ps").getItem(1) / col("ps").getItem(0))
+              .as("tail_ratio"))
           .orderBy(col("pri"))
       },
       Some("""WITH o AS (SELECT o_orderpriority AS pri,
@@ -2792,10 +2805,13 @@ object Analytics {
           .select(to_date(date_trunc("month", to_date(col("o_orderdate"))))
             .as("month"), cents.as("c"))
           .groupBy(col("month"))
+          // r19: one percentile buffer (array form, q11 precedent)
           .agg(count(lit(1)).as("n"),
-            Exact.round6(expr("percentile(c, 0.1)")).as("p10_cents"),
-            Exact.round6(expr("percentile(c, 0.5)")).as("p50_cents"),
-            Exact.round6(expr("percentile(c, 0.9)")).as("p90_cents"))
+            expr("percentile(c, array(0.1, 0.5, 0.9))").as("ps"))
+          .select(col("month"), col("n"),
+            Exact.round6(col("ps").getItem(0)).as("p10_cents"),
+            Exact.round6(col("ps").getItem(1)).as("p50_cents"),
+            Exact.round6(col("ps").getItem(2)).as("p90_cents"))
           .orderBy(col("month"))
       },
       Some("""WITH o AS (

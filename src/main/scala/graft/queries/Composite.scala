@@ -1475,9 +1475,11 @@ object Composite {
           .select(col("doc_id"), col("lang"),
             length(col("text")).cast(LongType).as("len"))
         val stats = docs.groupBy(col("lang"))
-          .agg(percentile(col("len"), lit(0.5)).as("med"),
-            (percentile(col("len"), lit(0.75)) -
-              percentile(col("len"), lit(0.25))).as("iqr"))
+          // r19: one percentile buffer (array form, q11 precedent)
+          .agg(percentile(col("len"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+          .select(col("lang"), col("ps").getItem(1).as("med"),
+            (col("ps").getItem(2) - col("ps").getItem(0)).as("iqr"))
         docs.join(broadcast(stats), Seq("lang"))
           .select(col("doc_id"), col("lang"), col("len"),
             // Exact.round6: a just-under-median length rounds to -0.0
@@ -2418,8 +2420,10 @@ object Composite {
       (s, d) => {
         val ev = Tables(s, d, "events").where(col("value").isNotNull)
         val fences = ev.groupBy(col("event_type"))
-          .agg(expr("percentile(value, 0.25)").as("q1"),
-            expr("percentile(value, 0.75)").as("q3"))
+          // r19: one percentile buffer (array form, q11 precedent)
+          .agg(expr("percentile(value, array(0.25, 0.75))").as("ps"))
+          .select(col("event_type"), col("ps").getItem(0).as("q1"),
+            col("ps").getItem(1).as("q3"))
           .withColumn("lo",
             col("q1") - (col("q3") - col("q1")) * 1.5)
           .withColumn("hi",

@@ -217,6 +217,26 @@ class GraftApiSpec extends SparkSpec {
     assert(chunked.filter(col("oid") === -250).head().getLong(2) == 0L)
   }
 
+  test("prefixSumExclusive: adversarial WIDE-RANGE orders (one chunk per row) stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // orders spread over ~4e13 at the DEFAULT chunkSize (2^16): every row
+    // lands in its own chunk, so the carry table degenerates to one row
+    // per input row and the unpartitioned carry window does ALL the work
+    // — the documented worst case of the two-level scan (wide-range order
+    // keys, e.g. cents at corpus scale). Results must stay exact there;
+    // the operator's docstring carries the sizing rule that keeps the
+    // carry window off this degenerate path in production.
+    val df = (0L until 400L)
+      .map(i => (i * 100000000000L + i * 7919 % 997, i * 7919 % 101))
+      .toDF("oid", "v")
+    val naive = df.withColumn("ps",
+      coalesce(sum(col("v")).over(Window.orderBy(col("oid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunked = Graft.prefixSumExclusive(df, col("oid"), col("v"), "ps")
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+  }
+
   test("holtSmooth: level/trend recurrence matches hand computation per key") {
     import spark.implicits._
     val df = Seq(
